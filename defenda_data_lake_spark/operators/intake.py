@@ -1,0 +1,156 @@
+"""Intake operators: turn raw landed files into a DataFrame of
+one-JSON-string-per-event records, ready for the plugin pipeline.
+
+Re-expresses the reference's S3-relay lambda dataflow (reference
+lambdas/s3_to_firehose.py:38-126, SURVEY.md A4-A10):
+
+* gzip handling — Spark's text source decompresses ``.gz`` by codec
+  extension natively (A5);
+* concatenated-JSON splitting — brace-count scan, the one genuinely
+  custom reader (A6, reference utils/helpers.py:14-33); fresh
+  implementation here, hardened to ignore braces inside strings;
+* CloudTrail ``Records`` unroll, top-level-list unroll, bare-dict wrap
+  (A7-A9);
+* source tagging by filename (A10, reference s3_to_firehose.py:65-69).
+
+Scale notes: ``read_ndjson_events`` is the 100 TB path — a line-based
+text scan is splittable (many tasks per large file; gzip is the
+exception, one stream per file, same as the reference's storage).
+``read_blob_events`` (wholetext) is the compatibility fallback for
+non-NDJSON blobs; each file is one task, so it should only ever see the
+small malformed-upload tail, not the main firehose output.  Both are
+narrow (shuffle-free) scans.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Reference filename convention for CloudTrail drops
+# (reference utils/helpers.py:10-12).
+_CLOUDTRAIL_RE = re.compile(r"\d+_cloudtrail_.+\.json\.gz$", re.IGNORECASE)
+
+DEFAULT_SOURCE = "s3json"
+
+
+def is_cloudtrail(filename: str) -> bool:
+    return bool(_CLOUDTRAIL_RE.search(filename or ""))
+
+
+def split_concatenated_json(text: str) -> Iterator[str]:
+    """Yield each top-level ``{...}`` block from a text blob that may
+    hold multiple JSON objects with no separators (reference
+    utils/helpers.py:14-33).  Unlike the reference's bare brace count,
+    braces inside JSON strings are ignored."""
+    depth = 0
+    start = -1
+    in_string = False
+    escaped = False
+    for i, ch in enumerate(text):
+        if in_string:
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == '"':
+                in_string = False
+            continue
+        if ch == '"':
+            in_string = True
+        elif ch == "{":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "}":
+            if depth > 0:
+                depth -= 1
+                if depth == 0:
+                    yield text[start : i + 1]
+    return
+
+
+def extract_events(blob: str, filename: str = "") -> Iterator[tuple[str, str]]:
+    """Turn one raw file blob into ``(event_json, source)`` pairs with
+    the reference's parse/unroll/tag semantics
+    (reference s3_to_firehose.py:100-126)."""
+    source = "cloudtrail" if is_cloudtrail(filename) else DEFAULT_SOURCE
+    try:
+        parsed = json.loads(blob)
+        chunks = [parsed]
+    except json.JSONDecodeError:
+        chunks = []
+        for block in split_concatenated_json(blob):
+            try:
+                chunks.append(json.loads(block))
+            except json.JSONDecodeError:
+                continue
+    for parsed in chunks:
+        if isinstance(parsed, dict) and isinstance(parsed.get("Records"), list):
+            records = parsed["Records"]
+        elif isinstance(parsed, list):
+            records = parsed
+        elif isinstance(parsed, dict):
+            records = [parsed]
+        else:
+            continue
+        for record in records:
+            if isinstance(record, dict):
+                # the reference stamps the intake source onto every
+                # record, overwriting any existing value
+                # (s3_to_firehose.py:107,114,120,125)
+                record["source"] = source
+                yield json.dumps(record), source
+
+
+RAW_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("raw", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
+    ]
+)
+
+
+def _blob_batches(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        rows = []
+        for blob, fname in zip(batch["value"], batch["file"]):
+            rows.extend(extract_events(blob, fname))
+        yield pd.DataFrame(rows, columns=["raw", "source"])
+
+
+def read_blob_events(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-file intake for arbitrary blobs (concatenated JSON,
+    CloudTrail bundles, multi-line JSON).  One task per file — use for
+    the malformed tail, not the main NDJSON stream."""
+    df = (
+        spark.read.text(path, wholetext=True)
+        .withColumn("file", F.input_file_name())
+        .select("value", "file")
+    )
+    return df.mapInPandas(_blob_batches, schema=RAW_EVENT_SCHEMA)
+
+
+def read_ndjson_events(spark: SparkSession, path: str) -> DataFrame:
+    """Line-based intake for newline-delimited JSON (the reference's
+    storage format, processor.py:51-57).  Splittable scan — this is the
+    scale path.  Source tagging from the filename happens JVM-side."""
+    df = spark.read.text(path).withColumn("file", F.input_file_name())
+    return df.filter(F.length(F.trim(F.col("value"))) > 0).select(
+        F.col("value").alias("raw"),
+        F.when(
+            F.regexp_count(F.col("file"), F.lit(r"(?i)\d+_cloudtrail_.+\.json\.gz$"))
+            > 0,
+            F.lit("cloudtrail"),
+        )
+        .otherwise(F.lit(DEFAULT_SOURCE))
+        .alias("source"),
+    )

@@ -1,0 +1,238 @@
+"""The plugin pipeline: registry, content-based router, and the
+Arrow-batched Spark host.
+
+Re-expresses the reference's normalization/enrichment dataflow
+(reference lambdas/processor.py:17-84, utils/plugins.py:31-110) as:
+
+* a plain-Python router (``run_pipeline``) with the reference's exact
+  semantics — ascending-priority execution, registration-token
+  intersection against the event's criteria values (all nested keys +
+  ``tags`` values + ``category`` value), ``'*'`` wildcard, drop-on-None,
+  provenance accumulation into ``plugins`` — unit-testable without Spark;
+* a vectorized Spark host (``normalize_df``) that runs the router over
+  Arrow record batches via ``mapInPandas``.
+
+Why ``mapInPandas`` and not Column expressions: the plugins manipulate
+*unknown-shape* JSON (recursive key search over schemas never inferred,
+SURVEY.md §2A A16-A19/A23-A26).  No static Catalyst expression can do
+that; this is the one deliberately Python-side stage of the engine.
+
+Scale notes (100 TB):
+
+* The pipeline is stateless per record (reference processor.py:25-78) —
+  embarrassingly parallel, **zero shuffles**: throughput scales linearly
+  with input partitions; Arrow batching amortizes the Python boundary.
+* Output goes straight to a partitioned Parquet write — the records
+  never leave their input partition, so the whole ingest path is a
+  single narrow stage per micro-batch.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from defenda_data_lake_spark.schema import EVENT_SHELL_SCHEMA, SHELL_FIELDS
+from defenda_data_lake_spark.utils.json_tree import enum_keys
+
+
+class Plugin:
+    """One pipeline step.
+
+    Mirrors the reference plugin contract (reference utils/plugins.py:44-57):
+    ``registration`` is a list of lowercase match tokens or ``['*']``;
+    lower ``priority`` runs earlier (default 100); ``on_event`` returns
+    the (possibly mutated) event, or ``None`` to drop the record.
+    """
+
+    name: str = "plugin"
+    registration: list[str] = ["*"]
+    priority: int = 100
+
+    def on_event(self, event: dict, metadata: dict) -> dict | None:  # pragma: no cover
+        raise NotImplementedError
+
+
+def event_criteria_values(event: dict) -> set:
+    """The token set a plugin registration is matched against: every
+    nested key, plus ``tags`` values and the ``category`` value
+    (reference utils/plugins.py:11-28)."""
+    tokens = set(enum_keys(event))
+    tags = event.get("tags")
+    if isinstance(tags, list):
+        tokens.update(t for t in tags if isinstance(t, str))
+    category = event.get("category")
+    if isinstance(category, str):
+        tokens.add(category)
+    return tokens
+
+
+def run_pipeline(
+    event: dict, plugins: list[Plugin], metadata: dict | None = None
+) -> dict | None:
+    """Route one event through ``plugins`` in ascending priority
+    (reference utils/plugins.py:61-110).  Returns the transformed event,
+    or ``None`` if a plugin dropped it."""
+    if not isinstance(event, dict):
+        raise TypeError(f"event is type {type(event)}, should be a dict")
+    metadata = metadata if metadata is not None else {}
+    executed: list[str] = []
+    for plugin in sorted(plugins, key=lambda p: p.priority):
+        if "*" in plugin.registration:
+            fire = True
+        else:
+            wanted = {token.lower() for token in plugin.registration}
+            fire = bool(wanted & event_criteria_values(event))
+        if fire:
+            event = plugin.on_event(event, metadata)
+            if event is None:
+                return None
+            executed.append(plugin.name)
+    event["plugins"] = list(event.get("plugins") or []) + executed
+    return event
+
+
+def default_plugins() -> list[Plugin]:
+    """The reference's six-plugin pipeline, in registration order."""
+    from defenda_data_lake_spark.operators.plugins import (
+        EnsureEventId,
+        EventShell,
+        GsuiteLogin,
+        IpAddresses,
+        LowercaseKeys,
+        Timestamps,
+    )
+
+    return [
+        LowercaseKeys(),
+        EventShell(),
+        EnsureEventId(),
+        Timestamps(),
+        IpAddresses(),
+        GsuiteLogin(),
+    ]
+
+
+def _shell_row(event: dict) -> dict:
+    """Project a pipeline-output event onto the fixed shell columns,
+    serializing ``details`` back to a JSON string (§1.3: fixed outer
+    schema, dynamic interior)."""
+    row = {}
+    for field in SHELL_FIELDS:
+        value = event.get(field)
+        if field == "details":
+            row[field] = json.dumps(value if value is not None else {})
+        elif field in ("tags", "plugins"):
+            row[field] = [str(v) for v in value] if isinstance(value, list) else []
+        else:
+            row[field] = str(value) if value is not None else None
+    return row
+
+
+# Output schema of normalize_df: the event shell plus a status column
+# mirroring the reference's per-record result envelope
+# (Ok / ProcessingFailed, reference processor.py:47-76) and the raw
+# payload for quarantine replay.
+NORMALIZED_SCHEMA = T.StructType(
+    list(EVENT_SHELL_SCHEMA.fields)
+    + [
+        T.StructField("_status", T.StringType(), False),
+        T.StructField("_raw", T.StringType(), True),
+    ]
+)
+
+STATUS_OK = "Ok"
+STATUS_FAILED = "ProcessingFailed"
+STATUS_DROPPED = "Dropped"
+
+
+def _make_normalizer(
+    plugin_factory: Callable[[], list[Plugin]],
+) -> Callable[[Iterable[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    def normalize_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        plugins = plugin_factory()  # once per task, reused across batches
+        columns = [f.name for f in NORMALIZED_SCHEMA.fields]
+        for batch in batches:
+            rows: list[dict[str, Any]] = []
+            sources = (
+                batch["source"] if "source" in batch.columns else [None] * len(batch)
+            )
+            for raw, source in zip(batch["raw"], sources):
+                out: dict[str, Any] = {c: None for c in columns}
+                out["_raw"] = raw
+                try:
+                    parsed = json.loads(raw)
+                    if not isinstance(parsed, dict):
+                        raise ValueError("event is not a JSON object")
+                    if source:
+                        # intake source tag wins (reference
+                        # s3_to_firehose.py:107,114,120,125)
+                        parsed["source"] = source
+                    result = run_pipeline(parsed, plugins)
+                except Exception:
+                    out["_status"] = STATUS_FAILED
+                    rows.append(out)
+                    continue
+                if result is None:
+                    out["_status"] = STATUS_DROPPED
+                else:
+                    out.update(_shell_row(result))
+                    out["_status"] = STATUS_OK
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=columns)
+
+    return normalize_batches
+
+
+def normalize_df(
+    df: DataFrame,
+    raw_col: str = "raw",
+    source_col: str | None = None,
+    plugin_factory: Callable[[], list[Plugin]] = default_plugins,
+) -> DataFrame:
+    """Run the plugin pipeline over a DataFrame of raw JSON event
+    strings.  Returns the shell columns plus ``_status``/``_raw``
+    (filter ``_status = 'Ok'`` for the good stream; the rest is the
+    quarantine stream, reference processor.py:59-76).
+
+    ``source_col``, when given, stamps each event's ``source`` before
+    the pipeline runs (the reference's intake tagging)."""
+    cols = [F.col(raw_col).alias("raw")]
+    if source_col is not None:
+        cols.append(F.col(source_col).alias("source"))
+    return df.select(*cols).mapInPandas(
+        _make_normalizer(plugin_factory), schema=NORMALIZED_SCHEMA
+    )
+
+
+def add_partition_columns(df: DataFrame) -> DataFrame:
+    """Zero-padded ``year/month/day/hour`` **processing-time** partition
+    columns (reference semantics: the partition cron registers the
+    current wall-clock hour — generate_partitions.py:24-33,
+    utils/dates.py:11-33 — so partition != event time by design)."""
+    now = F.current_timestamp()
+    return (
+        df.withColumn("year", F.date_format(now, "yyyy"))
+        .withColumn("month", F.date_format(now, "MM"))
+        .withColumn("day", F.date_format(now, "dd"))
+        .withColumn("hour", F.date_format(now, "HH"))
+    )
+
+
+def write_events(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Write normalized events to the hive-layout partitioned store.
+
+    Parquet+zstd instead of the reference's gzip NDJSON (main.tf:615):
+    same pruning behavior on ``year/month/day/hour`` predicates, plus
+    column pruning and row-group skipping the reference cannot do."""
+    (
+        df.drop("_status", "_raw")
+        .write.mode(mode)
+        .partitionBy("year", "month", "day", "hour")
+        .parquet(path)
+    )

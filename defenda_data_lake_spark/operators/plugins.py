@@ -1,0 +1,308 @@
+"""The reference's normalization/enrichment plugins, re-implemented
+fresh from their behavioral spec (SURVEY.md §2A A16-A21, FIXTURES.md).
+
+Each plugin is a pure ``dict -> dict`` transform hosted by the
+Arrow-batched router in ``operators.pipeline`` — the Spark-side
+contract is: stateless per record, no shuffle, linear scale-out.
+Reference citations are per-class.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import uuid
+from datetime import datetime, timezone
+
+from defenda_data_lake_spark.operators.pipeline import Plugin
+from defenda_data_lake_spark.schema import SHELL_DEFAULTS
+from defenda_data_lake_spark.utils.dates import to_utc
+from defenda_data_lake_spark.utils.json_tree import (
+    deep_merge,
+    dict_match,
+    enum_keys,
+    find_keys,
+    get_by_path,
+    lowercase_keys,
+    set_by_path,
+)
+
+# Candidate-field lists; ORDER MATTERS (first-match-wins, reference
+# timestamps.py:10-16, ip_addresses.py:27-62).
+LIKELY_TIMESTAMP_FIELDS = ["timestamp", "@timestamp", "time", "eventtime", "start"]
+
+LIKELY_SOURCE_IP_FIELDS = [
+    "src",
+    "srcaddr",
+    "srcip",
+    "src_ip",
+    "source_ip",
+    "sourceipaddress",
+    "source_ip_address",
+    "c-ip",
+    "clientip",
+    "remoteip",
+    "remote_ip",
+    "remoteaddr",
+    "remote_host_ip_address",
+    "ipaddress",
+    "ip_address",
+    "ipaddr",
+    "id_orig_h",
+    "x-forwarded-for",
+    "http-x-forwarded-for",
+]
+
+LIKELY_DESTINATION_IP_FIELDS = [
+    "dst",
+    "dstip",
+    "dst_ip",
+    "dstaddr",
+    "dest",
+    "destaddr",
+    "dest_ip",
+    "destination_ip",
+    "destinationipaddress",
+    "destination_ip_address",
+    "id_resp_h",
+    "serverip",
+]
+
+
+def is_ip(value) -> bool:
+    """Validate an IPv4/IPv6 address or CIDR mask.  Bare integers are
+    rejected (must contain ``.`` or ``:``) — reference
+    utils/helpers.py:42-58."""
+    if not isinstance(value, str) or ("." not in value and ":" not in value):
+        return False
+    try:
+        if "/" in value:
+            ipaddress.ip_network(value, strict=False)
+        else:
+            ipaddress.ip_address(value)
+        return True
+    except ValueError:
+        return False
+
+
+class LowercaseKeys(Plugin):
+    """Recursively lowercase every key (reference
+    normalization_plugins/lowercase_keys.py:12-25; priority 1, '*')."""
+
+    name = "lowercase_keys"
+    registration = ["*"]
+    priority = 1
+
+    def on_event(self, event: dict, metadata: dict) -> dict:
+        return lowercase_keys(event)
+
+
+class EventShell(Plugin):
+    """Impose the fixed event shell (reference
+    normalization_plugins/event_shell.py:15-45; priority 2, '*').
+
+    Faithful semantics: (1) if any shell key is absent from the
+    message's *recursive* key set, deep-merge shell defaults underneath
+    (message values win); (2) demote every non-shell **top-level** key
+    into ``details``.  Note the shell template intentionally has no
+    ``eventid`` — a pre-existing top-level ``eventid`` is demoted into
+    ``details`` and ``EnsureEventId`` later mints a fresh one (reference
+    quirk, preserved)."""
+
+    name = "event_shell"
+    registration = ["*"]
+    priority = 2
+
+    SHELL_KEYS = frozenset(
+        ["utctimestamp", *SHELL_DEFAULTS, "tags", "plugins", "details"]
+    )
+
+    def on_event(self, event: dict, metadata: dict) -> dict:
+        shell = {
+            "utctimestamp": datetime.now(timezone.utc).isoformat(),
+            **SHELL_DEFAULTS,
+            "tags": [],
+            "plugins": [],
+            "details": {},
+        }
+        if not self.SHELL_KEYS <= set(enum_keys(event)):
+            event = deep_merge(shell, event)
+        for key in [k for k in event if k not in self.SHELL_KEYS]:
+            event["details"][key] = event.pop(key)
+        return event
+
+
+class EnsureEventId(Plugin):
+    """Add ``eventid = uuid4()`` when missing (reference
+    enrichment_plugins/ensure_eventid.py:14-18; priority 10, '*')."""
+
+    name = "ensure_eventid"
+    registration = ["*"]
+    priority = 10
+
+    def on_event(self, event: dict, metadata: dict) -> dict:
+        if "eventid" not in event:
+            event["eventid"] = str(uuid.uuid4())
+        return event
+
+
+class Timestamps(Plugin):
+    """Discover the event's real timestamp and normalize it to UTC ISO
+    (reference normalization_plugins/timestamps.py:33-75; priority 20,
+    '*').
+
+    Semantics preserved exactly: candidate fields are searched in list
+    order against the full recursive key set; all occurrences of a field
+    are collected (``find_keys``); the ``time`` field zips with ``date``
+    when both exist; the first *parseable* value wins and stops the
+    whole search; unparseable values are skipped silently; the plugin
+    always stamps ``details._utcprocessedtimestamp``."""
+
+    name = "timestamps"
+    registration = ["*"]
+    priority = 20
+
+    def on_event(self, event: dict, metadata: dict) -> dict:
+        keys = set(enum_keys(event))
+        done = False
+        for field in LIKELY_TIMESTAMP_FIELDS:
+            if done or field not in keys:
+                continue
+            candidates = list(find_keys(event, field))
+            if field == "time" and "date" in keys:
+                dates = list(find_keys(event, "date"))
+                if dates:
+                    candidates = [f"{d} {t}" for d, t in zip(dates, candidates)]
+            for candidate in candidates:
+                try:
+                    stamp = to_utc(candidate)
+                except Exception:
+                    continue
+                event["utctimestamp"] = stamp.isoformat()
+                done = True
+                break
+        details = event.setdefault("details", {})
+        if isinstance(details, dict):
+            details["_utcprocessedtimestamp"] = datetime.now(
+                timezone.utc
+            ).isoformat()
+        return event
+
+
+class IpAddresses(Plugin):
+    """Discover source/destination IPs anywhere in the event tree
+    (reference normalization_plugins/ip_addresses.py:17-135; priority
+    20, '*').
+
+    Semantics preserved: candidate fields in list order, first *valid*
+    IP wins; comma lists (``x-forwarded-for``) take their first element;
+    an existing non-IP ``details.sourceipaddress`` equal to
+    ``details.useragent`` is deleted (CloudTrail quirk); every valid IP
+    found accumulates (deduped, order-preserving) into
+    ``details._ipaddresses``."""
+
+    name = "ip_addresses"
+    registration = ["*"]
+    priority = 20
+
+    @staticmethod
+    def _first_valid_ip(event: dict, fields: list[str], keys: set) -> str | None:
+        for field in fields:
+            if field not in keys:
+                continue
+            for value in find_keys(event, field):
+                if isinstance(value, str) and "," in value:
+                    value = value.split(",")[0].strip()
+                if is_ip(value):
+                    return value
+        return None
+
+    def on_event(self, event: dict, metadata: dict) -> dict:
+        keys = set(enum_keys(event))
+        found: list[str] = []
+
+        if not get_by_path(event, "details.sourceipaddress"):
+            ip = self._first_valid_ip(event, LIKELY_SOURCE_IP_FIELDS, keys)
+            if ip is not None:
+                set_by_path(event, "details.sourceipaddress", ip)
+
+        source_ip = get_by_path(event, "details.sourceipaddress")
+        if source_ip:
+            if is_ip(source_ip):
+                found.append(source_ip)
+            elif source_ip == get_by_path(event, "details.useragent"):
+                # CloudTrail writes service hostnames (config.amazonaws.com)
+                # into both fields; drop the fake address.
+                del event["details"]["sourceipaddress"]
+
+        if not get_by_path(event, "details.destinationipaddress"):
+            ip = self._first_valid_ip(event, LIKELY_DESTINATION_IP_FIELDS, keys)
+            if ip is not None:
+                set_by_path(event, "details.destinationipaddress", ip)
+
+        dest_ip = get_by_path(event, "details.destinationipaddress")
+        if dest_ip and is_ip(dest_ip):
+            found.append(dest_ip)
+
+        if found:
+            existing = get_by_path(event, "details._ipaddresses")
+            if not existing:
+                set_by_path(event, "details._ipaddresses", found)
+            elif isinstance(existing, list):
+                existing.extend(ip for ip in found if ip not in existing)
+        return event
+
+
+class GsuiteLogin(Plugin):
+    """Normalize a GSuite admin-reports login activity record (reference
+    normalization_plugins/gsuite_login.py:16-62; priority 20,
+    registration ``['kind']``)."""
+
+    name = "gsuite_login"
+    registration = ["kind"]
+    priority = 20
+
+    def on_event(self, event: dict, metadata: dict) -> dict:
+        details = event.get("details")
+        if (
+            not isinstance(details, dict)
+            or "admin#reports#activity" not in str(details.get("kind", ""))
+            or "id" not in details
+            or "etag" not in details
+        ):
+            return event
+
+        event["source"] = "gsuite"
+        event.setdefault("tags", []).append("gsuite")
+
+        if "ipaddress" in details:
+            details["sourceipaddress"] = details.pop("ipaddress")
+
+        if get_by_path(event, "details.id.time"):
+            event["utctimestamp"] = to_utc(details["id"]["time"]).isoformat()
+
+        if get_by_path(event, "details.actor.email"):
+            details["user"] = get_by_path(event, "details.actor.email")
+
+        # Mustache-template summary (reference gsuite_login.py:43):
+        # "{{details.user}} {{details.events.0.name}} from IP
+        #  {{details.sourceipaddress}}" — missing paths render empty.
+        user = get_by_path(event, "details.user", "")
+        action = get_by_path(event, "details.events.0.name", "")
+        source_ip = get_by_path(event, "details.sourceipaddress", "")
+        event["summary"] = f"{user} {action} from IP {source_ip}"
+
+        event["category"] = "authentication"
+
+        if "fail" in event["summary"]:
+            details["success"] = False
+        if "success" in event["summary"]:
+            details["success"] = True
+
+        suspicious = {"boolvalue": True, "name": "is_suspicious"}
+        for activity in get_by_path(event, "details.events", []) or []:
+            for param in (
+                activity.get("parameters", []) if isinstance(activity, dict) else []
+            ):
+                if dict_match(suspicious, param):
+                    details["suspicious"] = True
+        return event

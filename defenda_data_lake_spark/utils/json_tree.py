@@ -1,0 +1,119 @@
+"""Recursive helpers over *unknown-shape* JSON trees.
+
+The reference's plugin pipeline manipulates arbitrary nested JSON whose
+schema is never inferred (reference utils/dict_helpers.py:19-96,
+utils/dotdict.py:13-35).  No static Catalyst expression can traverse an
+unknown schema, so these helpers run inside the Arrow-batched pandas
+plugin host (``operators.pipeline``) — the one place this engine is
+deliberately Python-side.  They are fresh implementations of the
+behaviors surveyed in SURVEY.md §2A (A22-A25).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+
+def lowercase_keys(node: Any) -> Any:
+    """Recursively lowercase every dict key (reference
+    normalization_plugins/lowercase_keys.py:12-25)."""
+    if isinstance(node, dict):
+        return {str(k).lower(): lowercase_keys(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [lowercase_keys(v) for v in node]
+    return node
+
+
+def deep_merge(base: dict, override: dict) -> dict:
+    """Recursive two-dict merge; ``override`` wins on leaves (reference
+    utils/dict_helpers.py:5-16).  Returns a new dict."""
+    out = dict(base)
+    for k, v in override.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def find_keys(node: Any, key: str) -> Iterator[Any]:
+    """Yield every value stored under ``key`` at any depth, descending
+    through dicts and lists (reference utils/dict_helpers.py:19-31)."""
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if k == key:
+                yield v
+            yield from find_keys(v, key)
+    elif isinstance(node, list):
+        for item in node:
+            yield from find_keys(item, key)
+
+
+def enum_keys(node: Any) -> Iterator[str]:
+    """Yield every dict key at every depth (reference
+    utils/dict_helpers.py:49-60)."""
+    if isinstance(node, dict):
+        for k, v in node.items():
+            yield k
+            yield from enum_keys(v)
+    elif isinstance(node, list):
+        for item in node:
+            yield from enum_keys(item)
+
+
+def enum_values(node: Any) -> Iterator[Any]:
+    """Yield every leaf value at every depth (reference
+    utils/dict_helpers.py:34-46)."""
+    if isinstance(node, dict):
+        for v in node.values():
+            yield from enum_values(v)
+    elif isinstance(node, list):
+        for item in node:
+            yield from enum_values(item)
+    else:
+        yield node
+
+
+def get_by_path(node: Any, dotted: str, default: Any = None) -> Any:
+    """Dotted-path get, e.g. ``get_by_path(e, "details.actor.email")``
+    (reference utils/dict_helpers.py:87-96, utils/dotdict.py:13-35).
+    Integer segments index into lists (mustache-style ``events.0.name``)."""
+    cur = node
+    for seg in dotted.split("."):
+        if isinstance(cur, dict):
+            if seg not in cur:
+                return default
+            cur = cur[seg]
+        elif isinstance(cur, list) and seg.isdigit() and int(seg) < len(cur):
+            cur = cur[int(seg)]
+        else:
+            return default
+    return cur
+
+
+def set_by_path(node: dict, dotted: str, value: Any) -> None:
+    """Dotted-path set, creating intermediate dicts."""
+    segs = dotted.split(".")
+    cur = node
+    for seg in segs[:-1]:
+        nxt = cur.get(seg)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            cur[seg] = nxt
+        cur = nxt
+    cur[segs[-1]] = value
+
+
+def dict_match(criteria: dict, candidate: Any) -> bool:
+    """True when every (k, v) in ``criteria`` appears with equal value in
+    ``candidate`` (reference utils/dict_helpers.py:69-76)."""
+    if not isinstance(candidate, dict):
+        return False
+    return all(k in candidate and candidate[k] == v for k, v in criteria.items())
+
+
+def sub_dict(source: dict, keys: list[str], default: Any = None) -> dict:
+    """Projection of ``keys`` from ``source`` with a default (reference
+    utils/dict_helpers.py:63-66)."""
+    return {k: source.get(k, default) for k in keys}
