@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {"q01_pricing_summary": <sec>, ...}, "sf": 0.1}
+
+Each query is fully materialized through the JVM `noop` sink (all
+columns computed, nothing collected to Python) — measuring engine
+time, not Arrow transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("TZ", "UTC")
+time.tzset()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    from defenda_data_lake_spark.plans.catalog import CATALOG, headline_queries
+    from defenda_data_lake_spark.session import get_spark
+
+    spark = get_spark(app_name="defenda-bench")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # execution, not first-touch session setup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in headline_queries():
+        fn, _ = CATALOG[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,308 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All of these are Spark-first compositions of built-in expressions — no
+Python UDFs in the hot path except SimHash (bit-twiddling, Arrow-batched).
+
+Scale notes (100 TB):
+
+* ``exact_duplicate_groups`` — one hash-shuffle on a 128-bit digest of
+  the content, not the content itself; map-side partial aggregation
+  kicks in automatically.
+* ``minhash_signatures`` — one narrow projection (shingles exploded and
+  re-aggregated per doc within a single shuffle); ``k`` min-aggregates
+  over md5 digests.  Banding then joins docs on band signature, so the
+  candidate join is equi (hash join), never a cross product.
+* ``ngram_jaccard_pairs`` — the classic shingle-inverted-index join.
+  The ``doc_a < doc_b`` predicate halves the pair space; hot shingles
+  (stopword runs) are the skew risk — AQE skew-join handles moderate
+  skew, and ``max_shingle_docs`` drops degenerate posting lists (a
+  shingle shared by thousands of docs contributes no discriminating
+  signal but quadratic pairs).
+* SimHash — signatures are 64-bit ints; near-dup candidates join on
+  rotated bit-blocks, Hamming distance verified with ``bit_count``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical text form shared by all dedup operators: lowercase,
+    collapse runs of whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content digest: one row per distinct content with
+    its cardinality and canonical (min-id) representative.  Filter
+    ``dup_count > 1`` for the duplicate groups."""
+    return (
+        df.select(
+            F.md5(normalized_text(F.col(text_col))).alias("content_hash"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("id").alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Return the deduplicated DataFrame: the min-id representative row
+    per distinct normalized content."""
+    w = F.row_number().over(
+        Window.partitionBy(F.md5(normalized_text(F.col(text_col)))).orderBy(
+            F.col(id_col)
+        )
+    )
+    return df.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document.
+
+    Hash family i is ``md5(i || shingle)`` — deterministic, portable
+    (any engine with md5 reproduces it bit-for-bit), and uniform enough
+    for Jaccard estimation.  One exploded projection + one groupBy."""
+    shingles = word_shingles(df, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding over MinHash signatures: docs agreeing on all hashes
+    of any band become a candidate pair (id_a < id_b).  Equi-join on the
+    band signature — no cross product."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_frames = []
+    for b in range(bands):
+        cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_frames.append(
+            sigs.select(
+                F.col("id"),
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[F.col(c) for c in cols]).alias("band_sig"),
+            )
+        )
+    banded = band_frames[0]
+    for frame in band_frames[1:]:
+        banded = banded.unionAll(frame)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_sig") == F.col("r.band_sig"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all candidate pairs
+    sharing at least one shingle (inverted-index join), keeping pairs
+    with ``jaccard >= threshold``.
+
+    ``max_shingle_docs`` drops shingles whose posting list exceeds the
+    bound — the standard guard against quadratic blowup on ubiquitous
+    shingles at scale."""
+    shingles = word_shingles(df, text_col, id_col, shingle_n)
+    if max_shingle_docs is not None:
+        ok = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_docs)
+            .select("shingle")
+        )
+        shingles = shingles.join(F.broadcast(ok), "shingle")
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("set_size"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[F.col("a.shingle") == F.col("b.shingle"), F.col("a.id") < F.col("b.id")],
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter_size")
+                / (F.col("sa.set_size") + F.col("sb.set_size") - F.col("inter_size"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def _simhash_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    def simhash64(text: str) -> int:
+        text = " ".join(str(text).lower().split())
+        words = text.split(" ")
+        grams = (
+            [" ".join(words[i : i + 2]) for i in range(len(words) - 1)]
+            if len(words) > 1
+            else words
+        )
+        counts = [0] * 64
+        for gram in grams:
+            h = int.from_bytes(
+                hashlib.md5(gram.encode("utf-8")).digest()[:8], "big"
+            )
+            for bit in range(64):
+                counts[bit] += 1 if (h >> bit) & 1 else -1
+        sig = 0
+        for bit in range(64):
+            if counts[bit] > 0:
+                sig |= 1 << bit
+        # surface as signed int64 for Spark LongType
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    for batch in batches:
+        yield pd.DataFrame(
+            {
+                "id": batch["id"],
+                "simhash": [simhash64(t) for t in batch["text"]],
+            }
+        )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document over word bigrams (Arrow-batched
+    pandas host; md5-derived bit mixing, deterministic)."""
+    from pyspark.sql import types as T
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        _simhash_batches,
+        schema=T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("simhash", T.LongType()),
+            ]
+        ),
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: block the 64-bit signature into
+    ``blocks`` segments (pigeonhole: pairs within ``max_hamming`` agree
+    on at least one block when ``max_hamming < blocks``), equi-join per
+    block, verify Hamming distance with ``bit_count(xor)``."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    width = 64 // blocks
+    block_frames = [
+        sigs.select(
+            "id",
+            "simhash",
+            F.lit(b).alias("block"),
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("block_key"),
+        )
+        for b in range(blocks)
+    ]
+    blocked = block_frames[0]
+    for frame in block_frames[1:]:
+        blocked = blocked.unionAll(frame)
+    left = blocked.alias("l")
+    right = blocked.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.block") == F.col("r.block"),
+                F.col("l.block_key") == F.col("r.block_key"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Spark-first: dot products and norms are built-in higher-order
+expressions (``aggregate``/``zip_with``) executing JVM-side inside
+codegen — no Python in the hot path.
+
+Scale notes (100 TB / billions of vectors):
+
+* ``cosine_topk`` broadcasts the (small) query set against the full
+  corpus — a map-side nested loop per partition, no shuffle of the
+  corpus, then a per-query top-k (``TakeOrderedAndProject``-style via
+  window + filter).  Cost is O(|corpus| * |queries|); right whenever
+  queries are a handful.
+* ``lsh_cosine_topk`` is the scale path: random-hyperplane signatures
+  bucket the corpus once (narrow projection), queries probe only their
+  bucket — turning the scan into an equi-join on the signature.  Planes
+  are derived deterministically from md5 so signatures are reproducible
+  across runs and engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_cosine(df: DataFrame, a_col: str, b_col: str, out: str = "cosine") -> DataFrame:
+    """Append a cosine-similarity column between two array columns
+    (computed in double precision)."""
+    a = F.transform(F.col(a_col), lambda v: v.cast("double"))
+    b = F.transform(F.col(b_col), lambda v: v.cast("double"))
+    return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: for every query vector, the k nearest
+    corpus vectors (excluding itself).  Returns
+    (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(
+                F.transform("q_vec", lambda v: v.cast("double")),
+                F.transform("c_vec", lambda v: v.cast("double")),
+            )
+            / (
+                _norm(F.transform("q_vec", lambda v: v.cast("double")))
+                * _norm(F.transform("c_vec", lambda v: v.cast("double")))
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: str = "lsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is a
+    zero-centered value derived from md5(seed|p|d).  Reproducible
+    everywhere, no RNG state."""
+    planes = []
+    for p in range(num_planes):
+        plane = []
+        for d in range(dim):
+            digest = hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()
+            value = int.from_bytes(digest[:8], "big") / float(1 << 64) - 0.5
+            plane.append(value)
+        planes.append(plane)
+    return planes
+
+
+def lsh_signature_col(vec_col: str, planes: list[list[float]]):
+    """Bit-string signature column: one sign bit per hyperplane."""
+    bits = []
+    for plane in planes:
+        arr = F.array(*[F.lit(v) for v in plane])
+        dot = _dot(F.transform(F.col(vec_col), lambda v: v.cast("double")), arr)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: corpus and queries are hashed
+    with the same deterministic hyperplanes; candidates come only from
+    the query's bucket (equi-join), then exact cosine ranks them.
+
+    Recall < 1.0 by construction (bucket boundaries); increase recall
+    with fewer planes (bigger buckets) or multi-probe."""
+    planes = _hyperplanes(dim, num_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_signature_col(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_signature_col(vec_col, planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(
+                F.transform("q_vec", lambda v: v.cast("double")),
+                F.transform("c_vec", lambda v: v.cast("double")),
+            )
+            / (
+                _norm(F.transform("q_vec", lambda v: v.cast("double")))
+                * _norm(F.transform("c_vec", lambda v: v.cast("double")))
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

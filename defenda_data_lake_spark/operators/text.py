@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data curation.
+
+All pure Column expressions (JVM-side, codegen-friendly) — language ID,
+quality scoring, token counting, and fingerprinting are deliberately
+formulated so the exact same arithmetic is expressible in ANSI SQL
+(the DuckDB oracle reproduces them bit-for-bit).
+
+Scale notes: every operator here is a narrow per-row projection — no
+shuffle, no UDF.  At 100 TB these run at parquet-scan speed and
+column-prune down to the text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic.  Deliberately tiny and deterministic; lowercase.
+LANGUAGE_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "y", "es"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(F.col(text_col)), " ")
+
+
+def token_count_col(text_col: str = "text") -> Column:
+    return F.size(tokens_col(text_col))
+
+
+def bpe_ish_token_count_col(text_col: str = "text") -> Column:
+    """A BPE-flavored token estimate: count of maximal runs of word
+    characters plus standalone punctuation marks (regex, JVM-side)."""
+    return F.size(
+        F.filter(
+            F.split(F.col(text_col), r"(?<=[^\w])|(?=[^\w])"),
+            lambda t: F.trim(t) != "",
+        )
+    )
+
+
+def marker_hits_col(text_col: str, markers: list[str]) -> Column:
+    """How many tokens of the text are in the marker list."""
+    return F.size(
+        F.filter(
+            tokens_col(text_col),
+            lambda t: F.lower(t).isin([m for m in markers]),
+        )
+    )
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: score each language by marker-token
+    hits; highest score wins (ties broken by language code order);
+    'und' (undetermined) when no marker hits at all."""
+    scored = df
+    for lang, markers in sorted(LANGUAGE_MARKERS.items()):
+        scored = scored.withColumn(f"_score_{lang}", marker_hits_col(text_col, markers))
+    langs = sorted(LANGUAGE_MARKERS)
+    best = F.greatest(*[F.col(f"_score_{lang}") for lang in langs])
+    pick = F.lit("und")
+    # first language (in sorted order) achieving the best score wins;
+    # build the WHEN chain back-to-front so earlier langs take priority
+    for lang in reversed(langs):
+        pick = F.when(F.col(f"_score_{lang}") == best, F.lit(lang)).otherwise(pick)
+    pick = F.when(best > 0, pick).otherwise(F.lit("und"))
+    return scored.withColumn("detected_lang", pick).drop(
+        *[f"_score_{lang}" for lang in langs]
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token count, mean token
+    length, stopword ratio, punctuation ratio, and a composite
+    ``quality_score`` in [0, 1].
+
+    The formula only uses arithmetic reproducible in ANSI SQL:
+      score = 0.4 * min(1, n_tokens/20)            -- enough content
+            + 0.3 * min(1, stopword_ratio * 5)     -- natural language
+            + 0.3 * (1 - min(1, punct_ratio * 10)) -- not symbol soup
+    """
+    all_markers = sorted({m for ms in LANGUAGE_MARKERS.values() for m in ms})
+    n_chars = F.length(F.col(text_col))
+    n_tokens = token_count_col(text_col)
+    stop_hits = marker_hits_col(text_col, all_markers)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    stopword_ratio = stop_hits / n_tokens
+    punct_ratio = n_punct / n_chars
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(20.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), stopword_ratio * 5)
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10))
+    )
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("mean_token_len", (n_chars - (n_tokens - 1)) / n_tokens)
+        .withColumn("stopword_ratio", stopword_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set of the normalized text.  Two documents with the
+    same bag of words (any order) collide — the classic shuffle-robust
+    near-dup key."""
+    sorted_tokens = F.array_join(
+        F.array_sort(F.array_distinct(F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+        ))),
+        " ",
+    )
+    return df.withColumn("fingerprint", F.md5(sorted_tokens))

@@ -1,0 +1,854 @@
+"""The declared query catalog: every operator/query class the engine
+claims (SURVEY.md §2B/§2C + the training-data pipeline operators), each
+as (a) an idiomatic Spark DataFrame program and (b) an equivalent ANSI
+SQL oracle runnable by DuckDB on the same parquet tables.
+
+Conventions (driver correctness-gate contract):
+
+* every computed column is aliased IDENTICALLY in Spark and oracle SQL;
+* double aggregates are rounded (2dp money, 4-6dp ratios) on both sides
+  so partial-aggregation summation order can't flip the value hash;
+* timestamps are emitted as formatted strings, never raw timestamps;
+* every ordered/limited query carries a deterministic tie-breaker key.
+
+Scale annotations are on each query: what shuffles, what broadcasts,
+and why the plan shape survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from defenda_data_lake_spark.operators import dedup as D
+from defenda_data_lake_spark.operators import multimodal as M
+from defenda_data_lake_spark.operators import similarity as S
+from defenda_data_lake_spark.operators import text as X
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) → read as nanos long
+        # (session sets nanosAsLong), truncated to micros here.  Integer
+        # `div` keeps full precision (a double division would round at
+        # the 2^53 boundary).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+# =============================================================== relational
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy filtered aggregation.
+    Scale: single shuffle on a 6-value grouping key; partial aggregation
+    map-side; filter + column pruning reach the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1999-06-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-06-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + top-k.
+    Scale: customer filter first (selectivity), broadcast the filtered
+    customer keys into the orders join, shuffle only on o_orderkey for
+    the lineitem join; top-k is TakeOrderedAndProject (no full sort)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.date_format(F.first("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q03_SQL = """
+SELECT l_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(min(o_orderdate), '%Y-%m-%d')            AS o_orderdate
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q05_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join over the full dimension chain.
+    Scale: region/nation/customer are broadcast (small dims); the only
+    big shuffle is lineitem⋈orders on orderkey; agg key is 25 nations."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+Q05_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q07_top_customers(spark, sf_dir):
+    """Join + agg + deterministic top-k."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+Q07_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(o_totalprice), 2) AS total_spent,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 10
+"""
+
+
+def q09_rollup_orders(spark, sf_dir):
+    """ROLLUP aggregation (grouping-sets family)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+Q09_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL')   AS status,
+       count(*)                         AS n_orders,
+       round(sum(o_totalprice), 2)      AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q10_window_rank(spark, sf_dir):
+    """Ranking window: top-3 orders per customer.
+    Scale: one shuffle on the partition key; no global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "rn",
+        )
+    )
+
+
+Q10_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t WHERE rn <= 3
+"""
+
+
+def q11_window_running(spark, sf_dir):
+    """Frame window (running sum) + analytic lag."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.lag("o_totalprice").over(w_lag), 2).alias("prev_price"),
+    )
+
+
+Q11_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       round(lag(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey), 2) AS prev_price
+FROM orders
+"""
+
+
+def q12_distinct_agg(spark, sf_dir):
+    """DISTINCT + conditional aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0)).alias("n_positive"),
+    )
+
+
+Q12_SQL = """
+SELECT c_mktsegment,
+       count(DISTINCT c_nationkey) AS n_nations,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_bal,
+       sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS n_positive
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+def q13_semi_join(spark, sf_dir):
+    """Left-semi join: customers having a partially-filled order."""
+    cust = _t(spark, sf_dir, "customer")
+    p_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(
+        p_orders, cust.c_custkey == p_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+Q13_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+"""
+
+
+def q14_anti_join(spark, sf_dir):
+    """Left-anti join: customers with no partially-filled order."""
+    cust = _t(spark, sf_dir, "customer")
+    p_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(
+        p_orders, cust.c_custkey == p_orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+Q14_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+"""
+
+
+def q15_setops(spark, sf_dir):
+    """Set operation: INTERSECT of two key sets."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(urgent)
+
+
+Q15_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def q16_event_pairs(spark, sf_dir):
+    """Theta/range self-join on the event stream: consecutive-event
+    pairs per user within 300 s.
+    Scale: equi part (user_id) hash-partitions; the range predicate
+    filters within partitions — no cross product."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.user_id") == F.col("b.user_id"),
+                F.col("b.ts") > F.col("a.ts"),
+                F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 300 SECONDS"),
+            ],
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("pair_count"))
+    )
+
+
+Q16_SQL = """
+SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS pair_count
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 300 SECOND
+GROUP BY a.event_type, b.event_type
+"""
+
+
+def q17_above_customer_avg(spark, sf_dir):
+    """Decorrelated-subquery shape: orders above their customer's
+    average price (expressed as a window — the plan Catalyst
+    decorrelates the subquery into anyway)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+FROM (
+  SELECT *, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+) t
+WHERE o_totalprice > cust_avg
+GROUP BY o_orderpriority
+"""
+
+
+def q18_full_outer(spark, sf_dir):
+    """Full-outer join of two aggregates over different fact sides."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    c = cust.groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    s = supp.groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+Q18_SQL = """
+SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+       coalesce(c.n_cust, 0) AS n_cust,
+       coalesce(s.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+  ON c.c_nationkey = s.s_nationkey
+"""
+
+
+# ============================================================ events + JSON
+
+
+def q20_events_json(spark, sf_dir):
+    """JSON extraction from the props column (the reference's
+    ``json_extract_scalar`` pattern, README.md:97) + aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") < 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+Q20_SQL = """
+SELECT event_type, count(*) AS n, sum(k) AS sum_k, round(avg(value), 4) AS avg_value
+FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) t
+WHERE k < 50
+GROUP BY event_type
+"""
+
+
+def q21_events_sessions(spark, sf_dir):
+    """Sessionization statistics: per-user event gaps via lag."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.unix_micros(F.col("ts")) / 1_000_000)
+    prev_sec = F.lag(sec).over(w)
+    return (
+        ev.withColumn("gap_s", sec - prev_sec)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.min("gap_s").alias("min_gap_s"),
+        )
+    )
+
+
+Q21_SQL = """
+SELECT user_id, count(*) AS n_events, max(gap_s) AS max_gap_s, min(gap_s) AS min_gap_s
+FROM (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+) t
+GROUP BY user_id
+"""
+
+
+def q22_events_hourly(spark, sf_dir):
+    """Time-bucketed aggregation (the engine's hourly-partition grain
+    applied to event time)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00")
+    return (
+        ev.groupBy(hour.alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       count(*) AS n,
+       round(avg(value), 4) AS avg_value,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ==================================================== training-data ops
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SHINGLES_SQL = f"""
+norm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS shingle
+  FROM norm
+)
+"""
+
+
+def q30_dedup_exact(spark, sf_dir):
+    """Exact dedup groups by content digest."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_duplicate_groups(docs)
+
+
+Q30_SQL = f"""
+SELECT md5({_NORM_SQL}) AS content_hash,
+       count(*) AS dup_count,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def q31_dedup_minhash(spark, sf_dir):
+    """MinHash(8) + LSH(2 bands) candidate pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, num_hashes=8, bands=2, shingle_n=3)
+
+
+Q31_SQL = f"""
+WITH {_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{i}' || shingle)) AS h{i}" for i in range(8))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS band_sig FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS band_sig FROM sigs
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+
+def q32_dedup_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+Q32_SQL = f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(inter_size * 1.0 / (sa.set_size + sb.set_size - inter_size), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE inter_size * 1.0 / (sa.set_size + sb.set_size - inter_size) >= 0.3
+"""
+
+
+def q33_text_tokens(spark, sf_dir):
+    """Token counting per language (whitespace + BPE-ish regex)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = X.token_count_col("text")
+    n_subtokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
+    return (
+        docs.select("lang", n_tokens.alias("n_tok"), n_subtokens.alias("n_sub"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.sum("n_sub").alias("total_subtokens"),
+        )
+    )
+
+
+Q33_SQL = r"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_tok) AS total_tokens,
+       round(avg(n_tok), 4) AS avg_tokens,
+       sum(n_sub) AS total_subtokens
+FROM (
+  SELECT lang,
+         len(string_split(trim(text), ' ')) AS n_tok,
+         len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_sub
+  FROM documents
+) t
+GROUP BY lang
+"""
+
+
+_ALL_MARKERS = sorted({m for ms in X.LANGUAGE_MARKERS.values() for m in ms})
+
+
+def q34_text_quality(spark, sf_dir):
+    """Quality scoring features + composite score per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.quality_features(docs).select(
+        "doc_id",
+        "n_tokens",
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("quality_score", 4).alias("quality_score"),
+    )
+
+
+_MARKERS_IN = ", ".join(f"'{m}'" for m in _ALL_MARKERS)
+Q34_SQL = rf"""
+SELECT doc_id, n_tokens,
+       round(stop_hits * 1.0 / n_tokens, 4) AS stopword_ratio,
+       round(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
+       round(0.4 * least(1.0, n_tokens / 20.0)
+           + 0.3 * least(1.0, (stop_hits * 1.0 / n_tokens) * 5)
+           + 0.3 * (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10)), 4) AS quality_score
+FROM (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(trim(text), ' '),
+             x -> lower(x) IN ({_MARKERS_IN}))) AS stop_hits,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+  FROM documents
+) t
+"""
+
+
+def q35_text_langid(spark, sf_dir):
+    """Stopword-marker language identification."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.detect_language(docs).select("doc_id", "lang", "detected_lang")
+
+
+def _langid_sql() -> str:
+    langs = sorted(X.LANGUAGE_MARKERS)
+    score_cols = ",\n         ".join(
+        "len(list_filter(string_split(trim(text), ' '), x -> lower(x) IN ({}))) AS score_{}".format(
+            ", ".join(f"'{m}'" for m in X.LANGUAGE_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    best = "greatest({})".format(", ".join(f"score_{lang}" for lang in langs))
+    case = "CASE WHEN {} = 0 THEN 'und' {} ELSE 'und' END".format(
+        best,
+        " ".join(f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs),
+    )
+    return f"""
+SELECT doc_id, lang, {case} AS detected_lang
+FROM (
+  SELECT doc_id, lang,
+         {score_cols}
+  FROM documents
+) t
+"""
+
+
+Q35_SQL = _langid_sql()
+
+
+def q36_text_fingerprint(spark, sf_dir):
+    """Order-insensitive document fingerprint groups."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        X.fingerprint(docs)
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+Q36_SQL = f"""
+SELECT md5(array_to_string(list_sort(list_distinct(
+           string_split({_NORM_SQL}, ' '))), ' ')) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def q40_knn_brute(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors vec_id < 5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(emb, queries, k=10).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        "rank",
+    )
+
+
+Q40_SQL = """
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+) t
+WHERE rank <= 10
+"""
+
+
+def q41_knn_lsh(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-k (scale path; approximate
+    by construction → rows-only correctness check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_cosine_topk(emb, queries, k=10, num_planes=6).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q42_simhash_pairs(spark, sf_dir):
+    """SimHash near-duplicate candidate pairs (pandas-UDF-hosted
+    signature; rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_duplicates(docs, max_hamming=8)
+
+
+def q43_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload + typed metadata projection
+    (metadata-only query prunes the binary column)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.as_media_table(
+        docs.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
+        "doc_id",
+        "payload",
+    )
+    return media.select(
+        "media_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+Q43_SQL = """
+SELECT doc_id AS media_id,
+       'image' AS media_type,
+       'image/png' AS mime,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+def q44_multimodal_decode(spark, sf_dir):
+    """Multimodal decode/feature-extract plumbing (stubbed deterministic
+    decode kernel; rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.as_media_table(
+        docs.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
+        "doc_id",
+        "payload",
+    )
+    return M.decode_media(media, fake=True).select(
+        "media_id", "width", "height", "n_channels"
+    )
+
+
+# =============================================================== catalog
+
+# name -> (spark_fn, oracle_sql | None)
+CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
+    "q05_regional_revenue": (q05_regional_revenue, Q05_SQL),
+    "q07_top_customers": (q07_top_customers, Q07_SQL),
+    "q09_rollup_orders": (q09_rollup_orders, Q09_SQL),
+    "q10_window_rank": (q10_window_rank, Q10_SQL),
+    "q11_window_running": (q11_window_running, Q11_SQL),
+    "q12_distinct_agg": (q12_distinct_agg, Q12_SQL),
+    "q13_semi_join": (q13_semi_join, Q13_SQL),
+    "q14_anti_join": (q14_anti_join, Q14_SQL),
+    "q15_setops": (q15_setops, Q15_SQL),
+    "q16_event_pairs": (q16_event_pairs, Q16_SQL),
+    "q17_above_customer_avg": (q17_above_customer_avg, Q17_SQL),
+    "q18_full_outer": (q18_full_outer, Q18_SQL),
+    "q20_events_json": (q20_events_json, Q20_SQL),
+    "q21_events_sessions": (q21_events_sessions, Q21_SQL),
+    "q22_events_hourly": (q22_events_hourly, Q22_SQL),
+    "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
+    "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
+    "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
+    "q33_text_tokens": (q33_text_tokens, Q33_SQL),
+    "q34_text_quality": (q34_text_quality, Q34_SQL),
+    "q35_text_langid": (q35_text_langid, Q35_SQL),
+    "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
+    "q40_knn_brute": (q40_knn_brute, Q40_SQL),
+    "q41_knn_lsh": (q41_knn_lsh, None),
+    "q42_simhash_pairs": (q42_simhash_pairs, None),
+    "q43_multimodal_meta": (q43_multimodal_meta, Q43_SQL),
+    "q44_multimodal_decode": (q44_multimodal_decode, None),
+}
+
+
+def headline_queries() -> list[str]:
+    """The bench subset: one per major operator family."""
+    return [
+        "q01_pricing_summary",
+        "q03_shipping_priority",
+        "q05_regional_revenue",
+        "q10_window_rank",
+        "q16_event_pairs",
+        "q20_events_json",
+        "q30_dedup_exact",
+        "q31_dedup_minhash",
+        "q32_dedup_jaccard",
+        "q36_text_fingerprint",
+        "q40_knn_brute",
+    ]

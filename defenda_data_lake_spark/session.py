@@ -49,6 +49,10 @@ def get_spark(
         # Presto quotes identifiers with double quotes (reference
         # README.md:95 FROM "defenda_data_lake"."events"); honor that.
         .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+        # read TIMESTAMP(NANOS) parquet columns as nanosecond longs
+        # (Spark has no nanos timestamp type); converted at load, see
+        # plans.catalog._t
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
