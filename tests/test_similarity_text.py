@@ -1,0 +1,138 @@
+"""Similarity-search and text-analysis operator tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from defenda_data_lake_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+    with_cosine,
+)
+from defenda_data_lake_spark.operators.text import (
+    detect_language,
+    fingerprint,
+    quality_features,
+)
+from defenda_data_lake_spark.operators.multimodal import (
+    as_media_table,
+    decode_media,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.8, 0.2, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_with_cosine(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [2.0, 4.0]), ([1.0, 0.0], [0.0, 1.0])], ["a", "b"]
+    )
+    got = [r["cosine"] for r in with_cosine(df, "a", "b").collect()]
+    assert abs(got[0] - 1.0) < 1e-12
+    assert abs(got[1]) < 1e-12
+
+
+def test_cosine_topk_ordering(vectors):
+    res = cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=4).collect()
+    order = [r["neighbor_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert order == [1, 4, 2, 3]
+    assert all(r["query_id"] == 0 for r in res)
+
+
+def test_lsh_topk_subset_of_brute(vectors):
+    """LSH results must be correctly-ranked members of the bucket —
+    every returned neighbor's cosine must match the brute-force value."""
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(vectors, vectors, k=4).collect()
+    }
+    approx = lsh_cosine_topk(vectors, vectors, k=4, num_planes=2, dim=3).collect()
+    assert len(approx) > 0
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in brute
+        assert abs(brute[key] - r["cosine"]) < 1e-9
+
+
+# ------------------------------------------------------------------- text
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    rows = [
+        (1, "the cat and the dog of a house"),       # english markers
+        (2, "der hund und die katze ist hier"),      # german markers
+        (3, "xyzzy qwerty asdf"),                    # no markers
+        (4, "dog house cat!!! ###"),                 # punctuation-heavy
+        (5, "cat dog house"),
+        (6, "house dog cat"),                        # same bag as 5
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_detect_language(texts):
+    got = {r["doc_id"]: r["detected_lang"] for r in detect_language(texts).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_quality_features(texts):
+    got = {r["doc_id"]: r for r in quality_features(texts).collect()}
+    assert got[1]["n_tokens"] == 8
+    assert got[1]["stopword_ratio"] == pytest.approx(5 / 8)
+    assert got[3]["stopword_ratio"] == 0.0
+    # punct-heavy doc scores worse than clean marker-rich doc
+    assert got[4]["quality_score"] < got[1]["quality_score"]
+    assert 0.0 <= got[4]["quality_score"] <= 1.0
+
+
+def test_fingerprint_order_insensitive(texts):
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(texts).collect()}
+    assert got[5] == got[6]
+    assert got[5] != got[1]
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_media_roundtrip(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "world!")], ["id", "payload_text"])
+    media = as_media_table(
+        df.withColumn("payload", F.encode("payload_text", "UTF-8")), "id", "payload"
+    )
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[1]["meta"]["n_bytes"] == 5
+    assert rows[2]["meta"]["n_bytes"] == 6
+    assert rows[1]["meta"]["media_type"] == "image"
+
+    decoded = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert set(decoded) == {1, 2}
+    # deterministic fake: same content -> same dims
+    again = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert decoded[1]["width"] == again[1]["width"]
+    assert 16 <= decoded[1]["width"] < 80
+    assert len(decoded[1]["feature"]) > 0
+
+    frames = sample_frames(media, every_n=1).groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in frames)
+
+
+def test_decode_media_real_path_raises(spark):
+    df = spark.createDataFrame([(1, "x")], ["id", "t"])
+    media = as_media_table(df.withColumn("p", F.encode("t", "UTF-8")), "id", "p")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_media(media, fake=False).collect()
