@@ -729,6 +729,58 @@ GROUP BY 1
 """
 
 
+def q37_vocab_topk(spark, sf_dir):
+    """Vocabulary statistics: top-20 most frequent tokens.
+    Scale: explode + hash-agg with map-side partial combine; top-k is
+    TakeOrderedAndProject, never a full sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+Q37_SQL = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents) t
+WHERE length(word) > 0
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+"""
+
+
+def q45_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4).
+
+    Exact all-pairs at this scale; at 100 TB the identical predicate
+    runs over LSH buckets first (see ``similarity.lsh_cosine_topk``) so
+    the pair space is bucket-local instead of quadratic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        S.with_cosine(pairs, "va", "vb", out="cosine")
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", R("cosine", 6).alias("cosine"))
+    )
+
+
+Q45_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
 def q40_knn_brute(spark, sf_dir):
     """Brute-force cosine top-10 for query vectors vec_id < 5."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -760,13 +812,49 @@ WHERE rank <= 10
 
 
 def q41_knn_lsh(spark, sf_dir):
-    """LSH-bucketed approximate cosine top-k (scale path; approximate
-    by construction → rows-only correctness check)."""
+    """LSH-bucketed approximate cosine top-k (the scale path).
+    Approximate vs brute force, but fully deterministic: the md5-derived
+    hyperplanes are reproducible in the oracle, so even the approximate
+    result is value-checked."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.lsh_cosine_topk(emb, queries, k=10, num_planes=6).select(
         "query_id", "neighbor_id", R("cosine", 6).alias("cosine"), "rank"
     )
+
+
+def _knn_lsh_sql() -> str:
+    """Reproduce q41's deterministic hyperplane bucketing in DuckDB."""
+    planes = S._hyperplanes(64, 6)
+    bits = ",\n         ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{}]) >= 0 "
+        "THEN '1' ELSE '0' END".format(", ".join(repr(v) for v in plane))
+        for plane in planes
+    )
+    return f"""
+WITH hashed AS (
+  SELECT vec_id, embedding,
+         concat({bits}) AS bucket
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM hashed q JOIN hashed c ON q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+) t
+WHERE rank <= 10
+"""
+
+
+Q41_SQL = _knn_lsh_sql()
 
 
 def q42_simhash_pairs(spark, sf_dir):
@@ -844,8 +932,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),
     "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
+    "q37_vocab_topk": (q37_vocab_topk, Q37_SQL),
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
-    "q41_knn_lsh": (q41_knn_lsh, None),
+    "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
+    "q45_embedding_dedup": (q45_embedding_dedup, Q45_SQL),
     "q42_simhash_pairs": (q42_simhash_pairs, None),
     "q43_multimodal_meta": (q43_multimodal_meta, Q43_SQL),
     "q44_multimodal_decode": (q44_multimodal_decode, None),

@@ -1,0 +1,110 @@
+"""Plan-quality regression tests: the physical plans the engine relies
+on for 100 TB efficiency must not silently degrade.
+
+Checks (per SURVEY.md §4 / the scale notes in plans.catalog):
+* filters and column pruning reach the parquet scan,
+* small dimensions broadcast (no sort-merge join in the star join),
+* top-k queries plan TakeOrderedAndProject (no global sort),
+* hot relational paths stay inside whole-stage codegen,
+* JVM-only operators don't accidentally grow a Python stage.
+"""
+
+import pytest
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    from defenda_data_lake_spark.plans.catalog import CATALOG
+
+    fn, _ = CATALOG[name]
+    df = fn(spark, SF)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # keep only the final adaptive plan (the string repeats the initial
+    # plan below it, which would double every count)
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_q01_scan_pruning_and_pushdown(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # only the 7 needed columns are read (out of 11)
+    assert "l_orderkey" not in scan
+    assert "l_partkey" not in scan
+    # the shipdate filter is pushed into the scan
+    assert "l_shipdate" in scan and "DataFilters" in scan
+    # aggregation runs inside whole-stage codegen
+    assert "*(" in plan
+
+
+def test_q05_star_join_all_broadcast(spark):
+    plan = plan_of(spark, "q05_regional_revenue")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    # the region filter reaches the region scan
+    region_scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "r_name" in l
+    )
+    assert "ASIA" in region_scan
+
+
+def test_q03_topk_plans_take_ordered(spark):
+    plan = plan_of(spark, "q03_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    cust_scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "c_mktsegment" in l
+    )
+    assert "BUILDING" in cust_scan
+
+
+def test_q37_topk_plans_take_ordered(spark):
+    plan = plan_of(spark, "q37_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q30_exact_dedup_is_pure_jvm(spark):
+    plan = plan_of(spark, "q30_dedup_exact")
+    assert "Python" not in plan  # no UDF leaked into the hash-dedup path
+    assert "HashAggregate" in plan
+
+
+def test_q16_range_join_partitions_on_equi_key(spark):
+    plan = plan_of(spark, "q16_event_pairs")
+    # the user_id equi-part makes this a hash/sort-merge join with the
+    # range predicate as join condition — NOT a cartesian product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q40_broadcasts_queries_not_corpus(spark):
+    plan = plan_of(spark, "q40_knn_brute")
+    # query side (vec_id < 5) must be the broadcast side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_events_table_partition_pruning(spark, tmp_path):
+    """Partition predicates must show up as PartitionFilters on the
+    events table scan (the reference's only query-cost lever)."""
+    import json
+
+    from defenda_data_lake_spark.lake import create_events_table, ingest_batch
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "e.json", "w") as f:
+        f.write(json.dumps({"srcaddr": "1.2.3.4", "start": "2020-01-01T00:00:00"}) + "\n")
+    spark.sql("DROP TABLE IF EXISTS defenda_data_lake.events")
+    create_events_table(spark, location=str(tmp_path / "tbl"))
+    ingest_batch(spark, str(landing), mode="ndjson")
+    plan = (
+        spark.sql(
+            "SELECT count(*) FROM defenda_data_lake.events WHERE year='2020' AND month='01'"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    spark.sql("DROP TABLE IF EXISTS defenda_data_lake.events")
