@@ -442,6 +442,90 @@ FULL OUTER JOIN
 """
 
 
+def q19_cube_customers(spark, sf_dir):
+    """CUBE aggregation (all grouping-set combinations)."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.cube("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            R(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("c_nationkey").cast("string"), F.lit("ALL")).alias(
+                "nation"
+            ),
+            "n_customers",
+            "avg_bal",
+        )
+    )
+
+
+Q19_SQL = """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM customer
+GROUP BY CUBE (c_mktsegment, c_nationkey)
+"""
+
+
+def q23_string_funcs(spark, sf_dir):
+    """String-function surface: case, substring, concat, length,
+    regexp extraction — all JVM built-ins inside codegen."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.substring(F.col("p_name"), 1, 6).alias("name_prefix"),
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.regexp_extract(F.col("p_name"), r"(\d+)", 1).alias("name_digits"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+Q23_SQL = r"""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_name, 1, 6) AS name_prefix,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       length(p_name) AS name_len,
+       coalesce(regexp_extract(p_name, '(\d+)', 1), '') AS name_digits,
+       replace(p_type, ' ', '_') AS type_snake
+FROM part
+"""
+
+
+def q24_presto_text(spark, sf_dir):
+    """The reference's query surface is raw Presto SQL *text*
+    (README.md:116) — this entry runs such text through ``spark.sql``
+    with the compat functions (``json_extract_scalar``) registered, over
+    a view of the synthetic events table."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_sql_view")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(json_extract_scalar(props, '$.k') AS INT)) AS sum_k
+        FROM events_sql_view
+        WHERE CAST(json_extract_scalar(props, '$.k') AS INT) > 80
+        GROUP BY event_type
+        """
+    )
+
+
+Q24_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) > 80
+GROUP BY event_type
+"""
+
+
 # ============================================================ events + JSON
 
 
@@ -922,6 +1006,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q16_event_pairs": (q16_event_pairs, Q16_SQL),
     "q17_above_customer_avg": (q17_above_customer_avg, Q17_SQL),
     "q18_full_outer": (q18_full_outer, Q18_SQL),
+    "q19_cube_customers": (q19_cube_customers, Q19_SQL),
+    "q23_string_funcs": (q23_string_funcs, Q23_SQL),
+    "q24_presto_text": (q24_presto_text, Q24_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
     "q21_events_sessions": (q21_events_sessions, Q21_SQL),
     "q22_events_hourly": (q22_events_hourly, Q22_SQL),
