@@ -33,10 +33,19 @@ def _configure(spark: SparkSession) -> SparkSession:
     except Exception:
         pass  # static conf already set, or read path will fail loudly later
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
-    except Exception:
-        pass
+    for key, value in [
+        ("spark.sql.ansi.doubleQuotedIdentifiers", "true"),
+        # a driver-made session may default to 200 shuffle partitions —
+        # wasteful at these scales; AQE coalesces from this ceiling
+        ("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
     from defenda_data_lake_spark.functions.compat import register_compat_functions
 
     register_compat_functions(spark)

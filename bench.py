@@ -23,6 +23,55 @@ os.environ.setdefault("TZ", "UTC")
 time.tzset()
 
 
+def _bench_ingest(spark, n_events: int) -> float:
+    """Time the full normalization pipeline (intake -> six plugins ->
+    partitioned parquet write) over synthetic security events."""
+    import json
+    import shutil
+    import tempfile
+
+    from defenda_data_lake_spark.operators.intake import read_ndjson_events
+    from defenda_data_lake_spark.operators.pipeline import (
+        STATUS_OK,
+        add_partition_columns,
+        normalize_df,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    per_file = n_events // 8
+    n = 0
+    for f_idx in range(8):
+        with open(os.path.join(landing, f"events_{f_idx}.json"), "w") as f:
+            for i in range(per_file):
+                f.write(
+                    json.dumps(
+                        {
+                            "EventTime": f"2026-01-{(n % 28) + 1:02d}T12:{n % 60:02d}:00Z",
+                            "srcaddr": f"10.{n % 256}.{(n // 256) % 256}.{n % 250}",
+                            "dstaddr": f"192.0.2.{n % 250}",
+                            "Action": "ACCEPT" if n % 3 else "REJECT",
+                            "bytes": n * 17 % 100000,
+                            "nested": {"level": {"deep_time": n}},
+                        }
+                    )
+                    + "\n"
+                )
+                n += 1
+    out = os.path.join(tmp, "out")
+    t0 = time.perf_counter()
+    raw = read_ndjson_events(spark, landing)
+    normalized = normalize_df(raw, raw_col="raw", source_col="source")
+    good = add_partition_columns(
+        normalized.filter(normalized["_status"] == STATUS_OK)
+    ).drop("_status", "_raw")
+    good.write.mode("overwrite").partitionBy("year", "month", "day", "hour").parquet(out)
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(tmp, ignore_errors=True)
+    return elapsed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -53,6 +102,8 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    timings["ingest_100k"] = round(_bench_ingest(spark, n_events=100_000), 3)
 
     total = round(sum(timings.values()), 3)
     print(

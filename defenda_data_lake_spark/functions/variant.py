@@ -1,0 +1,36 @@
+"""Variant-typed projection of the ``details`` JSON column.
+
+The storage contract keeps ``details`` a JSON *string* (reference
+parity, §1.3) and queries it with ``get_json_object`` — which re-parses
+the string per extraction.  Spark 4's VARIANT type parses once into a
+binary-tree encoding; repeated path extraction is then O(path) instead
+of O(document).
+
+Use ``with_variant_details`` before running many extractions over the
+same rows (wide enrichment joins, multi-field detection rules):
+
+    df = with_variant_details(spark.table("defenda_data_lake.events"))
+    df.select(variant_path(df, "$.sourceipaddress").alias("ip"), ...)
+
+Scale note: for detection workloads extracting 10+ fields per event,
+variant parsing amortizes the JSON parse ~Nx.  The stored format stays
+JSON text, so the reference's query surface is untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_variant_details(
+    df: DataFrame, details_col: str = "details", out: str = "details_v"
+) -> DataFrame:
+    """Append a VARIANT-typed parse of the JSON details column."""
+    return df.withColumn(out, F.parse_json(F.col(details_col)))
+
+
+def variant_get_string(col: str | Column, path: str) -> Column:
+    """Extract a string scalar from a variant column by JSONPath."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.try_variant_get(col, path, "string")

@@ -139,6 +139,20 @@ def read_blob_events(spark: SparkSession, path: str) -> DataFrame:
     return df.mapInPandas(_blob_batches, schema=RAW_EVENT_SCHEMA)
 
 
+def decode_firehose_records(
+    df: DataFrame, data_col: str = "data", source_col: str | None = None
+) -> DataFrame:
+    """Decode a Firehose-style record batch: base64 payload column →
+    raw JSON event strings (reference processor.py:25-28 does exactly
+    this per record; here it's one vectorized JVM expression).
+    Malformed base64 decodes to garbage that the downstream pipeline
+    quarantines (A2 semantics)."""
+    cols = [F.decode(F.unbase64(F.col(data_col)), "UTF-8").alias("raw")]
+    if source_col is not None:
+        cols.append(F.col(source_col).alias("source"))
+    return df.select(*cols)
+
+
 def read_ndjson_events(spark: SparkSession, path: str) -> DataFrame:
     """Line-based intake for newline-delimited JSON (the reference's
     storage format, processor.py:51-57).  Splittable scan — this is the
