@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the pure-Python core that the
+pandas plugin host depends on."""
+
+import json
+import string
+from datetime import datetime, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from defenda_data_lake_spark.operators.intake import split_concatenated_json
+from defenda_data_lake_spark.utils.dates import to_utc
+from defenda_data_lake_spark.utils.json_tree import (
+    deep_merge,
+    enum_keys,
+    get_by_path,
+    lowercase_keys,
+)
+
+keys = st.text(string.ascii_letters + "_-@#", min_size=1, max_size=8)
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-(2**31), 2**31),
+    st.text(max_size=20),
+)
+json_values = st.recursive(
+    scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(keys, inner, max_size=4),
+    ),
+    max_leaves=20,
+)
+json_objects = st.dictionaries(keys, json_values, max_size=6)
+
+
+@given(json_objects)
+@settings(max_examples=200, deadline=None)
+def test_lowercase_keys_idempotent_and_preserves_structure(obj):
+    once = lowercase_keys(obj)
+    assert lowercase_keys(once) == once
+    assert all(k == k.lower() for k in enum_keys(once))
+
+
+@given(json_objects, json_objects)
+@settings(max_examples=200, deadline=None)
+def test_deep_merge_override_wins(base, override):
+    merged = deep_merge(base, override)
+    for k, v in override.items():
+        if not (isinstance(v, dict) and isinstance(base.get(k), dict)):
+            assert merged[k] == v
+    for k in base:
+        assert k in merged
+
+
+@given(st.lists(json_objects, min_size=1, max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_split_concatenated_json_roundtrip(objs):
+    blob = "".join(json.dumps(o) for o in objs)
+    parsed = [json.loads(b) for b in split_concatenated_json(blob)]
+    assert parsed == objs
+
+
+@given(st.integers(1, 2**31))
+@settings(max_examples=200, deadline=None)
+def test_to_utc_epoch_seconds(epoch):
+    assert to_utc(epoch) == datetime.fromtimestamp(epoch, timezone.utc)
+
+
+@given(st.integers(10**9, 2**31))
+@settings(max_examples=200, deadline=None)
+def test_to_utc_epoch_magnitude_heuristic(epoch):
+    # the magnitude heuristic assumes a 10-digit seconds epoch
+    # (reference EPOCH_MAGNITUDE=9 semantics): for epochs >= 1e9
+    # (2001-2038) the ms and us forms scale back to the same instant
+    got = to_utc(epoch)
+    assert to_utc(epoch * 1000) == got
+    assert to_utc(float(epoch * 1_000_000)) == got
+
+
+@given(json_objects, st.lists(keys, min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_get_by_path_never_raises(obj, path_segs):
+    # arbitrary paths on arbitrary trees: never throws; missing paths
+    # yield the default
+    sentinel = object()
+    result = get_by_path(obj, ".".join(path_segs), sentinel)
+    if len(path_segs) == 1:
+        # single-segment path: must agree with plain dict lookup
+        assert result is obj.get(path_segs[0], sentinel)
