@@ -270,8 +270,11 @@ def _simhash_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
         counts = [0] * 64
         for gram in grams:
+            # little-endian of the first 8 digest bytes == DuckDB's
+            # md5_number_upper(), keeping the signature reproducible in
+            # the SQL oracle
             h = int.from_bytes(
-                hashlib.md5(gram.encode("utf-8")).digest()[:8], "big"
+                hashlib.md5(gram.encode("utf-8")).digest()[:8], "little"
             )
             for bit in range(64):
                 counts[bit] += 1 if (h >> bit) & 1 else -1

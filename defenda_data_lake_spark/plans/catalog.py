@@ -942,10 +942,62 @@ Q41_SQL = _knn_lsh_sql()
 
 
 def q42_simhash_pairs(spark, sf_dir):
-    """SimHash near-duplicate candidate pairs (pandas-UDF-hosted
-    signature; rows-only check)."""
+    """SimHash near-duplicate candidate pairs.  The Arrow-batched
+    signature kernel uses md5-derived bit mixing that DuckDB's
+    ``md5_number_upper`` reproduces exactly, so even this pandas-hosted
+    operator is value-checked."""
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_near_duplicates(docs, max_hamming=8)
+
+
+def _simhash_sql(max_hamming: int = 8) -> str:
+    """Reproduce the SimHash pipeline in DuckDB: word bigrams →
+    md5_number_upper 64-bit hash → per-bit ±1 vote → sign → 16-bit
+    block join → Hamming verify."""
+    c_terms = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS c{b}"
+        for b in range(64)
+    )
+    sig_terms = "\n        + ".join(
+        f"(CASE WHEN c{b} > 0 THEN CAST({1 << b} AS UHUGEINT) ELSE 0 END)"
+        for b in range(64)
+    )
+    block_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sig, {blk} AS blk, (sig // {1 << (16 * blk)}) % 65536 AS bkey FROM sigs"
+        for blk in range(4)
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) > 1
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE w END) AS g
+  FROM norm
+),
+hashed AS (SELECT doc_id, md5_number_upper(g) AS h FROM grams),
+bits AS (
+  SELECT doc_id,
+         {c_terms}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+        {sig_terms} AS sig
+  FROM bits
+),
+blocked AS (
+{block_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(CAST(xor(CAST(a.sig AS UBIGINT), CAST(b.sig AS UBIGINT)) AS UBIGINT)) AS INT) AS hamming
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(CAST(a.sig AS UBIGINT), CAST(b.sig AS UBIGINT)) AS UBIGINT)) <= {max_hamming}
+"""
+
+
+Q42_SQL = _simhash_sql()
 
 
 def q43_multimodal_meta(spark, sf_dir):
@@ -975,8 +1027,11 @@ FROM documents
 
 
 def q44_multimodal_decode(spark, sf_dir):
-    """Multimodal decode/feature-extract plumbing (stubbed deterministic
-    decode kernel; rows-only check)."""
+    """Multimodal decode/feature-extract plumbing.  The decode kernel is
+    a STUB (no codec libs in this environment) but a *deterministic*
+    one — dims derive from md5 digest bytes — so even the stub is
+    value-checked against an oracle reproducing the same bytes via
+    ``md5_number_upper``."""
     docs = _t(spark, sf_dir, "documents")
     media = M.as_media_table(
         docs.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
@@ -986,6 +1041,15 @@ def q44_multimodal_decode(spark, sf_dir):
     return M.decode_media(media, fake=True).select(
         "media_id", "width", "height", "n_channels"
     )
+
+
+Q44_SQL = """
+SELECT doc_id AS media_id,
+       CAST(16 + (md5_number_upper(text) % 256) % 64 AS INT) AS width,
+       CAST(16 + ((md5_number_upper(text) // 256) % 256) % 64 AS INT) AS height,
+       3 AS n_channels
+FROM documents
+"""
 
 
 # =============================================================== catalog
@@ -1023,9 +1087,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
     "q45_embedding_dedup": (q45_embedding_dedup, Q45_SQL),
-    "q42_simhash_pairs": (q42_simhash_pairs, None),
+    "q42_simhash_pairs": (q42_simhash_pairs, Q42_SQL),
     "q43_multimodal_meta": (q43_multimodal_meta, Q43_SQL),
-    "q44_multimodal_decode": (q44_multimodal_decode, None),
+    "q44_multimodal_decode": (q44_multimodal_decode, Q44_SQL),
 }
 
 
