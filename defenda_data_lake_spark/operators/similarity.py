@@ -89,6 +89,93 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partition_col: str = "label",
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is partitioned into
+    inverted lists (here: an existing ``partition_col``; in a full
+    pipeline, a k-means assignment), a centroid is computed per list
+    as the element-wise mean vector, and each query probes only the
+    ``n_probe`` lists whose centroids are nearest — turning the scan
+    into a centroid ranking (tiny) plus an equi-join on list id.
+
+    Deterministic end-to-end (mean centroids, fixed tie-breaks), so the
+    approximate result is still oracle-checkable.
+
+    Scale: centroids are |lists| rows (broadcast); the candidate join
+    shuffles only on the list id.  This is the standard
+    billion-vector layout (FAISS IVF) expressed relationally."""
+    # element-wise mean per list: posexplode -> avg per (list, pos)
+    exploded = corpus.select(
+        F.col(partition_col).alias("list_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "component"),
+    )
+    centroids = (
+        exploded.groupBy("list_id", "pos")
+        .agg(F.avg(F.col("component").cast("double")).alias("mean_c"))
+        .groupBy("list_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_c"))).alias("pairs"))
+        .select(
+            "list_id",
+            F.transform(F.col("pairs"), lambda s: s["mean_c"]).alias("centroid"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    # rank lists per query by centroid cosine; keep n_probe
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "c_cos",
+        _dot(F.transform("q_vec", lambda v: v.cast("double")), F.col("centroid"))
+        / (
+            _norm(F.transform("q_vec", lambda v: v.cast("double")))
+            * _norm(F.col("centroid"))
+        ),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("list_id")
+    )
+    probed = (
+        qc.withColumn("probe_rank", F.row_number().over(w_probe))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "q_vec", "list_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(partition_col).alias("list_id"),
+    )
+    scored = (
+        c.join(F.broadcast(probed), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(
+                F.transform("q_vec", lambda v: v.cast("double")),
+                F.transform("c_vec", lambda v: v.cast("double")),
+            )
+            / (
+                _norm(F.transform("q_vec", lambda v: v.cast("double")))
+                * _norm(F.transform("c_vec", lambda v: v.cast("double")))
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: str = "lsh") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, d) is a
     zero-centered value derived from md5(seed|p|d).  Reproducible

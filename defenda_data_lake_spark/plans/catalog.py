@@ -941,6 +941,55 @@ WHERE rank <= 10
 Q41_SQL = _knn_lsh_sql()
 
 
+def q46_knn_ivf(spark, sf_dir):
+    """IVF-style ANN: label-partitioned inverted lists with mean
+    centroids; queries probe the nearest list only (n_probe=1), then
+    exact cosine ranks within it.  Deterministic → value-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=10, n_probe=1).select(
+        "query_id", "neighbor_id", R("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+Q46_SQL = """
+WITH comps AS (
+  SELECT label AS list_id, pos, avg(CAST(embedding[pos] AS DOUBLE)) AS mean_c
+  FROM embeddings, range(1, 65) t(pos)
+  GROUP BY 1, 2
+),
+centroids AS (
+  SELECT list_id, list(mean_c ORDER BY pos) AS centroid FROM comps GROUP BY list_id
+),
+probed AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.vec_id AS query_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.centroid) DESC,
+                      c.list_id) AS probe_rank
+    FROM embeddings q CROSS JOIN centroids c
+    WHERE q.vec_id < 5
+  ) WHERE probe_rank <= 1
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM probed p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.label = p.list_id AND c.vec_id <> p.query_id
+) t
+WHERE rank <= 10
+"""
+
+
 def q42_simhash_pairs(spark, sf_dir):
     """SimHash near-duplicate candidate pairs.  The Arrow-batched
     signature kernel uses md5-derived bit mixing that DuckDB's
@@ -1087,6 +1136,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
     "q45_embedding_dedup": (q45_embedding_dedup, Q45_SQL),
+    "q46_knn_ivf": (q46_knn_ivf, Q46_SQL),
     "q42_simhash_pairs": (q42_simhash_pairs, Q42_SQL),
     "q43_multimodal_meta": (q43_multimodal_meta, Q43_SQL),
     "q44_multimodal_decode": (q44_multimodal_decode, Q44_SQL),

@@ -79,6 +79,45 @@ def test_to_utc_epoch_magnitude_heuristic(epoch):
     assert to_utc(float(epoch * 1_000_000)) == got
 
 
+shellish_keys = st.one_of(
+    keys,
+    st.sampled_from(
+        ["details", "tags", "severity", "timestamp", "time", "date", "kind",
+         "src", "ipaddress", "eventid", "plugins", "summary"]
+    ),
+)
+shellish_objects = st.dictionaries(shellish_keys, json_values, max_size=6)
+
+
+@given(shellish_objects)
+@settings(max_examples=150, deadline=None)
+def test_pipeline_host_contract_on_arbitrary_events(obj):
+    """The host contract over ANY JSON object — including ones that
+    collide with shell keys or plugin trigger fields: either the
+    pipeline yields a shell-conformant event, or it raises and the
+    Arrow host quarantines the record (reference semantics: a plugin
+    exception marks the record ProcessingFailed; e.g. a non-dict
+    pre-existing ``details`` makes the shell demotion crash there
+    too)."""
+    from defenda_data_lake_spark.operators.pipeline import (
+        default_plugins,
+        run_pipeline,
+    )
+    from defenda_data_lake_spark.schema import SHELL_FIELDS
+
+    try:
+        result = run_pipeline(obj, default_plugins())
+    except Exception:
+        return  # host quarantines (ProcessingFailed) — acceptable
+    assert result is not None
+    assert set(result.keys()) <= set(SHELL_FIELDS)
+    for field in ("utctimestamp", "severity", "summary", "category", "source"):
+        assert field in result
+    # executed plugin names are appended after any pre-existing content
+    assert result["plugins"][-1] in ("ip_addresses", "gsuite_login", "timestamps")
+    assert "eventid" in result
+
+
 @given(json_objects, st.lists(keys, min_size=1, max_size=4))
 @settings(max_examples=200, deadline=None)
 def test_get_by_path_never_raises(obj, path_segs):

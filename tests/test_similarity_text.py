@@ -65,6 +65,26 @@ def test_lsh_topk_subset_of_brute(vectors):
         assert abs(brute[key] - r["cosine"]) < 1e-9
 
 
+def test_ivf_topk_probes_nearest_list(spark):
+    from defenda_data_lake_spark.operators.similarity import ivf_topk
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.8, 0.0], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    res = ivf_topk(emb, emb.filter(F.col("vec_id") == 0), k=5, n_probe=1).collect()
+    neighbors = {r["neighbor_id"] for r in res}
+    # only the x-axis list (label 0) is probed
+    assert neighbors == {1, 2}
+    assert all(r["query_id"] == 0 for r in res)
+    # rank 1 is the closest in-list vector
+    assert min(res, key=lambda r: r["rank"])["neighbor_id"] == 2
+
+
 # ------------------------------------------------------------------- text
 
 
