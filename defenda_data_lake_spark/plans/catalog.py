@@ -239,7 +239,7 @@ def q10_window_rank(spark, sf_dir):
             "o_custkey",
             "o_orderkey",
             R("o_totalprice", 2).alias("price"),
-            "rn",
+            F.col("rn").cast("long").alias("rn"),
         )
     )
 
@@ -299,7 +299,7 @@ SELECT c_mktsegment,
        count(DISTINCT c_nationkey) AS n_nations,
        count(*) AS n_customers,
        round(avg(c_acctbal), 4) AS avg_bal,
-       sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS n_positive
+       CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
 FROM customer
 GROUP BY c_mktsegment
 """
@@ -481,7 +481,7 @@ def q23_string_funcs(spark, sf_dir):
         F.upper(F.col("p_name")).alias("name_upper"),
         F.substring(F.col("p_name"), 1, 6).alias("name_prefix"),
         F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
-        F.length(F.col("p_name")).alias("name_len"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
         F.regexp_extract(F.col("p_name"), r"(\d+)", 1).alias("name_digits"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
     )
@@ -519,7 +519,7 @@ def q24_presto_text(spark, sf_dir):
 
 Q24_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
 FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS INT) > 80
 GROUP BY event_type
@@ -547,7 +547,7 @@ def q20_events_json(spark, sf_dir):
 
 
 Q20_SQL = """
-SELECT event_type, count(*) AS n, sum(k) AS sum_k, round(avg(value), 4) AS avg_value
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, round(avg(value), 4) AS avg_value
 FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) t
 WHERE k < 50
 GROUP BY event_type
@@ -710,9 +710,9 @@ def q33_text_tokens(spark, sf_dir):
 Q33_SQL = r"""
 SELECT lang,
        count(*) AS n_docs,
-       sum(n_tok) AS total_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
        round(avg(n_tok), 4) AS avg_tokens,
-       sum(n_sub) AS total_subtokens
+       CAST(sum(n_sub) AS BIGINT) AS total_subtokens
 FROM (
   SELECT lang,
          len(string_split(trim(text), ' ')) AS n_tok,
@@ -731,7 +731,7 @@ def q34_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return X.quality_features(docs).select(
         "doc_id",
-        "n_tokens",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
         R("stopword_ratio", 4).alias("stopword_ratio"),
         R("punct_ratio", 4).alias("punct_ratio"),
         R("quality_score", 4).alias("quality_score"),
@@ -873,7 +873,7 @@ def q40_knn_brute(spark, sf_dir):
         "query_id",
         "neighbor_id",
         R("cosine", 6).alias("cosine"),
-        "rank",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -903,7 +903,8 @@ def q41_knn_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.lsh_cosine_topk(emb, queries, k=10, num_planes=6).select(
-        "query_id", "neighbor_id", R("cosine", 6).alias("cosine"), "rank"
+        "query_id", "neighbor_id", R("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -948,7 +949,8 @@ def q46_knn_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ivf_topk(emb, queries, k=10, n_probe=1).select(
-        "query_id", "neighbor_id", R("cosine", 6).alias("cosine"), "rank"
+        "query_id", "neighbor_id", R("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

@@ -41,6 +41,12 @@ def compare(name, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str:
         return f"ROWCOUNT spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         return f"SCHEMA spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+    # dtype alignment: a dtype-sensitive value hash would flag int32 vs
+    # int64 or a HUGEINT-degraded float column even when values agree
+    for col in sorted(spark_pdf.columns):
+        a, b = spark_pdf[col].dtype, oracle_pdf[col].dtype
+        if a != b:
+            return f"DTYPE col={col} spark={a} oracle={b}"
     a = normalize_frame(spark_pdf)
     b = normalize_frame(oracle_pdf)
     for col in a.columns:
