@@ -73,9 +73,14 @@ def word_shingle_postings(
 
     from pyspark.sql import types as T
 
-    return df.select(
+    from defenda_data_lake_spark.utils.partitioning import ensure_min_parallelism
+
+    narrow = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
-    ).mapInPandas(
+    )
+    # single-file inputs would run this stage (and everything fed by
+    # it) on one task — spread first
+    return ensure_min_parallelism(narrow).mapInPandas(
         gen,
         schema=T.StructType(
             [
@@ -301,9 +306,10 @@ def simhash_signatures(
     pandas host; md5-derived bit mixing, deterministic)."""
     from pyspark.sql import types as T
 
-    return df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).mapInPandas(
+    from defenda_data_lake_spark.utils.partitioning import ensure_min_parallelism
+
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    return ensure_min_parallelism(narrow).mapInPandas(
         _simhash_batches,
         schema=T.StructType(
             [

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from defenda_data_lake_spark.utils.partitioning import ensure_min_parallelism
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -62,7 +64,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -146,7 +148,7 @@ def ivf_topk(
         .filter(F.col("probe_rank") <= n_probe)
         .select("query_id", "q_vec", "list_id")
     )
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col(partition_col).alias("list_id"),
@@ -217,7 +219,7 @@ def lsh_cosine_topk(
     Recall < 1.0 by construction (bucket boundaries); increase recall
     with fewer planes (bigger buckets) or multi-probe."""
     planes = _hyperplanes(dim, num_planes)
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         lsh_signature_col(vec_col, planes).alias("bucket"),

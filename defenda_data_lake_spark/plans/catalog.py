@@ -844,7 +844,9 @@ def q45_embedding_dedup(spark, sf_dir):
     Exact all-pairs at this scale; at 100 TB the identical predicate
     runs over LSH buckets first (see ``similarity.lsh_cosine_topk``) so
     the pair space is bucket-local instead of quadratic."""
-    emb = _t(spark, sf_dir, "embeddings")
+    from defenda_data_lake_spark.utils.partitioning import ensure_min_parallelism
+
+    emb = ensure_min_parallelism(_t(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
