@@ -234,10 +234,21 @@ def ngram_jaccard_pairs(
         postings = postings.join(F.broadcast(ok), "shingle")
     a = postings.alias("a")
     b = postings.alias("b")
+    # size-bound prune inside the join: jaccard <= min(|A|,|B|)/max(|A|,|B|)
+    # (intersection can't exceed the smaller set), so pairs whose size
+    # ratio is already below the threshold never reach the aggregation.
+    # Output-identical: every pruned pair would fail the final filter.
+    size_bound = F.least(
+        F.col("a.set_size"), F.col("b.set_size")
+    ) >= F.lit(threshold) * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
     pairs = (
         a.join(
             b,
-            on=[F.col("a.shingle") == F.col("b.shingle"), F.col("a.id") < F.col("b.id")],
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.id") < F.col("b.id"),
+                size_bound,
+            ],
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(
