@@ -1,0 +1,98 @@
+"""Canned detection queries over the normalized events table.
+
+The reference leaves analytics to ad-hoc Athena queries (README.md:89-136);
+these are the standard security-lake detection shapes, expressed as
+reusable DataFrame transforms over the event shell (§1.2).  Each takes
+the events DataFrame (the table or any filtered slice) and returns a
+findings DataFrame.
+
+All JVM-side: JSON extraction via ``get_json_object`` (or swap in the
+variant projection for many-field rules, ``functions.variant``).
+
+Scale notes: every detection groups/windows on a bounded key
+(ip, user); with the hour-partitioned layout, the usual deployment is
+an incremental run over the last N closed hours (partition-pruned
+scan), not the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _ts(df: DataFrame) -> DataFrame:
+    return df.withColumn("event_time", F.to_timestamp(F.col("utctimestamp")))
+
+
+def failed_login_bursts(
+    events: DataFrame,
+    threshold: int = 5,
+    window_minutes: int = 10,
+) -> DataFrame:
+    """Brute-force shape: >= ``threshold`` failed authentications from
+    one source IP within a tumbling window.
+
+    A failure is an authentication-category event whose details carry
+    ``success: false`` (the gsuite plugin emits exactly this; other
+    sources normalize the same way)."""
+    df = _ts(events)
+    failures = df.filter(
+        (F.col("category") == "authentication")
+        & (F.get_json_object("details", "$.success") == "false")
+    ).withColumn("src_ip", F.get_json_object("details", "$.sourceipaddress"))
+    return (
+        failures.filter(F.col("src_ip").isNotNull())
+        .groupBy(
+            F.window("event_time", f"{window_minutes} minutes").alias("w"),
+            "src_ip",
+        )
+        .agg(
+            F.count("*").alias("n_failures"),
+            F.collect_set("source").alias("sources"),
+        )
+        .filter(F.col("n_failures") >= threshold)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "src_ip",
+            "n_failures",
+            "sources",
+        )
+    )
+
+
+def first_seen_ips(events: DataFrame) -> DataFrame:
+    """New-infrastructure shape: for each (user, source IP) pair, the
+    first time it was ever seen — rows where an IP is new for a known
+    user are the alert feed."""
+    df = _ts(events).select(
+        F.get_json_object("details", "$.user").alias("user"),
+        F.get_json_object("details", "$.sourceipaddress").alias("src_ip"),
+        "event_time",
+    ).filter(F.col("user").isNotNull() & F.col("src_ip").isNotNull())
+    firsts = df.groupBy("user", "src_ip").agg(
+        F.min("event_time").alias("first_seen"), F.count("*").alias("n_events")
+    )
+    w = Window.partitionBy("user").orderBy("first_seen", "src_ip")
+    return firsts.withColumn("ip_rank_for_user", F.row_number().over(w))
+
+
+def rare_event_scores(events: DataFrame) -> DataFrame:
+    """Rarity shape: score each (source, category, summary-shape) by
+    inverse frequency; the long tail is the hunting feed.  The summary
+    shape collapses digits/hex so e.g. per-request IDs don't make every
+    event unique."""
+    shape = F.regexp_replace(
+        F.regexp_replace(F.col("summary"), r"[0-9a-fA-F]{8,}", "#"),
+        r"\d+",
+        "#",
+    )
+    total = F.sum("n").over(Window.partitionBy(F.lit(1)))
+    return (
+        events.groupBy("source", "category", shape.alias("summary_shape"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("frequency", F.col("n") / total)
+        .withColumn("rarity_score", -F.log2("frequency"))
+        .orderBy(F.col("rarity_score").desc(), "summary_shape")
+    )

@@ -52,6 +52,59 @@ _COMPAT_FUNCTIONS: dict[str, str] = {
         RETURNS BOOLEAN
         RETURN array_contains(from_json(js, 'array<string>'), v)
     """,
+    # --- wider Presto function surface commonly used against security
+    # --- lakes (each a thin JVM-side rewrite of a Spark builtin).
+    # NOTE: json_array_length, regexp_like, cardinality, position are
+    # already Spark builtins with Presto-compatible semantics — no
+    # registration needed (and Spark refuses to shadow them).
+    "from_iso8601_timestamp": """
+        CREATE OR REPLACE TEMPORARY FUNCTION from_iso8601_timestamp(s STRING)
+        RETURNS TIMESTAMP
+        RETURN to_timestamp(s)
+    """,
+    "to_unixtime": """
+        CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(t TIMESTAMP)
+        RETURNS DOUBLE
+        RETURN CAST(unix_micros(t) AS DOUBLE) / 1000000.0
+    """,
+    "from_unixtime_presto": """
+        CREATE OR REPLACE TEMPORARY FUNCTION from_unixtime_presto(e DOUBLE)
+        RETURNS TIMESTAMP
+        RETURN timestamp_seconds(e)
+    """,
+    "url_extract_host": """
+        CREATE OR REPLACE TEMPORARY FUNCTION url_extract_host(u STRING)
+        RETURNS STRING
+        RETURN parse_url(u, 'HOST')
+    """,
+    "url_extract_path": """
+        CREATE OR REPLACE TEMPORARY FUNCTION url_extract_path(u STRING)
+        RETURNS STRING
+        RETURN parse_url(u, 'PATH')
+    """,
+    "url_extract_query": """
+        CREATE OR REPLACE TEMPORARY FUNCTION url_extract_query(u STRING)
+        RETURNS STRING
+        RETURN parse_url(u, 'QUERY')
+    """,
+    "strpos": """
+        CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING)
+        RETURNS INT
+        RETURN instr(s, sub)
+    """,
+    "codepoint": """
+        CREATE OR REPLACE TEMPORARY FUNCTION codepoint(s STRING)
+        RETURNS INT
+        RETURN ascii(s)
+    """,
+    "is_json_scalar": """
+        CREATE OR REPLACE TEMPORARY FUNCTION is_json_scalar(js STRING)
+        RETURNS BOOLEAN
+        RETURN js IS NOT NULL
+           AND NOT startswith(ltrim(js), '{')
+           AND NOT startswith(ltrim(js), '[')
+           AND get_json_object(js, '$') IS NOT NULL
+    """,
 }
 
 

@@ -1,0 +1,54 @@
+"""Presto-compat SQL function surface (functions/compat.py)."""
+
+import pytest
+
+
+def one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").first()["v"]
+
+
+def test_json_extract_scalar(spark):
+    assert one(spark, "json_extract_scalar('{\"a\": {\"b\": 5}}', '$.a.b')") == "5"
+    # Presto semantics: non-scalar results are NULL
+    assert one(spark, "json_extract_scalar('{\"a\": {\"b\": 5}}', '$.a')") is None
+
+
+def test_json_extract_returns_json_text(spark):
+    assert one(spark, "json_extract('{\"a\": {\"b\": 5}}', '$.a')") == '{"b":5}'
+
+
+def test_json_array_contains_and_length(spark):
+    assert one(spark, "json_array_contains('[\"x\",\"y\"]', 'x')") is True
+    assert one(spark, "json_array_contains('[\"x\",\"y\"]', 'z')") is False
+    assert one(spark, "json_array_length('[\"x\",\"y\"]')") == 2
+
+
+def test_timestamp_functions(spark):
+    assert (
+        str(one(spark, "from_iso8601_timestamp('2019-09-04T17:54:59Z')"))
+        == "2019-09-04 17:54:59"
+    )
+    assert one(spark, "to_unixtime(TIMESTAMP '1970-01-01 00:01:00')") == 60.0
+    assert (
+        str(one(spark, "from_unixtime_presto(60.0)")) == "1970-01-01 00:01:00"
+    )
+
+
+def test_url_functions(spark):
+    url = "'https://example.org/wp-login.php?redirect=1'"
+    assert one(spark, f"url_extract_host({url})") == "example.org"
+    assert one(spark, f"url_extract_path({url})") == "/wp-login.php"
+    assert one(spark, f"url_extract_query({url})") == "redirect=1"
+
+
+def test_string_functions(spark):
+    assert one(spark, "regexp_like('abc123', '\\\\d+')") is True
+    assert one(spark, "strpos('hello', 'll')") == 3
+    assert one(spark, "codepoint('A')") == 65
+
+
+def test_is_json_scalar(spark):
+    assert one(spark, "is_json_scalar('5')") is True
+    assert one(spark, "is_json_scalar('\"s\"')") is True
+    assert one(spark, "is_json_scalar('{\"a\":1}')") is False
+    assert one(spark, "is_json_scalar('[1]')") is False

@@ -1,0 +1,117 @@
+"""Detection-query shapes over the normalized event shell."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from defenda_data_lake_spark.detections import (
+    failed_login_bursts,
+    first_seen_ips,
+    rare_event_scores,
+)
+
+
+def _event(ts, category="authentication", source="gsuite", summary="x", **details):
+    return (None, ts, "INFO", summary, category, source, [], [], json.dumps(details))
+
+
+COLS = [
+    "eventid", "utctimestamp", "severity", "summary",
+    "category", "source", "tags", "plugins", "details",
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # 5 failures from one IP within 10 minutes -> burst
+        *[
+            _event(
+                f"2026-01-01T10:0{i}:00+00:00",
+                summary="user fail login",
+                success=False,
+                sourceipaddress="203.0.113.9",
+                user="alice@example.com",
+            )
+            for i in range(5)
+        ],
+        # scattered failures from another IP -> no burst
+        _event(
+            "2026-01-01T10:00:00+00:00",
+            summary="bob fail login",
+            success=False,
+            sourceipaddress="198.51.100.7",
+            user="bob@example.com",
+        ),
+        # successes
+        _event(
+            "2026-01-01T11:00:00+00:00",
+            summary="alice login_success",
+            success=True,
+            sourceipaddress="203.0.113.9",
+            user="alice@example.com",
+        ),
+        _event(
+            "2026-01-02T09:00:00+00:00",
+            summary="alice login_success",
+            success=True,
+            sourceipaddress="192.0.2.77",
+            user="alice@example.com",
+        ),
+        # non-auth noise
+        _event(
+            "2026-01-01T10:05:00+00:00",
+            category="monitoring",
+            source="syslog",
+            summary="sudo session 12345 opened",
+        ),
+        _event(
+            "2026-01-01T10:06:00+00:00",
+            category="monitoring",
+            source="syslog",
+            summary="sudo session 99887 opened",
+        ),
+        _event(
+            "2026-01-01T10:07:00+00:00",
+            category="netflow",
+            source="vpc",
+            summary="flow deadbeefcafe4242 accepted",
+        ),
+    ]
+    from defenda_data_lake_spark.schema import EVENT_SHELL_SCHEMA
+
+    return spark.createDataFrame(rows, EVENT_SHELL_SCHEMA)
+
+
+def test_failed_login_bursts(events):
+    hits = failed_login_bursts(events, threshold=5, window_minutes=10).collect()
+    assert len(hits) == 1
+    assert hits[0]["src_ip"] == "203.0.113.9"
+    assert hits[0]["n_failures"] == 5
+    assert "gsuite" in hits[0]["sources"]
+
+
+def test_first_seen_ips(events):
+    rows = {
+        (r["user"], r["src_ip"]): r for r in first_seen_ips(events).collect()
+    }
+    alice_first = rows[("alice@example.com", "203.0.113.9")]
+    alice_new = rows[("alice@example.com", "192.0.2.77")]
+    assert alice_first["ip_rank_for_user"] == 1
+    assert alice_new["ip_rank_for_user"] == 2
+    assert str(alice_new["first_seen"]).startswith("2026-01-02")
+
+
+def test_rare_event_scores_collapse_ids(events):
+    scores = rare_event_scores(events).collect()
+    shapes = {r["summary_shape"]: r for r in scores}
+    # the two sudo summaries collapse into one shape with n=2
+    assert shapes["sudo session # opened"]["n"] == 2
+    # hex request id collapses too
+    assert "flow # accepted" in shapes
+    # rarity: the n=1 netflow shape scores higher than the n=5 failure shape
+    assert (
+        shapes["flow # accepted"]["rarity_score"]
+        > shapes["user fail login"]["rarity_score"]
+    )
