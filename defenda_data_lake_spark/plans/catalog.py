@@ -994,6 +994,21 @@ WHERE rank <= 10
 """
 
 
+def q47_kmeans_clusters(spark, sf_dir):
+    """Iterative k-means (Lloyd, 3 fixed iterations) cluster summary.
+    The one rows-only catalog entry: an iterative algorithm whose
+    cross-engine float reproducibility is not promised (mean
+    aggregation order) — the documented exception class."""
+    from defenda_data_lake_spark.operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=8, iterations=3)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        R(F.avg("sq_dist"), 4).alias("avg_sq_dist"),
+    )
+
+
 def q42_simhash_pairs(spark, sf_dir):
     """SimHash near-duplicate candidate pairs.  The Arrow-batched
     signature kernel uses md5-derived bit mixing that DuckDB's
@@ -1141,6 +1156,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
     "q45_embedding_dedup": (q45_embedding_dedup, Q45_SQL),
     "q46_knn_ivf": (q46_knn_ivf, Q46_SQL),
+    "q47_kmeans_clusters": (q47_kmeans_clusters, None),
     "q42_simhash_pairs": (q42_simhash_pairs, Q42_SQL),
     "q43_multimodal_meta": (q43_multimodal_meta, Q43_SQL),
     "q44_multimodal_decode": (q44_multimodal_decode, Q44_SQL),

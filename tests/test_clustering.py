@@ -1,0 +1,51 @@
+"""Iterative k-means over embedding columns."""
+
+from pyspark.sql import functions as F
+
+from defenda_data_lake_spark.operators.clustering import kmeans_assign
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    # two tight blobs on opposite axes
+    rows = (
+        [(i, [10.0 + (i % 3) * 0.1, 0.0]) for i in range(10)]
+        + [(100 + i, [0.0, 10.0 + (i % 3) * 0.1]) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = kmeans_assign(df, k=2, iterations=4).collect()
+    clusters = {}
+    for r in got:
+        clusters.setdefault(r["cluster"], set()).add(r["id"])
+    assert len(clusters) == 2
+    blobs = sorted(clusters.values(), key=min)
+    assert blobs[0] == set(range(10))
+    assert blobs[1] == {100 + i for i in range(10)}
+    # converged: points sit near their centroid
+    assert all(r["sq_dist"] < 0.05 for r in got)
+
+
+def test_kmeans_deterministic(spark):
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = {(r["id"], r["cluster"]) for r in kmeans_assign(df, k=3, iterations=3).collect()}
+    b = {(r["id"], r["cluster"]) for r in kmeans_assign(df, k=3, iterations=3).collect()}
+    assert a == b
+
+
+def test_kmeans_feeds_ivf(spark):
+    from defenda_data_lake_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned = kmeans_assign(emb, k=4, iterations=2)
+    clustered = emb.join(
+        assigned.withColumnRenamed("id", "vec_id").select("vec_id", "cluster"),
+        "vec_id",
+    )
+    res = ivf_topk(
+        clustered,
+        clustered.filter(F.col("vec_id") == 0),
+        k=5,
+        partition_col="cluster",
+    ).collect()
+    assert len(res) == 5
+    assert all(r["query_id"] == 0 for r in res)
