@@ -70,8 +70,11 @@ def q01_pricing_summary(spark, sf_dir):
             R(F.sum(disc_price), 2).alias("sum_disc_price"),
             R(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             R(F.avg("l_quantity"), 4).alias("avg_qty"),
-            R(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            R(F.avg("l_discount"), 4).alias("avg_disc"),
+            # money avgs as round(sum,2)/n: engine float-sum order can
+            # differ by 1 ULP, and money data lands avg*1e4 exactly on
+            # .5 boundaries; a 2dp-rounded sum is boundary-stable
+            R(R(F.sum("l_extendedprice"), 2) / F.count("*"), 4).alias("avg_price"),
+            R(R(F.sum("l_discount"), 2) / F.count("*"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -84,8 +87,8 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
        round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
+       round(round(sum(l_extendedprice), 2) / count(*), 4)              AS avg_price,
+       round(round(sum(l_discount), 2) / count(*), 4)                   AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-06-01'
@@ -289,7 +292,7 @@ def q12_distinct_agg(spark, sf_dir):
     return cust.groupBy("c_mktsegment").agg(
         F.countDistinct("c_nationkey").alias("n_nations"),
         F.count("*").alias("n_customers"),
-        R(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        R(R(F.sum("c_acctbal"), 2) / F.count("*"), 4).alias("avg_bal"),
         F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0)).alias("n_positive"),
     )
 
@@ -298,7 +301,7 @@ Q12_SQL = """
 SELECT c_mktsegment,
        count(DISTINCT c_nationkey) AS n_nations,
        count(*) AS n_customers,
-       round(avg(c_acctbal), 4) AS avg_bal,
+       round(round(sum(c_acctbal), 2) / count(*), 4) AS avg_bal,
        CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
 FROM customer
 GROUP BY c_mktsegment
@@ -402,13 +405,14 @@ def q17_above_customer_avg(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            R(F.avg("o_totalprice"), 4).alias("avg_price"),
+            R(R(F.sum("o_totalprice"), 2) / F.count("*"), 4).alias("avg_price"),
         )
     )
 
 
 Q17_SQL = """
-SELECT o_orderpriority, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(round(sum(o_totalprice), 2) / count(*), 4) AS avg_price
 FROM (
   SELECT *, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
   FROM orders
