@@ -453,7 +453,8 @@ def q19_cube_customers(spark, sf_dir):
         cust.cube("c_mktsegment", "c_nationkey")
         .agg(
             F.count("*").alias("n_customers"),
-            R(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            # money avg via boundary-stable sum (see q01 note)
+            R(R(F.sum("c_acctbal"), 2) / F.count("*"), 4).alias("avg_bal"),
         )
         .select(
             F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
@@ -470,7 +471,7 @@ Q19_SQL = """
 SELECT coalesce(c_mktsegment, 'ALL') AS segment,
        coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
        count(*) AS n_customers,
-       round(avg(c_acctbal), 4) AS avg_bal
+       round(round(sum(c_acctbal), 2) / count(*), 4) AS avg_bal
 FROM customer
 GROUP BY CUBE (c_mktsegment, c_nationkey)
 """
