@@ -187,6 +187,11 @@ def minhash_lsh_candidates(
     banded = sigs.select("id", F.explode(band_structs).alias("bs")).select(
         "id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
     )
+    # force the sort-merge path: both sides shuffle over the SAME
+    # subplan, so Catalyst reuses one exchange and the signature
+    # aggregation runs once — a broadcast build would materialize the
+    # whole subtree a second time (measured 3.5x slower)
+    banded = banded.hint("merge")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -358,6 +363,8 @@ def simhash_near_duplicates(
     blocked = block_frames[0]
     for frame in block_frames[1:]:
         blocked = blocked.unionAll(frame)
+    # same exchange-reuse rationale as minhash_lsh_candidates
+    blocked = blocked.hint("merge")
     left = blocked.alias("l")
     right = blocked.alias("r")
     return (
