@@ -19,8 +19,17 @@ from pyspark.sql import DataFrame
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition when the plan has fewer input partitions
     than (by default) the cluster's default parallelism."""
-    spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    import os
+
+    try:
+        target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect sessions expose neither sparkContext nor .rdd;
+        # repartition unconditionally (cheap for the small inputs this
+        # guard exists for)
+        target = min_partitions or int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+        return df.repartition(target)
+    if current < target:
         return df.repartition(target)
     return df
