@@ -97,7 +97,7 @@ def main() -> None:
     for name in headline_queries():
         fn, _ = CATALOG[name]
         best = float("inf")
-        for _ in range(2):  # best-of-2: steady-state, not first-compile
+        for _ in range(3):  # best-of-3: steady-state, not first-compile
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
