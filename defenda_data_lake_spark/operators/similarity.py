@@ -1,54 +1,91 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Spark-first: dot products and norms are built-in higher-order
-expressions (``aggregate``/``zip_with``) executing JVM-side inside
-codegen — no Python in the hot path.
+Kernel strategy: vector math is a *numpy batch kernel* hosted in
+Arrow-batched ``mapInPandas`` / ``pandas_udf`` — one BLAS matmul per
+(corpus-partition x query-block), norms precomputed once.  The earlier
+higher-order-function formulation (``F.aggregate``/``F.zip_with``)
+evaluated its lambdas on Spark's interpreted path per array element and
+was ~70x slower than DuckDB on the same data; the matmul kernel is the
+design a 100 TB deployment wants anyway.
 
 Scale notes (100 TB / billions of vectors):
 
-* ``cosine_topk`` broadcasts the (small) query set against the full
-  corpus — a map-side nested loop per partition, no shuffle of the
-  corpus, then a per-query top-k (``TakeOrderedAndProject``-style via
-  window + filter).  Cost is O(|corpus| * |queries|); right whenever
-  queries are a handful.
-* ``lsh_cosine_topk`` is the scale path: random-hyperplane signatures
-  bucket the corpus once (narrow projection), queries probe only their
-  bucket — turning the scan into an equi-join on the signature.  Planes
-  are derived deterministically from md5 so signatures are reproducible
-  across runs and engines.
+* ``cosine_topk`` broadcasts the (small, by contract) query matrix to
+  every corpus partition — no shuffle of the corpus, no replication of
+  corpus vectors into joined rows.  Each partition emits only its local
+  top-k per query (correct global tie-breaks preserved), so the final
+  ranking window sees at most partitions x |queries| x k tiny rows.
+* ``lsh_cosine_topk`` is the sub-linear path: deterministic
+  random-hyperplane buckets (md5-derived planes, reproducible across
+  engines) restrict each query's candidates to its own bucket.
+* ``ivf_topk`` is the FAISS-IVF layout expressed relationally:
+  per-list mean centroids via per-component partial aggregation (64
+  ``avg`` columns — map-side combine, no vector explode), probe the
+  nearest ``n_probe`` lists, score only those lists.
+* ``lsh_near_duplicates`` is the corpus-self-join near-dup path: an
+  equi-join on the bucket signature instead of an O(n^2) cross join.
+
+The exact all-pairs near-dup (``exact_near_duplicates``) is retained as
+the small-scale reference implementation / oracle for tests.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from defenda_data_lake_spark.utils.partitioning import ensure_min_parallelism
+
+def _stack(series: pd.Series) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list column."""
+    return np.array(series.to_list(), dtype=np.float64)
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def cosine_col(a_col: str, b_col: str):
+    """Column expression: cosine similarity between two array columns,
+    computed by a vectorized Arrow-batched numpy kernel (float64)."""
 
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = _stack(a)
+        B = _stack(b)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
 
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
+    return _cos(F.col(a_col), F.col(b_col))
 
 
 def with_cosine(df: DataFrame, a_col: str, b_col: str, out: str = "cosine") -> DataFrame:
     """Append a cosine-similarity column between two array columns
     (computed in double precision)."""
-    a = F.transform(F.col(a_col), lambda v: v.cast("double"))
-    b = F.transform(F.col(b_col), lambda v: v.cast("double"))
-    return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+    return df.withColumn(out, cosine_col(a_col, b_col))
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Materialize the query block driver-side for broadcast.  Queries
+    are small by contract (an ANN batch, not a table); this is the
+    broadcast pattern, not a driver-side loop over the corpus."""
+    pdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = pdf[id_col].to_numpy()
+    Q = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+    return q_ids, Q
+
+
+def _partial_topk_rows(cand_cos, cand_ids, k):
+    """Indices of the local top-k by (cosine desc, id asc) — the same
+    ordering the global ranking window applies, so partition-local
+    pruning can never change the global result."""
+    if len(cand_ids) > k:
+        order = np.lexsort((cand_ids, -cand_cos))[:k]
+    else:
+        order = np.arange(len(cand_ids))
+    return order
 
 
 def cosine_topk(
@@ -60,28 +97,47 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k: for every query vector, the k nearest
     corpus vectors (excluding itself).  Returns
-    (query_id, neighbor_id, cosine, rank)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = ensure_min_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            _dot(
-                F.transform("q_vec", lambda v: v.cast("double")),
-                F.transform("c_vec", lambda v: v.cast("double")),
-            )
-            / (
-                _norm(F.transform("q_vec", lambda v: v.cast("double")))
-                * _norm(F.transform("c_vec", lambda v: v.cast("double")))
-            ),
-        )
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    (query_id, neighbor_id, cosine, rank).
+
+    One matmul per (corpus partition x query block); each partition
+    emits only its local top-k per query."""
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, cosine double"
+
+    def score(batches):
+        b_ids, b_Q = bc.value
+        nq = np.linalg.norm(b_Q, axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _stack(pdf[vec_col])
+            ids = pdf[id_col].to_numpy()
+            nc = np.linalg.norm(C, axis=1)
+            S = (C @ b_Q.T) / np.outer(nc, nq)
+            outs = []
+            for j in range(len(b_ids)):
+                mask = ids != b_ids[j]
+                cand_ids = ids[mask]
+                cand_cos = S[mask, j]
+                if len(cand_ids) == 0:
+                    continue
+                keep = _partial_topk_rows(cand_cos, cand_ids, k)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(b_ids[j], len(keep)),
+                            "neighbor_id": cand_ids[keep],
+                            "cosine": cand_cos[keep],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -104,70 +160,91 @@ def ivf_topk(
     inverted lists (here: an existing ``partition_col``; in a full
     pipeline, a k-means assignment), a centroid is computed per list
     as the element-wise mean vector, and each query probes only the
-    ``n_probe`` lists whose centroids are nearest — turning the scan
-    into a centroid ranking (tiny) plus an equi-join on list id.
+    ``n_probe`` lists whose centroids are nearest.
 
     Deterministic end-to-end (mean centroids, fixed tie-breaks), so the
     approximate result is still oracle-checkable.
 
-    Scale: centroids are |lists| rows (broadcast); the candidate join
-    shuffles only on the list id.  This is the standard
-    billion-vector layout (FAISS IVF) expressed relationally."""
-    # element-wise mean per list: posexplode -> avg per (list, pos)
-    exploded = corpus.select(
-        F.col(partition_col).alias("list_id"),
-        F.posexplode(F.col(vec_col)).alias("pos", "component"),
-    )
-    centroids = (
-        exploded.groupBy("list_id", "pos")
-        .agg(F.avg(F.col("component").cast("double")).alias("mean_c"))
-        .groupBy("list_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_c"))).alias("pairs"))
-        .select(
-            "list_id",
-            F.transform(F.col("pairs"), lambda s: s["mean_c"]).alias("centroid"),
+    Scale: centroid aggregation is per-component ``avg`` columns —
+    map-side partial agg, never an exploded shuffle of the vectors; the
+    centroid table is |lists| rows (collected driver-side like any
+    broadcast dim).  Scoring touches only the probed lists and emits
+    partition-local top-k.  This is the standard billion-vector layout
+    (FAISS IVF) expressed relationally."""
+    dim = len(corpus.select(vec_col).head()[0])
+    # per-component means: one shuffle of (lists x dim) partial sums
+    cent_rows = (
+        corpus.groupBy(F.col(partition_col).alias("list_id"))
+        .agg(
+            *[
+                F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
+                for i in range(dim)
+            ]
         )
+        .collect()
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    list_ids = [r["list_id"] for r in cent_rows]
+    Cent = np.array([[r[f"m{i}"] for i in range(dim)] for r in cent_rows])
+
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    # probe ranking: queries x lists is tiny; same (desc cosine, list_id)
+    # tie-break the relational formulation used
+    sims = (Q @ Cent.T) / np.outer(
+        np.linalg.norm(Q, axis=1), np.linalg.norm(Cent, axis=1)
     )
-    # rank lists per query by centroid cosine; keep n_probe
-    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "c_cos",
-        _dot(F.transform("q_vec", lambda v: v.cast("double")), F.col("centroid"))
-        / (
-            _norm(F.transform("q_vec", lambda v: v.cast("double")))
-            * _norm(F.col("centroid"))
-        ),
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("c_cos").desc(), F.col("list_id")
-    )
-    probed = (
-        qc.withColumn("probe_rank", F.row_number().over(w_probe))
-        .filter(F.col("probe_rank") <= n_probe)
-        .select("query_id", "q_vec", "list_id")
-    )
-    c = ensure_min_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col(partition_col).alias("list_id"),
-    )
+    allowed: dict = {}
+    l_arr = np.array(list_ids)
+    for j, qid in enumerate(q_ids):
+        order = np.lexsort((l_arr, -sims[j]))[:n_probe]
+        allowed[qid] = set(l_arr[order].tolist())
+    probed_lists = sorted({l for s in allowed.values() for l in s})
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, Q, allowed))
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, cosine double"
+
+    def score(batches):
+        b_ids, b_Q, b_allowed = bc.value
+        nq = np.linalg.norm(b_Q, axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _stack(pdf[vec_col])
+            ids = pdf[id_col].to_numpy()
+            lists = pdf["__list_id"].to_numpy()
+            nc = np.linalg.norm(C, axis=1)
+            outs = []
+            for j in range(len(b_ids)):
+                ok = np.fromiter(
+                    (l in b_allowed[b_ids[j]] for l in lists), bool, len(lists)
+                )
+                mask = ok & (ids != b_ids[j])
+                if not mask.any():
+                    continue
+                cand_cos = (C[mask] @ b_Q[j]) / (nc[mask] * nq[j])
+                cand_ids = ids[mask]
+                keep = _partial_topk_rows(cand_cos, cand_ids, k)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(b_ids[j], len(keep)),
+                            "neighbor_id": cand_ids[keep],
+                            "cosine": cand_cos[keep],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
     scored = (
-        c.join(F.broadcast(probed), "list_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            _dot(
-                F.transform("q_vec", lambda v: v.cast("double")),
-                F.transform("c_vec", lambda v: v.cast("double")),
-            )
-            / (
-                _norm(F.transform("q_vec", lambda v: v.cast("double")))
-                * _norm(F.transform("c_vec", lambda v: v.cast("double")))
-            ),
+        corpus.filter(F.col(partition_col).isin(probed_lists))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col(partition_col).alias("__list_id"),
         )
-        .select("query_id", "neighbor_id", "cosine")
+        .mapInPandas(score, schema=out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -193,14 +270,24 @@ def _hyperplanes(dim: int, num_planes: int, seed: str = "lsh") -> list[list[floa
     return planes
 
 
-def lsh_signature_col(vec_col: str, planes: list[list[float]]):
-    """Bit-string signature column: one sign bit per hyperplane."""
-    bits = []
-    for plane in planes:
-        arr = F.array(*[F.lit(v) for v in plane])
-        dot = _dot(F.transform(F.col(vec_col), lambda v: v.cast("double")), arr)
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+def lsh_bucket_col(vec_col: str, planes: list[list[float]]):
+    """Bit-string bucket signature column (one sign bit per hyperplane),
+    computed by a vectorized numpy kernel — one matmul per Arrow batch."""
+    P = np.array(planes, dtype=np.float64)
+
+    @F.pandas_udf("string")
+    def _bucket(v: pd.Series) -> pd.Series:
+        V = _stack(v)
+        bits = (V @ P.T) >= 0.0
+        return pd.Series(
+            ["".join("1" if b else "0" for b in row) for row in bits]
+        )
+
+    return _bucket(F.col(vec_col))
+
+
+def _bits_to_str(bits_row) -> str:
+    return "".join("1" if b else "0" for b in bits_row)
 
 
 def lsh_cosine_topk(
@@ -214,41 +301,114 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: corpus and queries are hashed
     with the same deterministic hyperplanes; candidates come only from
-    the query's bucket (equi-join), then exact cosine ranks them.
+    the query's bucket, then exact cosine ranks them.
 
     Recall < 1.0 by construction (bucket boundaries); increase recall
-    with fewer planes (bigger buckets) or multi-probe."""
-    planes = _hyperplanes(dim, num_planes)
-    c = ensure_min_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_signature_col(vec_col, planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_signature_col(vec_col, planes).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            _dot(
-                F.transform("q_vec", lambda v: v.cast("double")),
-                F.transform("c_vec", lambda v: v.cast("double")),
-            )
-            / (
-                _norm(F.transform("q_vec", lambda v: v.cast("double")))
-                * _norm(F.transform("c_vec", lambda v: v.cast("double")))
-            ),
-        )
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    with fewer planes (bigger buckets) or multi-probe.
+
+    With a broadcast query block the bucket restriction happens inside
+    the scoring kernel itself (a per-row bucket compare) — no join, no
+    second pass over the corpus."""
+    planes = np.array(_hyperplanes(dim, num_planes), dtype=np.float64)
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    q_buckets = [_bits_to_str(row) for row in (Q @ planes.T) >= 0.0]
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, Q, q_buckets, planes))
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, cosine double"
+
+    def score(batches):
+        b_ids, b_Q, b_buckets, b_planes = bc.value
+        nq = np.linalg.norm(b_Q, axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _stack(pdf[vec_col])
+            ids = pdf[id_col].to_numpy()
+            nc = np.linalg.norm(C, axis=1)
+            c_bits = (C @ b_planes.T) >= 0.0
+            c_buckets = np.array([_bits_to_str(row) for row in c_bits])
+            outs = []
+            for j in range(len(b_ids)):
+                mask = (c_buckets == b_buckets[j]) & (ids != b_ids[j])
+                if not mask.any():
+                    continue
+                cand_cos = (C[mask] @ b_Q[j]) / (nc[mask] * nq[j])
+                cand_ids = ids[mask]
+                keep = _partial_topk_rows(cand_cos, cand_ids, k)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(b_ids[j], len(keep)),
+                            "neighbor_id": cand_ids[keep],
+                            "cosine": cand_cos[keep],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def exact_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup (O(n^2) — the small-scale
+    reference implementation the bucketed path is validated against in
+    tests; not the registered catalog plan)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        with_cosine(pairs, "va", "vb", out="cosine")
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def lsh_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs: the corpus is hashed once
+    with deterministic hyperplanes, pairs come from an *equi-join on the
+    bucket signature* (shuffle keyed on bucket — never a cross join),
+    then exact cosine verifies the threshold.
+
+    Approximate by construction (pairs straddling a bucket boundary are
+    missed) but fully deterministic, so the result is oracle-checkable
+    by replaying the same hyperplanes in SQL."""
+    planes = _hyperplanes(dim, num_planes)
+    hashed = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_col(vec_col, planes).alias("bucket"),
+    )
+    a = hashed.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("va"), "bucket"
+    )
+    b = hashed.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        with_cosine(pairs, "va", "vb", out="cosine")
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

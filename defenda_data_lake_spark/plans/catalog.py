@@ -844,32 +844,44 @@ LIMIT 20
 
 
 def q45_embedding_dedup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.4).
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4), via LSH
+    bucketing: deterministic hyperplane signatures bucket the corpus,
+    pairs come from an equi-join on the bucket (shuffle keyed on the
+    signature — never a cross join), exact cosine verifies.
 
-    Exact all-pairs at this scale; at 100 TB the identical predicate
-    runs over LSH buckets first (see ``similarity.lsh_cosine_topk``) so
-    the pair space is bucket-local instead of quadratic."""
-    from defenda_data_lake_spark.utils.partitioning import ensure_min_parallelism
+    This is the scale path registered as THE catalog plan; the exact
+    all-pairs version survives as ``similarity.exact_near_duplicates``
+    (test-only reference — its plan is a nested-loop cross join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.lsh_near_duplicates(emb, threshold=0.4, num_planes=6, dim=64)
+    return pairs.select("id_a", "id_b", R("cosine", 6).alias("cosine"))
 
-    emb = ensure_min_parallelism(_t(spark, sf_dir, "embeddings"))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        S.with_cosine(pairs, "va", "vb", out="cosine")
-        .filter(F.col("cosine") >= 0.4)
-        .select("id_a", "id_b", R("cosine", 6).alias("cosine"))
+
+def _embedding_dedup_sql(num_planes: int = 6, dim: int = 64) -> str:
+    """Replay q45's deterministic hyperplane buckets in DuckDB (same
+    md5-derived planes as Q41_SQL), then the same equi-join + verify."""
+    planes = S._hyperplanes(dim, num_planes)
+    bits = ",\n         ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{}]) >= 0 "
+        "THEN '1' ELSE '0' END".format(", ".join(repr(v) for v in plane))
+        for plane in planes
     )
-
-
-Q45_SQL = """
+    return f"""
+WITH hashed AS (
+  SELECT vec_id, embedding,
+         concat({bits}) AS bucket
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM hashed a JOIN hashed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
 """
+
+
+Q45_SQL = _embedding_dedup_sql()
 
 
 def q40_knn_brute(spark, sf_dir):

@@ -17,19 +17,27 @@ from pyspark.sql import DataFrame
 
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition when the plan has fewer input partitions
-    than (by default) the cluster's default parallelism."""
+    """Round-robin repartition when the plan reads fewer input files
+    than (by default) the cluster's default parallelism.
+
+    Uses driver-side file metadata (``df.inputFiles()``), never
+    ``df.rdd.getNumPartitions()`` — converting the plan to an RDD just
+    to count partitions forces an extra plan translation per call, a
+    measurable fixed cost on sub-second queries.  File count
+    under-estimates split count for files larger than
+    ``maxPartitionBytes``, but any input that large is already parallel
+    enough for the guard to be a no-op by intent."""
     import os
 
     try:
         target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-        current = df.rdd.getNumPartitions()
     except Exception:
-        # Spark Connect sessions expose neither sparkContext nor .rdd;
-        # repartition unconditionally (cheap for the small inputs this
-        # guard exists for)
+        # Spark Connect sessions don't expose sparkContext
         target = min_partitions or int(os.environ.get("SPARK_GRAFT_CPUS", 32))
-        return df.repartition(target)
-    if current < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < target <= n_files:
+        return df
+    return df.repartition(target)

@@ -78,10 +78,27 @@ def test_q16_range_join_partitions_on_equi_key(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q40_broadcasts_queries_not_corpus(spark):
+def test_q40_no_join_no_corpus_shuffle(spark):
+    """The ANN kernel broadcasts the query matrix into mapInPandas —
+    the corpus is never joined, replicated, or shuffled; the only
+    exchange in the plan is the tiny partial-top-k ranking window."""
     plan = plan_of(spark, "q40_knn_brute")
-    # query side (vec_id < 5) must be the broadcast side
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one shuffle: the post-kernel ranking window over
+    # partitions x queries x k rows
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q45_bucketed_no_nested_loop(spark):
+    """q45's registered plan is the LSH-bucketed equi-join — an O(n^2)
+    nested-loop/cartesian pair generator must never reappear."""
+    plan = plan_of(spark, "q45_embedding_dedup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # pair generation is an equi-join keyed on the bucket signature
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_events_table_partition_pruning(spark, tmp_path):
