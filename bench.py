@@ -93,11 +93,20 @@ def main() -> None:
         schema="id long",
     ).count()
 
+    # one untimed pass first: the heavy codegen loops (pair joins,
+    # aggregations) are interpreted until HotSpot C2 compiles them, so a
+    # query's first execution can run 2-5x its steady state.  The bench
+    # reports steady-state numbers; compilation is a one-time session
+    # cost, not a per-query cost.
+    for name in headline_queries():
+        fn, _ = CATALOG[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in headline_queries():
         fn, _ = CATALOG[name]
         best = float("inf")
-        for _ in range(3):  # best-of-3: steady-state, not first-compile
+        for _ in range(3):  # best-of-3 after warmup: steady state
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -44,6 +44,16 @@ def word_shingle_postings(
     """Distinct word n-gram shingles per document with the document's
     shingle-set size carried on every row: (id, shingle, set_size).
 
+    ``shingle`` is a 64-bit hash of the n-gram, not the string: the
+    little-endian value of the first 8 md5 digest bytes — exactly
+    DuckDB's ``md5_number_upper``, so SQL oracles replay it bit-for-bit
+    (the same scheme the SimHash kernel uses).  Hashed postings shuffle
+    ~5x fewer bytes and sort/join as fixed-width longs instead of ~40-
+    byte strings — the difference between a string-keyed and an
+    int-keyed inverted index at 100 TB.  Set sizes count DISTINCT
+    HASHES (collisions are astronomically rare and, because the oracle
+    hashes identically, never a divergence).
+
     Arrow-batched pandas generation, NOT a Catalyst higher-order
     function: ``transform(sequence(...), slice(...))`` is O(L²) per doc
     and HOF lambdas run interpreted (outside codegen) — measured ~10x
@@ -51,11 +61,12 @@ def word_shingle_postings(
     de-duplicated inside its own batch row, so no global ``distinct``
     shuffle is needed; the whole operator is shuffle-free.  Carrying
     ``set_size`` inline lets Jaccard avoid a separate sizes join."""
+    import hashlib
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             ids: list = []
-            shingles: list[str] = []
+            hashes: list[int] = []
             sizes: list[int] = []
             for doc_id, text in zip(batch["id"], batch["text"]):
                 words = " ".join(str(text).lower().split()).split(" ")
@@ -66,10 +77,22 @@ def word_shingle_postings(
                 else:
                     uniq = {" ".join(words)}
                 uniq.discard("")
-                ids.extend([doc_id] * len(uniq))
-                shingles.extend(uniq)
-                sizes.extend([len(uniq)] * len(uniq))
-            yield pd.DataFrame({"id": ids, "shingle": shingles, "set_size": sizes})
+                hs = {
+                    int.from_bytes(
+                        hashlib.md5(g.encode("utf-8")).digest()[:8], "little"
+                    )
+                    for g in uniq
+                }
+                ids.extend([doc_id] * len(hs))
+                hashes.extend(h - (1 << 64) if h >= (1 << 63) else h for h in hs)
+                sizes.extend([len(hs)] * len(hs))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "shingle": pd.Series(hashes, dtype="int64"),
+                    "set_size": pd.Series(sizes, dtype="int64"),
+                }
+            )
 
     from pyspark.sql import types as T
 
@@ -85,7 +108,7 @@ def word_shingle_postings(
         schema=T.StructType(
             [
                 T.StructField("id", T.LongType()),
-                T.StructField("shingle", T.StringType()),
+                T.StructField("shingle", T.LongType()),
                 T.StructField("set_size", T.LongType()),
             ]
         ),
@@ -95,7 +118,7 @@ def word_shingle_postings(
 def word_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingle hashes per document: (id, shingle)."""
     return word_shingle_postings(df, text_col, id_col, n).select("id", "shingle")
 
 
@@ -141,14 +164,62 @@ def minhash_signatures(
     """MinHash signature per document.
 
     Hash family i is ``md5(i || shingle)`` — deterministic, portable
-    (any engine with md5 reproduces it bit-for-bit), and uniform enough
-    for Jaccard estimation.  One exploded projection + one groupBy."""
-    shingles = word_shingles(df, text_col, id_col, shingle_n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return shingles.groupBy("id").agg(*aggs)
+    (any engine with md5 reproduces it bit-for-bit: lowercase-hex min
+    compares identically everywhere), and uniform enough for Jaccard
+    estimation.
+
+    Fused kernel: shingling AND the per-family min-hash happen in one
+    Arrow-batched pandas stage, one output row per document.  The
+    unfused formulation (explode shingles → groupBy(id).agg(8 x
+    min(md5))) pays a 50x-larger shuffle (every shingle row) and lands
+    in SortAggregate (string agg buffers are immutable, so Spark can't
+    hash-aggregate them) — measured ~2x slower end-to-end.  A doc's
+    shingles never need to leave the task that read it, so the fused
+    stage is shuffle-free and linearly scalable."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from defenda_data_lake_spark.utils.partitioning import ensure_min_parallelism
+
+    prefixes = [str(i).encode() for i in range(num_hashes)]
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids: list = []
+            cols: list[list[str]] = [[] for _ in range(num_hashes)]
+            for doc_id, text in zip(batch["id"], batch["text"]):
+                words = " ".join(str(text).lower().split()).split(" ")
+                if len(words) >= shingle_n:
+                    uniq = {
+                        " ".join(words[j : j + shingle_n])
+                        for j in range(len(words) - shingle_n + 1)
+                    }
+                else:
+                    uniq = {" ".join(words)}
+                uniq.discard("")
+                if not uniq:
+                    continue  # same as the agg form: no shingles, no row
+                encoded = [s.encode() for s in uniq]
+                for i, pre in enumerate(prefixes):
+                    cols[i].append(
+                        min(hashlib.md5(pre + e).hexdigest() for e in encoded)
+                    )
+                ids.append(doc_id)
+            yield pd.DataFrame(
+                {"id": ids, **{f"h{i}": cols[i] for i in range(num_hashes)}}
+            )
+
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    )
+    return ensure_min_parallelism(narrow).mapInPandas(
+        gen,
+        schema=T.StructType(
+            [T.StructField("id", T.LongType())]
+            + [T.StructField(f"h{i}", T.StringType()) for i in range(num_hashes)]
+        ),
+    )
 
 
 def minhash_lsh_candidates(
@@ -229,14 +300,28 @@ def ngram_jaccard_pairs(
     reused) + one pair aggregation.  ``set_size`` rides along on every
     posting row, so no separate sizes join is needed."""
     postings = word_shingle_postings(df, text_col, id_col, shingle_n)
+    # pin the join's parallelism: the postings shuffle is small in BYTES
+    # but the pair-expansion it feeds is heavy in CPU, so AQE's
+    # byte-based coalescing would funnel it into one task.  An explicit
+    # keyed repartition is user-specified — AQE leaves it alone — and
+    # both join sides share the subplan, so it's still ONE exchange.
+    try:
+        n_part = postings.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        n_part = 32
+    postings = postings.repartition(n_part, "shingle")
     if max_shingle_docs is not None:
-        ok = (
-            postings.groupBy("shingle")
-            .agg(F.count("*").alias("df_"))
-            .filter(F.col("df_") <= max_shingle_docs)
-            .select("shingle")
-        )
-        postings = postings.join(F.broadcast(ok), "shingle")
+        # document frequency as a window over the SAME shingle
+        # partitioning the join needs: the guard then adds no shuffle,
+        # no broadcast build, and no second run of the shingle kernel
+        # (a groupBy+join formulation recomputes the postings subplan)
+        postings = postings.withColumn(
+            "df_", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("df_") <= max_shingle_docs).drop("df_")
+    # force the sort-merge path (same rationale as the minhash band
+    # join): both sides reuse ONE exchange; a broadcast build would
+    # materialize and ship the postings subtree a second time
+    postings = postings.hint("merge")
     a = postings.alias("a")
     b = postings.alias("b")
     # size-bound prune inside the join: jaccard <= min(|A|,|B|)/max(|A|,|B|)

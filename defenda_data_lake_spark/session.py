@@ -39,6 +39,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles down to the advisory size instead of
+        # keeping one partition per core: a sub-second query's shuffle
+        # then runs 1-4 tasks instead of 32, cutting per-task scheduling
+        # overhead; large shuffles are unaffected (they exceed the
+        # advisory size anyway)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+        # 8 MB advisory (not the 64 MB default): sub-MB shuffles still
+        # collapse to one task, but a CPU-dense mid-size shuffle (e.g.
+        # a 40 MB pair-aggregation) keeps ~5-way parallelism instead of
+        # being funneled into one
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
