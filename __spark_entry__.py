@@ -40,6 +40,12 @@ def _configure(spark: SparkSession) -> SparkSession:
         ("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        # mirror session.get_spark: coalesce tiny shuffles aggressively
+        # but keep mid-size CPU-dense shuffles parallel (8 MB advisory)
+        ("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"),
+        ("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m"),
+        ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"),
+        ("spark.sql.autoBroadcastJoinThreshold", "64MB"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ]:
         try:

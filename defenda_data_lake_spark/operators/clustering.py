@@ -7,10 +7,18 @@ job).  Used to build real IVF indexes (`similarity.ivf_topk` accepts
 any partition column — feed it `kmeans_assign`'s output).
 
 Determinism: init = the ``k`` lowest-id vectors; assignment ties break
-on centroid id; iteration count is fixed (no convergence RNG).  Exact
-float reproducibility across *engines* is not promised (mean
-aggregation order), which is why the catalog entry is a rows-only
-check — the documented exception class for iterative algorithms.
+on centroid id; iteration count is fixed (no convergence RNG).
+
+Cross-engine reproducibility: after every mean update the centroid
+components are *quantized* to ``quantize`` decimal places (the same
+scale-round-unscale scheme as ``plans.catalog.R``).  Without this, the
+engines' different summation orders leave each centroid off by an ULP
+and the drift compounds through iterations; with it, any engine that
+averages the same assignments lands on bit-identical centroids, so the
+whole Lloyd loop — and therefore the final assignment — is
+value-checkable against a SQL replay (``plans.catalog.Q47_SQL``).
+Quantizing at 1e-9 perturbs a centroid by <1e-9 per component, far
+below any meaningful cluster geometry.
 
 Scale notes: per iteration — one broadcast of k centroids (tiny), one
 narrow assignment projection, one shuffle keyed by cluster id for the
@@ -45,6 +53,7 @@ def kmeans_assign(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: int | None = 9,
 ) -> DataFrame:
     """Assign every vector to one of ``k`` clusters after a fixed
     number of Lloyd iterations.  Returns (id, cluster, sq_dist)."""
@@ -77,12 +86,18 @@ def kmeans_assign(
                 "id", "vec", cluster.alias("cluster"), best.alias("sq_dist")
             )
 
+        scale = 10 ** quantize if quantize is not None else None
         for _ in range(iterations):
             assigned = assignment(centroids)
+            mean_col = F.avg(F.col("c").cast("double"))
+            if scale is not None:
+                # same scheme as plans.catalog.R: round in the scaled
+                # domain so DuckDB's round(x, n) lands on the same double
+                mean_col = F.round(mean_col * scale, 0) / scale
             means = (
                 assigned.select("cluster", F.posexplode("vec").alias("pos", "c"))
                 .groupBy("cluster", "pos")
-                .agg(F.avg(F.col("c").cast("double")).alias("m"))
+                .agg(mean_col.alias("m"))
                 .groupBy("cluster")
                 .agg(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")

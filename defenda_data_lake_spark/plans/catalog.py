@@ -1039,9 +1039,10 @@ WHERE rank <= 10
 
 def q47_kmeans_clusters(spark, sf_dir):
     """Iterative k-means (Lloyd, 3 fixed iterations) cluster summary.
-    The one rows-only catalog entry: an iterative algorithm whose
-    cross-engine float reproducibility is not promised (mean
-    aggregation order) — the documented exception class."""
+    Fully value-checked: centroid quantization (clustering.py) makes
+    every iteration bit-reproducible across engines, and the oracle
+    unrolls the same Lloyd loop as one CTE chain per iteration —
+    init -> assign -> quantized means -> ... -> final assignment."""
     from defenda_data_lake_spark.operators.clustering import kmeans_assign
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1049,7 +1050,67 @@ def q47_kmeans_clusters(spark, sf_dir):
     return assigned.groupBy("cluster").agg(
         F.count("*").alias("n_vectors"),
         R(F.avg("sq_dist"), 4).alias("avg_sq_dist"),
+    ).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_vectors",
+        "avg_sq_dist",
     )
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 3, dim: int = 64, quantize: int = 9) -> str:
+    """Unrolled Lloyd-loop replay of ``kmeans_assign`` in DuckDB.
+
+    Mirrors, per iteration: (1) assignment = argmin over squared
+    distance with ties to the lowest centroid id, (2) per-component
+    means rounded at the same 1e-9 quantum the Spark side uses, (3)
+    empty clusters keep their previous centroid.  Init is the k
+    lowest-id vectors; the final assignment (after ``iterations`` mean
+    updates) feeds the cluster summary."""
+    sq = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])))"
+    )
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        (
+            "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cent "
+            f"FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k}) t)"
+        ),
+    ]
+    for it in range(iterations + 1):
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, v, cl, sq FROM (
+    SELECT vec_id, v, cl, sq,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sq ASC, cl ASC) AS rn
+    FROM (
+      SELECT e.vec_id, e.v, c.cl, {sq} AS sq
+      FROM emb e CROSS JOIN c{it} c
+    ) s
+  ) t WHERE rn = 1
+)"""
+        )
+        if it < iterations:
+            parts.append(
+                f"m{it} AS (SELECT cl, pos, round(avg(v[pos]), {quantize}) AS m "
+                f"FROM a{it}, range(1, {dim} + 1) t(pos) GROUP BY cl, pos)"
+            )
+            parts.append(
+                f"c{it + 1} AS (SELECT c{it}.cl, coalesce(mm.cent, c{it}.cent) AS cent "
+                f"FROM c{it} LEFT JOIN (SELECT cl, list(m ORDER BY pos) AS cent "
+                f"FROM m{it} GROUP BY cl) mm ON c{it}.cl = mm.cl)"
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cl AS cluster, count(*) AS n_vectors, round(avg(sq), 4) AS avg_sq_dist
+FROM a{iterations} GROUP BY cl
+"""
+    )
+
+
+Q47_SQL = _kmeans_sql()
 
 
 def q42_simhash_pairs(spark, sf_dir):
@@ -1199,7 +1260,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
     "q45_embedding_dedup": (q45_embedding_dedup, Q45_SQL),
     "q46_knn_ivf": (q46_knn_ivf, Q46_SQL),
-    "q47_kmeans_clusters": (q47_kmeans_clusters, None),
+    "q47_kmeans_clusters": (q47_kmeans_clusters, Q47_SQL),
     "q42_simhash_pairs": (q42_simhash_pairs, Q42_SQL),
     "q43_multimodal_meta": (q43_multimodal_meta, Q43_SQL),
     "q44_multimodal_decode": (q44_multimodal_decode, Q44_SQL),
