@@ -88,11 +88,17 @@ def rare_event_scores(events: DataFrame) -> DataFrame:
         r"\d+",
         "#",
     )
-    total = F.sum("n").over(Window.partitionBy(F.lit(1)))
+    counts = events.groupBy(
+        "source", "category", shape.alias("summary_shape")
+    ).agg(F.count("*").alias("n"))
+    # the grand total via a scalar aggregate broadcast back onto the
+    # groups — NOT a window over partitionBy(lit(1)), which funnels
+    # every group through a single task
+    total = counts.agg(F.sum("n").alias("_total"))
     return (
-        events.groupBy("source", "category", shape.alias("summary_shape"))
-        .agg(F.count("*").alias("n"))
-        .withColumn("frequency", F.col("n") / total)
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("frequency", F.col("n") / F.col("_total"))
+        .drop("_total")
         .withColumn("rarity_score", -F.log2("frequency"))
         .orderBy(F.col("rarity_score").desc(), "summary_shape")
     )

@@ -15,13 +15,24 @@ RETURN <expr>``) so that
 
 Semantics notes vs Presto:
 
-* ``json_extract_scalar`` returns NULL when the addressed value is a
-  JSON object/array (Presto behavior); ``get_json_object`` alone would
-  return the nested JSON text.
-* ``json_array_contains(json, value)`` is registered for string values
-  (the reference's only documented use is membership of an IP string in
-  ``details._ipaddresses``, README.md:131,139); numeric literals coerce
-  via CAST.
+* ``json_extract_scalar`` detects object/array results by *parsed type*
+  (Spark 4 variant + ``schema_of_variant``), not by sniffing the
+  extracted text — a legitimate string scalar that happens to start
+  with ``{`` or ``[`` (e.g. ``"[tag] msg"``) is correctly returned,
+  and true objects/arrays are NULL (Presto behavior).  Numbers render
+  in canonical form (``1.50`` → ``'1.5'``), matching Presto's
+  parse-then-print pipeline rather than raw-text extraction.
+* ``json_array_contains(json, value)`` accepts string, numeric and
+  boolean values: elements compare by canonical scalar string form, so
+  ``json_array_contains('[1,2]', 1)`` and ``('[true]', true)`` work.
+  One documented divergence: Presto compares typed values, so
+  ``json_array_contains('["true"]', true)`` is false there but true
+  here (string form collides); the reference's documented uses
+  (README.md:131,139) are all string-vs-string, where semantics agree.
+* ``json_extract`` returns the addressed JSON as text via
+  ``get_json_object``, which largely preserves the *input's* spelling;
+  Presto re-serializes canonically (key order kept, whitespace
+  dropped).  Whitespace-insensitive consumers see no difference.
 """
 
 from __future__ import annotations
@@ -30,14 +41,16 @@ from pyspark.sql import SparkSession
 
 _COMPAT_FUNCTIONS: dict[str, str] = {
     # Presto: scalar-only extraction; NULL for object/array results.
+    # Type-detected via variant (see module docstring) so string scalars
+    # beginning with '{'/'[' survive.
     "json_extract_scalar": """
         CREATE OR REPLACE TEMPORARY FUNCTION json_extract_scalar(js STRING, p STRING)
         RETURNS STRING
         RETURN CASE
-            WHEN startswith(ltrim(get_json_object(js, p)), '{')
-              OR startswith(ltrim(get_json_object(js, p)), '[')
+            WHEN schema_of_variant(try_variant_get(try_parse_json(js), p)) LIKE 'OBJECT%'
+              OR schema_of_variant(try_variant_get(try_parse_json(js), p)) LIKE 'ARRAY%'
             THEN CAST(NULL AS STRING)
-            ELSE get_json_object(js, p)
+            ELSE try_variant_get(try_parse_json(js), p, 'string')
         END
     """,
     # Presto: returns the addressed JSON (as JSON text).
@@ -46,11 +59,12 @@ _COMPAT_FUNCTIONS: dict[str, str] = {
         RETURNS STRING
         RETURN get_json_object(js, p)
     """,
-    # Presto: membership test on a JSON array literal.
+    # Presto: membership test on a JSON array literal; string, numeric
+    # and boolean values all compare via canonical scalar string form.
     "json_array_contains": """
         CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains(js STRING, v STRING)
         RETURNS BOOLEAN
-        RETURN array_contains(from_json(js, 'array<string>'), v)
+        RETURN exists(from_json(js, 'array<variant>'), x -> CAST(x AS STRING) == v)
     """,
     # --- wider Presto function surface commonly used against security
     # --- lakes (each a thin JVM-side rewrite of a Spark builtin).

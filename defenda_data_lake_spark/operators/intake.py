@@ -145,9 +145,15 @@ def decode_firehose_records(
     """Decode a Firehose-style record batch: base64 payload column →
     raw JSON event strings (reference processor.py:25-28 does exactly
     this per record; here it's one vectorized JVM expression).
-    Malformed base64 decodes to garbage that the downstream pipeline
-    quarantines (A2 semantics)."""
-    cols = [F.decode(F.unbase64(F.col(data_col)), "UTF-8").alias("raw")]
+    ``try_to_binary`` (not ``unbase64``) so malformed base64 decodes to
+    NULL per record instead of aborting the job under ANSI mode; the
+    downstream pipeline quarantines NULL raw as ProcessingFailed —
+    the reference's per-record failure handling (processor.py:58-66)."""
+    cols = [
+        F.decode(
+            F.try_to_binary(F.col(data_col), F.lit("base64")), "UTF-8"
+        ).alias("raw")
+    ]
     if source_col is not None:
         cols.append(F.col(source_col).alias("source"))
     return df.select(*cols)

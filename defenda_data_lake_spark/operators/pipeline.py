@@ -48,11 +48,19 @@ class Plugin:
     ``registration`` is a list of lowercase match tokens or ``['*']``;
     lower ``priority`` runs earlier (default 100); ``on_event`` returns
     the (possibly mutated) event, or ``None`` to drop the record.
+
+    ``phase`` mirrors the reference's two-pass structure
+    (processor.py:21-22,40-45): every ``normalization`` plugin runs
+    before any ``enrichment`` plugin regardless of priority, so the
+    ``plugins`` provenance order matches the reference
+    (ensure_eventid — enrichment — appears after timestamps /
+    ip_addresses / gsuite_login even though its priority is lower).
     """
 
     name: str = "plugin"
     registration: list[str] = ["*"]
     priority: int = 100
+    phase: str = "normalization"
 
     def on_event(self, event: dict, metadata: dict) -> dict | None:  # pragma: no cover
         raise NotImplementedError
@@ -82,7 +90,14 @@ def run_pipeline(
         raise TypeError(f"event is type {type(event)}, should be a dict")
     metadata = metadata if metadata is not None else {}
     executed: list[str] = []
-    for plugin in sorted(plugins, key=lambda p: p.priority):
+    phase_order = {"normalization": 0, "enrichment": 1}
+    for plugin in sorted(
+        plugins,
+        key=lambda p: (
+            phase_order.get(getattr(p, "phase", "normalization"), 2),
+            p.priority,
+        ),
+    ):
         if "*" in plugin.registration:
             fire = True
         else:

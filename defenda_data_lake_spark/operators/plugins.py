@@ -133,11 +133,14 @@ class EventShell(Plugin):
 
 class EnsureEventId(Plugin):
     """Add ``eventid = uuid4()`` when missing (reference
-    enrichment_plugins/ensure_eventid.py:14-18; priority 10, '*')."""
+    enrichment_plugins/ensure_eventid.py:14-18; priority 10, '*').
+    The reference's only *enrichment*-pass plugin: it runs after every
+    normalization plugin (processor.py:40-45), not at priority order."""
 
     name = "ensure_eventid"
     registration = ["*"]
     priority = 10
+    phase = "enrichment"
 
     def on_event(self, event: dict, metadata: dict) -> dict:
         if "eventid" not in event:
@@ -194,23 +197,28 @@ class IpAddresses(Plugin):
     20, '*').
 
     Semantics preserved: candidate fields in list order, first *valid*
-    IP wins; comma lists (``x-forwarded-for``) take their first element;
-    an existing non-IP ``details.sourceipaddress`` equal to
-    ``details.useragent`` is deleted (CloudTrail quirk); every valid IP
-    found accumulates (deduped, order-preserving) into
-    ``details._ipaddresses``."""
+    IP wins; comma lists (``x-forwarded-for``) take their first element
+    — for SOURCE fields only, as in the reference
+    (ip_addresses.py:64-69 splits in the source search; the destination
+    search has no split, so ``'1.2.3.4,5.6.7.8'`` in a destination
+    field is simply not a valid IP); an existing non-IP
+    ``details.sourceipaddress`` equal to ``details.useragent`` is
+    deleted (CloudTrail quirk); every valid IP found accumulates
+    (deduped, order-preserving) into ``details._ipaddresses``."""
 
     name = "ip_addresses"
     registration = ["*"]
     priority = 20
 
     @staticmethod
-    def _first_valid_ip(event: dict, fields: list[str], keys: set) -> str | None:
+    def _first_valid_ip(
+        event: dict, fields: list[str], keys: set, split_commas: bool = False
+    ) -> str | None:
         for field in fields:
             if field not in keys:
                 continue
             for value in find_keys(event, field):
-                if isinstance(value, str) and "," in value:
+                if split_commas and isinstance(value, str) and "," in value:
                     value = value.split(",")[0].strip()
                 if is_ip(value):
                     return value
@@ -221,7 +229,9 @@ class IpAddresses(Plugin):
         found: list[str] = []
 
         if not get_by_path(event, "details.sourceipaddress"):
-            ip = self._first_valid_ip(event, LIKELY_SOURCE_IP_FIELDS, keys)
+            ip = self._first_valid_ip(
+                event, LIKELY_SOURCE_IP_FIELDS, keys, split_commas=True
+            )
             if ip is not None:
                 set_by_path(event, "details.sourceipaddress", ip)
 

@@ -148,8 +148,14 @@ def _sessionize_group(
         n_high += int(high)
 
     state.update((start_us, end_us, n_events, n_high))
-    # close the remaining open session once the watermark passes end+gap
-    state.setTimeoutTimestamp((end_us + SESSION_GAP_US) // 1000)
+    # close the remaining open session once the watermark passes end+gap.
+    # Clamp to just above the current watermark: with a watermark delay
+    # larger than the session gap, a late event can put end+gap BEHIND
+    # the watermark, and an at-or-behind timeout raises and kills the
+    # streaming query.
+    timeout_ms = (end_us + SESSION_GAP_US) // 1000
+    watermark_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(timeout_ms, watermark_ms + 1))
     yield pd.concat(closed, ignore_index=True) if closed else _empty_sessions()
 
 

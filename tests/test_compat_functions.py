@@ -52,3 +52,24 @@ def test_is_json_scalar(spark):
     assert one(spark, "is_json_scalar('\"s\"')") is True
     assert one(spark, "is_json_scalar('{\"a\":1}')") is False
     assert one(spark, "is_json_scalar('[1]')") is False
+
+
+def test_json_extract_scalar_bracket_string(spark):
+    """A string scalar that *looks* like JSON structure must survive:
+    Presto returns the string; only true objects/arrays are NULL."""
+    js = '{"msg": "[tag] hello", "obj": {"a": 1}, "arr": [1, 2]}'
+    assert one(spark, f"json_extract_scalar('{js}', '$.msg')") == "[tag] hello"
+    assert one(spark, f"json_extract_scalar('{js}', '$.obj')") is None
+    assert one(spark, f"json_extract_scalar('{js}', '$.arr')") is None
+    assert one(spark, f"json_extract_scalar('{js}', '$.missing')") is None
+
+
+def test_json_array_contains_typed_values(spark):
+    """Presto accepts varchar/bigint/double/boolean values."""
+    assert one(spark, "json_array_contains('[1, 2, 3]', 2)") is True
+    assert one(spark, "json_array_contains('[1, 2, 3]', 5)") is False
+    assert one(spark, "json_array_contains('[true, false]', true)") is True
+    assert one(spark, "json_array_contains('[\"a\", \"b\"]', 'a')") is True
+    assert one(spark, "json_array_contains('[\"a\"]', 'z')") is False
+    # non-array input -> NULL, as in Presto
+    assert one(spark, "json_array_contains('8', '8')") is None

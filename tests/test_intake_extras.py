@@ -53,3 +53,16 @@ def test_query_pandas(spark):
     pdf = query_pandas(spark, "SELECT 1 AS one, 'x' AS s")
     assert list(pdf.columns) == ["one", "s"]
     assert pdf["one"][0] == 1
+
+
+def test_decode_firehose_malformed_base64_quarantined(spark):
+    """Malformed base64 must become a per-record NULL (quarantined as
+    ProcessingFailed), never an ANSI-mode job abort."""
+    rows = [
+        (base64.b64encode(json.dumps({"k": 1}).encode()).decode(),),
+        ("!!!not-base64!!!",),
+    ]
+    df = spark.createDataFrame(rows, ["data"])
+    out = normalize_df(decode_firehose_records(df), raw_col="raw").collect()
+    statuses = sorted(r["_status"] for r in out)
+    assert statuses == [STATUS_OK, "ProcessingFailed"]

@@ -171,6 +171,14 @@ class TestIpAddresses:
         result = IpAddresses().on_event(event, {})
         assert result["details"]["sourceipaddress"] == "203.0.113.9"
 
+    def test_destination_comma_list_not_split(self):
+        # the reference only splits comma lists in the SOURCE search
+        # (ip_addresses.py:64-69); a comma list in a destination field
+        # is not a valid IP and harvests nothing
+        event = shell_then_lower({"dstaddr": "192.0.2.7, 192.0.2.8", "k": 1})
+        result = IpAddresses().on_event(event, {})
+        assert "destinationipaddress" not in result["details"]
+
     def test_cloudtrail_useragent_fake_ip_dropped(self):
         event = shell_then_lower(
             {
@@ -238,13 +246,15 @@ class TestRouter:
 
     def test_full_pipeline_provenance_and_routing(self):
         result = run_pipeline(deep_copy("gsuite"), default_plugins())
+        # the reference's two-pass order: every normalization plugin,
+        # then the enrichment pass (ensure_eventid) — processor.py:40-45
         assert result["plugins"] == [
             "lowercase_keys",
             "event_shell",
-            "ensure_eventid",
             "timestamps",
             "ip_addresses",
             "gsuite_login",
+            "ensure_eventid",
         ]
         assert result["category"] == "authentication"
 

@@ -113,8 +113,9 @@ def test_pipeline_host_contract_on_arbitrary_events(obj):
     assert set(result.keys()) <= set(SHELL_FIELDS)
     for field in ("utctimestamp", "severity", "summary", "category", "source"):
         assert field in result
-    # executed plugin names are appended after any pre-existing content
-    assert result["plugins"][-1] in ("ip_addresses", "gsuite_login", "timestamps")
+    # executed plugin names are appended after any pre-existing content;
+    # the enrichment pass (ensure_eventid) always runs last
+    assert result["plugins"][-1] == "ensure_eventid"
     assert "eventid" in result
 
 
