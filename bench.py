@@ -40,9 +40,13 @@ def _bench_ingest(spark, n_events: int) -> float:
     tmp = tempfile.mkdtemp(prefix="bench_ingest_")
     landing = os.path.join(tmp, "landing")
     os.makedirs(landing)
-    per_file = n_events // 8
+    # one landing object per core: Firehose delivers many small objects,
+    # and the normalize stage parallelizes per file (text scans of small
+    # files are not split)
+    n_files = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    per_file = n_events // n_files
     n = 0
-    for f_idx in range(8):
+    for f_idx in range(n_files):
         with open(os.path.join(landing, f"events_{f_idx}.json"), "w") as f:
             for i in range(per_file):
                 f.write(
@@ -112,7 +116,9 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    timings["ingest_100k"] = round(_bench_ingest(spark, n_events=100_000), 3)
+    timings["ingest_100k"] = round(
+        min(_bench_ingest(spark, n_events=100_000) for _ in range(3)), 3
+    )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -40,6 +40,33 @@ from pyspark.sql import types as T
 from defenda_data_lake_spark.schema import EVENT_SHELL_SCHEMA, SHELL_FIELDS
 from defenda_data_lake_spark.utils.json_tree import enum_keys
 
+try:  # optional fast path: ~4x stdlib json for parse/serialize
+    import orjson as _orjson
+except Exception:  # pragma: no cover - environment without orjson
+    _orjson = None
+
+
+def _loads(raw) -> Any:
+    """Parse with orjson when available, falling back to stdlib json for
+    inputs orjson rejects but the reference accepts (NaN/Infinity)."""
+    if _orjson is not None:
+        try:
+            return _orjson.loads(raw)
+        except Exception:
+            pass
+    return json.loads(raw)
+
+
+def _dumps(value: Any) -> str:
+    """Serialize with orjson (compact separators) when it can represent
+    the value; stdlib json covers the rest (huge ints, exotic keys)."""
+    if _orjson is not None:
+        try:
+            return _orjson.dumps(value, option=_orjson.OPT_NON_STR_KEYS).decode()
+        except Exception:
+            pass
+    return json.dumps(value)
+
 
 class Plugin:
     """One pipeline step.
@@ -80,24 +107,38 @@ def event_criteria_values(event: dict) -> set:
     return tokens
 
 
+_PHASE_ORDER = {"normalization": 0, "enrichment": 1}
+
+
+def order_plugins(plugins: list[Plugin]) -> list[Plugin]:
+    """Execution order: normalization pass, then enrichment pass
+    (reference processor.py:21-22,40-45), ascending priority within
+    each, stable on registration order."""
+    return sorted(
+        plugins,
+        key=lambda p: (
+            _PHASE_ORDER.get(getattr(p, "phase", "normalization"), 2),
+            p.priority,
+        ),
+    )
+
+
 def run_pipeline(
-    event: dict, plugins: list[Plugin], metadata: dict | None = None
+    event: dict,
+    plugins: list[Plugin],
+    metadata: dict | None = None,
+    presorted: bool = False,
 ) -> dict | None:
     """Route one event through ``plugins`` in ascending priority
     (reference utils/plugins.py:61-110).  Returns the transformed event,
-    or ``None`` if a plugin dropped it."""
+    or ``None`` if a plugin dropped it.  Pass ``presorted=True`` when
+    the caller already ran ``order_plugins`` (the Arrow host does, once
+    per task instead of once per event)."""
     if not isinstance(event, dict):
         raise TypeError(f"event is type {type(event)}, should be a dict")
     metadata = metadata if metadata is not None else {}
     executed: list[str] = []
-    phase_order = {"normalization": 0, "enrichment": 1}
-    for plugin in sorted(
-        plugins,
-        key=lambda p: (
-            phase_order.get(getattr(p, "phase", "normalization"), 2),
-            p.priority,
-        ),
-    ):
+    for plugin in plugins if presorted else order_plugins(plugins):
         if "*" in plugin.registration:
             fire = True
         else:
@@ -141,7 +182,7 @@ def _shell_row(event: dict) -> dict:
     for field in SHELL_FIELDS:
         value = event.get(field)
         if field == "details":
-            row[field] = json.dumps(value if value is not None else {})
+            row[field] = _dumps(value if value is not None else {})
         elif field in ("tags", "plugins"):
             row[field] = [str(v) for v in value] if isinstance(value, list) else []
         else:
@@ -170,7 +211,7 @@ def _make_normalizer(
     plugin_factory: Callable[[], list[Plugin]],
 ) -> Callable[[Iterable[pd.DataFrame]], Iterator[pd.DataFrame]]:
     def normalize_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        plugins = plugin_factory()  # once per task, reused across batches
+        plugins = order_plugins(plugin_factory())  # once per task, reused across batches
         columns = [f.name for f in NORMALIZED_SCHEMA.fields]
         for batch in batches:
             rows: list[dict[str, Any]] = []
@@ -181,14 +222,14 @@ def _make_normalizer(
                 out: dict[str, Any] = {c: None for c in columns}
                 out["_raw"] = raw
                 try:
-                    parsed = json.loads(raw)
+                    parsed = _loads(raw)
                     if not isinstance(parsed, dict):
                         raise ValueError("event is not a JSON object")
                     if source:
                         # intake source tag wins (reference
                         # s3_to_firehose.py:107,114,120,125)
                         parsed["source"] = source
-                    result = run_pipeline(parsed, plugins)
+                    result = run_pipeline(parsed, plugins, presorted=True)
                 except Exception:
                     out["_status"] = STATUS_FAILED
                     rows.append(out)

@@ -17,10 +17,10 @@ from defenda_data_lake_spark.operators.pipeline import Plugin
 from defenda_data_lake_spark.schema import SHELL_DEFAULTS
 from defenda_data_lake_spark.utils.dates import to_utc
 from defenda_data_lake_spark.utils.json_tree import (
+    collect_fields,
     deep_merge,
     dict_match,
     enum_keys,
-    find_keys,
     get_by_path,
     lowercase_keys,
     set_by_path,
@@ -71,9 +71,29 @@ LIKELY_DESTINATION_IP_FIELDS = [
 def is_ip(value) -> bool:
     """Validate an IPv4/IPv6 address or CIDR mask.  Bare integers are
     rejected (must contain ``.`` or ``:``) — reference
-    utils/helpers.py:42-58."""
+    utils/helpers.py:42-58.
+
+    Dotted-quad fast path first: ``ipaddress`` is pure Python and ~10x
+    the cost of the manual octet check for the overwhelmingly-common
+    IPv4 case (same accept/reject set: 0-255 per octet, no leading
+    zeros); everything else falls back to the stdlib parser."""
     if not isinstance(value, str) or ("." not in value and ":" not in value):
         return False
+    if "/" not in value and ":" not in value:
+        parts = value.split(".")
+        if len(parts) != 4:
+            return False
+        for p in parts:
+            # isascii: unicode digits pass isdigit()/int() but the
+            # stdlib parser rejects them
+            if (
+                not p.isascii()
+                or not p.isdigit()
+                or (len(p) > 1 and p[0] == "0")
+                or int(p) > 255
+            ):
+                return False
+        return True
     try:
         if "/" in value:
             ipaddress.ip_network(value, strict=False)
@@ -164,15 +184,20 @@ class Timestamps(Plugin):
     registration = ["*"]
     priority = 20
 
+    _WANTED = None  # class-level cache of the candidate-field set
+
     def on_event(self, event: dict, metadata: dict) -> dict:
-        keys = set(enum_keys(event))
+        if Timestamps._WANTED is None:
+            Timestamps._WANTED = set(LIKELY_TIMESTAMP_FIELDS) | {"date"}
+        # one walk instead of set(enum_keys) + find_keys per field
+        keys, hits = collect_fields(event, Timestamps._WANTED)
         done = False
         for field in LIKELY_TIMESTAMP_FIELDS:
             if done or field not in keys:
                 continue
-            candidates = list(find_keys(event, field))
+            candidates = hits.get(field, [])
             if field == "time" and "date" in keys:
-                dates = list(find_keys(event, "date"))
+                dates = hits.get("date", [])
                 if dates:
                     candidates = [f"{d} {t}" for d, t in zip(dates, candidates)]
             for candidate in candidates:
@@ -210,14 +235,16 @@ class IpAddresses(Plugin):
     registration = ["*"]
     priority = 20
 
+    _WANTED = None  # class-level cache of the candidate-field set
+
     @staticmethod
     def _first_valid_ip(
-        event: dict, fields: list[str], keys: set, split_commas: bool = False
+        hits: dict, fields: list[str], keys: set, split_commas: bool = False
     ) -> str | None:
         for field in fields:
             if field not in keys:
                 continue
-            for value in find_keys(event, field):
+            for value in hits.get(field, []):
                 if split_commas and isinstance(value, str) and "," in value:
                     value = value.split(",")[0].strip()
                 if is_ip(value):
@@ -225,12 +252,18 @@ class IpAddresses(Plugin):
         return None
 
     def on_event(self, event: dict, metadata: dict) -> dict:
-        keys = set(enum_keys(event))
+        if IpAddresses._WANTED is None:
+            IpAddresses._WANTED = set(LIKELY_SOURCE_IP_FIELDS) | set(
+                LIKELY_DESTINATION_IP_FIELDS
+            )
+        # one walk instead of set(enum_keys) + find_keys per field;
+        # both searches use the pre-mutation view, as the reference does
+        keys, hits = collect_fields(event, IpAddresses._WANTED)
         found: list[str] = []
 
         if not get_by_path(event, "details.sourceipaddress"):
             ip = self._first_valid_ip(
-                event, LIKELY_SOURCE_IP_FIELDS, keys, split_commas=True
+                hits, LIKELY_SOURCE_IP_FIELDS, keys, split_commas=True
             )
             if ip is not None:
                 set_by_path(event, "details.sourceipaddress", ip)
@@ -245,7 +278,7 @@ class IpAddresses(Plugin):
                 del event["details"]["sourceipaddress"]
 
         if not get_by_path(event, "details.destinationipaddress"):
-            ip = self._first_valid_ip(event, LIKELY_DESTINATION_IP_FIELDS, keys)
+            ip = self._first_valid_ip(hits, LIKELY_DESTINATION_IP_FIELDS, keys)
             if ip is not None:
                 set_by_path(event, "details.destinationipaddress", ip)
 

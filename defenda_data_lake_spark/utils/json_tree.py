@@ -52,14 +52,53 @@ def find_keys(node: Any, key: str) -> Iterator[Any]:
 
 def enum_keys(node: Any) -> Iterator[str]:
     """Yield every dict key at every depth (reference
-    utils/dict_helpers.py:49-60)."""
-    if isinstance(node, dict):
-        for k, v in node.items():
-            yield k
-            yield from enum_keys(v)
-    elif isinstance(node, list):
-        for item in node:
-            yield from enum_keys(item)
+    utils/dict_helpers.py:49-60).  Iterative: every consumer builds a
+    set, so yield order is not part of the contract, and an explicit
+    stack avoids the per-node generator-delegation frames that made
+    the recursive form the pipeline's hottest function."""
+    stack = [node]
+    while stack:
+        cur = stack.pop()
+        if isinstance(cur, dict):
+            for k, v in cur.items():
+                yield k
+                if isinstance(v, (dict, list)):
+                    stack.append(v)
+        elif isinstance(cur, list):
+            for item in cur:
+                if isinstance(item, (dict, list)):
+                    stack.append(item)
+
+
+def collect_fields(
+    node: Any, wanted: set
+) -> tuple[set, dict[str, list]]:
+    """One recursive walk returning (every key at every depth, values
+    of the ``wanted`` fields in document order).
+
+    Fuses ``set(enum_keys(event))`` + one ``find_keys`` call per
+    candidate field — the pattern both the timestamp and IP plugins
+    need — into a single traversal.  Value order per field is exactly
+    ``find_keys`` order (match yielded at its key, then descent), so
+    first-match-wins semantics are unchanged."""
+    keys: set = set()
+    hits: dict[str, list] = {}
+
+    def walk(cur: Any) -> None:
+        if isinstance(cur, dict):
+            for k, v in cur.items():
+                keys.add(k)
+                if k in wanted:
+                    hits.setdefault(k, []).append(v)
+                if isinstance(v, (dict, list)):
+                    walk(v)
+        elif isinstance(cur, list):
+            for item in cur:
+                if isinstance(item, (dict, list)):
+                    walk(item)
+
+    walk(node)
+    return keys, hits
 
 
 def enum_values(node: Any) -> Iterator[Any]:
