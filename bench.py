@@ -81,9 +81,12 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
 
     from defenda_data_lake_spark.plans.catalog import CATALOG, headline_queries
-    from defenda_data_lake_spark.session import get_spark
+    from defenda_data_lake_spark.session import get_spark, tune_for_input_scale
 
     spark = get_spark(app_name="defenda-bench")
+    # static planning below 1 GB input (see session.tune_for_input_scale):
+    # AQE's stage-wise re-planning is measured pure overhead at this scale
+    tune_for_input_scale(spark, sf_dir)
 
     # warm the JVM + parquet footers + Python UDF workers once so
     # per-query numbers measure execution, not first-touch session setup

@@ -299,17 +299,18 @@ def ngram_jaccard_pairs(
     subplan, so the shuffle exchange on ``shingle`` is built once and
     reused) + one pair aggregation.  ``set_size`` rides along on every
     posting row, so no separate sizes join is needed."""
+    from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
+
     postings = word_shingle_postings(df, text_col, id_col, shingle_n)
     # pin the join's parallelism: the postings shuffle is small in BYTES
     # but the pair-expansion it feeds is heavy in CPU, so AQE's
     # byte-based coalescing would funnel it into one task.  An explicit
     # keyed repartition is user-specified — AQE leaves it alone — and
     # both join sides share the subplan, so it's still ONE exchange.
-    try:
-        n_part = postings.sparkSession.sparkContext.defaultParallelism
-    except Exception:
-        n_part = 32
-    postings = postings.repartition(n_part, "shingle")
+    # The count scales with input size (clamped to the cluster's
+    # parallelism band) — a flat defaultParallelism over-partitions
+    # small corpora, paying per-task scheduling for near-empty tasks.
+    postings = postings.repartition(scaled_keyed_partitions(df), "shingle")
     if max_shingle_docs is not None:
         # document frequency as a window over the SAME shingle
         # partitioning the join needs: the guard then adds no shuffle,

@@ -41,3 +41,61 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     if 0 < target <= n_files:
         return df
     return df.repartition(target)
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Driver-visible total size of the plan's input files, or ``None``
+    when it can't be determined cheaply (non-local filesystems, virtual
+    plans).  Local-path stat only — no filesystem RPCs."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(unquote(parsed.path))
+        except OSError:
+            return None
+    return total
+
+
+def scaled_keyed_partitions(
+    df: DataFrame,
+    expansion: float = 8.0,
+    bytes_per_task: int = 8 << 20,
+    cap_multiple: int = 4,
+) -> int:
+    """Partition count for an *explicit* keyed ``repartition`` feeding a
+    CPU-dense stage (pair-expansion joins, signature kernels).
+
+    An explicit repartition is exempt from AQE coalescing — that is the
+    point (AQE's byte-based view would funnel a small-in-bytes but
+    CPU-heavy shuffle into one task) — but it also means a flat
+    ``defaultParallelism`` count over-partitions tiny inputs, paying
+    ~10-20 ms of scheduling per empty-ish task.  Scale the count with
+    the driver-visible input size instead: ``input_bytes * expansion /
+    bytes_per_task``, clamped to [defaultParallelism / 2, cap_multiple *
+    defaultParallelism].  When input size is unknown (object stores,
+    computed inputs), fall back to ``defaultParallelism`` — on a real
+    cluster that is the sane default, and the clamp keeps the count
+    proportional to the cluster everywhere."""
+    import os
+
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        par = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    size = _input_bytes(df)
+    if size is None:
+        return par
+    want = int(size * expansion // bytes_per_task) + 1
+    return max(min(want, cap_multiple * par), max(par // 2, 1))
