@@ -16,6 +16,7 @@ from datetime import datetime, timezone
 from defenda_data_lake_spark.operators.pipeline import Plugin
 from defenda_data_lake_spark.schema import SHELL_DEFAULTS
 from defenda_data_lake_spark.utils.dates import to_utc
+from defenda_data_lake_spark.utils.templating import render
 from defenda_data_lake_spark.utils.json_tree import (
     collect_fields,
     deep_merge,
@@ -326,13 +327,13 @@ class GsuiteLogin(Plugin):
         if get_by_path(event, "details.actor.email"):
             details["user"] = get_by_path(event, "details.actor.email")
 
-        # Mustache-template summary (reference gsuite_login.py:43):
-        # "{{details.user}} {{details.events.0.name}} from IP
-        #  {{details.sourceipaddress}}" — missing paths render empty.
-        user = get_by_path(event, "details.user", "")
-        action = get_by_path(event, "details.events.0.name", "")
-        source_ip = get_by_path(event, "details.sourceipaddress", "")
-        event["summary"] = f"{user} {action} from IP {source_ip}"
+        # Mustache-template summary (reference gsuite_login.py:43);
+        # missing paths render empty, per mustache.
+        event["summary"] = render(
+            "{{details.user}} {{details.events.0.name}}"
+            " from IP {{details.sourceipaddress}}",
+            event,
+        )
 
         event["category"] = "authentication"
 
