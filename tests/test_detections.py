@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from defenda_data_lake_spark.detections import (
+    account_activity_profiles,
     failed_login_bursts,
     first_seen_ips,
     rare_event_scores,
@@ -101,6 +102,22 @@ def test_first_seen_ips(events):
     assert alice_first["ip_rank_for_user"] == 1
     assert alice_new["ip_rank_for_user"] == 2
     assert str(alice_new["first_seen"]).startswith("2026-01-02")
+
+
+def test_account_activity_profiles_variant_parity(events):
+    """The variant path and the get_json_object path are the same rule:
+    identical rows, so callers can pick purely on performance."""
+    via_variant = sorted(
+        account_activity_profiles(events, use_variant=True).collect()
+    )
+    via_json = sorted(
+        account_activity_profiles(events, use_variant=False).collect()
+    )
+    assert via_variant == via_json
+    rows = {r["user"]: r for r in via_variant}
+    alice = rows["alice@example.com"]
+    assert alice["n_failures"] >= 5
+    assert alice["n_source_ips"] >= 2
 
 
 def test_rare_event_scores_collapse_ids(events):
