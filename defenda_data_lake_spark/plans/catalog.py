@@ -667,7 +667,10 @@ Q31_SQL = f"""
 WITH {_SHINGLES_SQL},
 sigs AS (
   SELECT doc_id,
-         {", ".join(f"min(md5('{i}' || shingle)) AS h{i}" for i in range(8))}
+         {", ".join(
+             f"min(substr(md5({'repeat(chr(120), ' + str(i // 4) + ') || ' if i // 4 else ''}shingle), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+             for i in range(8)
+         )}
   FROM sh GROUP BY doc_id
 ),
 bands AS (
