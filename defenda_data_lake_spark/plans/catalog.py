@@ -543,6 +543,126 @@ GROUP BY event_type
 """
 
 
+def q25_percentile_stats(spark, sf_dir):
+    """Exact interpolated percentiles per group (Presto's
+    ``approx_percentile`` use case, served exactly: Spark
+    ``percentile`` = sort + linear interpolation, the same definition
+    as SQL ``percentile_cont``).
+    Scale: percentile is a full-sort-per-group aggregate; the grouping
+    key (returnflag) is low-cardinality so each group's sort is a
+    single-pass partial → merge; for high-cardinality groups at 100 TB
+    switch to approx_percentile (t-digest, mergeable sketches)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        R(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
+        R(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95_price"),
+        R(F.expr("percentile(l_quantity, 0.5)"), 2).alias("p50_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+Q25_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2)  AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+       round(quantile_cont(l_quantity, 0.5), 2)       AS p50_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q26_regexp_count(spark, sf_dir):
+    """Regex occurrence counting over document text (pattern-frequency
+    profiling): per source, documents whose text contains 'table', and
+    total occurrences.  ``regexp_count`` is a JVM builtin inside
+    codegen — scan-speed, no shuffle beyond the final 3-group agg."""
+    docs = _t(spark, sf_dir, "documents")
+    occurrences = F.regexp_count(F.col("text"), F.lit(r"\btable\b"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((occurrences > 0).cast("long")).alias("docs_with_term"),
+        F.sum(occurrences).cast("long").alias("total_occurrences"),
+    )
+
+
+Q26_SQL = r"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN len(regexp_extract_all(text, '\btable\b')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_term,
+       CAST(sum(len(regexp_extract_all(text, '\btable\b'))) AS BIGINT)
+           AS total_occurrences
+FROM documents
+GROUP BY source
+"""
+
+
+def q27_grouping_sets(spark, sf_dir):
+    """GROUPING SETS (the general form behind ROLLUP/CUBE, both already
+    covered by q09/q19): per (priority, status), per priority, and the
+    grand total in ONE pass — Spark expands the sets into a single
+    Expand + hash aggregate, one shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_sql_view")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n_orders,
+               -- scale-round-unscale = the R() convention (boundary-
+               -- stable against DuckDB's round, see R's docstring)
+               round(sum(o_totalprice) * 100, 0) / 100 AS total_price
+        FROM orders_sql_view
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        """
+    )
+
+
+Q27_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+"""
+
+
+def q28_exists_sql(spark, sf_dir):
+    """Correlated EXISTS subquery as raw SQL text (the Presto surface
+    form; q13/q14 cover the DataFrame semi/anti equivalents).  Catalyst
+    decorrelates it into a left-semi hash join — no per-row subquery
+    execution at any scale."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_sql_view")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sql_view")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               round(c_acctbal * 100, 0) / 100 AS acctbal
+        FROM customer_sql_view c
+        WHERE EXISTS (
+            SELECT 1 FROM orders_sql_view o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 400000
+        )
+        """
+    )
+
+
+Q28_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_totalprice > 400000
+)
+"""
+
+
 # ============================================================ events + JSON
 
 
@@ -1248,6 +1368,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q19_cube_customers": (q19_cube_customers, Q19_SQL),
     "q23_string_funcs": (q23_string_funcs, Q23_SQL),
     "q24_presto_text": (q24_presto_text, Q24_SQL),
+    "q25_percentile_stats": (q25_percentile_stats, Q25_SQL),
+    "q26_regexp_count": (q26_regexp_count, Q26_SQL),
+    "q27_grouping_sets": (q27_grouping_sets, Q27_SQL),
+    "q28_exists_sql": (q28_exists_sql, Q28_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
     "q21_events_sessions": (q21_events_sessions, Q21_SQL),
     "q22_events_hourly": (q22_events_hourly, Q22_SQL),
