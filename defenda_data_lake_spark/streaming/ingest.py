@@ -39,27 +39,36 @@ from defenda_data_lake_spark.operators.pipeline import (
 
 def start_ingest(
     spark: SparkSession,
-    landing_path: str,
-    checkpoint_path: str,
+    landing_path: str | None = None,
+    checkpoint_path: str | None = None,
     quarantine_path: str | None = None,
     trigger_seconds: int = 60,
     max_files_per_trigger: int | None = None,
+    source=None,
 ) -> StreamingQuery:
-    """Start the landing-prefix → events-table stream.  Returns the
-    StreamingQuery (caller owns its lifecycle)."""
+    """Start the source → events-table stream.  Returns the
+    StreamingQuery (caller owns its lifecycle).
+
+    ``source`` is any adapter from ``defenda_data_lake_spark.sources``
+    (streaming DataFrame with a ``raw`` string column); when omitted, a
+    ``FileLandingSource`` over ``landing_path`` — the reference's own
+    Firehose→S3 delivery layout."""
+    if checkpoint_path is None:
+        raise ValueError("checkpoint_path is required")
     create_events_table(spark)
 
-    reader = spark.readStream.format("text")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    lines = reader.load(landing_path)
+    if source is None:
+        if landing_path is None:
+            raise ValueError("pass landing_path or an explicit source")
+        from defenda_data_lake_spark.sources import FileLandingSource
+
+        source = FileLandingSource(landing_path, max_files_per_trigger)
+    lines = source.load(spark)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
-        raw = batch_df.filter(F.length(F.trim(F.col("value"))) > 0).select(
-            F.col("value").alias("raw")
-        )
+        raw = batch_df.filter(F.length(F.trim(F.col("raw"))) > 0).select("raw")
         normalized = normalize_df(raw, raw_col="raw").cache()
         try:
             good = add_partition_columns(
