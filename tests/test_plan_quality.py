@@ -101,6 +101,43 @@ def test_q45_bucketed_no_nested_loop(spark):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_q25_percentile_single_shuffle(spark):
+    """Percentiles partial-aggregate map-side; one exchange on the
+    3-value grouping key, everything JVM-side."""
+    plan = plan_of(spark, "q25_percentile_stats")
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q26_regexp_count_prunes_to_two_columns(spark):
+    plan = plan_of(spark, "q26_regexp_count")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "text" in scan and "source" in scan
+    assert "doc_id" not in scan and "n_chars" not in scan
+
+
+def test_q27_grouping_sets_one_expand_one_shuffle(spark):
+    """GROUPING SETS must compile to a single Expand + aggregate, not
+    one pass per set."""
+    plan = plan_of(spark, "q27_grouping_sets")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Union" not in plan
+
+
+def test_q28_exists_decorrelates_to_semi_join(spark):
+    """Catalyst must decorrelate the EXISTS subquery into a left-semi
+    join — no per-row subquery execution."""
+    plan = plan_of(spark, "q28_exists_sql")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the totalprice filter is pushed to the orders scan
+    orders_scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "o_totalprice" in l
+    )
+    assert "DataFilters" in orders_scan
+
+
 def test_events_table_partition_pruning(spark, tmp_path):
     """Partition predicates must show up as PartitionFilters on the
     events table scan (the reference's only query-cost lever)."""
