@@ -663,6 +663,52 @@ WHERE EXISTS (
 """
 
 
+def q29_asof_join(spark, sf_dir):
+    """Point-in-time join (the join family Presto lacks, SURVEY §2B(b)):
+    for every click event, the latest purchase by the same user at or
+    before it.  Runs the union+window as-of operator — one shuffle on
+    user_id, no per-key pair expansion (operators/asof.py)."""
+    from defenda_data_lake_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        time_col="ts",
+        payload_cols=["value", "event_id"],
+        tiebreak_col="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        R("asof_value", 4).alias("last_purchase_value"),
+        F.col("asof_event_id").alias("last_purchase_event"),
+    )
+
+
+Q29_SQL = """
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+purchases AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT a.event_id,
+       a.user_id,
+       round((SELECT b.value FROM purchases b
+              WHERE b.user_id = a.user_id AND b.ts <= a.ts
+              ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) * 10000, 0) / 10000
+           AS last_purchase_value,
+       (SELECT b.event_id FROM purchases b
+        WHERE b.user_id = a.user_id AND b.ts <= a.ts
+        ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS last_purchase_event
+FROM clicks a
+"""
+
+
 # ============================================================ events + JSON
 
 
@@ -1372,6 +1418,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q26_regexp_count": (q26_regexp_count, Q26_SQL),
     "q27_grouping_sets": (q27_grouping_sets, Q27_SQL),
     "q28_exists_sql": (q28_exists_sql, Q28_SQL),
+    "q29_asof_join": (q29_asof_join, Q29_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
     "q21_events_sessions": (q21_events_sessions, Q21_SQL),
     "q22_events_hourly": (q22_events_hourly, Q22_SQL),
