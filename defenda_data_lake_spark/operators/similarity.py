@@ -67,6 +67,79 @@ def with_cosine(df: DataFrame, a_col: str, b_col: str, out: str = "cosine") -> D
     return df.withColumn(out, cosine_col(a_col, b_col))
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_vec: str = "q_embedding",
+    out_scale: str = "q_scale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``q_i = floor(v_i * 127
+    / maxabs(v) + 0.5)`` (zero vectors quantize to zeros with scale
+    1/127), plus the per-vector ``scale = maxabs/127`` needed to
+    dequantize.
+
+    This is the 100 TB lever for the ANN family: int8 vectors are 4x
+    smaller than float32 on disk, in shuffle, and in memory, and
+    cosine similarity is *scale-invariant per vector*, so top-k on the
+    quantized ints needs no dequantization at all — only operators that
+    need absolute magnitudes (dot-product scoring, reconstruction)
+    touch ``q_scale``.
+
+    Arithmetic is plain double ops in a fixed order
+    (``v*127 / maxabs + 0.5``), so any engine replays it bit-for-bit
+    (Q48's DuckDB oracle does, via ``list_transform``)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _stack(pdf[vec_col])
+            maxabs = np.abs(V).max(axis=1)
+            safe = np.where(maxabs == 0.0, 1.0, maxabs)
+            Qm = (
+                np.floor(V * 127.0 / safe[:, None] + 0.5)
+                .clip(-127, 127)
+                .astype(np.int8)
+            )
+            out = pdf.copy()
+            out[out_vec] = list(Qm)
+            out[out_scale] = safe / 127.0
+            yield out
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(out_vec, T.ArrayType(T.ByteType())),
+            T.StructField(out_scale, T.DoubleType()),
+        ]
+    )
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors: quantize
+    both sides, then run the standard matmul kernel on the int8 arrays
+    (scale cancels in cosine).  Integer dot products are exact in the
+    float64 matmul (|q| <= 127, so dims into the thousands stay within
+    exact-integer range), making the approximate scoring fully
+    deterministic and oracle-checkable."""
+    q_corpus = quantize_embeddings(corpus, vec_col).select(
+        id_col, F.col("q_embedding").alias(vec_col)
+    )
+    q_queries = quantize_embeddings(queries, vec_col).select(
+        id_col, F.col("q_embedding").alias(vec_col)
+    )
+    return cosine_topk(q_corpus, q_queries, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
     """Materialize the query block driver-side for broadcast.  Queries
     are small by contract (an ANN batch, not a table); this is the

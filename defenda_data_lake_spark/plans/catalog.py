@@ -1109,6 +1109,48 @@ WHERE rank <= 10
 """
 
 
+def q48_knn_quantized(spark, sf_dir):
+    """Brute-force cosine top-10 over int8-quantized embeddings (the
+    4x-smaller storage/shuffle representation; scale cancels in cosine
+    so no dequantize).  Integer dots make the approximate scoring
+    exactly reproducible in the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.quantized_cosine_topk(emb, queries, k=10).select(
+        "query_id",
+        "neighbor_id",
+        R("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+Q48_SQL = """
+WITH q8 AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> floor(CAST(x AS DOUBLE) * 127 / (CASE WHEN m = 0 THEN 1.0 ELSE m END) + 0.5)
+         ) AS qv
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+    FROM embeddings
+  )
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, c.qv) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.qv, c.qv) DESC, c.vec_id) AS rank
+  FROM q8 q CROSS JOIN q8 c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+) t
+WHERE rank <= 10
+"""
+
+
 def q41_knn_lsh(spark, sf_dir):
     """LSH-bucketed approximate cosine top-k (the scale path).
     Approximate vs brute force, but fully deterministic: the md5-derived
@@ -1432,6 +1474,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q37_vocab_topk": (q37_vocab_topk, Q37_SQL),
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
+    "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),
     "q45_embedding_dedup": (q45_embedding_dedup, Q45_SQL),
     "q46_knn_ivf": (q46_knn_ivf, Q46_SQL),
     "q47_kmeans_clusters": (q47_kmeans_clusters, Q47_SQL),

@@ -50,6 +50,36 @@ def test_cosine_topk_ordering(vectors):
     assert all(r["query_id"] == 0 for r in res)
 
 
+def test_quantize_embeddings_values_and_dequantize(spark):
+    from defenda_data_lake_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # maxabs=1.0 -> q = floor(v*127 + 0.5)
+    assert rows[0]["q_embedding"] == [64, -127, 32]
+    assert abs(rows[0]["q_scale"] - 1.0 / 127) < 1e-15
+    # zero vector: zeros, not NaN
+    assert rows[1]["q_embedding"] == [0, 0, 0]
+    # dequantize error bounded by scale/2 per component
+    deq = [q * rows[0]["q_scale"] for q in rows[0]["q_embedding"]]
+    for got, want in zip(deq, [0.5, -1.0, 0.25]):
+        assert abs(got - want) <= rows[0]["q_scale"] / 2 + 1e-12
+
+
+def test_quantized_topk_matches_brute_on_separated_vectors(vectors):
+    from defenda_data_lake_spark.operators.similarity import quantized_cosine_topk
+
+    brute = cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=4).collect()
+    quant = quantized_cosine_topk(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=4
+    ).collect()
+    assert [r["neighbor_id"] for r in sorted(quant, key=lambda r: r["rank"])] == [
+        r["neighbor_id"] for r in sorted(brute, key=lambda r: r["rank"])
+    ]
+
+
 def test_lsh_topk_subset_of_brute(vectors):
     """LSH results must be correctly-ranked members of the bucket —
     every returned neighbor's cosine must match the brute-force value."""
