@@ -61,6 +61,41 @@ def test_asof_null_payload_is_still_a_match(spark):
     assert out["L2"] == ("R15", None)
 
 
+def test_asof_matches_bruteforce_on_random_data(spark):
+    """Seeded random corpus vs a per-row brute-force reference: the
+    union+window implementation must agree exactly, including ties and
+    unmatched keys."""
+    import random
+
+    rng = random.Random(42)
+    left_rows = [
+        (f"k{rng.randrange(6)}", rng.randrange(100), i) for i in range(300)
+    ]
+    right_rows = [
+        (f"k{rng.randrange(8)}", rng.randrange(100), i, rng.randrange(1000))
+        for i in range(300)
+    ]
+    left = spark.createDataFrame(left_rows, ["key", "t", "lid"])
+    right = spark.createDataFrame(right_rows, ["key", "t", "rid", "payload"])
+
+    got = {
+        r["lid"]: (r["asof_rid"], r["asof_payload"])
+        for r in asof_join(
+            left, right, keys=["key"], time_col="t",
+            payload_cols=["rid", "payload"], tiebreak_col="rid",
+        ).collect()
+    }
+
+    for key, t, lid in left_rows:
+        matches = [r for r in right_rows if r[0] == key and r[1] <= t]
+        if matches:
+            best = max(matches, key=lambda r: (r[1], r[2]))
+            assert got[lid] == (best[2], best[3]), lid
+        else:
+            assert got[lid] == (None, None), lid
+    assert len(got) == len(left_rows)
+
+
 def test_asof_plan_has_no_join(spark):
     """The operator must stay union+window: no join node, ONE exchange
     on the key — pair expansion never appears at any skew."""
