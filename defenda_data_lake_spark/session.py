@@ -111,6 +111,16 @@ def tune_for_input_scale(spark: SparkSession, data_dir: str) -> None:
         return
     if 0 < total < SMALL_INPUT_BYTES:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # with AQE (and so its coalescing) off, static shuffles at the
+        # full core count schedule 32 near-empty tasks per exchange;
+        # a quarter of the cores still saturates sub-GB shuffles
+        try:
+            cores = spark.sparkContext.defaultParallelism
+        except Exception:
+            cores = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(8, cores // 4))
+        )
 
 
 def stop_spark() -> None:
