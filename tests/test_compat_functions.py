@@ -73,3 +73,17 @@ def test_json_array_contains_typed_values(spark):
     assert one(spark, "json_array_contains('[\"a\"]', 'z')") is False
     # non-array input -> NULL, as in Presto
     assert one(spark, "json_array_contains('8', '8')") is None
+
+
+def test_approx_count_distinct_surface(spark):
+    """Presto's approx_distinct maps to Spark's approx_count_distinct
+    (both HLL-family).  Pin the surface and its accuracy contract
+    (default rsd 5%) against the exact count on a 10k-value column."""
+    df = spark.range(10_000).selectExpr("CAST(id % 3847 AS STRING) AS v")
+    from pyspark.sql import functions as F
+
+    exact = df.select(F.countDistinct("v")).first()[0]
+    # rsd is a standard deviation, not a bound: ask for 1% and accept 5%
+    approx = df.select(F.approx_count_distinct("v", rsd=0.01)).first()[0]
+    assert exact == 3847
+    assert abs(approx - exact) / exact < 0.05
