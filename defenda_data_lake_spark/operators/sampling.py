@@ -1,0 +1,83 @@
+"""Deterministic sampling and dataset splits for training-data curation.
+
+``df.sample()`` is nondeterministic across runs/partitionings and not
+reproducible in another engine — useless for a train/test split that
+must survive re-runs, backfills, and audits.  These operators derive
+membership from a content hash instead: a row's bucket is
+``int(md5(salt || id)[:8 hex], 16) % 10000``, so the same row lands in
+the same split everywhere, forever, in any engine with md5 (the Q38
+DuckDB oracle replays it verbatim).
+
+Scale: pure narrow column expressions inside codegen — no shuffle, no
+state, prunes to the id column.  Changing ``salt`` re-draws the whole
+assignment (the standard way to get independent folds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket space for hash sampling: rates are expressed in 1/10000ths
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: str | Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 10000) from ``md5(salt || id)``.
+    First 8 hex chars → int (32 bits: unbiased modulo at this bucket
+    count), as a plain codegen expression."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    hexpart = F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8)
+    return (F.conv(hexpart, 16, 10).cast("long") % BUCKETS).alias("bucket")
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by id hash."""
+    return df.filter(hash_bucket(id_col, salt) < int(fraction * BUCKETS))
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Append a stable ``'train'``/``'test'`` column: rows whose bucket
+    falls below ``test_fraction`` of the space are test."""
+    return df.withColumn(
+        out,
+        F.when(
+            hash_bucket(id_col, salt) < int(test_fraction * BUCKETS),
+            F.lit("test"),
+        ).otherwise(F.lit("train")),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. keep 100% of rare
+    sources, 5% of a crawl): one when-chain threshold on the same
+    hash bucket — still a single narrow projection."""
+    threshold = None
+    for value, fraction in fractions.items():
+        case = F.when(
+            F.col(strata_col) == value, F.lit(int(fraction * BUCKETS))
+        )
+        threshold = case if threshold is None else threshold.when(
+            F.col(strata_col) == value, F.lit(int(fraction * BUCKETS))
+        )
+    threshold = (
+        F.lit(int(default_fraction * BUCKETS))
+        if threshold is None
+        else threshold.otherwise(F.lit(int(default_fraction * BUCKETS)))
+    )
+    return df.filter(hash_bucket(id_col, salt) < threshold)

@@ -1038,6 +1038,37 @@ LIMIT 20
 """
 
 
+def q38_dataset_split(spark, sf_dir):
+    """Deterministic train/test split by content hash (the reproducible
+    alternative to ``df.sample`` — same row, same split, any engine,
+    forever): per-source counts and character volume per split.
+    Scale: the split is a narrow codegen expression on the id column —
+    no shuffle beyond the final group-by."""
+    from defenda_data_lake_spark.operators.sampling import with_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_split(docs, "doc_id", test_fraction=0.1, salt="split")
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+Q38_SQL = """
+SELECT source,
+       CASE WHEN CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 10000 < 1000
+            THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def q45_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cosine >= 0.4), via LSH
     bucketing: deterministic hyperplane signatures bucket the corpus,
@@ -1472,6 +1503,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q35_text_langid": (q35_text_langid, Q35_SQL),
     "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
     "q37_vocab_topk": (q37_vocab_topk, Q37_SQL),
+    "q38_dataset_split": (q38_dataset_split, Q38_SQL),
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
     "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),

@@ -1,0 +1,72 @@
+"""Deterministic hash sampling (operators/sampling.py)."""
+
+from pyspark.sql import functions as F
+
+from defenda_data_lake_spark.operators.sampling import (
+    BUCKETS,
+    hash_sample,
+    stratified_hash_sample,
+    with_split,
+)
+
+
+def _docs(spark):
+    return spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "crawl").otherwise("curated").alias("src"),
+    )
+
+
+def test_hash_sample_is_deterministic_and_sized(spark):
+    df = _docs(spark)
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2, salt="s").collect()}
+    b = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2, salt="s").collect()}
+    assert a == b  # same rows every run
+    assert 0.15 < len(a) / 2000 < 0.25  # close to the asked fraction
+
+
+def test_hash_sample_is_nested(spark):
+    """A smaller fraction must be a subset of a larger one (same salt) —
+    the property that makes hash sampling resumable/incremental."""
+    df = _docs(spark)
+    small = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.1, salt="s").collect()}
+    big = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3, salt="s").collect()}
+    assert small <= big
+
+
+def test_salt_redraws_assignment(spark):
+    df = _docs(spark)
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2, salt="fold1").collect()}
+    b = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2, salt="fold2").collect()}
+    assert a != b
+
+
+def test_with_split_partitions_completely(spark):
+    df = _docs(spark)
+    rows = with_split(df, "doc_id", test_fraction=0.25).collect()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) == {"train", "test"}
+    assert len(by_split["train"] | by_split["test"]) == 2000
+    assert not (by_split["train"] & by_split["test"])
+
+
+def test_stratified_rates(spark):
+    df = _docs(spark)
+    kept = stratified_hash_sample(
+        df, "doc_id", "src", {"curated": 1.0, "crawl": 0.1}
+    ).groupBy("src").count().collect()
+    counts = {r["src"]: r["count"] for r in kept}
+    assert counts["curated"] == 1500  # 100% kept
+    assert 20 <= counts.get("crawl", 0) <= 80  # ~10% of 500
+
+
+def test_bucket_range(spark):
+    df = _docs(spark)
+    from defenda_data_lake_spark.operators.sampling import hash_bucket
+
+    stats = df.select(hash_bucket("doc_id").alias("b")).agg(
+        F.min("b"), F.max("b")
+    ).first()
+    assert 0 <= stats[0] and stats[1] < BUCKETS
