@@ -1069,6 +1069,66 @@ GROUP BY 1, 2
 """
 
 
+_Q39_BUCKETS = 16
+_Q39_BUDGET = 256
+
+
+def q39_sequence_packing(spark, sf_dir):
+    """Sequence packing for training batches: assign documents to bins
+    of ~256 tokens (whitespace tokens) — the deterministic next-fit-
+    decreasing approximation: docs sorted big-first, a doc's bin is the
+    budget-prefix of the tokens packed before it.
+
+    Scale: exact first-fit packing is inherently sequential (a global
+    running state), so the corpus is first split into hash buckets and
+    packed WITHIN each — per-bucket windows parallelize across the
+    cluster and no global single-partition window exists (the rarity-
+    detection anti-pattern).  Returns per-bin stats."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    d = docs.select(
+        "doc_id",
+        tokens.alias("tokens"),
+        (F.col("doc_id") % _Q39_BUCKETS).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("tokens").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.withColumn(
+        "bin",
+        F.floor((F.sum("tokens").over(w) - F.col("tokens")) / _Q39_BUDGET),
+    )
+    return binned.groupBy("bucket", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+Q39_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens,
+         doc_id % {_Q39_BUCKETS} AS bucket
+  FROM documents
+),
+binned AS (
+  SELECT bucket, doc_id, tokens,
+         CAST(floor((sum(tokens) OVER (
+             PARTITION BY bucket ORDER BY tokens DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - tokens) / {_Q39_BUDGET}) AS BIGINT) AS bin
+  FROM d
+)
+SELECT bucket, bin, count(*) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS bin_tokens, min(doc_id) AS first_doc
+FROM binned
+GROUP BY bucket, bin
+"""
+
+
 def q45_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cosine >= 0.4), via LSH
     bucketing: deterministic hyperplane signatures bucket the corpus,
@@ -1504,6 +1564,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
     "q37_vocab_topk": (q37_vocab_topk, Q37_SQL),
     "q38_dataset_split": (q38_dataset_split, Q38_SQL),
+    "q39_sequence_packing": (q39_sequence_packing, Q39_SQL),
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
     "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),
