@@ -120,3 +120,54 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         " ",
     )
     return df.withColumn("fingerprint", F.md5(sorted_tokens))
+
+
+# ------------------------------------------------------------- redaction
+
+#: (label, pattern) — patterns restricted to syntax shared by Java
+#: regex and RE2 so any engine applies the same rules
+REDACTION_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    (
+        "ipv4",
+        r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    ),
+    # 7+ digit runs with optional separators: phone-number-shaped
+    ("phone", r"\+?\d[\d\- ()]{5,}\d"),
+]
+
+
+def redact(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "text_redacted",
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace every match of each
+    pattern with ``<LABEL>``, and count replacements per label
+    (``n_redactions`` total, ``redaction_counts`` map) so curation can
+    filter documents that are mostly PII.
+
+    Pure codegen projection — a chain of ``regexp_replace`` /
+    ``regexp_count`` over the scan, no shuffle, no Python."""
+    patterns = REDACTION_PATTERNS if patterns is None else patterns
+    redacted = F.col(text_col)
+    counts = []
+    for label, pattern in patterns:
+        counts.append(
+            (label, F.regexp_count(redacted, F.lit(pattern)).cast("long"))
+        )
+        redacted = F.regexp_replace(redacted, pattern, f"<{label.upper()}>")
+    total = None
+    for _, c in counts:
+        total = c if total is None else total + c
+    return df.withColumns(
+        {
+            out: redacted,
+            "n_redactions": total if total is not None else F.lit(0).cast("long"),
+            "redaction_counts": F.map_from_arrays(
+                F.array(*[F.lit(label) for label, _ in counts]),
+                F.array(*[c for _, c in counts]),
+            ),
+        }
+    )

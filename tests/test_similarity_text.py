@@ -186,3 +186,35 @@ def test_decode_media_real_path_raises(spark):
 
     with _pytest.raises(Exception):
         decode_media(media, fake=False).collect()
+
+
+def test_redact_patterns_and_counts(spark):
+    from defenda_data_lake_spark.operators.text import redact
+
+    df = spark.createDataFrame(
+        [
+            (0, "contact alice@example.com or 10.1.2.3 now"),
+            (1, "call +1 555-123-4567 twice: +1 555-123-4567"),
+            (2, "clean text only"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in redact(df).collect()}
+    assert rows[0]["text_redacted"] == "contact <EMAIL> or <IPV4> now"
+    assert rows[0]["redaction_counts"]["email"] == 1
+    assert rows[0]["redaction_counts"]["ipv4"] == 1
+    assert rows[0]["n_redactions"] == 2
+    assert rows[1]["text_redacted"] == "call <PHONE> twice: <PHONE>"
+    assert rows[1]["n_redactions"] == 2
+    assert rows[2]["text_redacted"] == "clean text only"
+    assert rows[2]["n_redactions"] == 0
+
+
+def test_redact_is_pure_jvm(spark):
+    from defenda_data_lake_spark.operators.text import redact
+
+    df = spark.createDataFrame([(0, "a@b.co")], ["doc_id", "text"])
+    out = redact(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
