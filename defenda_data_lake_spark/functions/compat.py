@@ -43,12 +43,15 @@ _COMPAT_FUNCTIONS: dict[str, str] = {
     # Presto: scalar-only extraction; NULL for object/array results.
     # Type-detected via variant (see module docstring) so string scalars
     # beginning with '{'/'[' survive.
+    # one LEFT(schema) membership test instead of two LIKEs keeps the
+    # document parse count at 2 per call (predicate + extraction);
+    # Catalyst does not CSE across CASE branches in a SQL function body
     "json_extract_scalar": """
         CREATE OR REPLACE TEMPORARY FUNCTION json_extract_scalar(js STRING, p STRING)
         RETURNS STRING
         RETURN CASE
-            WHEN schema_of_variant(try_variant_get(try_parse_json(js), p)) LIKE 'OBJECT%'
-              OR schema_of_variant(try_variant_get(try_parse_json(js), p)) LIKE 'ARRAY%'
+            WHEN left(schema_of_variant(try_variant_get(try_parse_json(js), p)), 6)
+                 IN ('OBJECT', 'ARRAY<')
             THEN CAST(NULL AS STRING)
             ELSE try_variant_get(try_parse_json(js), p, 'string')
         END

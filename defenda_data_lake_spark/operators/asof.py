@@ -56,6 +56,15 @@ def asof_join(
     tiebreak value wins."""
     keys = list(keys)
 
+    # SQL match semantics: a right row with a NULL time can never
+    # satisfy r.time <= l.time, and NULL keys never equi-match — drop
+    # them up front (otherwise NULL time sorts first in the window and
+    # its payload would leak into every row of the key)
+    null_free = F.col(time_col).isNotNull()
+    for key in keys:
+        null_free = null_free & F.col(key).isNotNull()
+    right = right.filter(null_free)
+
     # build the payload struct on the right and cast the left's NULL
     # literal to the same type so the union lines up
     right_payloaded = right.select(

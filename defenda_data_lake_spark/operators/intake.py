@@ -146,12 +146,15 @@ def decode_firehose_records(
     raw JSON event strings (reference processor.py:25-28 does exactly
     this per record; here it's one vectorized JVM expression).
     ``try_to_binary`` (not ``unbase64``) so malformed base64 decodes to
-    NULL per record instead of aborting the job under ANSI mode; the
-    downstream pipeline quarantines NULL raw as ProcessingFailed —
-    the reference's per-record failure handling (processor.py:58-66)."""
+    NULL per record, and ``try_validate_utf8`` (not ``decode``, which
+    raises MALFORMED_CHARACTER_CODING under ANSI) so valid base64 of
+    invalid UTF-8 also decodes to NULL per record — either way the
+    downstream pipeline quarantines NULL raw as ProcessingFailed,
+    matching the reference's per-record failure handling
+    (processor.py:58-66) instead of aborting the whole batch."""
     cols = [
-        F.decode(
-            F.try_to_binary(F.col(data_col), F.lit("base64")), "UTF-8"
+        F.try_validate_utf8(
+            F.try_to_binary(F.col(data_col), F.lit("base64")).cast("string")
         ).alias("raw")
     ]
     if source_col is not None:

@@ -58,14 +58,14 @@ def _loads(raw) -> Any:
 
 
 def _dumps(value: Any) -> str:
-    """Serialize with orjson (compact separators) when it can represent
-    the value; stdlib json covers the rest (huge ints, exotic keys)."""
-    if _orjson is not None:
-        try:
-            return _orjson.dumps(value, option=_orjson.OPT_NON_STR_KEYS).decode()
-        except Exception:
-            pass
-    return json.dumps(value)
+    """Serialize with stdlib json (compact separators).  NOT orjson:
+    orjson silently serializes NaN/Infinity floats as ``null`` instead
+    of raising, so the fallback never fires and detail values the
+    reference preserves (stdlib emits ``NaN``) would be corrupted; one
+    serializer also keeps the details encoding byte-identical across
+    hosts with and without orjson.  Parsing (``_loads``) is where the
+    orjson win is anyway."""
+    return json.dumps(value, separators=(",", ":"))
 
 
 class Plugin:

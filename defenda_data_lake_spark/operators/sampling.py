@@ -31,11 +31,18 @@ def hash_bucket(id_col: str | Column, salt: str = "") -> Column:
     return (F.conv(hexpart, 16, 10).cast("long") % BUCKETS).alias("bucket")
 
 
+def _threshold(fraction: float) -> int:
+    """Bucket threshold for a rate: rounded, not truncated —
+    ``int(0.043 * 10000)`` is 429 under binary floating point, which
+    would silently drop one whole bucket vs the intended 430."""
+    return round(fraction * BUCKETS)
+
+
 def hash_sample(
     df: DataFrame, id_col: str, fraction: float, salt: str = ""
 ) -> DataFrame:
     """Keep a deterministic ``fraction`` of rows by id hash."""
-    return df.filter(hash_bucket(id_col, salt) < int(fraction * BUCKETS))
+    return df.filter(hash_bucket(id_col, salt) < _threshold(fraction))
 
 
 def with_split(
@@ -50,7 +57,7 @@ def with_split(
     return df.withColumn(
         out,
         F.when(
-            hash_bucket(id_col, salt) < int(test_fraction * BUCKETS),
+            hash_bucket(id_col, salt) < _threshold(test_fraction),
             F.lit("test"),
         ).otherwise(F.lit("train")),
     )
@@ -69,15 +76,14 @@ def stratified_hash_sample(
     hash bucket — still a single narrow projection."""
     threshold = None
     for value, fraction in fractions.items():
-        case = F.when(
-            F.col(strata_col) == value, F.lit(int(fraction * BUCKETS))
-        )
-        threshold = case if threshold is None else threshold.when(
-            F.col(strata_col) == value, F.lit(int(fraction * BUCKETS))
+        cond = F.col(strata_col) == value
+        limit = F.lit(_threshold(fraction))
+        threshold = (
+            F.when(cond, limit) if threshold is None else threshold.when(cond, limit)
         )
     threshold = (
-        F.lit(int(default_fraction * BUCKETS))
+        F.lit(_threshold(default_fraction))
         if threshold is None
-        else threshold.otherwise(F.lit(int(default_fraction * BUCKETS)))
+        else threshold.otherwise(F.lit(_threshold(default_fraction)))
     )
     return df.filter(hash_bucket(id_col, salt) < threshold)

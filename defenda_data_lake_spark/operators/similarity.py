@@ -244,7 +244,16 @@ def ivf_topk(
     broadcast dim).  Scoring touches only the probed lists and emits
     partition-local top-k.  This is the standard billion-vector layout
     (FAISS IVF) expressed relationally."""
-    dim = len(corpus.select(vec_col).head()[0])
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    if len(q_ids) == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {id_t}, neighbor_id {id_t}, cosine double, rank int"
+        )
+    # dim comes from the already-collected query block — no extra
+    # head() job against the corpus (which would also crash on an
+    # empty corpus)
+    dim = Q.shape[1]
     # per-component means: one shuffle of (lists x dim) partial sums
     cent_rows = (
         corpus.groupBy(F.col(partition_col).alias("list_id"))
@@ -256,10 +265,12 @@ def ivf_topk(
         )
         .collect()
     )
+    if not cent_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {id_t}, neighbor_id {id_t}, cosine double, rank int"
+        )
     list_ids = [r["list_id"] for r in cent_rows]
     Cent = np.array([[r[f"m{i}"] for i in range(dim)] for r in cent_rows])
-
-    q_ids, Q = _collect_queries(queries, id_col, vec_col)
     # probe ranking: queries x lists is tiny; same (desc cosine, list_id)
     # tie-break the relational formulation used
     sims = (Q @ Cent.T) / np.outer(

@@ -44,15 +44,27 @@ def R(col, n: int):
 _T_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def clear_table_cache() -> None:
+    """Drop all cached table plans.  Call after regenerating parquet
+    under a previously-read path — a cached plan holds the file listing
+    resolved at read time and would otherwise scan the stale file set."""
+    _T_CACHE.clear()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Table reader with a per-session DataFrame cache: re-reading the
     same parquet path re-lists files and re-reads footers for schema
     inference on every call — a fixed per-query cost that adds up on
-    sub-second queries.  The cached object is a lazy plan, not data."""
+    sub-second queries.  The cached object is a lazy plan, not data
+    (see ``clear_table_cache`` for the stale-listing caveat)."""
     key = (id(spark), sf_dir, name)
     cached = _T_CACHE.get(key)
     if cached is not None:
         return cached
+    # entries from other sessions are dead weight (a stopped session's
+    # plans would otherwise stay pinned for the process lifetime)
+    for stale in [k for k in _T_CACHE if k[0] != id(spark)]:
+        del _T_CACHE[stale]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) → read as nanos long

@@ -35,14 +35,20 @@ def dedupe_stream(
 ) -> DataFrame:
     """Drop re-deliveries of the same ``keys`` arriving within
     ``watermark_delay`` of each other.  Works on batch DataFrames too
-    (plain ``dropDuplicates`` — batch has no horizon to bound)."""
+    (plain ``dropDuplicates`` — batch has no horizon to bound).
+
+    The output schema is the input schema, unchanged — the event-time
+    column the watermark needs is internal (underscore-named so it
+    can't clobber a caller's column) and dropped before returning."""
     df = events.withColumn(
-        "event_time", F.to_timestamp(F.col(event_time_col))
+        "_dedup_event_time", F.to_timestamp(F.col(event_time_col))
     )
     if df.isStreaming:
-        df = df.withWatermark("event_time", watermark_delay)
-        return df.dropDuplicatesWithinWatermark(list(keys))
-    return df.dropDuplicates(list(keys))
+        df = df.withWatermark("_dedup_event_time", watermark_delay)
+        deduped = df.dropDuplicatesWithinWatermark(list(keys))
+    else:
+        deduped = df.dropDuplicates(list(keys))
+    return deduped.drop("_dedup_event_time")
 
 
 def content_dedupe_stream(
@@ -53,15 +59,16 @@ def content_dedupe_stream(
 ) -> DataFrame:
     """Content-hash variant: dedup on a digest of the normalized text
     (the streaming twin of ``operators.dedup.exact_dedup``) rather than
-    an id — catches re-sends that minted fresh event ids."""
+    an id — catches re-sends that minted fresh event ids.  Schema is
+    the input schema, unchanged (the digest is internal)."""
     from defenda_data_lake_spark.operators.dedup import normalized_text
 
     df = events.withColumn(
-        "content_hash", F.md5(normalized_text(F.col(text_col)))
+        "_dedup_content_hash", F.md5(normalized_text(F.col(text_col)))
     )
     return dedupe_stream(
         df,
-        keys=("content_hash",),
+        keys=("_dedup_content_hash",),
         watermark_delay=watermark_delay,
         event_time_col=event_time_col,
-    )
+    ).drop("_dedup_content_hash")

@@ -17,16 +17,21 @@ from pyspark.sql import DataFrame
 
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition when the plan reads fewer input files
-    than (by default) the cluster's default parallelism.
+    """Round-robin repartition when the plan's input parallelism is
+    below (by default) the cluster's default parallelism.
 
-    Uses driver-side file metadata (``df.inputFiles()``), never
-    ``df.rdd.getNumPartitions()`` — converting the plan to an RDD just
-    to count partitions forces an extra plan translation per call, a
-    measurable fixed cost on sub-second queries.  File count
-    under-estimates split count for files larger than
-    ``maxPartitionBytes``, but any input that large is already parallel
-    enough for the guard to be a no-op by intent."""
+    Checks driver-side file metadata (``df.inputFiles()``) first, so
+    the common parquet-backed case never converts the plan to an RDD
+    (``df.rdd.getNumPartitions()`` forces an extra plan translation per
+    call — a measurable fixed cost on sub-second queries).  Plans with
+    no file leaves (``createDataFrame``, post-shuffle inputs) fall back
+    to the accurate RDD partition count rather than being repartitioned
+    blindly — an input already at or above the target must pass through
+    untouched (repartitioning it would add a full shuffle AND could
+    reduce its parallelism).  File count under-estimates split count
+    for files larger than ``maxPartitionBytes``, but any input that
+    large is already parallel enough for the guard to be a no-op by
+    intent."""
     import os
 
     try:
@@ -40,6 +45,12 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
         n_files = 0
     if 0 < target <= n_files:
         return df
+    if n_files == 0:
+        try:
+            if df.rdd.getNumPartitions() >= target > 0:
+                return df
+        except Exception:
+            pass  # Spark Connect: no RDD access; fall through and spread
     return df.repartition(target)
 
 

@@ -61,6 +61,30 @@ def test_asof_null_payload_is_still_a_match(spark):
     assert out["L2"] == ("R15", None)
 
 
+def test_asof_null_time_and_null_key_never_match(spark):
+    """SQL semantics: r.time <= l.time is never true for NULL time, and
+    NULL keys never equi-match — neither may leak payload."""
+    left = spark.createDataFrame(
+        [("u1", 10, "L1"), (None, 10, "Lnull"), ("u1", None, "Lnt")],
+        "key string, t int, lid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", None, "Rnull-t", 1.0), (None, 5, "Rnull-k", 2.0),
+         ("u1", 5, "R5", 3.0)],
+        "key string, t int, rid string, val double",
+    )
+    out = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, keys=["key"], time_col="t",
+            payload_cols=["rid"], tiebreak_col="rid",
+        ).collect()
+    }
+    assert out["L1"] == "R5"        # real match unaffected
+    assert out["Lnull"] is None     # NULL key: no equi-match
+    assert out["Lnt"] is None       # NULL left time: r.t <= NULL never true
+
+
 def test_asof_matches_bruteforce_on_random_data(spark):
     """Seeded random corpus vs a per-row brute-force reference: the
     union+window implementation must agree exactly, including ties and

@@ -66,3 +66,17 @@ def test_decode_firehose_malformed_base64_quarantined(spark):
     out = normalize_df(decode_firehose_records(df), raw_col="raw").collect()
     statuses = sorted(r["_status"] for r in out)
     assert statuses == [STATUS_OK, "ProcessingFailed"]
+
+
+def test_decode_firehose_invalid_utf8_quarantined(spark):
+    """VALID base64 of INVALID UTF-8 must also become a per-record NULL
+    (ANSI decode would raise MALFORMED_CHARACTER_CODING and abort the
+    whole batch)."""
+    rows = [
+        (base64.b64encode(json.dumps({"k": 1}).encode()).decode(),),
+        (base64.b64encode(b"\xff\xfe{bad}").decode(),),
+    ]
+    df = spark.createDataFrame(rows, ["data"])
+    out = normalize_df(decode_firehose_records(df), raw_col="raw").collect()
+    statuses = sorted(r["_status"] for r in out)
+    assert statuses == [STATUS_OK, "ProcessingFailed"]

@@ -58,6 +58,10 @@ def test_dedupe_stream_drops_redeliveries(spark, tmp_path):
             for r in spark.sql("SELECT eventid FROM dedup_out").collect()
         )
         assert ids == ["e1", "e2", "e3"]
+        # output schema is the input schema — no helper columns leak
+        assert spark.table("dedup_out").columns == [
+            "eventid", "utctimestamp", "summary",
+        ]
     finally:
         query.stop()
 
@@ -82,10 +86,13 @@ def test_content_dedupe_stream(spark, tmp_path):
     try:
         query.processAllAvailable()
         rows = spark.sql(
-            "SELECT eventid, content_hash FROM content_dedup_out"
+            "SELECT eventid, summary FROM content_dedup_out"
         ).collect()
         assert len(rows) == 2
-        assert len({r["content_hash"] for r in rows}) == 2
+        assert {r["summary"].lower().replace("  ", " ") for r in rows} == {
+            "alert fired",
+            "all quiet",
+        }
     finally:
         query.stop()
 
