@@ -371,6 +371,133 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------------ duplicate clusters
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    all_ids: DataFrame | None = None,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a pair list: every node gets the
+    MINIMUM id reachable from it as its component label — the step that
+    turns near-duplicate *pairs* (MinHash/SimHash/Jaccard output) into
+    duplicate *clusters* a corpus dedup can act on.
+
+    Returns ``(id, label)``; nodes from ``all_ids`` that appear in no
+    pair keep themselves as label (singleton clusters).
+
+    Algorithm: iterated min-label propagation with pointer jumping.
+    Each round runs (1) one-hop propagation — a node takes the min of
+    its own and its neighbors' labels (one equi-join on ``dst`` + one
+    keyed aggregation) — and (2) pointer jumping — ``label(v) :=
+    label(label(v))`` (one equi-join of the label table with itself).
+    Pointer jumping halves chain depth per round, so convergence is
+    O(log diameter) rounds, not O(diameter) — the same doubling idea as
+    the large-star/small-star MapReduce formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).  The
+    result is EXACT (fixed point: all neighbors share a label and every
+    label is a root), so the operator is oracle-checkable.
+
+    Scale notes (100 TB): every step is an equi-join or keyed
+    aggregation on the node id — hash-partitioned, no cross product,
+    no driver-side data.  The per-round driver collect is ONE scalar
+    (``sum(label)``, monotone non-increasing; a fixed point is reached
+    exactly when it stops falling).  Each round's label table is
+    ``localCheckpoint``-ed: without truncation the lineage doubles per
+    round and Catalyst re-analysis dominates.  Near-dup clusters in
+    real corpora have tiny diameters (most are cliques), so typical
+    round counts are 2-4."""
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # computed once, joined every round
+    )
+    nodes = edges.select(F.col("src").alias("id"))
+    if all_ids is not None:
+        first = all_ids.columns[0]
+        nodes = nodes.union(all_ids.select(F.col(first).cast("long").alias("id")))
+    labels = (
+        nodes.distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        lab = labels.alias("lab")
+        nbr_min = (
+            edges.alias("e")
+            .join(lab, F.col("e.dst") == F.col("lab.id"))
+            .groupBy(F.col("e.src").alias("nid"))
+            .agg(F.min("lab.label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.alias("l")
+            .join(nbr_min, F.col("l.id") == F.col("nid"), "left")
+            .select(
+                F.col("l.id").alias("id"),
+                F.least(
+                    F.col("l.label"),
+                    F.coalesce(F.col("nbr_label"), F.col("l.label")),
+                ).alias("label"),
+            )
+        )
+        # pointer jump: label(v) := label(label(v)).  Labels are always
+        # node ids, so the self-join key always resolves.
+        parent = stepped.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        labels = (
+            stepped.alias("s")
+            .join(parent, F.col("s.label") == F.col("pid"), "left")
+            .select(
+                F.col("s.id").alias("id"),
+                F.coalesce(F.col("plabel"), F.col("s.label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("label")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-document duplicate-cluster assignment from a near-dup pair
+    list: ``(doc_id, cluster_id, cluster_size, is_canonical)`` where
+    ``cluster_id`` is the component's min doc id and the canonical row
+    (``is_canonical = 1``) is the one a dedup keeps.  Documents in no
+    pair are their own singleton cluster.
+
+    ``anti-join df against (is_canonical = 0)`` — or equivalently
+    filter this mapping — materializes the deduplicated corpus."""
+    labels = connected_components(
+        pairs, id_a=id_a, id_b=id_b, all_ids=df.select(id_col)
+    )
+    sized = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sized, "label")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size"),
+            (F.col("id") == F.col("label")).cast("int").alias("is_canonical"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 

@@ -841,8 +841,9 @@ def q31_dedup_minhash(spark, sf_dir):
     return D.minhash_lsh_candidates(docs, num_hashes=8, bands=2, shingle_n=3)
 
 
-Q31_SQL = f"""
-WITH {_SHINGLES_SQL},
+# the MinHash CTE chain and pair select are shared by Q31 (the pair
+# list) and Q49 (connected components over the same pairs)
+_MINHASH_CTES_SQL = f"""{_SHINGLES_SQL},
 sigs AS (
   SELECT doc_id,
          {", ".join(
@@ -855,10 +856,51 @@ bands AS (
   SELECT doc_id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS band_sig FROM sigs
   UNION ALL
   SELECT doc_id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS band_sig FROM sigs
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+)"""
+
+_MINHASH_PAIRS_SELECT = """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id"""
+
+Q31_SQL = f"""
+WITH {_MINHASH_CTES_SQL}
+{_MINHASH_PAIRS_SELECT}
+"""
+
+
+def q49_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: MinHash+LSH near-dup pairs →
+    connected components (iterated min-label propagation with pointer
+    jumping, O(log diameter) rounds) → per-doc cluster assignment with
+    the min-id canonical representative.  The step between "pairs" and
+    "a deduplicated corpus".
+
+    Scale: every round is an equi-join/keyed agg on the node id; the
+    only driver traffic is one scalar per round.  Exact — the oracle
+    replays reachability with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs, num_hashes=8, bands=2, shingle_n=3)
+    return D.duplicate_clusters(docs, pairs)
+
+
+Q49_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES_SQL},
+pairs AS ({_MINHASH_PAIRS_SELECT}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+),
+lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM lab
 """
 
 
@@ -1570,6 +1612,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
     "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
     "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
+    "q49_dup_clusters": (q49_dup_clusters, Q49_SQL),
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),
