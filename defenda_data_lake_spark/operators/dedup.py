@@ -371,6 +371,61 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------------- decontamination
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Train/test contamination report: for every (train doc, test doc)
+    pair sharing at least one word ``n``-gram, the count of shared
+    distinct n-grams and the fraction of the TEST doc's n-gram set they
+    cover — the standard eval-decontamination primitive (long n-grams,
+    n≈8-13, so incidental phrase reuse doesn't flag).
+
+    Returns ``(train_doc, test_doc, n_shared, test_overlap)``.
+
+    Scale notes (100 TB): inverted-index equi-join on the 64-bit
+    shingle hash — never a cross product.  The test side (an eval
+    suite) is typically millions of times smaller than the training
+    corpus, so its postings broadcast and the train corpus streams
+    through map-side; at worst it's one hash-partitioned join keyed by
+    shingle.  Long n-grams make ubiquitous shingles rare, but
+    ``max_shingle_docs`` (applied to the TRAIN posting lists, document
+    frequency within train) is available for degenerate boilerplate."""
+    tp = word_shingle_postings(train, text_col, id_col, n).select(
+        F.col("id").alias("train_doc"), "shingle"
+    )
+    if max_shingle_docs is not None:
+        tp = tp.withColumn(
+            "df_", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("df_") <= max_shingle_docs).drop("df_")
+    sp = word_shingle_postings(test, text_col, id_col, n).select(
+        F.col("id").alias("test_doc"),
+        "shingle",
+        F.col("set_size").alias("test_size"),
+    )
+    return (
+        tp.join(sp, "shingle")
+        .groupBy("train_doc", "test_doc")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min("test_size").alias("test_size"),
+        )
+        .select(
+            "train_doc",
+            "test_doc",
+            "n_shared",
+            (F.col("n_shared") / F.col("test_size")).alias("test_overlap"),
+        )
+    )
+
+
 # ------------------------------------------------------ duplicate clusters
 
 

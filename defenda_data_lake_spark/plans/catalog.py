@@ -904,6 +904,159 @@ FROM lab
 """
 
 
+def q50_tfidf(spark, sf_dir):
+    """TF-IDF term scoring over the corpus: per (doc, term) weights for
+    salient repeated terms (tf >= 3), with smoothed idf
+    ``ln((N+1)/(df+1)) + 1``.
+
+    Scale: two hash aggregations with map-side partial combine (tf,
+    then df over the tf table) + one shuffle join keyed by term — the
+    document-frequency table is vocabulary-sized, orders of magnitude
+    smaller than the postings, so AQE broadcasts it when it fits.  The
+    corpus-size scalar is a broadcast single-row cross join, never a
+    driver round-trip inside the plan."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.filter(F.col("tf") >= 3)
+        .join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            R(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+
+
+Q50_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words WHERE length(word) > 0 GROUP BY 1, 2
+),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, word, tf, df,
+       round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+FROM tf JOIN dfreq USING (word) CROSS JOIN n
+WHERE tf >= 3
+"""
+
+
+#: q38/q51 share this deterministic split predicate (sampling.hash_bucket)
+_SPLIT_TEST_SQL = (
+    "CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) "
+    "AS BIGINT) % 10000 < 1000"
+)
+
+
+def q51_decontamination(spark, sf_dir):
+    """Eval decontamination: 8-gram overlap between the deterministic
+    10% test split and the training split — which train docs leak which
+    test docs, and how much of each test doc's 8-gram set is covered.
+    Composition of two first-class operators (hash split + inverted-
+    index n-gram join); the oracle replays both bit-for-bit."""
+    from defenda_data_lake_spark.operators.sampling import with_split
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = with_split(docs, "doc_id", test_fraction=0.1, salt="split")
+    train = tagged.filter(F.col("split") == "train")
+    test = tagged.filter(F.col("split") == "test")
+    out = D.ngram_contamination(train, test, n=8)
+    return out.select(
+        "train_doc", "test_doc", "n_shared", R("test_overlap", 4).alias("test_overlap")
+    )
+
+
+Q51_SQL = f"""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN {_SPLIT_TEST_SQL} THEN 'test' ELSE 'train' END AS split,
+         string_split({_NORM_SQL}, ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, split,
+         unnest(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+                               i -> array_to_string(w[i:i+7], ' '))) AS g
+  FROM tagged
+),
+sh AS (SELECT DISTINCT doc_id, split, md5_number_upper(g) AS shingle FROM grams),
+sizes AS (SELECT doc_id, count(*) AS test_size FROM sh WHERE split = 'test' GROUP BY doc_id),
+hits AS (
+  SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc, count(*) AS n_shared
+  FROM sh tr JOIN sh te ON tr.shingle = te.shingle AND tr.split = 'train' AND te.split = 'test'
+  GROUP BY 1, 2
+)
+SELECT train_doc, test_doc, n_shared,
+       round(CAST(n_shared AS DOUBLE) / test_size, 4) AS test_overlap
+FROM hits JOIN sizes ON hits.test_doc = sizes.doc_id
+"""
+
+
+_Q52_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
+_Q52_DEFAULT_FRACTION = 0.1
+
+
+def q52_stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling: keep 100% of src0, 50% of
+    src1, 20% of src2, 10% of everything else (the keep-rare-sources /
+    downsample-the-crawl pattern).  The membership test is one narrow
+    codegen expression on (id, source) — no shuffle before the summary
+    group-by, reproducible in any engine with md5."""
+    from defenda_data_lake_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs,
+        "doc_id",
+        "source",
+        _Q52_FRACTIONS,
+        default_fraction=_Q52_DEFAULT_FRACTION,
+        salt="strat",
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
+Q52_SQL = f"""
+SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM (
+  SELECT source, n_chars,
+         CAST('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 10000 AS bucket
+  FROM documents
+) t
+WHERE bucket < CASE source
+  {" ".join(f"WHEN '{s}' THEN {round(f * 10000)}" for s, f in _Q52_FRACTIONS.items())}
+  ELSE {round(_Q52_DEFAULT_FRACTION * 10000)} END
+GROUP BY source
+"""
+
+
 _Q32_MAX_SHINGLE_DOCS = 1000
 
 
@@ -1613,6 +1766,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
     "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
     "q49_dup_clusters": (q49_dup_clusters, Q49_SQL),
+    "q50_tfidf": (q50_tfidf, Q50_SQL),
+    "q51_decontamination": (q51_decontamination, Q51_SQL),
+    "q52_stratified_sample": (q52_stratified_sample, Q52_SQL),
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),

@@ -104,3 +104,42 @@ def test_simhash_deterministic_and_near(docs):
     }
     assert pairs[(1, 2)] == 0
     assert (1, 5) not in pairs
+
+
+def test_ngram_contamination_plants_a_leak(spark):
+    from defenda_data_lake_spark.operators.dedup import ngram_contamination
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix words here {leak} and trailing content"),
+            (2, "completely unrelated training text with many different words"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, leak), (101, "nothing shared with anything at all here")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["train_doc"], r["test_doc"]): (r["n_shared"], r["test_overlap"])
+        for r in ngram_contamination(train, test, n=8).collect()
+    }
+    # test doc 100 has 10 words -> 3 distinct 8-grams, all present in train doc 1
+    assert set(rows) == {(1, 100)}
+    n_shared, overlap = rows[(1, 100)]
+    assert n_shared == 3
+    assert overlap == 1.0
+
+
+def test_ngram_contamination_train_guard(spark):
+    from defenda_data_lake_spark.operators.dedup import ngram_contamination
+
+    boiler = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [(i, boiler) for i in range(5)], "doc_id long, text string"
+    )
+    test = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
+    # ubiquitous boilerplate: guard drops posting lists longer than 2
+    assert ngram_contamination(train, test, n=8, max_shingle_docs=2).count() == 0
+    assert ngram_contamination(train, test, n=8).count() == 5
