@@ -76,6 +76,10 @@ def test_q16_range_join_partitions_on_equi_key(spark):
     # range predicate as join condition — NOT a cartesian product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the 300s-bucket key rides in the equi part (interval-bucketed
+    # join): candidates are same-or-adjacent-bucket pairs, not all
+    # same-user pairs (66x fewer at sf0.1)
+    assert "bk" in plan
 
 
 def test_q40_no_join_no_corpus_shuffle(spark):
