@@ -122,16 +122,21 @@ def main() -> None:
         fn, _ = CATALOG[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in headline_queries():
-        fn, _ = CATALOG[name]
-        best = float("inf")
-        for _ in range(5):  # best-of-5 after warmup: the box is shared,
-            # so the min is the steady-state signal under co-load noise
+    # best-of-8 after warmup, with the rounds INTERLEAVED across
+    # queries: the box is shared and co-load arrives in bursts that
+    # outlast several back-to-back reps of one query, so consecutive
+    # repetition lets a burst poison every sample of whichever query
+    # it lands on.  Round-robin spreads each query's samples over
+    # the whole bench window; the per-query min then reflects steady
+    # state unless a burst spans the entire bench.
+    best: dict[str, float] = {name: float("inf") for name in headline_queries()}
+    for _ in range(8):
+        for name in headline_queries():
+            fn, _ = CATALOG[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            best[name] = min(best[name], time.perf_counter() - t0)
+    timings: dict[str, float] = {name: round(v, 3) for name, v in best.items()}
 
     timings["ingest_100k"] = round(
         min(_bench_ingest(spark, n_events=100_000) for _ in range(3)), 3
