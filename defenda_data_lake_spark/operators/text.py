@@ -171,3 +171,103 @@ def redact(
             ),
         }
     )
+
+
+# --------------------------------------------- repetition / LM quality
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals in the style of the Gopher
+    corpus filters: the fraction of repeated words and repeated word
+    bigrams per document (0 = all distinct, →1 = pure repetition).
+    High values flag boilerplate, keyword stuffing, and generation
+    loops — standard pre-training corpus filters.
+
+    Scale notes (100 TB): shuffle-free narrow projection.  The bigram
+    list is built with an O(L) ``transform`` over word positions —
+    an interpreted lambda, but linear per row and evaluated on the
+    scan side; the alternative (posexplode → window over doc_id →
+    two aggregations) pushes a ~100x row expansion through an
+    exchange, which loses at any scale.  (This is unlike the O(L²)
+    slice-based shingle HOF rejected in operators/dedup.py — linear
+    HOFs over short arrays are fine; quadratic ones are not.)
+    """
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tmp = df.withColumn("_w", w).withColumn("_nw", F.size(F.col("_w")))
+    bigrams = F.when(
+        F.col("_nw") >= 2,
+        F.expr(
+            "transform(sequence(1, size(_w) - 1),"
+            " i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tmp = tmp.withColumn("_bg", bigrams)
+    return (
+        tmp.withColumn("n_words", F.col("_nw").cast("long"))
+        .withColumn(
+            "word_rep_frac",
+            F.lit(1.0)
+            - F.size(F.array_distinct(F.col("_w")))
+            / F.col("_nw").cast("double"),
+        )
+        .withColumn(
+            "bigram_rep_frac",
+            F.when(
+                F.size(F.col("_bg")) > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct(F.col("_bg")))
+                / F.size(F.col("_bg")).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_w", "_nw", "_bg")
+    )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Mean log probability of a document's words under the corpus's
+    own unigram language model — the CCNet-style LM quality signal
+    (documents far below the corpus mean are gibberish / OCR noise;
+    far above are boilerplate).  Returns (id, n_words, avg_logp)
+    with ``avg_logp`` UNROUNDED (callers round for cross-engine
+    comparison).
+
+    Scale notes (100 TB): the corpus pass is one explode + one
+    hash-aggregation on ``word`` (map-side partial combine absorbs
+    the Zipf head — every task pre-aggregates its own 'the').  The
+    score pass joins word occurrences back to the vocabulary: the
+    vocabulary is Zipf-bounded (~10⁷ entries for web-scale corpora,
+    ~hundreds of MB), millions of times smaller than the corpus, so
+    ``broadcast_vocab=True`` makes it a map-side join with NO shuffle
+    of the corpus and no hot-key skew ('the' never converges on one
+    task).  If the vocabulary outgrows executor memory, pass False:
+    the join becomes hash-partitioned on word, where AQE's skew-join
+    splitting handles the stopword keys."""
+    words = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("wc"))
+    # the single-row total rides in via a broadcast nested-loop of one
+    # row; the underlying groupBy(word) shuffle is shared with the
+    # vocabulary join via exchange reuse
+    totals = F.broadcast(counts.agg(F.sum("wc").alias("total_words")))
+    if broadcast_vocab:
+        counts = F.broadcast(counts)
+    return (
+        words.join(counts, "word")
+        .crossJoin(totals)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.avg(
+                F.log(F.col("wc").cast("double") / F.col("total_words"))
+            ).alias("avg_logp"),
+        )
+    )

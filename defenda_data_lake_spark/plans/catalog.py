@@ -1152,6 +1152,73 @@ GROUP BY source
 """
 
 
+def q53_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality filters: repeated-word and
+    repeated-bigram fractions per document (operators/text.py
+    ``repetition_signals`` has the scale notes — shuffle-free linear
+    projection)."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.repetition_signals(docs).select(
+        "doc_id",
+        "n_words",
+        R("word_rep_frac", 6).alias("word_rep_frac"),
+        R("bigram_rep_frac", 6).alias("bigram_rep_frac"),
+    )
+
+
+Q53_SQL = r"""
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(1 - CAST(len(list_distinct(w)) AS DOUBLE) / n_words, 6)
+           AS word_rep_frac,
+       CASE WHEN len(bg) > 0
+            THEN round(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+            ELSE 0.0 END AS bigram_rep_frac
+FROM (
+  SELECT doc_id, w, len(w) AS n_words,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(generate_series(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i + 1])
+              ELSE [] END AS bg
+  FROM (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+    FROM documents
+  )
+)
+"""
+
+
+def q54_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality signal: mean log probability of each
+    document's words under the corpus's own unigram model
+    (operators/text.py ``unigram_logprob_scores`` has the scale notes —
+    map-side broadcast of the Zipf-bounded vocabulary, no corpus
+    shuffle, no stopword hot keys)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = X.unigram_logprob_scores(docs)
+    return scored.select(
+        "doc_id",
+        "n_words",
+        R("avg_logp", 4).alias("avg_logp"),
+    )
+
+
+Q54_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+  FROM documents
+),
+counts AS (SELECT word, count(*) AS wc FROM words GROUP BY word),
+tot AS (SELECT sum(wc) AS total_words FROM counts)
+SELECT doc_id,
+       count(*) AS n_words,
+       round(avg(ln(CAST(wc AS DOUBLE) / total_words)), 4) AS avg_logp
+FROM words JOIN counts USING (word), tot
+GROUP BY doc_id
+"""
+
+
 _Q32_MAX_SHINGLE_DOCS = 1000
 
 
@@ -1864,6 +1931,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q50_tfidf": (q50_tfidf, Q50_SQL),
     "q51_decontamination": (q51_decontamination, Q51_SQL),
     "q52_stratified_sample": (q52_stratified_sample, Q52_SQL),
+    "q53_repetition_signals": (q53_repetition_signals, Q53_SQL),
+    "q54_unigram_logprob": (q54_unigram_logprob, Q54_SQL),
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),
