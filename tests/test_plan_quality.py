@@ -166,3 +166,22 @@ def test_events_table_partition_pruning(spark, tmp_path):
     )
     assert "PartitionFilters" in plan
     spark.sql("DROP TABLE IF EXISTS defenda_data_lake.events")
+
+
+def test_q53_repetition_is_shuffle_free(spark):
+    # repetition signals are a narrow linear projection: no Exchange,
+    # no Python stage — the 100 TB claim in operators/text.py
+    plan = plan_of(spark, "q53_repetition_signals")
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q54_vocab_join_broadcasts(spark):
+    # the corpus-side join to the unigram vocabulary must be broadcast
+    # (map-side, no corpus shuffle, no stopword hot keys); the only
+    # hash-partitioned exchanges are the two aggregations
+    plan = plan_of(spark, "q54_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
