@@ -130,17 +130,17 @@ def main() -> None:
     # the whole bench window; the per-query min then reflects steady
     # state unless a burst spans the entire bench.
     best: dict[str, float] = {name: float("inf") for name in headline_queries()}
-    for _ in range(8):
+    ingest_best = float("inf")
+    for rnd in range(8):
         for name in headline_queries():
             fn, _ = CATALOG[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best[name] = min(best[name], time.perf_counter() - t0)
+        if rnd in (1, 4, 7):  # the 3 ingest reps spread across the window too
+            ingest_best = min(ingest_best, _bench_ingest(spark, n_events=100_000))
     timings: dict[str, float] = {name: round(v, 3) for name, v in best.items()}
-
-    timings["ingest_100k"] = round(
-        min(_bench_ingest(spark, n_events=100_000) for _ in range(3)), 3
-    )
+    timings["ingest_100k"] = round(ingest_best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
