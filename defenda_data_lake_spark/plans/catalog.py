@@ -1219,6 +1219,157 @@ GROUP BY doc_id
 """
 
 
+def q55_group_sample(spark, sf_dir):
+    """Deterministic per-group subsample: the 50 documents per source
+    with the smallest md5-derived sample key — reproducible
+    domain-balanced subsampling (every engine and every run picks the
+    same rows, unlike rand()-based sampling).
+
+    Scale notes (100 TB): one hash shuffle on ``source``.  The
+    ``row_number <= k`` filter over the window plans as
+    WindowGroupLimit (plan-asserted): every map task keeps only its
+    own top-k per group BEFORE the exchange, so the shuffle carries
+    O(groups x k) rows per task, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("smp"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 50)
+        .select(
+            "doc_id",
+            "source",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+        )
+    )
+
+
+Q55_SQL = """
+SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('smp' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 50
+"""
+
+
+def q56_contrastive_pairs(spark, sf_dir):
+    """Contrastive training-pair mining over the embedding table: for
+    each query vector, the hardest POSITIVE (most-similar vector with
+    the same label) and a deterministic hash-sampled NEGATIVE from a
+    different label — the (anchor, positive, negative) triplets a
+    contrastive/embedding trainer consumes.
+
+    Scale notes (100 TB): the query block broadcasts (bounded, like
+    q40); the corpus streams map-side through both the same-label
+    equi-join (positives) and the label-inequality nested-loop
+    (negatives, against the 5-row broadcast).  The per-query argmax
+    is a WindowGroupLimit-able rank-1 window.  For corpus-x-corpus
+    mining swap the exact positive scan for the LSH/IVF candidate
+    paths (q41/q46) — same downstream shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    pos_pairs = S.with_cosine(
+        q.join(
+            c,
+            (F.col("qlabel") == F.col("clabel"))
+            & (F.col("query_id") != F.col("cand_id")),
+        ),
+        "qv",
+        "cv",
+        out="cosine",
+    )
+    wpos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    pos = (
+        pos_pairs.withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("pos_id"),
+            R("cosine", 6).alias("pos_cosine"),
+        )
+    )
+    neg_key = F.md5(
+        F.concat(
+            F.lit("neg"),
+            F.col("query_id").cast("string"),
+            F.lit(":"),
+            F.col("cand_id").cast("string"),
+        )
+    )
+    wneg = Window.partitionBy("query_id").orderBy(neg_key.asc(), F.col("cand_id"))
+    neg = (
+        q.select("query_id", "qlabel")
+        .join(
+            c.select("cand_id", "clabel"), F.col("qlabel") != F.col("clabel")
+        )
+        .withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("cand_id").alias("neg_id"))
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id", "pos_id", "pos_cosine", "neg_id"
+    )
+
+
+Q56_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         label AS qlabel
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv,
+         label AS clabel
+  FROM embeddings
+),
+pos AS (
+  SELECT query_id, cand_id AS pos_id, round(cosine, 6) AS pos_cosine
+  FROM (
+    SELECT q.query_id, c.cand_id,
+           list_cosine_similarity(qv, cv) AS cosine,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(qv, cv) DESC, c.cand_id
+           ) AS rn
+    FROM q JOIN c ON q.qlabel = c.clabel AND q.query_id <> c.cand_id
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT query_id, cand_id AS neg_id
+  FROM (
+    SELECT q.query_id, c.cand_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY md5('neg' || CAST(q.query_id AS VARCHAR) || ':'
+                          || CAST(c.cand_id AS VARCHAR)), c.cand_id
+           ) AS rn
+    FROM q JOIN c ON q.qlabel <> c.clabel
+  ) WHERE rn = 1
+)
+SELECT query_id, pos_id, pos_cosine, neg_id
+FROM pos JOIN neg USING (query_id)
+"""
+
+
 _Q32_MAX_SHINGLE_DOCS = 1000
 
 
@@ -1933,6 +2084,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q52_stratified_sample": (q52_stratified_sample, Q52_SQL),
     "q53_repetition_signals": (q53_repetition_signals, Q53_SQL),
     "q54_unigram_logprob": (q54_unigram_logprob, Q54_SQL),
+    "q55_group_sample": (q55_group_sample, Q55_SQL),
+    "q56_contrastive_pairs": (q56_contrastive_pairs, Q56_SQL),
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),
