@@ -148,11 +148,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         del _T_CACHE[stale]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) → read as nanos long
-        # (session sets nanosAsLong), truncated to micros here.  Integer
-        # `div` keeps full precision (a double division would round at
-        # the 2^53 boundary).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # Normalize events.ts to session-tz TIMESTAMP regardless of how
+        # the driver generated the parquet: TIMESTAMP(NANOS) arrives as a
+        # nanos long (session sets nanosAsLong; integer `div` keeps full
+        # precision where a double division would round past 2^53),
+        # TIMESTAMP(MICROS) without the UTC flag arrives as
+        # TIMESTAMP_NTZ.  Session tz is pinned to UTC, so the NTZ→LTZ
+        # cast is value-identical and keeps every downstream expression
+        # (unix_timestamp, date_trunc, interval arithmetic) on the same
+        # semantics as the DuckDB oracle, which reads the file natively.
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _T_CACHE[key] = df
     return df
 
