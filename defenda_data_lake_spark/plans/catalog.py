@@ -147,21 +147,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for stale in [k for k in _T_CACHE if k[0] != id(spark)]:
         del _T_CACHE[stale]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # Normalize events.ts to session-tz TIMESTAMP regardless of how
-        # the driver generated the parquet: TIMESTAMP(NANOS) arrives as a
-        # nanos long (session sets nanosAsLong; integer `div` keeps full
-        # precision where a double division would round past 2^53),
-        # TIMESTAMP(MICROS) without the UTC flag arrives as
-        # TIMESTAMP_NTZ.  Session tz is pinned to UTC, so the NTZ→LTZ
-        # cast is value-identical and keeps every downstream expression
-        # (unix_timestamp, date_trunc, interval arithmetic) on the same
-        # semantics as the DuckDB oracle, which reads the file natively.
-        ts_type = df.schema["ts"].dataType.typeName()
-        if ts_type in ("long", "bigint"):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type != "timestamp":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Normalize timestamp physical encodings regardless of how the
+    # testdata generator wrote the parquet (it has changed between
+    # rounds): TIMESTAMP(NANOS) arrives as a nanos long (session sets
+    # nanosAsLong; integer `div` keeps full precision where a double
+    # division would round past 2^53), TIMESTAMP(MICROS) without the
+    # UTC flag arrives as TIMESTAMP_NTZ.  Session tz is pinned to UTC,
+    # so the NTZ→LTZ cast is value-identical and keeps every downstream
+    # expression (unix_timestamp, date_trunc, interval arithmetic) on
+    # the same semantics as the DuckDB oracle, which reads the file
+    # natively.  Applied to every known timestamp column of every
+    # table, so a generator change can't break analysis again.
+    ts_cols = {
+        "events": ["ts"],
+        "orders": ["o_orderdate"],
+        "lineitem": ["l_shipdate"],
+    }.get(name, [])
+    for c in ts_cols:
+        t = df.schema[c].dataType.typeName()
+        if t in ("long", "bigint"):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif t != "timestamp":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     _T_CACHE[key] = df
     return df
 
