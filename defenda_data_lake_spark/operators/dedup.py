@@ -380,6 +380,109 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Near-containment pairs: ``containment = |A ∩ B| / min(|A|, |B|)``
+    over word-n-gram shingle sets, keeping pairs at or above
+    ``threshold``.  Catches a document embedded inside a larger one
+    (quotes, concatenated crawls, page-plus-boilerplate) that Jaccard
+    misses — a small doc fully contained in a big one has high
+    containment but low Jaccard.
+
+    Same bucket-grouped plan shape as ``ngram_jaccard_pairs`` (one hash
+    aggregation on shingle, JVM-side pair expansion, one pair
+    aggregation).  There is no size-ratio prune here — containment is
+    size-asymmetric by design, so no pair can be excluded by sizes
+    alone."""
+    from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
+
+    postings = word_shingle_postings(df, text_col, id_col, shingle_n)
+    grouped = (
+        postings.repartition(scaled_keyed_partitions(df), "shingle")
+        .groupBy("shingle")
+        .agg(F.collect_list(F.struct("id", "set_size")).alias("lst"))
+        .filter(F.size("lst") >= 2)
+    )
+    if max_shingle_docs is not None:
+        grouped = grouped.filter(F.size("lst") <= max_shingle_docs)
+    pairs = (
+        grouped.select(F.explode("lst").alias("a"), "lst")
+        .select("a", F.explode("lst").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count("*").alias("inter_size"),
+            F.min(F.col("a.set_size")).alias("size_a"),
+            F.min(F.col("b.set_size")).alias("size_b"),
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter_size")
+            / F.least(F.col("size_a"), F.col("size_b")).cast("double")
+        ).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: of a document's distinct shingles,
+    how many appear in NO document with a smaller id — the standard
+    incremental-dedup signal for ordered corpora (crawl snapshots,
+    dated dumps): a document whose shingles are all already claimed by
+    earlier documents adds nothing to the corpus.
+
+    Returns ``(doc_id, n_shingles, n_novel, novelty_frac)`` for every
+    document with at least one shingle.
+
+    Scale notes (100 TB): the shingle kernel runs ONCE; one hash
+    aggregation per shingle claims each shingle for its minimum doc id
+    (map-side partial min absorbs hot shingles), then the exploded
+    claims aggregate per document.  Two narrow shuffles total, both on
+    fixed-width longs."""
+    from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
+
+    postings = word_shingle_postings(df, text_col, id_col, shingle_n)
+    grouped = (
+        postings.repartition(scaled_keyed_partitions(df), "shingle")
+        .groupBy("shingle")
+        .agg(
+            F.collect_list("id").alias("ids"),
+            F.min("id").alias("first_doc"),
+        )
+    )
+    per_doc = (
+        grouped.select(F.explode("ids").alias("doc_id"), "first_doc")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (F.col("n_novel") / F.col("n_shingles").cast("double")).alias(
+            "novelty_frac"
+        ),
+    )
+
+
 # ------------------------------------------------------- decontamination
 
 

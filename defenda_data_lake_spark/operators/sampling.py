@@ -87,3 +87,64 @@ def stratified_hash_sample(
         else threshold.otherwise(F.lit(_threshold(default_fraction)))
     )
     return df.filter(hash_bucket(id_col, salt) < threshold)
+
+
+def temperature_resample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    target_fraction: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """α=0.5 temperature rebalancing of a grouped corpus (the
+    multilingual/multi-domain pre-training mix recipe): per-group keep
+    rates are proportional to ``sqrt(n_g)/n_g`` so over-represented
+    groups are downsampled toward a flatter mix while the total kept
+    volume targets ``target_fraction`` of the corpus.  Membership is
+    the same deterministic md5 bucket as every sampler here, so the
+    draw is reproducible in any engine.
+
+    Appends ``rate`` (the group's keep rate) and ``keep`` (0/1).
+
+    Cross-engine float determinism: group weights are quantized to
+    integer micro-units (``floor(sqrt(n_g) * 1e6)``) so their SUM is
+    exact integer arithmetic — a floating sum's value depends on
+    accumulation order, which no distributed engine guarantees.  The
+    remaining per-group expression is a fixed left-to-right chain of
+    IEEE-exact ops (sqrt, *, /), identical in Spark and the SQL oracle.
+
+    Scale notes (100 TB): group stats are one tiny aggregation (rows =
+    number of groups); the totals reduce to ONE row, cross-joined back
+    by broadcast; the rate table broadcast-joins onto the corpus by
+    group key.  The corpus itself is never shuffled — scan, map-side
+    join, filter."""
+    stats = df.groupBy(group_col).agg(F.count("*").alias("_n_g"))
+    stats = stats.withColumn(
+        "_w_g",
+        F.floor(F.sqrt(F.col("_n_g").cast("double")) * F.lit(1_000_000.0)).cast(
+            "long"
+        ),
+    )
+    totals = F.broadcast(
+        stats.agg(
+            F.sum("_n_g").alias("_n_total"), F.sum("_w_g").alias("_sum_w")
+        )
+    )
+    rates = stats.crossJoin(totals).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(target_fraction)
+            * F.col("_n_total")
+            * F.col("_w_g")
+            / F.col("_sum_w")
+            / F.col("_n_g"),
+        ).alias("rate"),
+    )
+    return df.join(F.broadcast(rates), group_col).withColumn(
+        "keep",
+        (
+            hash_bucket(id_col, salt)
+            < F.floor(F.col("rate") * F.lit(float(BUCKETS))).cast("long")
+        ).cast("int"),
+    )

@@ -271,3 +271,59 @@ def unigram_logprob_scores(
             ).alias("avg_logp"),
         )
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stop_frac: float = 0.02,
+    max_word_rep_frac: float = 0.6,
+) -> DataFrame:
+    """Gopher/C4-style rule-based document filter: each rule becomes an
+    explicit 0/1 flag plus a combined ``keep``, so a curation pipeline
+    can both filter and audit rejection reasons (the standard
+    pre-training corpus recipe: length band, mean-word-length band,
+    stopword floor, repetition ceiling).
+
+    Flags are integers, not booleans, so every engine's client surface
+    (pandas, Arrow, JDBC) agrees on the column type.
+
+    Scale notes (100 TB): shuffle-free narrow projection over the text
+    column — runs at parquet-scan speed, prunes every other column,
+    and composes with any downstream filter pushdown.  All arithmetic
+    is reproducible in ANSI SQL (the DuckDB oracle replays it)."""
+    stop_markers = sorted({m for ms in LANGUAGE_MARKERS.values() for m in ms})
+    w = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    tmp = df.withColumn("_w", w).withColumn(
+        "_nw", F.size(F.col("_w")).cast("long")
+    )
+    norm_len = F.length(F.array_join(F.col("_w"), " "))
+    mean_word_len = (norm_len - (F.col("_nw") - 1)) / F.col("_nw")
+    stop_frac = (
+        F.size(F.filter(F.col("_w"), lambda t: t.isin(stop_markers)))
+        / F.col("_nw").cast("double")
+    )
+    word_rep_frac = (
+        F.lit(1.0)
+        - F.size(F.array_distinct(F.col("_w"))) / F.col("_nw").cast("double")
+    )
+    flags = {
+        "ok_n_words": (F.col("_nw") >= min_words) & (F.col("_nw") <= max_words),
+        "ok_mean_word_len": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "ok_stop_frac": stop_frac >= min_stop_frac,
+        "ok_word_rep": word_rep_frac <= max_word_rep_frac,
+    }
+    out = tmp.withColumn("n_words", F.col("_nw"))
+    out = out.withColumn("mean_word_len", mean_word_len)
+    out = out.withColumn("stop_frac", stop_frac)
+    out = out.withColumn("word_rep_frac", word_rep_frac)
+    keep = None
+    for name, cond in flags.items():
+        out = out.withColumn(name, cond.cast("int"))
+        keep = cond if keep is None else (keep & cond)
+    return out.withColumn("keep", keep.cast("int")).drop("_w", "_nw")

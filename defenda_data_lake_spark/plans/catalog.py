@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from defenda_data_lake_spark.operators import dedup as D
 from defenda_data_lake_spark.operators import multimodal as M
+from defenda_data_lake_spark.operators import sampling as SA
 from defenda_data_lake_spark.operators import similarity as S
 from defenda_data_lake_spark.operators import text as X
 
@@ -2065,6 +2066,223 @@ FROM documents
 # =============================================================== catalog
 
 # name -> (spark_fn, oracle_sql | None)
+# ------------------------------------------------- round-4 additions
+
+
+def q57_gopher_filter(spark, sf_dir):
+    """Gopher/C4-style rule-based corpus filter with auditable per-rule
+    0/1 flags (operators/text.py ``gopher_quality_flags``): length
+    band, mean-word-length band, stopword floor, repetition ceiling.
+    Shuffle-free narrow projection — parquet-scan speed at any size."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.gopher_quality_flags(docs).select(
+        "doc_id",
+        "n_words",
+        R("mean_word_len", 4).alias("mean_word_len"),
+        R("stop_frac", 4).alias("stop_frac"),
+        R("word_rep_frac", 4).alias("word_rep_frac"),
+        "ok_n_words",
+        "ok_mean_word_len",
+        "ok_stop_frac",
+        "ok_word_rep",
+        "keep",
+    )
+
+
+_GOPHER_MARKERS = sorted({m for ms in X.LANGUAGE_MARKERS.values() for m in ms})
+
+Q57_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split({_NORM_SQL}, ' ') AS w,
+         len({_NORM_SQL}) AS norm_len
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         (norm_len - (len(w) - 1)) / len(w) AS mean_word_len,
+         len(list_filter(w, x -> list_contains(
+             [{", ".join(chr(39) + m + chr(39) for m in _GOPHER_MARKERS)}], x)))
+           / len(w) AS stop_frac,
+         1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS word_rep_frac
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mean_word_len, 4) AS mean_word_len,
+       round(stop_frac, 4) AS stop_frac,
+       round(word_rep_frac, 4) AS word_rep_frac,
+       CAST(n_words >= 30 AND n_words <= 100000 AS INT) AS ok_n_words,
+       CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+         AS ok_mean_word_len,
+       CAST(stop_frac >= 0.02 AS INT) AS ok_stop_frac,
+       CAST(word_rep_frac <= 0.6 AS INT) AS ok_word_rep,
+       CAST(n_words >= 30 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND stop_frac >= 0.02 AND word_rep_frac <= 0.6 AS INT) AS keep
+FROM feat
+"""
+
+
+def q58_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty in doc-id order (operators/dedup.py
+    ``ngram_novelty``): shingles claimed by their minimum doc id, two
+    narrow long-keyed shuffles, shingle kernel runs once."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.ngram_novelty(docs, shingle_n=3)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        R("novelty_frac", 6).alias("novelty_frac"),
+    )
+
+
+Q58_SQL = f"""
+WITH {_SHINGLES_SQL},
+shh AS (SELECT DISTINCT doc_id, md5_number_upper(shingle) AS shingle FROM sh),
+claims AS (SELECT shingle, min(doc_id) AS first_doc FROM shh GROUP BY shingle)
+SELECT shh.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN shh.doc_id = c.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN shh.doc_id = c.first_doc THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty_frac
+FROM shh JOIN claims c USING (shingle)
+GROUP BY shh.doc_id
+"""
+
+
+def q59_temperature_mix(spark, sf_dir):
+    """α=0.5 temperature rebalancing of the per-source mix
+    (operators/sampling.py ``temperature_resample``): group stats are a
+    tiny aggregation, rates broadcast back onto the corpus, the corpus
+    itself is never shuffled before the summary group-by."""
+    docs = _t(spark, sf_dir, "documents")
+    tagged = SA.temperature_resample(
+        docs, "doc_id", "source", target_fraction=0.5, salt="temp"
+    )
+    return tagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+        R(F.min("rate"), 6).alias("rate"),
+    )
+
+
+Q59_SQL = """
+WITH stats AS (SELECT source, count(*) AS n_g FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_g,
+         CAST(floor(sqrt(CAST(n_g AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_g
+  FROM stats
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n_total,
+         CAST(sum(w_g) AS BIGINT) AS sum_w
+  FROM w
+),
+rates AS (
+  SELECT source, least(1.0, 0.5 * n_total * w_g / sum_w / n_g) AS rate
+  FROM w, tot
+),
+tagged AS (
+  SELECT d.source, rate,
+         CASE WHEN CAST('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 10000
+                   < CAST(floor(rate * 10000.0) AS BIGINT)
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN rates USING (source)
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       round(min(rate), 6) AS rate
+FROM tagged GROUP BY source
+"""
+
+
+def q60_containment_pairs(spark, sf_dir):
+    """Near-containment dedup pairs — |A∩B| / min(|A|,|B|) ≥ 0.8 over
+    word-3-gram sets (operators/dedup.py ``ngram_containment_pairs``):
+    catches a document embedded in a larger one, which Jaccard misses.
+    Same bucket-grouped inverted-index plan as q32, hot-shingle guard
+    on."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_containment_pairs(
+        docs, shingle_n=3, threshold=0.8, max_shingle_docs=_Q32_MAX_SHINGLE_DOCS
+    )
+    return pairs.select(
+        "id_a", "id_b", R("containment", 4).alias("containment")
+    )
+
+
+Q60_SQL = f"""
+WITH {_SHINGLES_SQL},
+shh AS (SELECT DISTINCT doc_id, md5_number_upper(shingle) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shh GROUP BY doc_id),
+ok AS (SELECT shingle FROM shh GROUP BY shingle
+       HAVING count(*) <= {_Q32_MAX_SHINGLE_DOCS}),
+shf AS (SELECT shh.doc_id, shh.shingle FROM shh JOIN ok USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(inter_size AS DOUBLE) / least(sa.set_size, sb.set_size), 4)
+         AS containment
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE CAST(inter_size AS DOUBLE) / least(sa.set_size, sb.set_size) >= 0.8
+"""
+
+
+def q61_length_buckets(spark, sf_dir):
+    """Sequence-length histogram over fixed power-of-two bands — the
+    packing/batching planning profile.  Integer band edges (no float
+    log), one tiny aggregation with map-side partial combine."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        )
+    ).cast("long")
+    bucket = (
+        F.when(n < 16, "lt16")
+        .when(n < 32, "16-31")
+        .when(n < 64, "32-63")
+        .when(n < 128, "64-127")
+        .otherwise("ge128")
+    )
+    return (
+        docs.select(n.alias("n_words"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("sum_words"),
+            F.min("n_words").alias("min_words"),
+            F.max("n_words").alias("max_words"),
+        )
+    )
+
+
+Q61_SQL = f"""
+WITH t AS (SELECT len(string_split({_NORM_SQL}, ' ')) AS n_words FROM documents)
+SELECT CASE WHEN n_words < 16 THEN 'lt16'
+            WHEN n_words < 32 THEN '16-31'
+            WHEN n_words < 64 THEN '32-63'
+            WHEN n_words < 128 THEN '64-127'
+            ELSE 'ge128' END AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       CAST(min(n_words) AS BIGINT) AS min_words,
+       CAST(max(n_words) AS BIGINT) AS max_words
+FROM t GROUP BY 1
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -2102,6 +2320,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q54_unigram_logprob": (q54_unigram_logprob, Q54_SQL),
     "q55_group_sample": (q55_group_sample, Q55_SQL),
     "q56_contrastive_pairs": (q56_contrastive_pairs, Q56_SQL),
+    "q57_gopher_filter": (q57_gopher_filter, Q57_SQL),
+    "q58_ngram_novelty": (q58_ngram_novelty, Q58_SQL),
+    "q59_temperature_mix": (q59_temperature_mix, Q59_SQL),
+    "q60_containment_pairs": (q60_containment_pairs, Q60_SQL),
+    "q61_length_buckets": (q61_length_buckets, Q61_SQL),
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),

@@ -1,0 +1,120 @@
+"""Round-4 operators: Gopher rule filter, n-gram novelty, containment
+pairs, temperature mix rebalancing, length buckets — semantics plus the
+plan shapes they rely on at scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from defenda_data_lake_spark.operators.dedup import (
+    ngram_containment_pairs,
+    ngram_jaccard_pairs,
+    ngram_novelty,
+)
+from defenda_data_lake_spark.operators.sampling import temperature_resample
+from defenda_data_lake_spark.operators.text import gopher_quality_flags
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 0: long, varied, stopword-bearing -> keep
+        (0, "the quick brown fox jumps over a lazy dog and then "
+            "the cat sat on a mat while birds sang songs of summer "
+            "evenings and the wind drifted softly through tall trees"),
+        # 1: too short
+        (1, "the tiny doc"),
+        # 2: pure repetition -> rep flag fails (words long enough count)
+        (2, " ".join(["spam"] * 40)),
+        # 3: exact copy of 0 (novelty: all shingles claimed by 0)
+        (3, "the quick brown fox jumps over a lazy dog and then "
+            "the cat sat on a mat while birds sang songs of summer "
+            "evenings and the wind drifted softly through tall trees"),
+        # 4: strict substring of 0 -> contained
+        (4, "the cat sat on a mat while birds sang songs of summer"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_gopher_flags(docs):
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert out[0]["keep"] == 1
+    assert out[1]["ok_n_words"] == 0 and out[1]["keep"] == 0
+    assert out[2]["ok_word_rep"] == 0 and out[2]["keep"] == 0
+    # flags are ints, not booleans (cross-engine client dtype parity)
+    assert isinstance(out[0]["keep"], int)
+
+
+def test_ngram_novelty_claims_by_min_id(docs):
+    out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    # doc 0 claims its own shingles
+    assert out[0]["n_novel"] == out[0]["n_shingles"]
+    assert out[0]["novelty_frac"] == 1.0
+    # doc 3 is an exact copy of 0 -> nothing novel
+    assert out[3]["n_novel"] == 0
+    # doc 4 is a substring of 0 -> nothing novel
+    assert out[4]["n_novel"] == 0
+    # every doc with shingles is present
+    assert set(out) == {0, 1, 2, 3, 4}
+
+
+def test_containment_catches_substring_jaccard_misses(docs):
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    # the substring doc is fully contained in 0 (and its copy 3)
+    assert cont[(0, 4)] == 1.0
+    assert cont[(3, 4)] == 1.0
+    # jaccard at the same cutoff misses the substring pair
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert (0, 4) not in jac
+    # exact copies are containment 1.0 too
+    assert cont[(0, 3)] == 1.0
+
+
+def test_temperature_resample_flattens_mix(spark):
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    tagged = temperature_resample(df, "id", "grp", target_fraction=0.5)
+    rates = {
+        r["grp"]: r["rate"]
+        for r in tagged.select("grp", "rate").distinct().collect()
+    }
+    # rare group keeps a larger fraction than the dominant group
+    assert rates["small"] > rates["big"]
+    assert rates["small"] == 1.0  # sqrt smoothing caps at keep-all
+    # deterministic: the same draw twice
+    k1 = sorted(
+        r["id"] for r in tagged.filter(F.col("keep") == 1).collect()
+    )
+    k2 = sorted(
+        r["id"]
+        for r in temperature_resample(df, "id", "grp", target_fraction=0.5)
+        .filter(F.col("keep") == 1)
+        .collect()
+    )
+    assert k1 == k2
+    # kept volume lands near the target fraction
+    assert 0.35 <= len(k1) / 1000 <= 0.65
+
+
+def test_round4_plan_shapes(spark):
+    from tests.test_plan_quality import plan_of
+
+    # q57: shuffle-free JVM projection
+    plan = plan_of(spark, "q57_gopher_filter")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    # q58/q60: bucket-grouped pair/novelty expansion — no join operator
+    # at all, no sorts, just hash aggregations and explodes
+    for name in ("q58_ngram_novelty", "q60_containment_pairs"):
+        plan = plan_of(spark, name)
+        assert "Join" not in plan
+        assert "SortMergeJoin" not in plan
+    # q59: the corpus is never sort-merge joined; rates ride a broadcast
+    plan = plan_of(spark, "q59_temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
