@@ -122,6 +122,90 @@ _COMPAT_FUNCTIONS: dict[str, str] = {
            AND NOT startswith(ltrim(js), '[')
            AND get_json_object(js, '$') IS NOT NULL
     """,
+    # Presto day_of_week is ISO (Monday=1..Sunday=7); Spark's dayofweek
+    # is Sunday=1, so shift.  day_of_year/week_of_year map directly.
+    "day_of_week": """
+        CREATE OR REPLACE TEMPORARY FUNCTION day_of_week(t TIMESTAMP)
+        RETURNS INT
+        RETURN ((dayofweek(t) + 5) % 7) + 1
+    """,
+    "day_of_year": """
+        CREATE OR REPLACE TEMPORARY FUNCTION day_of_year(t TIMESTAMP)
+        RETURNS INT
+        RETURN dayofyear(t)
+    """,
+    "week_of_year": """
+        CREATE OR REPLACE TEMPORARY FUNCTION week_of_year(t TIMESTAMP)
+        RETURNS INT
+        RETURN weekofyear(t)
+    """,
+    # Presto prints plain timestamps as ISO-8601 with millisecond
+    # precision and no zone suffix.
+    "to_iso8601": """
+        CREATE OR REPLACE TEMPORARY FUNCTION to_iso8601(t TIMESTAMP)
+        RETURNS STRING
+        RETURN date_format(t, 'yyyy-MM-dd''T''HH:mm:ss.SSS')
+    """,
+    # Presto date_diff(unit, from, to): unit as a string argument.
+    # Spark's timestampdiff takes the unit as an identifier, so the
+    # function body dispatches with a CASE per documented unit.  Named
+    # date_diff_presto because Spark's 2-arg date_diff is a builtin
+    # that cannot be replaced by a SQL UDF (same convention as
+    # from_unixtime_presto).
+    "date_diff_presto": """
+        CREATE OR REPLACE TEMPORARY FUNCTION date_diff_presto(
+            unit STRING, t1 TIMESTAMP, t2 TIMESTAMP)
+        RETURNS BIGINT
+        RETURN CASE lower(unit)
+            WHEN 'millisecond' THEN timestampdiff(MILLISECOND, t1, t2)
+            WHEN 'second'      THEN timestampdiff(SECOND, t1, t2)
+            WHEN 'minute'      THEN timestampdiff(MINUTE, t1, t2)
+            WHEN 'hour'        THEN timestampdiff(HOUR, t1, t2)
+            WHEN 'day'         THEN timestampdiff(DAY, t1, t2)
+            WHEN 'week'        THEN timestampdiff(WEEK, t1, t2)
+            WHEN 'month'       THEN timestampdiff(MONTH, t1, t2)
+            WHEN 'quarter'     THEN timestampdiff(QUARTER, t1, t2)
+            WHEN 'year'        THEN timestampdiff(YEAR, t1, t2)
+        END
+    """,
+    # binary <-> text codecs (CloudTrail/VPC-flow payload forensics)
+    "from_base64": """
+        CREATE OR REPLACE TEMPORARY FUNCTION from_base64(s STRING)
+        RETURNS BINARY
+        RETURN unbase64(s)
+    """,
+    "to_base64": """
+        CREATE OR REPLACE TEMPORARY FUNCTION to_base64(b BINARY)
+        RETURNS STRING
+        RETURN base64(b)
+    """,
+    # Presto to_hex prints uppercase; Spark hex is already uppercase
+    "to_hex": """
+        CREATE OR REPLACE TEMPORARY FUNCTION to_hex(b BINARY)
+        RETURNS STRING
+        RETURN hex(b)
+    """,
+    "from_hex": """
+        CREATE OR REPLACE TEMPORARY FUNCTION from_hex(s STRING)
+        RETURNS BINARY
+        RETURN unhex(s)
+    """,
+    # Presto exposes bitwise ops as functions, not operators
+    "bitwise_and": """
+        CREATE OR REPLACE TEMPORARY FUNCTION bitwise_and(a BIGINT, b BIGINT)
+        RETURNS BIGINT
+        RETURN a & b
+    """,
+    "bitwise_or": """
+        CREATE OR REPLACE TEMPORARY FUNCTION bitwise_or(a BIGINT, b BIGINT)
+        RETURNS BIGINT
+        RETURN a | b
+    """,
+    "bitwise_xor": """
+        CREATE OR REPLACE TEMPORARY FUNCTION bitwise_xor(a BIGINT, b BIGINT)
+        RETURNS BIGINT
+        RETURN a ^ b
+    """,
 }
 
 

@@ -87,3 +87,48 @@ def test_approx_count_distinct_surface(spark):
     approx = df.select(F.approx_count_distinct("v", rsd=0.01)).first()[0]
     assert exact == 3847
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_day_week_year_functions(spark):
+    # Presto day_of_week is ISO: Monday=1 .. Sunday=7
+    assert one(spark, "day_of_week(TIMESTAMP '2026-08-10 00:00:00')") == 1  # Mon
+    assert one(spark, "day_of_week(TIMESTAMP '2026-08-16 00:00:00')") == 7  # Sun
+    assert one(spark, "day_of_year(TIMESTAMP '2026-02-01 00:00:00')") == 32
+    assert one(spark, "week_of_year(TIMESTAMP '2026-01-08 00:00:00')") == 2
+
+
+def test_to_iso8601(spark):
+    assert (
+        one(spark, "to_iso8601(TIMESTAMP '2019-09-04 17:54:59.123')")
+        == "2019-09-04T17:54:59.123"
+    )
+
+
+def test_date_diff_presto_signature(spark):
+    assert one(
+        spark,
+        "date_diff_presto('hour', TIMESTAMP '2020-03-01 00:00:00',"
+        " TIMESTAMP '2020-03-02 12:00:00')",
+    ) == 36
+    assert one(
+        spark,
+        "date_diff_presto('day', TIMESTAMP '2020-03-01 00:00:00',"
+        " TIMESTAMP '2020-03-09 00:00:00')",
+    ) == 8
+    assert one(
+        spark,
+        "date_diff_presto('second', TIMESTAMP '2020-06-01 12:30:45.000',"
+        " TIMESTAMP '2020-06-02 12:30:45.000')",
+    ) == 86400
+
+
+def test_binary_codecs(spark):
+    assert one(spark, "to_base64(from_hex('68656C6C6F'))") == "aGVsbG8="
+    assert one(spark, "CAST(from_base64('aGVsbG8=') AS STRING)") == "hello"
+    assert one(spark, "to_hex(CAST('ad' AS BINARY))") == "6164"
+
+
+def test_bitwise_functions(spark):
+    assert one(spark, "bitwise_and(19, 25)") == 17
+    assert one(spark, "bitwise_or(19, 25)") == 27
+    assert one(spark, "bitwise_xor(19, 25)") == 10
