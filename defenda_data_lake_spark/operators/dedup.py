@@ -12,12 +12,12 @@ Scale notes (100 TB):
   re-aggregated per doc within a single shuffle); ``k`` min-aggregates
   over md5 digests.  Banding then joins docs on band signature, so the
   candidate join is equi (hash join), never a cross product.
-* ``ngram_jaccard_pairs`` — the shingle inverted index, grouped per
-  shingle (one hash aggregation, no sort) with JVM-side pair
-  expansion.  The ``doc_a < doc_b`` predicate halves the pair space;
-  hot shingles (stopword runs) are the skew risk — ``max_shingle_docs``
-  drops degenerate posting lists (a shingle shared by thousands of
-  docs contributes no discriminating signal but quadratic pairs).
+* ``ngram_jaccard_pairs`` — the classic shingle-inverted-index
+  self-join (one reused exchange; AQE skew splitting fans hot keys).
+  The ``doc_a < doc_b`` predicate halves the pair space; hot shingles
+  (stopword runs) are the skew risk — ``max_shingle_docs`` drops
+  degenerate posting lists (a shingle shared by thousands of docs
+  contributes no discriminating signal but quadratic pairs).
 * SimHash — signatures are 64-bit ints; near-dup candidates bucket on
   rotated bit-blocks, Hamming distance verified with ``bit_count``.
 """
@@ -317,48 +317,64 @@ def ngram_jaccard_pairs(
     bound — the standard guard against quadratic blowup on ubiquitous
     shingles at scale.
 
-    Plan shape: group the inverted index by shingle (ONE hash
-    aggregation — no sort), then expand each posting list's pairs with
-    two codegen explodes and aggregate intersections per pair.  Versus
-    the classic postings self-join this removes both sort-merge sorts,
-    the document-frequency window, and the exchange-reuse dependency,
-    and it halves the shuffled posting bytes (one exchange write/read
-    instead of one write + two reads) — measured ~25% faster at sf0.1
-    with bit-identical output.  ``set_size`` rides along on every
-    posting row, so no separate sizes join is needed."""
+    Plan shape: ONE self-join over the postings (both sides the
+    identical subplan, so the shuffle exchange on ``shingle`` is built
+    once and reused) + one pair aggregation.  ``set_size`` rides along
+    on every posting row, so no separate sizes join is needed.
+
+    Deliberately NOT the bucket-grouped collect_list + double-explode
+    formulation used by the minhash/SimHash band joins: Jaccard's
+    pair-expansion volume is quadratic in real duplicate density, and
+    the grouped form (a) copies the whole member array into every
+    exploded row (O(L²) array-payload amplification) and (b) pins each
+    hot shingle's entire L² expansion to one task, where the
+    sort-merge join streams small rows and AQE's skew splitting can
+    fan a hot key across tasks.  Measured at 8x-replicated sf0.1:
+    grouped 20.6 s vs this join 8.6 s for identical output (the
+    grouped form only wins ~25% at 1x, where fixed overhead
+    dominates).  The band joins keep the grouped form because their
+    buckets carry bare ids and stay small by construction."""
     from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
 
     postings = word_shingle_postings(df, text_col, id_col, shingle_n)
-    # pin the aggregation's parallelism: the postings shuffle is small
-    # in BYTES but the pair-expansion it feeds is heavy in CPU, so
-    # AQE's byte-based coalescing would funnel it into one task.  An
-    # explicit keyed repartition is user-specified — AQE leaves it
-    # alone — and the groupBy on the same key reuses the partitioning,
-    # so it's still ONE exchange.  The count scales with input size
-    # (clamped to the cluster's parallelism band).
-    grouped = (
-        postings.repartition(scaled_keyed_partitions(df), "shingle")
-        .groupBy("shingle")
-        .agg(F.collect_list(F.struct("id", "set_size")).alias("lst"))
-        .filter(F.size("lst") >= 2)
-    )
+    # pin the join's parallelism: the postings shuffle is small in BYTES
+    # but the pair-expansion it feeds is heavy in CPU, so AQE's
+    # byte-based coalescing would funnel it into one task.  An explicit
+    # keyed repartition is user-specified — AQE leaves it alone — and
+    # both join sides share the subplan, so it's still ONE exchange.
+    # The count scales with input size (clamped to the cluster's
+    # parallelism band) — a flat defaultParallelism over-partitions
+    # small corpora, paying per-task scheduling for near-empty tasks.
+    postings = postings.repartition(scaled_keyed_partitions(df), "shingle")
     if max_shingle_docs is not None:
-        # the posting-list bound is now a plain length check on the
-        # collected list — no window, no second shuffle
-        grouped = grouped.filter(F.size("lst") <= max_shingle_docs)
-    # size-bound prune before the aggregation: jaccard <=
-    # min(|A|,|B|)/max(|A|,|B|) (intersection can't exceed the smaller
-    # set), so pairs whose size ratio is already below the threshold
-    # never reach the aggregation.  Output-identical: every pruned pair
-    # would fail the final filter.
+        # document frequency as a window over the SAME shingle
+        # partitioning the join needs: the guard then adds no shuffle,
+        # no broadcast build, and no second run of the shingle kernel
+        # (a groupBy+join formulation recomputes the postings subplan)
+        postings = postings.withColumn(
+            "df_", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("df_") <= max_shingle_docs).drop("df_")
+    # force the sort-merge path (same rationale as exchange reuse):
+    # both sides reuse ONE exchange; a broadcast build would
+    # materialize and ship the postings subtree a second time
+    postings = postings.hint("merge")
+    a = postings.alias("a")
+    b = postings.alias("b")
+    # size-bound prune inside the join: jaccard <= min(|A|,|B|)/max(|A|,|B|)
+    # (intersection can't exceed the smaller set), so pairs whose size
+    # ratio is already below the threshold never reach the aggregation.
+    # Output-identical: every pruned pair would fail the final filter.
+    size_bound = F.least(
+        F.col("a.set_size"), F.col("b.set_size")
+    ) >= F.lit(threshold) * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
     pairs = (
-        grouped.select(F.explode("lst").alias("a"), "lst")
-        .select("a", F.explode("lst").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .filter(
-            F.least(F.col("a.set_size"), F.col("b.set_size"))
-            >= F.lit(threshold)
-            * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.id") < F.col("b.id"),
+                size_bound,
+            ],
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(
@@ -395,26 +411,31 @@ def ngram_containment_pairs(
     misses — a small doc fully contained in a big one has high
     containment but low Jaccard.
 
-    Same bucket-grouped plan shape as ``ngram_jaccard_pairs`` (one hash
-    aggregation on shingle, JVM-side pair expansion, one pair
-    aggregation).  There is no size-ratio prune here — containment is
-    size-asymmetric by design, so no pair can be excluded by sizes
-    alone."""
+    Same postings self-join plan shape as ``ngram_jaccard_pairs`` (one
+    reused exchange on shingle, streaming sort-merge pair expansion,
+    one pair aggregation — see that docstring for why the
+    bucket-grouped form loses at scale).  There is no size-ratio prune
+    here — containment is size-asymmetric by design, so no pair can be
+    excluded by sizes alone."""
     from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
 
     postings = word_shingle_postings(df, text_col, id_col, shingle_n)
-    grouped = (
-        postings.repartition(scaled_keyed_partitions(df), "shingle")
-        .groupBy("shingle")
-        .agg(F.collect_list(F.struct("id", "set_size")).alias("lst"))
-        .filter(F.size("lst") >= 2)
-    )
+    postings = postings.repartition(scaled_keyed_partitions(df), "shingle")
     if max_shingle_docs is not None:
-        grouped = grouped.filter(F.size("lst") <= max_shingle_docs)
+        postings = postings.withColumn(
+            "df_", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("df_") <= max_shingle_docs).drop("df_")
+    postings = postings.hint("merge")
+    a = postings.alias("a")
+    b = postings.alias("b")
     pairs = (
-        grouped.select(F.explode("lst").alias("a"), "lst")
-        .select("a", F.explode("lst").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(
             F.count("*").alias("inter_size"),

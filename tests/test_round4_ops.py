@@ -108,12 +108,16 @@ def test_round4_plan_shapes(spark):
     plan = plan_of(spark, "q57_gopher_filter")
     assert "Exchange" not in plan
     assert "Python" not in plan
-    # q58/q60: bucket-grouped pair/novelty expansion — no join operator
-    # at all, no sorts, just hash aggregations and explodes
-    for name in ("q58_ngram_novelty", "q60_containment_pairs"):
-        plan = plan_of(spark, name)
-        assert "Join" not in plan
-        assert "SortMergeJoin" not in plan
+    # q58: bucket-grouped novelty expansion — no join operator at all
+    plan = plan_of(spark, "q58_ngram_novelty")
+    assert "Join" not in plan
+    # q60: postings self-join (the at-scale winner for quadratic pair
+    # density — see ngram_jaccard_pairs docstring); never a cross
+    # product, one reused exchange
+    plan = plan_of(spark, "q60_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ReusedExchange" in plan
     # q59: the corpus is never sort-merge joined; rates ride a broadcast
     plan = plan_of(spark, "q59_temperature_mix")
     assert "BroadcastHashJoin" in plan
