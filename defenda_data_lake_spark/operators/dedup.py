@@ -187,6 +187,7 @@ def minhash_signatures(
     stage is shuffle-free and linearly scalable."""
     import hashlib
 
+    import numpy as np
     from pyspark.sql import types as T
 
     from defenda_data_lake_spark.utils.partitioning import ensure_min_parallelism
@@ -196,10 +197,6 @@ def minhash_signatures(
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         md5 = hashlib.md5
-
-        def families(e: bytes) -> list[str]:
-            hexcat = "".join(md5(pre + e).hexdigest() for pre in prefixes)
-            return [hexcat[i * 8 : (i + 1) * 8] for i in range(num_hashes)]
 
         for batch in batches:
             ids: list = []
@@ -220,9 +217,24 @@ def minhash_signatures(
                 uniq.discard("")
                 if not uniq:
                     continue  # same as the agg form: no shingles, no row
-                per_shingle = [families(s.encode()) for s in uniq]
+                # vectorized per-family min: fixed-width lowercase hex
+                # compares identically under lexicographic and numeric
+                # order, so the min of each 8-hex-char family chunk is
+                # the min of its big-endian uint64 view — one numpy
+                # column-min over all shingles instead of num_hashes
+                # Python min() passes over sliced strings
+                enc = [s.encode() for s in uniq]
+                hexcat = b"".join(
+                    md5(pre + e).hexdigest().encode("ascii")
+                    for e in enc
+                    for pre in prefixes
+                )
+                arr = np.frombuffer(hexcat, dtype=">u8").reshape(
+                    len(uniq), n_digests * 4
+                )
+                mins = arr[:, :num_hashes].min(axis=0).astype(">u8").tobytes()
                 for i in range(num_hashes):
-                    cols[i].append(min(fam[i] for fam in per_shingle))
+                    cols[i].append(mins[i * 8 : (i + 1) * 8].decode("ascii"))
                 ids.append(doc_id)
             yield pd.DataFrame(
                 {"id": ids, **{f"h{i}": cols[i] for i in range(num_hashes)}}
