@@ -134,3 +134,42 @@ def sample_frames(
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_index"),
     )
+
+
+def chunk_audio(
+    media: DataFrame,
+    chunk_ms: int = 1000,
+    stride_ms: int = 500,
+    bytes_per_ms: int = 16,
+) -> DataFrame:
+    """Audio chunking plumbing: one row per overlapping analysis window
+    (``chunk_index``, ``start_ms``, ``end_ms``) per payload — the
+    standard pre-segmentation for ASR/feature pipelines.  Duration is
+    derived from payload size at ``bytes_per_ms`` (exact for fixed-rate
+    PCM, e.g. 8 kHz 16-bit mono = 16 bytes/ms; a real implementation
+    reads the container header instead).
+
+    Pure JVM expression (``sequence`` + ``explode``) over the metadata
+    struct: the binary column is pruned away, so at 100 TB this runs at
+    metadata-scan speed and the chunk fan-out never touches payload
+    bytes."""
+    duration_ms = (F.col("meta.n_bytes") / bytes_per_ms).cast("long")
+    last_start = F.greatest(
+        F.lit(0).cast("long"),
+        ((duration_ms - chunk_ms) / stride_ms).cast("long") * stride_ms,
+    )
+    chunks = media.select(
+        "media_id",
+        "meta",
+        F.posexplode(
+            F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride_ms))
+        ).alias("chunk_index", "start_ms"),
+    )
+    return chunks.select(
+        "media_id",
+        "chunk_index",
+        "start_ms",
+        F.least(
+            F.col("start_ms") + chunk_ms, (F.col("meta.n_bytes") / bytes_per_ms).cast("long")
+        ).alias("end_ms"),
+    )

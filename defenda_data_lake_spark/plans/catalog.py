@@ -2283,6 +2283,54 @@ FROM t GROUP BY 1
 """
 
 
+def q62_audio_chunks(spark, sf_dir):
+    """Audio chunk/window plumbing (operators/multimodal.py
+    ``chunk_audio``): overlapping 1000 ms windows at 500 ms stride,
+    duration derived from payload size at 16 bytes/ms (8 kHz 16-bit
+    mono PCM).  Pure JVM sequence+posexplode over the metadata struct —
+    the binary column never feeds the fan-out."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.as_media_table(
+        docs.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
+        "doc_id",
+        "payload",
+        media_type="audio",
+    )
+    return M.chunk_audio(media).select(
+        "media_id", "chunk_index", "start_ms", "end_ms"
+    )
+
+
+# trunc-vs-floor parity: Spark's cast(double as long) truncates toward
+# zero while floor rounds down; they only differ for negative values,
+# which the greatest(0, ...) clamp absorbs (last_start is negative only
+# when duration < chunk, where both engines clamp to 0).
+Q62_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(floor(octet_length(encode(text)) / 16.0) AS BIGINT) AS duration_ms
+  FROM documents
+),
+ls AS (
+  SELECT media_id, duration_ms,
+         greatest(CAST(0 AS BIGINT),
+                  CAST(floor((duration_ms - 1000) / 500.0) AS BIGINT) * 500)
+           AS last_start
+  FROM m
+),
+ex AS (
+  SELECT media_id, duration_ms,
+         unnest(generate_series(0, last_start, 500)) AS start_ms
+  FROM ls
+)
+SELECT media_id,
+       CAST(start_ms // 500 AS INT) AS chunk_index,
+       start_ms,
+       least(start_ms + 1000, duration_ms) AS end_ms
+FROM ex
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -2325,6 +2373,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q59_temperature_mix": (q59_temperature_mix, Q59_SQL),
     "q60_containment_pairs": (q60_containment_pairs, Q60_SQL),
     "q61_length_buckets": (q61_length_buckets, Q61_SQL),
+    "q62_audio_chunks": (q62_audio_chunks, Q62_SQL),
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),

@@ -122,3 +122,33 @@ def test_round4_plan_shapes(spark):
     plan = plan_of(spark, "q59_temperature_mix")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_audio_windows(spark):
+    from defenda_data_lake_spark.operators.multimodal import (
+        as_media_table,
+        chunk_audio,
+    )
+    import pyspark.sql.functions as SF
+
+    # 40_000 bytes = 2500 ms at 16 bytes/ms -> windows at 0,500,...,1500
+    rows = [(1, b"x" * 40_000), (2, b"y" * 8_000), (3, b"")]
+    df = spark.createDataFrame(rows, ["id", "payload"])
+    media = as_media_table(df, "id", "payload", media_type="audio")
+    out = {
+        (r["media_id"], r["chunk_index"]): (r["start_ms"], r["end_ms"])
+        for r in chunk_audio(media).collect()
+    }
+    # 2500 ms: last full-stride start <= 2500-1000 -> 1500
+    assert out[(1, 0)] == (0, 1000)
+    assert out[(1, 3)] == (1500, 2500)
+    assert (1, 4) not in out
+    # 500 ms (< chunk): single clamped window
+    assert out[(2, 0)] == (0, 500)
+    assert (2, 1) not in out
+    # empty payload: one degenerate window
+    assert out[(3, 0)] == (0, 0)
+    # plan: JVM-only, shuffle-free
+    cdf = chunk_audio(media)
+    plan = cdf._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
