@@ -166,6 +166,8 @@ _COMPAT_FUNCTIONS: dict[str, str] = {
             WHEN 'month'       THEN timestampdiff(MONTH, t1, t2)
             WHEN 'quarter'     THEN timestampdiff(QUARTER, t1, t2)
             WHEN 'year'        THEN timestampdiff(YEAR, t1, t2)
+            ELSE CAST(raise_error(concat('date_diff_presto: invalid unit ',
+                                         unit)) AS BIGINT)
         END
     """,
     # binary <-> text codecs (CloudTrail/VPC-flow payload forensics)

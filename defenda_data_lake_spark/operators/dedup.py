@@ -313,6 +313,76 @@ def minhash_lsh_candidates(
     )
 
 
+def _sharded_postings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_shingle_docs: int | None,
+) -> DataFrame:
+    """Shingle postings repartitioned by shingle with the optional
+    hot-shingle guard applied — the shared front half of every
+    inverted-index operator here.
+
+    The keyed repartition pins parallelism: the postings shuffle is
+    small in BYTES but the pair/claim work it feeds is heavy in CPU,
+    so AQE's byte-based coalescing would funnel it into one task.  An
+    explicit keyed repartition is user-specified — AQE leaves it
+    alone — and downstream joins/aggs on the same key reuse the ONE
+    exchange.  The count scales with input size (clamped to the
+    cluster's parallelism band) — a flat defaultParallelism
+    over-partitions small corpora.
+
+    The guard is a document-frequency window over the SAME shingle
+    partitioning the consumers need: it adds no shuffle, no broadcast
+    build, and no second run of the shingle kernel."""
+    from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
+
+    postings = word_shingle_postings(df, text_col, id_col, shingle_n)
+    postings = postings.repartition(scaled_keyed_partitions(df), "shingle")
+    if max_shingle_docs is not None:
+        postings = postings.withColumn(
+            "df_", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("df_") <= max_shingle_docs).drop("df_")
+    return postings
+
+
+def _postings_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_shingle_docs: int | None,
+    extra_on: Column | None = None,
+) -> DataFrame:
+    """Inverted-index pair intersection: self-join the sharded postings
+    on shingle (both sides the identical subplan, so the exchange is
+    built once and reused; the merge hint keeps the streaming
+    sort-merge path — a broadcast build would materialize and ship the
+    postings subtree a second time) and aggregate per (id_a, id_b).
+    Returns ``(id_a, id_b, inter_size, size_a, size_b)``."""
+    postings = _sharded_postings(
+        df, text_col, id_col, shingle_n, max_shingle_docs
+    ).hint("merge")
+    a = postings.alias("a")
+    b = postings.alias("b")
+    on = [
+        F.col("a.shingle") == F.col("b.shingle"),
+        F.col("a.id") < F.col("b.id"),
+    ]
+    if extra_on is not None:
+        on.append(extra_on)
+    return (
+        a.join(b, on=on)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count("*").alias("inter_size"),
+            F.min(F.col("a.set_size")).alias("size_a"),
+            F.min(F.col("b.set_size")).alias("size_b"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -346,32 +416,6 @@ def ngram_jaccard_pairs(
     grouped form only wins ~25% at 1x, where fixed overhead
     dominates).  The band joins keep the grouped form because their
     buckets carry bare ids and stay small by construction."""
-    from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
-
-    postings = word_shingle_postings(df, text_col, id_col, shingle_n)
-    # pin the join's parallelism: the postings shuffle is small in BYTES
-    # but the pair-expansion it feeds is heavy in CPU, so AQE's
-    # byte-based coalescing would funnel it into one task.  An explicit
-    # keyed repartition is user-specified — AQE leaves it alone — and
-    # both join sides share the subplan, so it's still ONE exchange.
-    # The count scales with input size (clamped to the cluster's
-    # parallelism band) — a flat defaultParallelism over-partitions
-    # small corpora, paying per-task scheduling for near-empty tasks.
-    postings = postings.repartition(scaled_keyed_partitions(df), "shingle")
-    if max_shingle_docs is not None:
-        # document frequency as a window over the SAME shingle
-        # partitioning the join needs: the guard then adds no shuffle,
-        # no broadcast build, and no second run of the shingle kernel
-        # (a groupBy+join formulation recomputes the postings subplan)
-        postings = postings.withColumn(
-            "df_", F.count("*").over(Window.partitionBy("shingle"))
-        ).filter(F.col("df_") <= max_shingle_docs).drop("df_")
-    # force the sort-merge path (same rationale as exchange reuse):
-    # both sides reuse ONE exchange; a broadcast build would
-    # materialize and ship the postings subtree a second time
-    postings = postings.hint("merge")
-    a = postings.alias("a")
-    b = postings.alias("b")
     # size-bound prune inside the join: jaccard <= min(|A|,|B|)/max(|A|,|B|)
     # (intersection can't exceed the smaller set), so pairs whose size
     # ratio is already below the threshold never reach the aggregation.
@@ -379,21 +423,8 @@ def ngram_jaccard_pairs(
     size_bound = F.least(
         F.col("a.set_size"), F.col("b.set_size")
     ) >= F.lit(threshold) * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.shingle") == F.col("b.shingle"),
-                F.col("a.id") < F.col("b.id"),
-                size_bound,
-            ],
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count("*").alias("inter_size"),
-            F.min(F.col("a.set_size")).alias("size_a"),
-            F.min(F.col("b.set_size")).alias("size_b"),
-        )
+    pairs = _postings_pair_counts(
+        df, text_col, id_col, shingle_n, max_shingle_docs, extra_on=size_bound
     )
     return (
         pairs.select(
@@ -429,31 +460,8 @@ def ngram_containment_pairs(
     bucket-grouped form loses at scale).  There is no size-ratio prune
     here — containment is size-asymmetric by design, so no pair can be
     excluded by sizes alone."""
-    from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
-
-    postings = word_shingle_postings(df, text_col, id_col, shingle_n)
-    postings = postings.repartition(scaled_keyed_partitions(df), "shingle")
-    if max_shingle_docs is not None:
-        postings = postings.withColumn(
-            "df_", F.count("*").over(Window.partitionBy("shingle"))
-        ).filter(F.col("df_") <= max_shingle_docs).drop("df_")
-    postings = postings.hint("merge")
-    a = postings.alias("a")
-    b = postings.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.shingle") == F.col("b.shingle"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count("*").alias("inter_size"),
-            F.min(F.col("a.set_size")).alias("size_a"),
-            F.min(F.col("b.set_size")).alias("size_b"),
-        )
+    pairs = _postings_pair_counts(
+        df, text_col, id_col, shingle_n, max_shingle_docs
     )
     return pairs.select(
         "id_a",
@@ -480,29 +488,24 @@ def ngram_novelty(
     Returns ``(doc_id, n_shingles, n_novel, novelty_frac)`` for every
     document with at least one shingle.
 
-    Scale notes (100 TB): the shingle kernel runs ONCE; one hash
-    aggregation per shingle claims each shingle for its minimum doc id
-    (map-side partial min absorbs hot shingles), then the exploded
-    claims aggregate per document.  Two narrow shuffles total, both on
-    fixed-width longs."""
-    from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
-
-    postings = word_shingle_postings(df, text_col, id_col, shingle_n)
-    grouped = (
-        postings.repartition(scaled_keyed_partitions(df), "shingle")
-        .groupBy("shingle")
-        .agg(
-            F.collect_list("id").alias("ids"),
-            F.min("id").alias("first_doc"),
-        )
+    Scale notes (100 TB): the shingle kernel runs ONCE; the min-id
+    claim per shingle is a hash aggregation whose map-side partial min
+    truly absorbs hot shingles (a min is a scalar — unlike a
+    collect_list, which would materialize a hot shingle's entire
+    posting list in one aggregation row and OOM), and the claims join
+    back to the postings over the SAME reused exchange.  Two narrow
+    long-keyed shuffles total; every intermediate row is fixed-width."""
+    postings = _sharded_postings(df, text_col, id_col, shingle_n, None).hint(
+        "merge"
     )
+    claims = postings.groupBy("shingle").agg(F.min("id").alias("first_doc"))
     per_doc = (
-        grouped.select(F.explode("ids").alias("doc_id"), "first_doc")
-        .groupBy("doc_id")
+        postings.join(claims, "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
         .agg(
             F.count("*").alias("n_shingles"),
             F.sum(
-                (F.col("doc_id") == F.col("first_doc")).cast("long")
+                (F.col("id") == F.col("first_doc")).cast("long")
             ).alias("n_novel"),
         )
     )
@@ -775,6 +778,13 @@ def simhash_near_duplicates(
     ``blocks`` segments (pigeonhole: pairs within ``max_hamming`` agree
     on at least one block when ``max_hamming < blocks``), equi-join per
     block, verify Hamming distance with ``bit_count(xor)``."""
+    # the pigeonhole argument is the recall guarantee: with
+    # max_hamming >= blocks a qualifying pair can differ in every block
+    # and silently never become a candidate
+    assert max_hamming < blocks, (
+        f"complete recall needs max_hamming < blocks "
+        f"(got {max_hamming} >= {blocks}); raise blocks or lower the radius"
+    )
     sigs = simhash_signatures(df, text_col, id_col)
     width = 64 // blocks
     # one row per (doc, block) via explode — the signature kernel runs

@@ -160,7 +160,7 @@ def chunk_audio(
     )
     chunks = media.select(
         "media_id",
-        "meta",
+        duration_ms.alias("_duration_ms"),
         F.posexplode(
             F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride_ms))
         ).alias("chunk_index", "start_ms"),
@@ -169,7 +169,7 @@ def chunk_audio(
         "media_id",
         "chunk_index",
         "start_ms",
-        F.least(
-            F.col("start_ms") + chunk_ms, (F.col("meta.n_bytes") / bytes_per_ms).cast("long")
-        ).alias("end_ms"),
+        F.least(F.col("start_ms") + chunk_ms, F.col("_duration_ms")).alias(
+            "end_ms"
+        ),
     )

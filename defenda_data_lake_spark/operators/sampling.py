@@ -131,7 +131,7 @@ def temperature_resample(
         )
     )
     rates = stats.crossJoin(totals).select(
-        group_col,
+        F.col(group_col).alias("_rate_key"),
         F.least(
             F.lit(1.0),
             F.lit(target_fraction)
@@ -141,7 +141,14 @@ def temperature_resample(
             / F.col("_n_g"),
         ).alias("rate"),
     )
-    return df.join(F.broadcast(rates), group_col).withColumn(
+    # null-safe equality: a NULL group (missing source metadata) is a
+    # legitimate stratum with its own stats row — a plain equi-join
+    # would silently drop those rows from the output instead of
+    # tagging them
+    joined = df.join(
+        F.broadcast(rates), F.col(group_col).eqNullSafe(F.col("_rate_key"))
+    ).drop("_rate_key")
+    return joined.withColumn(
         "keep",
         (
             hash_bucket(id_col, salt)

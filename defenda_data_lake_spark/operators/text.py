@@ -25,6 +25,12 @@ LANGUAGE_MARKERS: dict[str, list[str]] = {
     "zh": ["的", "是", "了", "在", "我"],
 }
 
+#: the union of every language's markers, in sorted order — the shared
+#: stopword list for quality scoring, rule filters, and their SQL
+#: oracles (catalog.py embeds it as a literal; keep derivation here so
+#: a marker change can't desynchronize the copies)
+ALL_MARKERS: list[str] = sorted({m for ms in LANGUAGE_MARKERS.values() for m in ms})
+
 
 def tokens_col(text_col: str = "text") -> Column:
     """Whitespace tokenization of trimmed text."""
@@ -86,7 +92,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             + 0.3 * min(1, stopword_ratio * 5)     -- natural language
             + 0.3 * (1 - min(1, punct_ratio * 10)) -- not symbol soup
     """
-    all_markers = sorted({m for ms in LANGUAGE_MARKERS.values() for m in ms})
+    all_markers = ALL_MARKERS
     n_chars = F.length(F.col(text_col))
     n_tokens = token_count_col(text_col)
     stop_hits = marker_hits_col(text_col, all_markers)
@@ -296,7 +302,7 @@ def gopher_quality_flags(
     column — runs at parquet-scan speed, prunes every other column,
     and composes with any downstream filter pushdown.  All arithmetic
     is reproducible in ANSI SQL (the DuckDB oracle replays it)."""
-    stop_markers = sorted({m for ms in LANGUAGE_MARKERS.values() for m in ms})
+    stop_markers = ALL_MARKERS
     w = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     tmp = df.withColumn("_w", w).withColumn(
         "_nw", F.size(F.col("_w")).cast("long")

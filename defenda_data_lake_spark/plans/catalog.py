@@ -1953,15 +1953,17 @@ Q47_SQL = _kmeans_sql()
 
 
 def q42_simhash_pairs(spark, sf_dir):
-    """SimHash near-duplicate candidate pairs.  The Arrow-batched
-    signature kernel uses md5-derived bit mixing that DuckDB's
-    ``md5_number_upper`` reproduces exactly, so even this pandas-hosted
-    operator is value-checked."""
+    """SimHash near-duplicate candidate pairs at Hamming ≤ 3 — the
+    largest radius the 4-block pigeonhole covers completely (a pair
+    within 3 bits must agree on at least one of 4 blocks).  The
+    Arrow-batched signature kernel uses md5-derived bit mixing that
+    DuckDB's ``md5_number_upper`` reproduces exactly, so even this
+    pandas-hosted operator is value-checked."""
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_near_duplicates(docs, max_hamming=8)
+    return D.simhash_near_duplicates(docs, max_hamming=3)
 
 
-def _simhash_sql(max_hamming: int = 8) -> str:
+def _simhash_sql(max_hamming: int = 3) -> str:
     """Reproduce the SimHash pipeline in DuckDB: word bigrams →
     md5_number_upper 64-bit hash → per-bit ±1 vote → sign → 16-bit
     block join → Hamming verify."""
@@ -2089,7 +2091,7 @@ def q57_gopher_filter(spark, sf_dir):
     )
 
 
-_GOPHER_MARKERS = sorted({m for ms in X.LANGUAGE_MARKERS.values() for m in ms})
+_GOPHER_MARKERS = X.ALL_MARKERS
 
 Q57_SQL = f"""
 WITH t AS (
@@ -2192,7 +2194,7 @@ tagged AS (
                         AS BIGINT) % 10000
                    < CAST(floor(rate * 10000.0) AS BIGINT)
               THEN 1 ELSE 0 END AS keep
-  FROM documents d JOIN rates USING (source)
+  FROM documents d JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
 )
 SELECT source,
        count(*) AS n_docs,
@@ -2206,8 +2208,8 @@ def q60_containment_pairs(spark, sf_dir):
     """Near-containment dedup pairs — |A∩B| / min(|A|,|B|) ≥ 0.8 over
     word-3-gram sets (operators/dedup.py ``ngram_containment_pairs``):
     catches a document embedded in a larger one, which Jaccard misses.
-    Same bucket-grouped inverted-index plan as q32, hot-shingle guard
-    on."""
+    Same postings self-join plan as q32 (the at-scale winner — see
+    SCALING.md round-4 A/B), hot-shingle guard on."""
     docs = _t(spark, sf_dir, "documents")
     pairs = D.ngram_containment_pairs(
         docs, shingle_n=3, threshold=0.8, max_shingle_docs=_Q32_MAX_SHINGLE_DOCS

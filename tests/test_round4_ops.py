@@ -108,9 +108,13 @@ def test_round4_plan_shapes(spark):
     plan = plan_of(spark, "q57_gopher_filter")
     assert "Exchange" not in plan
     assert "Python" not in plan
-    # q58: bucket-grouped novelty expansion — no join operator at all
+    # q58: min-id claims join back over the SAME postings exchange —
+    # no collect_list (a hot shingle's posting list never materializes
+    # in one row), no cross product
     plan = plan_of(spark, "q58_ngram_novelty")
-    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ReusedExchange" in plan
     # q60: postings self-join (the at-scale winner for quadratic pair
     # density — see ngram_jaccard_pairs docstring); never a cross
     # product, one reused exchange
@@ -152,3 +156,14 @@ def test_chunk_audio_windows(spark):
     cdf = chunk_audio(media)
     plan = cdf._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_temperature_resample_null_group(spark):
+    rows = [(1, "a"), (2, "a"), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = temperature_resample(df, "id", "grp", target_fraction=1.0).collect()
+    # NULL is a legitimate stratum: its rows are tagged, never dropped
+    assert len(out) == 4
+    null_rows = [r for r in out if r["grp"] is None]
+    assert len(null_rows) == 2
+    assert all(r["rate"] == 1.0 and r["keep"] == 1 for r in out)
