@@ -167,3 +167,48 @@ def test_temperature_resample_null_group(spark):
     null_rows = [r for r in out if r["grp"] is None]
     assert len(null_rows) == 2
     assert all(r["rate"] == 1.0 and r["keep"] == 1 for r in out)
+
+
+def test_curation_ops_compose_with_streaming(spark, tmp_path):
+    """The curation projections (rule filter, redaction) are stateless
+    Column expressions, so they apply unchanged to a Structured
+    Streaming source — the batch/streaming parity a 100 TB pipeline
+    needs for continuous ingestion."""
+    import json
+
+    from defenda_data_lake_spark.operators.text import redact
+
+    src = tmp_path / "stream_docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over a lazy dog "
+                              "and then the cat sat on a mat while birds "
+                              "sang songs of summer evenings in tall trees "
+                              "mail me at a@b.com"},
+        {"doc_id": 2, "text": "tiny"},
+    ]
+    with open(src / "part1.ndjson", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .json(str(src))
+    )
+    flagged = redact(gopher_quality_flags(stream))
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = {r["doc_id"]: r for r in spark.sql(
+            "SELECT * FROM curated_stream").collect()}
+        assert out[1]["keep"] == 1
+        assert out[1]["n_redactions"] == 1  # the email
+        assert "<EMAIL>" in out[1]["text_redacted"]
+        assert out[2]["keep"] == 0
+    finally:
+        q.stop()
