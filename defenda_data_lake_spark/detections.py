@@ -62,6 +62,57 @@ def failed_login_bursts(
     )
 
 
+def password_spray(
+    events: DataFrame,
+    min_accounts: int = 5,
+    max_per_account: int = 3,
+    window_minutes: int = 60,
+) -> DataFrame:
+    """Password-spray shape: one source IP touching MANY accounts with
+    FEW attempts each inside a window — the inverse of a brute-force
+    burst (which hammers one account).  Flags windows where an IP
+    failed against >= ``min_accounts`` distinct users while averaging
+    <= ``max_per_account`` attempts per user.
+
+    Same scale shape as ``failed_login_bursts``: one keyed aggregation
+    on (window, ip) with map-side partial counts; spray sources are by
+    definition high-fan-out, so the per-key state is a distinct-user
+    count, not a user list."""
+    df = _ts(events)
+    failures = (
+        df.filter(
+            (F.col("category") == "authentication")
+            & (F.get_json_object("details", "$.success") == "false")
+        )
+        .withColumn("src_ip", F.get_json_object("details", "$.sourceipaddress"))
+        .withColumn("user", F.get_json_object("details", "$.user"))
+        .filter(F.col("src_ip").isNotNull() & F.col("user").isNotNull())
+    )
+    return (
+        failures.groupBy(
+            F.window("event_time", f"{window_minutes} minutes").alias("w"),
+            "src_ip",
+        )
+        .agg(
+            F.count_distinct("user").alias("n_accounts"),
+            F.count("*").alias("n_failures"),
+        )
+        .filter(
+            (F.col("n_accounts") >= min_accounts)
+            & (
+                F.col("n_failures")
+                <= F.col("n_accounts") * F.lit(max_per_account)
+            )
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "src_ip",
+            "n_accounts",
+            "n_failures",
+        )
+    )
+
+
 def first_seen_ips(events: DataFrame) -> DataFrame:
     """New-infrastructure shape: for each (user, source IP) pair, the
     first time it was ever seen — rows where an IP is new for a known

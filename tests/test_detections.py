@@ -132,3 +132,54 @@ def test_rare_event_scores_collapse_ids(events):
         shapes["flow # accepted"]["rarity_score"]
         > shapes["user fail login"]["rarity_score"]
     )
+
+
+def test_password_spray(spark):
+    from defenda_data_lake_spark.detections import password_spray
+    from defenda_data_lake_spark.schema import EVENT_SHELL_SCHEMA
+
+    rows = [
+        # sprayer: 6 accounts, 1 failure each, same hour
+        *[
+            _event(
+                f"2026-02-01T08:{10 + i:02d}:00+00:00",
+                summary="fail",
+                success=False,
+                sourceipaddress="203.0.113.50",
+                user=f"user{i}@example.com",
+            )
+            for i in range(6)
+        ],
+        # brute-forcer: 6 failures against ONE account -> excluded by
+        # the attempts-per-account ceiling? No — 6 <= 1 * 3 fails, so
+        # n_accounts=1 < min_accounts excludes it first
+        *[
+            _event(
+                f"2026-02-01T09:{10 + i:02d}:00+00:00",
+                summary="fail",
+                success=False,
+                sourceipaddress="198.51.100.99",
+                user="victim@example.com",
+            )
+            for i in range(6)
+        ],
+        # noisy-but-legit: 5 accounts but hammering (4 tries each)
+        *[
+            _event(
+                f"2026-02-01T10:{(i * 2) % 60:02d}:00+00:00",
+                summary="fail",
+                success=False,
+                sourceipaddress="192.0.2.200",
+                user=f"svc{i % 5}@example.com",
+            )
+            for i in range(20)
+        ],
+    ]
+    events = spark.createDataFrame(rows, EVENT_SHELL_SCHEMA)
+    hits = password_spray(
+        events, min_accounts=5, max_per_account=3, window_minutes=60
+    ).collect()
+    assert len(hits) == 1
+    assert hits[0]["src_ip"] == "203.0.113.50"
+    assert hits[0]["n_accounts"] == 6
+    assert hits[0]["n_failures"] == 6
