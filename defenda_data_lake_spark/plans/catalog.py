@@ -2333,6 +2333,44 @@ FROM ex
 """
 
 
+def q63_candidate_verify(spark, sf_dir):
+    """Pipeline composition: MinHash-LSH candidate pairs (lexical)
+    verified by embedding cosine (semantic) — the two-stage near-dup
+    recipe production pipelines run, assuming a shared id space
+    between documents and embeddings.
+
+    Scale shape: candidates are small by LSH construction, so the pair
+    side broadcasts into both embedding joins — the (huge) embeddings
+    table is scanned once per side with NO shuffle; the cosine is the
+    vectorized Arrow/numpy kernel."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = D.minhash_lsh_candidates(docs, num_hashes=8, bands=2, shingle_n=3)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    # candidates broadcast into the first embedding scan; the enriched
+    # (still candidate-sized) result broadcasts into the second — the
+    # embeddings table is never shuffled
+    half = ea.join(F.broadcast(pairs), "id_a")
+    joined = eb.join(F.broadcast(half), "id_b")
+    return (
+        S.with_cosine(joined, "_va", "_vb")
+        .select("id_a", "id_b", R("cosine", 6).alias("cosine"))
+    )
+
+
+Q63_SQL = f"""
+WITH {_MINHASH_CTES_SQL},
+pairs AS ({_MINHASH_PAIRS_SELECT})
+SELECT p.id_a, p.id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM pairs p
+JOIN embeddings a ON p.id_a = a.vec_id
+JOIN embeddings b ON p.id_b = b.vec_id
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -2376,6 +2414,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q60_containment_pairs": (q60_containment_pairs, Q60_SQL),
     "q61_length_buckets": (q61_length_buckets, Q61_SQL),
     "q62_audio_chunks": (q62_audio_chunks, Q62_SQL),
+    "q63_candidate_verify": (q63_candidate_verify, Q63_SQL),
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),

@@ -212,3 +212,12 @@ def test_curation_ops_compose_with_streaming(spark, tmp_path):
         assert out[2]["keep"] == 0
     finally:
         q.stop()
+
+
+def test_q63_embeddings_never_shuffled(spark):
+    from tests.test_plan_quality import plan_of
+
+    plan = plan_of(spark, "q63_candidate_verify")
+    # both embedding joins are broadcast builds of the candidate side
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
