@@ -221,3 +221,38 @@ def test_q63_embeddings_never_shuffled(spark):
     # both embedding joins are broadcast builds of the candidate side
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_novelty_corpus_invariants(spark):
+    """Corpus-level conservation: every distinct shingle is claimed by
+    exactly one document, so sum(n_novel) == |distinct shingles| and
+    novelty_frac stays in [0, 1]."""
+    from defenda_data_lake_spark.operators.dedup import word_shingles
+
+    rows = [(i, f"alpha beta gamma doc {i % 7} tail {i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ngram_novelty(df).collect()
+    total_novel = sum(r["n_novel"] for r in out)
+    distinct_shingles = (
+        word_shingles(df).select("shingle").distinct().count()
+    )
+    assert total_novel == distinct_shingles
+    assert all(0.0 <= r["novelty_frac"] <= 1.0 for r in out)
+    assert all(r["n_novel"] <= r["n_shingles"] for r in out)
+
+
+def test_containment_bounds_and_symmetry_with_jaccard(docs):
+    """containment >= jaccard for every pair (min <= union), both in
+    (0, 1]."""
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs, threshold=0.0).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert set(jac) == set(cont)
+    for pair, j in jac.items():
+        assert 0.0 < cont[pair] <= 1.0
+        assert cont[pair] >= j - 1e-12
