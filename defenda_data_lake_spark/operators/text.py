@@ -333,3 +333,102 @@ def gopher_quality_flags(
         out = out.withColumn(name, cond.cast("int"))
         keep = cond if keep is None else (keep & cond)
     return out.withColumn("keep", keep.cast("int")).drop("_w", "_nw")
+
+
+def bigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean conditional log probability of each document's word bigrams
+    under the corpus's own bigram MLE model — ln(c(w1 w2) / c(w1 ·)) —
+    the next step up from the unigram CCNet signal: it penalizes
+    documents whose word ORDER is improbable (shuffled text, keyword
+    stuffing) that a unigram model scores as normal.
+
+    Returns ``(id, n_bigrams, avg_logp2)`` for documents with >= 2
+    words, ``avg_logp2`` unrounded.
+
+    Scale notes (100 TB): bigram positions are a linear interpreted
+    ``transform`` on the scan side (same trade as repetition_signals);
+    both model tables (bigram counts, head totals) are Zipf-bounded
+    vocabularies millions of times smaller than the corpus, so they
+    broadcast and the corpus is never shuffled before the per-doc
+    aggregation."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tmp = df.select(F.col(id_col).alias(id_col), w.alias("_w")).filter(
+        F.size("_w") >= 2
+    )
+    bg = tmp.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_w) - 1),"
+                " i -> struct(element_at(_w, i) AS head,"
+                "             concat(element_at(_w, i), ' ',"
+                "                    element_at(_w, i + 1)) AS bigram))"
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.head").alias("head"), F.col("b.bigram").alias("bigram"))
+    bc = F.broadcast(bg.groupBy("bigram").agg(F.count("*").alias("c")))
+    ht = F.broadcast(bg.groupBy("head").agg(F.count("*").alias("h")))
+    return (
+        bg.join(bc, "bigram")
+        .join(ht, "head")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(F.log(F.col("c").cast("double") / F.col("h"))).alias(
+                "avg_logp2"
+            ),
+        )
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` word vocabulary (count desc, word asc
+    tie-break — fully deterministic).  High OOV flags gibberish, OCR
+    noise, and wrong-language content relative to the corpus; it is
+    also the standard tokenizer-coverage diagnostic.
+
+    Returns ``(id, n_words, n_oov, oov_frac)``.
+
+    Scale notes (100 TB): the vocabulary is top-k of a hash-aggregated
+    word count (map-side combine absorbs the Zipf head) and broadcasts;
+    the corpus joins map-side — one shuffle total for the word counts,
+    one for the per-doc aggregation."""
+    words = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "word"
+        ),
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .orderBy(F.col("wc").desc(), F.col("word").asc())
+        .limit(vocab_size)
+        .select("word", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_oov",
+            (F.col("n_oov") / F.col("n_words").cast("double")).alias(
+                "oov_frac"
+            ),
+        )
+    )

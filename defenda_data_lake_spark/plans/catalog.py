@@ -2371,6 +2371,75 @@ JOIN embeddings b ON p.id_b = b.vec_id
 """
 
 
+def q64_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality signal (operators/text.py
+    ``bigram_logprob_scores``): mean ln P(w2|w1) under the corpus's own
+    bigram MLE — penalizes improbable word ORDER that the unigram q54
+    can't see.  Both model tables broadcast; the corpus is never
+    shuffled before the per-doc aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = X.bigram_logprob_scores(docs)
+    return scored.select(
+        "doc_id", "n_bigrams", R("avg_logp2", 4).alias("avg_logp2")
+    )
+
+
+Q64_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(range(1, len(w))) AS i
+  FROM toks WHERE len(w) >= 2
+),
+bg AS (SELECT doc_id, w[i] AS head, w[i] || ' ' || w[i+1] AS bigram FROM pos),
+bc AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+ht AS (SELECT head, count(*) AS h FROM bg GROUP BY head)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln(CAST(c AS DOUBLE) / h)), 4) AS avg_logp2
+FROM bg JOIN bc USING (bigram) JOIN ht USING (head)
+GROUP BY doc_id
+"""
+
+
+def q65_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate against the corpus's own top-20 word
+    vocabulary (operators/text.py ``oov_rate``): the tokenizer-coverage
+    / gibberish diagnostic.  Vocabulary selection is deterministic
+    (count desc, word asc) and broadcasts.  (20, not a web-scale 10^5+,
+    because the synthetic corpus has ~31 distinct words — a larger
+    vocabulary would make every document trivially in-vocab.)"""
+    docs = _t(spark, sf_dir, "documents")
+    return X.oov_rate(docs, vocab_size=20).select(
+        "doc_id", "n_words", "n_oov", R("oov_frac", 6).alias("oov_frac")
+    )
+
+
+Q65_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+  FROM documents
+),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS wc FROM words GROUP BY word
+    ORDER BY wc DESC, word ASC LIMIT 20
+  )
+)
+SELECT doc_id,
+       count(*) AS n_words,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_frac
+FROM words w LEFT JOIN vocab v ON w.word = v.word
+GROUP BY doc_id
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -2415,6 +2484,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q61_length_buckets": (q61_length_buckets, Q61_SQL),
     "q62_audio_chunks": (q62_audio_chunks, Q62_SQL),
     "q63_candidate_verify": (q63_candidate_verify, Q63_SQL),
+    "q64_bigram_logprob": (q64_bigram_logprob, Q64_SQL),
+    "q65_oov_rate": (q65_oov_rate, Q65_SQL),
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),
