@@ -2440,6 +2440,132 @@ GROUP BY doc_id
 """
 
 
+def q66_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase per user,
+    with a 24-hour conversion deadline per stage: each later stage
+    counts only events strictly after the user's earliest qualifying
+    previous-stage event and within 24 hours of it (an unbounded
+    deadline is degenerate on a month of dense activity — everyone
+    eventually does everything).
+
+    Scale shape: three stacked window minimums over the SAME user
+    partitioning — Catalyst plans ONE exchange + sort with the window
+    operators layered on it, then a per-user distinct and a tiny stage
+    rollup.  No self-joins, no repeated scans."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    t = ev.withColumn(
+        "v", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    hour = F.expr("INTERVAL 24 HOUR")
+    t = t.withColumn(
+        "c",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("v"))
+                & (F.col("ts") <= F.col("v") + hour),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    t = t.withColumn(
+        "p",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("c"))
+                & (F.col("ts") <= F.col("c") + hour),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    stages = t.select(
+        "user_id",
+        F.when(F.col("p").isNotNull(), "purchase")
+        .when(F.col("c").isNotNull(), "click")
+        .when(F.col("v").isNotNull(), "view")
+        .otherwise("none")
+        .alias("stage"),
+    ).distinct()
+    return stages.groupBy("stage").agg(F.count("*").alias("n_users"))
+
+
+Q66_SQL = """
+WITH t1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS v
+  FROM events
+),
+t2 AS (
+  SELECT user_id, ts, event_type, v,
+         min(CASE WHEN event_type = 'click' AND ts > v
+                        AND ts <= v + INTERVAL 24 HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS c
+  FROM t1
+),
+t3 AS (
+  SELECT user_id, v, c,
+         min(CASE WHEN event_type = 'purchase' AND ts > c
+                        AND ts <= c + INTERVAL 24 HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS p
+  FROM t2
+),
+stages AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN p IS NOT NULL THEN 'purchase'
+              WHEN c IS NOT NULL THEN 'click'
+              WHEN v IS NOT NULL THEN 'view'
+              ELSE 'none' END AS stage
+  FROM t3
+)
+SELECT stage, count(*) AS n_users FROM stages GROUP BY stage
+"""
+
+
+def q67_retention_cohorts(spark, sf_dir):
+    """Daily retention cohorts: users grouped by the date of their
+    first event; for each (cohort_day, day_offset) the count of
+    distinct users active that many days later — the standard
+    engagement triangle.
+
+    Scale shape: the first-event table is an aggregation on user_id
+    and the activity join is hash-partitioned on the same key (both
+    exchanges on user_id, co-partitioned join, no broadcast needed at
+    any user count); the final rollup is cohort×offset-bounded."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+Q67_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', cohort_day, date_trunc('day', e.ts)) AS BIGINT)
+         AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN firsts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -2486,6 +2612,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q63_candidate_verify": (q63_candidate_verify, Q63_SQL),
     "q64_bigram_logprob": (q64_bigram_logprob, Q64_SQL),
     "q65_oov_rate": (q65_oov_rate, Q65_SQL),
+    "q66_funnel": (q66_funnel, Q66_SQL),
+    "q67_retention_cohorts": (q67_retention_cohorts, Q67_SQL),
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),

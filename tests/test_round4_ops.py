@@ -299,3 +299,16 @@ def test_oov_rate_against_top_vocab(spark):
     # vocab = {'common'} (highest count)
     assert out[1]["n_oov"] == 1 and out[1]["oov_frac"] == 0.25
     assert out[2]["n_oov"] == 3 and out[2]["oov_frac"] == 0.75
+
+
+def test_q66_funnel_single_exchange(spark):
+    """The three stacked window minimums share one user_id exchange —
+    the funnel must not degenerate into self-joins or repeated
+    shuffles of the events scan."""
+    from tests.test_plan_quality import plan_of
+
+    plan = plan_of(spark, "q66_funnel")
+    assert "Join" not in plan
+    # one exchange for the windows, one for the distinct, one for the
+    # stage rollup — never more
+    assert plan.count("Exchange hashpartitioning") <= 3
