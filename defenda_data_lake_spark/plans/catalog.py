@@ -2566,6 +2566,63 @@ GROUP BY 1, 2
 """
 
 
+def q68_doc_chunks(spark, sf_dir):
+    """Context-window document chunking: split each document into
+    50-word chunks with a 10-word overlap (stride 40) — the standard
+    long-document preparation for embedding/training pipelines.
+
+    Scale shape: pure JVM — split once, explode a sequence of chunk
+    starts, ``slice``+``array_join`` per chunk (core functions, not
+    interpreted HOF lambdas).  Shuffle-free; output volume is
+    words/stride per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    t = docs.select(F.col("doc_id"), w.alias("_w"), F.size(w).alias("_n"))
+    # chunk starts 1, 41, 81, ... (1-based for slice); last start covers
+    # the tail: greatest(1, _n - 50 + 1) clamps short docs to one chunk
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.col("_n") - F.lit(50) + F.lit(1)),
+        F.lit(40),
+    )
+    ex = t.select(
+        "doc_id",
+        "_w",
+        "_n",
+        F.posexplode(starts).alias("chunk_index", "start_word"),
+    )
+    chunk = F.slice(F.col("_w"), F.col("start_word"), F.lit(50))
+    return ex.select(
+        "doc_id",
+        "chunk_index",
+        F.col("start_word").cast("long").alias("start_word"),
+        F.size(chunk).cast("long").alias("n_words"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+Q68_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w,
+         len(string_split({_NORM_SQL}, ' ')) AS n
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, w, n,
+         unnest(range(1, greatest(1, n - 50 + 1) + 1, 40)) AS start_word
+  FROM t
+)
+SELECT doc_id,
+       CAST((start_word - 1) // 40 AS INT) AS chunk_index,
+       CAST(start_word AS BIGINT) AS start_word,
+       CAST(len(w[start_word:start_word + 49]) AS BIGINT) AS n_words,
+       md5(array_to_string(w[start_word:start_word + 49], ' ')) AS chunk_hash
+FROM ex
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -2614,6 +2671,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q65_oov_rate": (q65_oov_rate, Q65_SQL),
     "q66_funnel": (q66_funnel, Q66_SQL),
     "q67_retention_cohorts": (q67_retention_cohorts, Q67_SQL),
+    "q68_doc_chunks": (q68_doc_chunks, Q68_SQL),
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),

@@ -312,3 +312,27 @@ def test_q66_funnel_single_exchange(spark):
     # one exchange for the windows, one for the distinct, one for the
     # stage rollup — never more
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_doc_chunks_overlap(spark):
+    from defenda_data_lake_spark.plans.catalog import CATALOG
+    import hashlib
+
+    words = [f"w{i}" for i in range(130)]
+    # route through the catalog entry by writing a one-doc parquet table
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(7, " ".join(words), "en", "srcX", len(" ".join(words)))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.parquet(os.path.join(tmp, "documents.parquet"))
+    fn, _ = CATALOG["q68_doc_chunks"]
+    out = {r["chunk_index"]: r for r in fn(spark, tmp).collect()}
+    # 130 words, chunk 50, stride 40 -> starts 1,41,81 (last covering 81..130)
+    assert sorted(out) == [0, 1, 2]
+    assert out[0]["start_word"] == 1 and out[0]["n_words"] == 50
+    assert out[1]["start_word"] == 41 and out[1]["n_words"] == 50
+    assert out[2]["start_word"] == 81 and out[2]["n_words"] == 50
+    # chunk 1 overlaps chunk 0 by 10 words: verify via hash of expected text
+    expected = hashlib.md5(" ".join(words[40:90]).encode()).hexdigest()
+    assert out[1]["chunk_hash"] == expected
