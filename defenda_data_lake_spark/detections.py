@@ -113,6 +113,50 @@ def password_spray(
     )
 
 
+def beaconing_candidates(
+    events: DataFrame,
+    min_events: int = 10,
+    max_cv: float = 0.2,
+) -> DataFrame:
+    """C2-beaconing shape: a (source, destination) pair emitting events
+    at suspiciously REGULAR intervals — many callbacks whose
+    inter-event gaps have a low coefficient of variation
+    (stddev/mean).  Humans and bursty services are irregular; malware
+    check-ins on a timer are not.
+
+    Scale shape: one window (lag over event time) and one aggregation,
+    both partitioned on the same (src, dst) key — a single exchange.
+    Per-key state is three scalars (count, mean, stddev), so hot pairs
+    cost nothing extra."""
+    df = _ts(events).select(
+        F.get_json_object("details", "$.sourceipaddress").alias("src_ip"),
+        F.get_json_object("details", "$.destinationipaddress").alias("dst_ip"),
+        "event_time",
+    ).filter(F.col("src_ip").isNotNull() & F.col("dst_ip").isNotNull())
+    w = Window.partitionBy("src_ip", "dst_ip").orderBy("event_time")
+    gaps = df.withColumn(
+        "gap_s",
+        F.col("event_time").cast("long")
+        - F.lag(F.col("event_time").cast("long")).over(w),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("src_ip", "dst_ip")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.avg("gap_s").alias("mean_gap_s"),
+            F.stddev_pop("gap_s").alias("stddev_gap_s"),
+        )
+        .filter(
+            (F.col("n_intervals") >= min_events - 1)
+            & (F.col("mean_gap_s") > 0)
+            & (F.col("stddev_gap_s") / F.col("mean_gap_s") <= max_cv)
+        )
+        .withColumn(
+            "cv", F.col("stddev_gap_s") / F.col("mean_gap_s")
+        )
+    )
+
+
 def first_seen_ips(events: DataFrame) -> DataFrame:
     """New-infrastructure shape: for each (user, source IP) pair, the
     first time it was ever seen — rows where an IP is new for a known

@@ -183,3 +183,53 @@ def test_password_spray(spark):
     assert hits[0]["src_ip"] == "203.0.113.50"
     assert hits[0]["n_accounts"] == 6
     assert hits[0]["n_failures"] == 6
+
+
+def test_beaconing_candidates(spark):
+    from defenda_data_lake_spark.detections import beaconing_candidates
+    from defenda_data_lake_spark.schema import EVENT_SHELL_SCHEMA
+
+    rows = [
+        # beacon: exactly every 60s, 12 callbacks
+        *[
+            _event(
+                f"2026-03-01T00:{i:02d}:00+00:00",
+                category="netflow",
+                summary="flow",
+                sourceipaddress="10.0.0.5",
+                destinationipaddress="203.0.113.200",
+            )
+            for i in range(12)
+        ],
+        # human-ish: irregular gaps (same count)
+        *[
+            _event(
+                f"2026-03-01T01:{m:02d}:{s:02d}+00:00",
+                category="netflow",
+                summary="flow",
+                sourceipaddress="10.0.0.9",
+                destinationipaddress="198.51.100.30",
+            )
+            for m, s in [(0, 0), (0, 11), (2, 37), (3, 2), (7, 55), (8, 0),
+                         (13, 40), (14, 2), (21, 8), (22, 0), (30, 30), (31, 0)]
+        ],
+        # regular but too few events
+        *[
+            _event(
+                f"2026-03-01T02:{i:02d}:00+00:00",
+                category="netflow",
+                summary="flow",
+                sourceipaddress="10.0.0.7",
+                destinationipaddress="192.0.2.9",
+            )
+            for i in range(4)
+        ],
+    ]
+    events = spark.createDataFrame(rows, EVENT_SHELL_SCHEMA)
+    hits = beaconing_candidates(events, min_events=10, max_cv=0.2).collect()
+    assert len(hits) == 1
+    h = hits[0]
+    assert (h["src_ip"], h["dst_ip"]) == ("10.0.0.5", "203.0.113.200")
+    assert h["n_intervals"] == 11
+    assert h["mean_gap_s"] == 60.0
+    assert h["cv"] == 0.0
