@@ -2623,6 +2623,66 @@ FROM ex
 """
 
 
+def q69_rolling_anomaly(spark, sf_dir):
+    """Trailing-window anomaly ratio: each purchase compared to the
+    same user's mean purchase value over the PRECEDING 7 days — a
+    time-RANGE window frame (the only frame kind that is correct for
+    irregular event spacing; a ROWS frame would mean 'last N events'
+    regardless of when they happened).
+
+    Scale shape: one exchange on user_id, one sort, one window pass;
+    per-user frame state is a running (count, sum) pair.  Epochs are
+    integer seconds on both engines so frame membership is
+    bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-604800, -1)
+    )
+    out = p.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("*").over(w).alias("n_prev"),
+        F.avg("value").over(w).alias("mean_prev"),
+    ).filter(F.col("n_prev") >= 3)
+    return out.select(
+        "event_id",
+        "user_id",
+        "n_prev",
+        R("mean_prev", 4).alias("mean_prev"),
+        R(F.col("value") / F.col("mean_prev"), 4).alias("ratio"),
+    )
+
+
+Q69_SQL = """
+WITH p AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id, n_prev,
+       round(mean_prev, 4) AS mean_prev,
+       round(value / mean_prev, 4) AS ratio
+FROM (
+  SELECT event_id, user_id, value,
+         count(*) OVER w AS n_prev,
+         avg(value) OVER w AS mean_prev
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+               RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+)
+WHERE n_prev >= 3
+"""
+
+
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -2672,6 +2732,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q66_funnel": (q66_funnel, Q66_SQL),
     "q67_retention_cohorts": (q67_retention_cohorts, Q67_SQL),
     "q68_doc_chunks": (q68_doc_chunks, Q68_SQL),
+    "q69_rolling_anomaly": (q69_rolling_anomaly, Q69_SQL),
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),
