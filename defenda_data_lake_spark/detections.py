@@ -26,22 +26,27 @@ def _ts(df: DataFrame) -> DataFrame:
     return df.withColumn("event_time", F.to_timestamp(F.col("utctimestamp")))
 
 
+def _auth_failures(events: DataFrame) -> DataFrame:
+    """The shared definition of a failed authentication: an
+    authentication-category event whose details carry ``success:
+    false`` (the gsuite plugin emits exactly this; other sources
+    normalize the same way), with ``src_ip`` extracted.  One
+    definition so the burst and spray detections can never diverge."""
+    return _ts(events).filter(
+        (F.col("category") == "authentication")
+        & (F.get_json_object("details", "$.success") == "false")
+    ).withColumn("src_ip", F.get_json_object("details", "$.sourceipaddress"))
+
+
 def failed_login_bursts(
     events: DataFrame,
     threshold: int = 5,
     window_minutes: int = 10,
 ) -> DataFrame:
     """Brute-force shape: >= ``threshold`` failed authentications from
-    one source IP within a tumbling window.
-
-    A failure is an authentication-category event whose details carry
-    ``success: false`` (the gsuite plugin emits exactly this; other
-    sources normalize the same way)."""
-    df = _ts(events)
-    failures = df.filter(
-        (F.col("category") == "authentication")
-        & (F.get_json_object("details", "$.success") == "false")
-    ).withColumn("src_ip", F.get_json_object("details", "$.sourceipaddress"))
+    one source IP within a tumbling window (failure definition:
+    ``_auth_failures``)."""
+    failures = _auth_failures(events)
     return (
         failures.filter(F.col("src_ip").isNotNull())
         .groupBy(
@@ -78,13 +83,8 @@ def password_spray(
     on (window, ip) with map-side partial counts; spray sources are by
     definition high-fan-out, so the per-key state is a distinct-user
     count, not a user list."""
-    df = _ts(events)
     failures = (
-        df.filter(
-            (F.col("category") == "authentication")
-            & (F.get_json_object("details", "$.success") == "false")
-        )
-        .withColumn("src_ip", F.get_json_object("details", "$.sourceipaddress"))
+        _auth_failures(events)
         .withColumn("user", F.get_json_object("details", "$.user"))
         .filter(F.col("src_ip").isNotNull() & F.col("user").isNotNull())
     )

@@ -348,11 +348,16 @@ def bigram_logprob_scores(
     words, ``avg_logp2`` unrounded.
 
     Scale notes (100 TB): bigram positions are a linear interpreted
-    ``transform`` on the scan side (same trade as repetition_signals);
-    both model tables (bigram counts, head totals) are Zipf-bounded
-    vocabularies millions of times smaller than the corpus, so they
-    broadcast and the corpus is never shuffled before the per-doc
-    aggregation."""
+    ``transform`` on the scan side (same trade as repetition_signals).
+    The bigram-count table is NOT broadcast — distinct bigram types
+    grow with the corpus (Heaps' law, billions at web scale), so the
+    count join is hash-partitioned on ``bigram`` (map-side partial
+    aggregation absorbs the Zipf head; AQE converts to broadcast when
+    the model actually fits).  Head totals are derived FROM the bigram
+    counts (vocab-sized input, no second corpus pass) and are
+    unigram-bounded, so they do broadcast.  A production deployment
+    persists the bigram-count table between the model and scoring
+    passes; unpersisted, the count subtree is recomputed once."""
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     tmp = df.select(F.col(id_col).alias(id_col), w.alias("_w")).filter(
         F.size("_w") >= 2
@@ -368,8 +373,14 @@ def bigram_logprob_scores(
             )
         ).alias("b"),
     ).select(id_col, F.col("b.head").alias("head"), F.col("b.bigram").alias("bigram"))
-    bc = F.broadcast(bg.groupBy("bigram").agg(F.count("*").alias("c")))
-    ht = F.broadcast(bg.groupBy("head").agg(F.count("*").alias("h")))
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("c"))
+    # head totals from the (vocab-sized) bigram counts, not a second
+    # corpus aggregation: c(w1 ·) = sum of c(w1 w2) over w2
+    ht = F.broadcast(
+        bc.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("head"), "c")
+        .groupBy("head")
+        .agg(F.sum("c").alias("h"))
+    )
     return (
         bg.join(bc, "bigram")
         .join(ht, "head")

@@ -2580,12 +2580,18 @@ def q68_doc_chunks(spark, sf_dir):
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
     )
     t = docs.select(F.col("doc_id"), w.alias("_w"), F.size(w).alias("_n"))
-    # chunk starts 1, 41, 81, ... (1-based for slice); last start covers
-    # the tail: greatest(1, _n - 50 + 1) clamps short docs to one chunk
-    starts = F.sequence(
-        F.lit(1),
-        F.greatest(F.lit(1), F.col("_n") - F.lit(50) + F.lit(1)),
-        F.lit(40),
+    # chunk starts 1, 41, 81, ... (1-based for slice), PLUS the final
+    # start n-50+1 so the tail is always covered — the strided sequence
+    # alone loses up to stride-1 trailing words whenever (n - 50) is
+    # not a multiple of the stride.  array_distinct collapses the
+    # aligned case (order preserved: the appended start is the
+    # largest, or a duplicate).
+    last_start = F.greatest(F.lit(1), F.col("_n") - F.lit(50) + F.lit(1))
+    starts = F.array_distinct(
+        F.concat(
+            F.sequence(F.lit(1), last_start, F.lit(40)),
+            F.array(last_start),
+        )
     )
     ex = t.select(
         "doc_id",
@@ -2609,13 +2615,21 @@ WITH t AS (
          len(string_split({_NORM_SQL}, ' ')) AS n
   FROM documents
 ),
-ex AS (
-  SELECT doc_id, w, n,
-         unnest(range(1, greatest(1, n - 50 + 1) + 1, 40)) AS start_word
+st AS (
+  SELECT doc_id, w,
+         unnest(list_distinct(list_concat(
+             range(1, greatest(1, n - 50 + 1) + 1, 40),
+             [greatest(1, n - 50 + 1)]))) AS start_word
   FROM t
+),
+ex AS (
+  SELECT doc_id, w, start_word,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_word)
+              - 1 AS INT) AS chunk_index
+  FROM st
 )
 SELECT doc_id,
-       CAST((start_word - 1) // 40 AS INT) AS chunk_index,
+       chunk_index,
        CAST(start_word AS BIGINT) AS start_word,
        CAST(len(w[start_word:start_word + 49]) AS BIGINT) AS n_words,
        md5(array_to_string(w[start_word:start_word + 49], ' ')) AS chunk_hash

@@ -318,7 +318,7 @@ def test_doc_chunks_overlap(spark):
     from defenda_data_lake_spark.plans.catalog import CATALOG
     import hashlib
 
-    words = [f"w{i}" for i in range(130)]
+    words = [f"w{i}" for i in range(100)]
     # route through the catalog entry by writing a one-doc parquet table
     import tempfile, os
     tmp = tempfile.mkdtemp()
@@ -328,11 +328,16 @@ def test_doc_chunks_overlap(spark):
     ).write.parquet(os.path.join(tmp, "documents.parquet"))
     fn, _ = CATALOG["q68_doc_chunks"]
     out = {r["chunk_index"]: r for r in fn(spark, tmp).collect()}
-    # 130 words, chunk 50, stride 40 -> starts 1,41,81 (last covering 81..130)
+    # 100 words, chunk 50, stride 40: strided starts 1,41 PLUS the
+    # unaligned tail start 51 — without it words 91-100 are silently
+    # lost (regression: the strided sequence alone covered only 1-90)
     assert sorted(out) == [0, 1, 2]
     assert out[0]["start_word"] == 1 and out[0]["n_words"] == 50
     assert out[1]["start_word"] == 41 and out[1]["n_words"] == 50
-    assert out[2]["start_word"] == 81 and out[2]["n_words"] == 50
+    assert out[2]["start_word"] == 51 and out[2]["n_words"] == 50
     # chunk 1 overlaps chunk 0 by 10 words: verify via hash of expected text
     expected = hashlib.md5(" ".join(words[40:90]).encode()).hexdigest()
     assert out[1]["chunk_hash"] == expected
+    # the tail chunk ends exactly at the last word
+    expected_tail = hashlib.md5(" ".join(words[50:100]).encode()).hexdigest()
+    assert out[2]["chunk_hash"] == expected_tail
