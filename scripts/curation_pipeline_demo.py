@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""End-to-end training-data curation pipeline demo: the individual
+operators composed the way a production corpus build chains them.
+
+    rule filter → exact dedup → near-dup (MinHash-LSH) cluster drop →
+    eval decontamination → temperature mix rebalance → PII redaction →
+    chunk/pack accounting
+
+Each stage is the same operator the query catalog exposes (q57, q30,
+q31/q49, q51, q59, redact, q39) — this script demonstrates that they
+compose lazily into ONE Spark job graph per action, not seven separate
+pipelines.
+
+Usage: python scripts/curation_pipeline_demo.py [sf_dir]
+Prints one JSON line of per-stage survivor counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("TZ", "UTC")
+time.tzset()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.operators import dedup as D
+    from defenda_data_lake_spark.operators import sampling as SA
+    from defenda_data_lake_spark.operators import text as X
+    from defenda_data_lake_spark.session import get_spark
+
+    spark = get_spark(app_name="curation-demo")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts: dict[str, int] = {"input": docs.count()}
+
+    # 1. rule-based quality filter (shuffle-free projection)
+    kept = X.gopher_quality_flags(docs).filter(F.col("keep") == 1)
+    kept = kept.select("doc_id", "text", "source")
+    counts["rule_filter"] = kept.count()
+
+    # 2. exact dedup: keep the min-id representative per content hash
+    kept = D.exact_dedup(kept, "text", "doc_id")
+    counts["exact_dedup"] = kept.count()
+
+    # 3. near-dup removal: MinHash-LSH pairs → clusters → keep canonical
+    pairs = D.minhash_lsh_candidates(kept, "text", "doc_id")
+    clusters = D.duplicate_clusters(kept, pairs)
+    canonical = clusters.filter(F.col("is_canonical") == 1).select("doc_id")
+    kept = kept.join(canonical, "doc_id")
+    counts["near_dedup"] = kept.count()
+
+    # 4. eval decontamination: drop docs overlapping the held-out split
+    tagged = SA.with_split(kept, "doc_id", test_fraction=0.1)
+    train = tagged.filter(F.col("split") == "train")
+    test = tagged.filter(F.col("split") == "test")
+    contaminated = (
+        D.ngram_contamination(train, test, "text", "doc_id", n=8)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    kept = train.join(contaminated, "doc_id", "left_anti")
+    counts["decontaminated"] = kept.count()
+
+    # 5. temperature mix rebalance (α=0.5 toward a flatter source mix)
+    kept = SA.temperature_resample(kept, "doc_id", "source").filter(
+        F.col("keep") == 1
+    )
+    counts["rebalanced"] = kept.count()
+
+    # 6. PII redaction (projection; rows unchanged)
+    kept = X.redact(kept, "text")
+    counts["redacted"] = kept.count()
+
+    # 7. packing accounting: how many 256-token bins the survivors fill
+    n_tokens = F.size(F.split(F.trim(F.col("text_redacted")), r"\s+"))
+    total_tokens = kept.agg(F.sum(n_tokens).alias("t")).first()["t"] or 0
+    counts["total_tokens"] = int(total_tokens)
+    counts["bins_256"] = int((total_tokens + 255) // 256)
+
+    print(json.dumps(counts))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
