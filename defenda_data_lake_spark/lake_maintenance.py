@@ -41,6 +41,7 @@ def compact_partition(
     hour: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     table_name: str = EVENTS_TABLE,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Rewrite one hour partition into size-targeted files.
 
@@ -48,7 +49,16 @@ def compact_partition(
     ``ceil(bytes / target_file_bytes)`` output files, writes to a
     sibling temp dir, then atomically swaps directories and refreshes
     the table.  Returns {files_before, files_after, bytes}.
-    """
+
+    ``sort_by`` additionally range-partitions and sorts the rewrite on
+    the given columns (e.g. ``["source", "category"]``) — the
+    Z-order-lite clustering pass: each output file/row group then
+    covers a narrow, largely disjoint value range, so parquet min/max
+    statistics prune entire files for selective predicates on those
+    columns.  At 100 TB this is the difference between a filter
+    touching every compacted file and touching one — compaction is the
+    natural (and only) place to pay the sort, since the hour partition
+    is already being rewritten."""
     part_dir = partition_path(table_location, year, month, day, hour)
     data_files = [
         f
@@ -68,7 +78,15 @@ def compact_partition(
     tmp_dir = os.path.join(
         os.path.dirname(part_dir), f".compact-{uuid.uuid4().hex[:8]}"
     )
-    df.coalesce(n_out).write.mode("overwrite").parquet(tmp_dir)
+    if sort_by:
+        # range-partition so each output file owns a disjoint key range,
+        # then sort within files so row groups are clustered too
+        out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(tmp_dir)
 
     old_dir = part_dir + f".old-{uuid.uuid4().hex[:8]}"
     os.rename(part_dir, old_dir)

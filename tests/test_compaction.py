@@ -41,3 +41,59 @@ def test_compact_partition_roundtrip(spark, tmp_path):
     ).first()
     assert row["n"] == total_before
     spark.sql("DROP TABLE IF EXISTS defenda_data_lake.events")
+
+
+def test_compact_with_sort_clusters_files(spark, tmp_path):
+    """sort_by compaction range-partitions the rewrite so parquet
+    min/max footer statistics become file-disjoint — the data-skipping
+    clustering pass."""
+    import pyarrow.parquet as pq
+    import os as _os
+
+    src = tmp_path / "part_src"
+    # one hour partition dir with interleaved sources across many files
+    rows = [(i, ["alpha", "beta", "gamma", "delta"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, ["event_id", "source"])
+    df.repartition(8).write.mode("overwrite").parquet(str(src))
+
+    from defenda_data_lake_spark.lake_maintenance import compact_partition
+
+    # move the written files into a hive-layout hour partition
+    part_dir = tmp_path / "year=2026" / "month=01" / "day=01" / "hour=00"
+    part_dir.parent.mkdir(parents=True)
+    _os.rename(str(src), str(part_dir))
+
+    stats = compact_partition(
+        spark, str(tmp_path), "2026", "01", "01", "00",
+        target_file_bytes=4 * 1024,  # force multiple output files
+        table_name="nonexistent_table",
+        sort_by=["source"],
+    )
+    assert stats["files_after"] >= 2
+
+    files = [
+        f for f in _os.listdir(part_dir)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(str(part_dir / f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "source"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    # file ranges are non-overlapping (allowing shared boundary values):
+    # sorted by min, each file's max <= next file's min
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # and the data survived intact
+    back = spark.read.parquet(str(part_dir))
+    assert back.count() == 400
+    assert back.select("source").distinct().count() == 4
