@@ -105,3 +105,48 @@ def compact_partition(
         "files_after": files_after,
         "bytes": total_bytes,
     }
+
+
+def upsert_corpus_snapshot(
+    spark: SparkSession,
+    corpus_dir: str,
+    updates,
+    key: str = "doc_id",
+) -> dict:
+    """MERGE-lite for a parquet corpus: rows in ``updates`` replace
+    same-key rows in the corpus, new keys append — the incremental
+    crawl-snapshot maintenance a training corpus needs without a table
+    format.  Writes the merged corpus to a sibling temp dir and
+    atomically swaps, so readers never observe a partial state.
+    Returns {rows_before, rows_updates, rows_after}.
+
+    Scale notes (100 TB): the merge is one left-anti equi-join on the
+    key (hash-partitioned; the updates side of a snapshot delta is
+    usually small enough to broadcast, which AQE decides from its
+    size) plus a union — the corpus is read and written once.  At real
+    scale the corpus would be hive-partitioned (e.g. by crawl date or
+    key bucket) and only partitions containing updated keys rewritten;
+    this single-directory form is the per-partition primitive of that
+    scheme."""
+    old = spark.read.parquet(corpus_dir)
+    rows_before = old.count()
+    rows_updates = updates.count()
+    merged = updates.unionByName(
+        old.join(updates.select(key).distinct(), key, "left_anti")
+    )
+
+    parent = os.path.dirname(corpus_dir.rstrip("/"))
+    tmp_dir = os.path.join(parent, f".upsert-{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").parquet(tmp_dir)
+
+    old_dir = corpus_dir.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
+    os.rename(corpus_dir, old_dir)
+    os.rename(tmp_dir, corpus_dir)
+    shutil.rmtree(old_dir)
+
+    rows_after = spark.read.parquet(corpus_dir).count()
+    return {
+        "rows_before": rows_before,
+        "rows_updates": rows_updates,
+        "rows_after": rows_after,
+    }

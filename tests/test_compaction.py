@@ -97,3 +97,23 @@ def test_compact_with_sort_clusters_files(spark, tmp_path):
     back = spark.read.parquet(str(part_dir))
     assert back.count() == 400
     assert back.select("source").distinct().count() == 4
+
+
+def test_upsert_corpus_snapshot(spark, tmp_path):
+    from defenda_data_lake_spark.lake_maintenance import upsert_corpus_snapshot
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "one v1"), (2, "two v1"), (3, "three v1")], ["doc_id", "text"]
+    ).write.parquet(corpus)
+
+    updates = spark.createDataFrame(
+        [(2, "two v2"), (9, "nine new")], ["doc_id", "text"]
+    )
+    stats = upsert_corpus_snapshot(spark, corpus, updates)
+    assert stats == {"rows_before": 3, "rows_updates": 2, "rows_after": 4}
+
+    rows = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(corpus).collect()
+    }
+    assert rows == {1: "one v1", 2: "two v2", 3: "three v1", 9: "nine new"}
