@@ -54,7 +54,9 @@ def main() -> None:
     pairs = D.minhash_lsh_candidates(kept, "text", "doc_id")
     clusters = D.duplicate_clusters(kept, pairs)
     canonical = clusters.filter(F.col("is_canonical") == 1).select("doc_id")
-    kept = kept.join(canonical, "doc_id")
+    # persist the expensive prefix (LSH + iterative components) so the
+    # downstream stage counts don't re-run it per action
+    kept = kept.join(canonical, "doc_id").persist()
     counts["near_dedup"] = kept.count()
 
     # 4. eval decontamination: drop docs overlapping the held-out split
@@ -75,13 +77,15 @@ def main() -> None:
     )
     counts["rebalanced"] = kept.count()
 
-    # 6. PII redaction (projection; rows unchanged)
+    # 6. PII redaction (projection — rows unchanged by construction, so
+    # no separate count action)
     kept = X.redact(kept, "text")
-    counts["redacted"] = kept.count()
 
     # 7. packing accounting: how many 256-token bins the survivors fill
-    n_tokens = F.size(F.split(F.trim(F.col("text_redacted")), r"\s+"))
-    total_tokens = kept.agg(F.sum(n_tokens).alias("t")).first()["t"] or 0
+    # (token definition shared with the rest of the repo)
+    total_tokens = kept.agg(
+        F.sum(X.token_count_col("text_redacted")).alias("t")
+    ).first()["t"] or 0
     counts["total_tokens"] = int(total_tokens)
     counts["bins_256"] = int((total_tokens + 255) // 256)
 

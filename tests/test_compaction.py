@@ -117,3 +117,19 @@ def test_upsert_corpus_snapshot(spark, tmp_path):
         r["doc_id"]: r["text"] for r in spark.read.parquet(corpus).collect()
     }
     assert rows == {1: "one v1", 2: "two v2", 3: "three v1", 9: "nine new"}
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from defenda_data_lake_spark.lake_maintenance import upsert_corpus_snapshot
+
+    corpus = str(tmp_path / "corpus2")
+    spark.createDataFrame([(1, "v1")], ["doc_id", "text"]).write.parquet(corpus)
+    dup_updates = spark.createDataFrame(
+        [(2, "a"), (2, "b")], ["doc_id", "text"]
+    )
+    with _pytest.raises(ValueError, match="not key-unique"):
+        upsert_corpus_snapshot(spark, corpus, dup_updates)
+    # corpus untouched
+    assert spark.read.parquet(corpus).count() == 1
