@@ -66,10 +66,11 @@ def compact_partition(
         if f.endswith(".parquet") and not f.startswith(".")
     ]
     total_bytes = sum(os.path.getsize(os.path.join(part_dir, f)) for f in data_files)
-    # a single file needs no size compaction — but a clustering request
-    # (sort_by) must still rewrite it, or an already-compacted partition
-    # could never be clustered
-    if len(data_files) <= 1 and not sort_by:
+    # an empty partition is always a no-op (reading it would raise a
+    # schema-inference error); a single file needs no size compaction —
+    # but a clustering request (sort_by) must still rewrite it, or an
+    # already-compacted partition could never be clustered
+    if len(data_files) == 0 or (len(data_files) == 1 and not sort_by):
         return {
             "files_before": len(data_files),
             "files_after": len(data_files),

@@ -780,11 +780,13 @@ def simhash_near_duplicates(
     block, verify Hamming distance with ``bit_count(xor)``."""
     # the pigeonhole argument is the recall guarantee: with
     # max_hamming >= blocks a qualifying pair can differ in every block
-    # and silently never become a candidate
-    assert max_hamming < blocks, (
-        f"complete recall needs max_hamming < blocks "
-        f"(got {max_hamming} >= {blocks}); raise blocks or lower the radius"
-    )
+    # and silently never become a candidate (ValueError, not assert —
+    # asserts vanish under `python -O`)
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"complete recall needs max_hamming < blocks "
+            f"(got {max_hamming} >= {blocks}); raise blocks or lower the radius"
+        )
     sigs = simhash_signatures(df, text_col, id_col)
     width = 64 // blocks
     # one row per (doc, block) via explode — the signature kernel runs

@@ -152,18 +152,32 @@ def chunk_audio(
     Pure JVM expression (``sequence`` + ``explode``) over the metadata
     struct: the binary column is pruned away, so at 100 TB this runs at
     metadata-scan speed and the chunk fan-out never touches payload
-    bytes."""
+    bytes.
+
+    Tail coverage: when ``duration - chunk`` is not a multiple of
+    ``stride`` the strided sequence alone would leave up to
+    ``stride - 1`` ms of trailing audio in no chunk, so a final start
+    at ``greatest(0, duration - chunk)`` is appended (``array_distinct``
+    collapses it when it coincides with the last strided start) — same
+    tail rule as doc chunking (q68)."""
     duration_ms = (F.col("meta.n_bytes") / bytes_per_ms).cast("long")
     last_start = F.greatest(
         F.lit(0).cast("long"),
         ((duration_ms - chunk_ms) / stride_ms).cast("long") * stride_ms,
     )
+    tail_start = F.greatest(F.lit(0).cast("long"), duration_ms - chunk_ms)
+    # tail_start >= last_start >= every strided start, so the concat is
+    # already ascending and posexplode indexes chunks in time order
+    starts = F.array_distinct(
+        F.concat(
+            F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride_ms)),
+            F.array(tail_start),
+        )
+    )
     chunks = media.select(
         "media_id",
         duration_ms.alias("_duration_ms"),
-        F.posexplode(
-            F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride_ms))
-        ).alias("chunk_index", "start_ms"),
+        F.posexplode(starts).alias("chunk_index", "start_ms"),
     )
     return chunks.select(
         "media_id",

@@ -2306,7 +2306,12 @@ def q62_audio_chunks(spark, sf_dir):
 # trunc-vs-floor parity: Spark's cast(double as long) truncates toward
 # zero while floor rounds down; they only differ for negative values,
 # which the greatest(0, ...) clamp absorbs (last_start is negative only
-# when duration < chunk, where both engines clamp to 0).
+# when duration < chunk, where both engines clamp to 0).  Tail rule
+# mirrored from chunk_audio: a final start at greatest(0, dur - chunk)
+# so trailing audio shorter than one stride is still covered; UNION
+# dedups it when it coincides with the last strided start, and
+# chunk_index is positional (row_number in time order) because the
+# tail start need not be a stride multiple.
 Q62_SQL = """
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -2324,9 +2329,14 @@ ex AS (
   SELECT media_id, duration_ms,
          unnest(generate_series(0, last_start, 500)) AS start_ms
   FROM ls
+  UNION
+  SELECT media_id, duration_ms,
+         greatest(CAST(0 AS BIGINT), duration_ms - 1000) AS start_ms
+  FROM ls
 )
 SELECT media_id,
-       CAST(start_ms // 500 AS INT) AS chunk_index,
+       CAST(row_number() OVER (PARTITION BY media_id ORDER BY start_ms) - 1
+            AS INT) AS chunk_index,
        start_ms,
        least(start_ms + 1000, duration_ms) AS end_ms
 FROM ex
@@ -2729,7 +2739,38 @@ FROM events GROUP BY 1
 """
 
 
+# CATALOG ordering policy: the correctness driver checks only the FIRST
+# 50 entries each round, so entries are ordered least-recently-
+# driver-verified first, then queries whose behavior/oracle changed in
+# the current round, then the stable remainder.  Rotate every round so
+# the 50-slot window always re-covers the stalest entries (VERDICT r4
+# item 1).  Round-5 ordering: q33-q48 (last driver row r2/r3, q43/q44
+# r1) first; then q62 (oracle changed: audio-chunk tail fix), q32
+# (kernel rewrite) and any new queries; then the r4-verified remainder
+# in original order — the tail that falls outside the window was
+# driver-green in r4 and rotates back in next round.
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- stalest: no driver correctness row since r2/r3 (q43/q44: r1)
+    "q33_text_tokens": (q33_text_tokens, Q33_SQL),
+    "q34_text_quality": (q34_text_quality, Q34_SQL),
+    "q35_text_langid": (q35_text_langid, Q35_SQL),
+    "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
+    "q37_vocab_topk": (q37_vocab_topk, Q37_SQL),
+    "q38_dataset_split": (q38_dataset_split, Q38_SQL),
+    "q39_sequence_packing": (q39_sequence_packing, Q39_SQL),
+    "q40_knn_brute": (q40_knn_brute, Q40_SQL),
+    "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
+    "q42_simhash_pairs": (q42_simhash_pairs, Q42_SQL),
+    "q43_multimodal_meta": (q43_multimodal_meta, Q43_SQL),
+    "q44_multimodal_decode": (q44_multimodal_decode, Q44_SQL),
+    "q45_embedding_dedup": (q45_embedding_dedup, Q45_SQL),
+    "q46_knn_ivf": (q46_knn_ivf, Q46_SQL),
+    "q47_kmeans_clusters": (q47_kmeans_clusters, Q47_SQL),
+    "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),
+    # --- modified this round (must be driver-verified, ADVICE r4)
+    "q62_audio_chunks": (q62_audio_chunks, Q62_SQL),
+    "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
+    # --- r4-verified remainder (tail rotates back in next round)
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
     "q05_regional_revenue": (q05_regional_revenue, Q05_SQL),
@@ -2757,7 +2798,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q22_events_hourly": (q22_events_hourly, Q22_SQL),
     "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
     "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
-    "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
     "q49_dup_clusters": (q49_dup_clusters, Q49_SQL),
     "q50_tfidf": (q50_tfidf, Q50_SQL),
     "q51_decontamination": (q51_decontamination, Q51_SQL),
@@ -2771,7 +2811,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q59_temperature_mix": (q59_temperature_mix, Q59_SQL),
     "q60_containment_pairs": (q60_containment_pairs, Q60_SQL),
     "q61_length_buckets": (q61_length_buckets, Q61_SQL),
-    "q62_audio_chunks": (q62_audio_chunks, Q62_SQL),
     "q63_candidate_verify": (q63_candidate_verify, Q63_SQL),
     "q64_bigram_logprob": (q64_bigram_logprob, Q64_SQL),
     "q65_oov_rate": (q65_oov_rate, Q65_SQL),
@@ -2780,22 +2819,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q68_doc_chunks": (q68_doc_chunks, Q68_SQL),
     "q69_rolling_anomaly": (q69_rolling_anomaly, Q69_SQL),
     "q70_pivot_daily": (q70_pivot_daily, Q70_SQL),
-    "q33_text_tokens": (q33_text_tokens, Q33_SQL),
-    "q34_text_quality": (q34_text_quality, Q34_SQL),
-    "q35_text_langid": (q35_text_langid, Q35_SQL),
-    "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
-    "q37_vocab_topk": (q37_vocab_topk, Q37_SQL),
-    "q38_dataset_split": (q38_dataset_split, Q38_SQL),
-    "q39_sequence_packing": (q39_sequence_packing, Q39_SQL),
-    "q40_knn_brute": (q40_knn_brute, Q40_SQL),
-    "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
-    "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),
-    "q45_embedding_dedup": (q45_embedding_dedup, Q45_SQL),
-    "q46_knn_ivf": (q46_knn_ivf, Q46_SQL),
-    "q47_kmeans_clusters": (q47_kmeans_clusters, Q47_SQL),
-    "q42_simhash_pairs": (q42_simhash_pairs, Q42_SQL),
-    "q43_multimodal_meta": (q43_multimodal_meta, Q43_SQL),
-    "q44_multimodal_decode": (q44_multimodal_decode, Q44_SQL),
 }
 
 

@@ -136,14 +136,15 @@ def test_chunk_audio_windows(spark):
     import pyspark.sql.functions as SF
 
     # 40_000 bytes = 2500 ms at 16 bytes/ms -> windows at 0,500,...,1500
-    rows = [(1, b"x" * 40_000), (2, b"y" * 8_000), (3, b"")]
+    rows = [(1, b"x" * 40_000), (2, b"y" * 8_000), (3, b""), (4, b"z" * 38_400)]
     df = spark.createDataFrame(rows, ["id", "payload"])
     media = as_media_table(df, "id", "payload", media_type="audio")
     out = {
         (r["media_id"], r["chunk_index"]): (r["start_ms"], r["end_ms"])
         for r in chunk_audio(media).collect()
     }
-    # 2500 ms: last full-stride start <= 2500-1000 -> 1500
+    # 2500 ms: last full-stride start <= 2500-1000 -> 1500; tail start
+    # 2500-1000 = 1500 coincides with it (array_distinct collapses)
     assert out[(1, 0)] == (0, 1000)
     assert out[(1, 3)] == (1500, 2500)
     assert (1, 4) not in out
@@ -152,6 +153,11 @@ def test_chunk_audio_windows(spark):
     assert (2, 1) not in out
     # empty payload: one degenerate window
     assert out[(3, 0)] == (0, 0)
+    # 2400 ms: strided starts 0,500,1000 end coverage at 2000 — the
+    # appended tail start 1400 covers the final 400 ms (ADVICE r4)
+    assert out[(4, 2)] == (1000, 2000)
+    assert out[(4, 3)] == (1400, 2400)
+    assert (4, 4) not in out
     # plan: JVM-only, shuffle-free
     cdf = chunk_audio(media)
     plan = cdf._jdf.queryExecution().executedPlan().toString()
