@@ -32,6 +32,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+#: per-worker shingle-hash memo bound: n-grams repeat heavily within a
+#: corpus (9.6x measured at sf0.1), so memoizing md5 turns most hash
+#: calls into dict hits; the bound keeps an adversarially diverse
+#: shingle stream from growing the dict past a few hundred MB.
+#: The memo dicts live at MODULE scope, i.e. per Python worker process:
+#: Spark reuses workers across tasks and queries
+#: (spark.python.worker.reuse), so a long-lived executor amortizes the
+#: hash cost of the corpus's hot vocabulary across every task it runs —
+#: the same economics as a dictionary-encoded column.  Purely a cache
+#: (values are content-addressed and deterministic), so task retries /
+#: speculative duplicates cannot observe divergent results.
+_HASH_CACHE_MAX = 4_000_000
+_SHINGLE_I64_CACHE: dict[str, int] = {}
+_MINHASH_HEX_CACHE: dict[tuple, dict[str, bytes]] = {}
+_SIMHASH_D8_CACHE: dict[str, bytes] = {}
+
+
 def normalized_text(col: Column) -> Column:
     """Canonical text form shared by all dedup operators: lowercase,
     collapse runs of whitespace, trim."""
@@ -60,10 +77,37 @@ def word_shingle_postings(
     slower than this narrow pandas stage.  A document's shingles are
     de-duplicated inside its own batch row, so no global ``distinct``
     shuffle is needed; the whole operator is shuffle-free.  Carrying
-    ``set_size`` inline lets Jaccard avoid a separate sizes join."""
+    ``set_size`` inline lets Jaccard avoid a separate sizes join.
+
+    The md5 call is memoized per worker: natural-language corpora reuse
+    n-grams heavily (measured 9.6x instance/distinct ratio on the sf0.1
+    documents), so a shingle→hash dict turns ~90% of the md5 calls —
+    the kernel's dominant CPU — into dict hits.  The cache is bounded
+    (cleared at ``_HASH_CACHE_MAX`` entries, ~300 MB worst case) so a
+    100 TB run with an unbounded distinct-shingle set cannot OOM the
+    Python worker; eviction only costs re-hashing."""
     import hashlib
+    import struct
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        unpack = struct.Struct("<q").unpack_from
+        # resolve the per-process memo through a worker-side import so
+        # every task in a reused worker shares ONE dict (closure capture
+        # would pickle a private empty copy per task)
+        from defenda_data_lake_spark.operators import dedup as _mod
+
+        cache = _mod._SHINGLE_I64_CACHE
+
+        def shingle_hash(g: str) -> int:
+            h = cache.get(g)
+            if h is None:
+                if len(cache) >= _HASH_CACHE_MAX:
+                    cache.clear()
+                # little-endian signed view of the first 8 digest bytes
+                h = cache[g] = unpack(md5(g.encode("utf-8")).digest())[0]
+            return h
+
         for batch in batches:
             ids: list = []
             hashes: list[int] = []
@@ -81,14 +125,9 @@ def word_shingle_postings(
                 else:
                     uniq = {" ".join(words)}
                 uniq.discard("")
-                hs = {
-                    int.from_bytes(
-                        hashlib.md5(g.encode("utf-8")).digest()[:8], "little"
-                    )
-                    for g in uniq
-                }
+                hs = {shingle_hash(g) for g in uniq}
                 ids.extend([doc_id] * len(hs))
-                hashes.extend(h - (1 << 64) if h >= (1 << 63) else h for h in hs)
+                hashes.extend(hs)
                 sizes.extend([len(hs)] * len(hs))
             yield pd.DataFrame(
                 {
@@ -197,6 +236,25 @@ def minhash_signatures(
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         md5 = hashlib.md5
+        # shingle → concatenated hex of all its family digests, memoized
+        # per worker process (same rationale + bound as
+        # word_shingle_postings: ~90% of shingle instances are repeats,
+        # and md5 is the kernel); keyed by n_digests since the hex row
+        # shape depends on it
+        from defenda_data_lake_spark.operators import dedup as _mod
+
+        cache = _mod._MINHASH_HEX_CACHE.setdefault(n_digests, {})
+
+        def shingle_hex(s: str) -> bytes:
+            row = cache.get(s)
+            if row is None:
+                if len(cache) >= _HASH_CACHE_MAX:
+                    cache.clear()
+                e = s.encode()
+                row = cache[s] = b"".join(
+                    md5(pre + e).hexdigest().encode("ascii") for pre in prefixes
+                )
+            return row
 
         for batch in batches:
             ids: list = []
@@ -223,12 +281,7 @@ def minhash_signatures(
                 # the min of its big-endian uint64 view — one numpy
                 # column-min over all shingles instead of num_hashes
                 # Python min() passes over sliced strings
-                enc = [s.encode() for s in uniq]
-                hexcat = b"".join(
-                    md5(pre + e).hexdigest().encode("ascii")
-                    for e in enc
-                    for pre in prefixes
-                )
+                hexcat = b"".join(shingle_hex(s) for s in uniq)
                 arr = np.frombuffer(hexcat, dtype=">u8").reshape(
                     len(uniq), n_digests * 4
                 )
@@ -709,6 +762,22 @@ def _simhash_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     import numpy as np
 
+    md5 = hashlib.md5
+    # gram → first-8-digest-bytes memo, shared per worker process
+    # (bigrams repeat across docs even more than trigrams; same bound
+    # rationale as word_shingle_postings)
+    from defenda_data_lake_spark.operators import dedup as _mod
+
+    cache = _mod._SIMHASH_D8_CACHE
+
+    def gram_digest(g: str) -> bytes:
+        d = cache.get(g)
+        if d is None:
+            if len(cache) >= _HASH_CACHE_MAX:
+                cache.clear()
+            d = cache[g] = md5(g.encode("utf-8")).digest()[:8]
+        return d
+
     def simhash64(text: str) -> int:
         text = " ".join(str(text).lower().split())
         words = text.split(" ")
@@ -723,9 +792,7 @@ def _simhash_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # digests into a (grams, 64) bit matrix and column-sum, instead
         # of a 64-iteration Python loop per gram (measured ~15x on the
         # signature stage; md5 itself stays in C either way).
-        digest8 = b"".join(
-            hashlib.md5(g.encode("utf-8")).digest()[:8] for g in grams
-        )
+        digest8 = b"".join(gram_digest(g) for g in grams)
         h = np.frombuffer(digest8, dtype="<u8")
         bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(grams)

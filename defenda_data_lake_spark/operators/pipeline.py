@@ -30,6 +30,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Callable, Iterable, Iterator
 
 import pandas as pd
@@ -172,6 +173,99 @@ def default_plugins() -> list[Plugin]:
         IpAddresses(),
         GsuiteLogin(),
     ]
+
+
+class ReferencePluginAdapter(Plugin):
+    """Host a reference-style plugin class (a ``message`` object with
+    ``registration``/``priority`` attributes and an
+    ``onMessage(message, metadata) -> (message, metadata)`` method —
+    reference normalization_plugins/lowercase_keys.py:1-25) behind this
+    package's :class:`Plugin` contract.  The reference names an executed
+    plugin after its module (utils/plugins.py:102-103); so does this."""
+
+    def __init__(self, impl: Any, name: str):
+        self._impl = impl
+        self.name = name
+        reg = getattr(impl, "registration", ["*"])
+        self.registration = (
+            [str(t).lower() for t in reg] if isinstance(reg, list) else ["*"]
+        )
+        self.priority = getattr(impl, "priority", 100)
+        self.phase = getattr(impl, "phase", "normalization")
+
+    def on_event(self, event: dict, metadata: dict) -> dict | None:
+        result = self._impl.onMessage(event, metadata)
+        # reference contract returns (message, metadata); tolerate a
+        # bare message for hand-rolled plugins
+        message = result[0] if isinstance(result, tuple) else result
+        return message
+
+
+def register_plugins(directory_name: str) -> list[Plugin]:
+    """Scan a directory for plugin modules and instantiate them —
+    reference parity for dynamic discovery (utils/plugins.py:31-58,
+    which walks the directory with pynsive and registers every module
+    exposing a ``message`` class).
+
+    Two module shapes register, so reference plugins drop in unchanged:
+
+    * a class named ``message`` (reference contract) — wrapped in
+      :class:`ReferencePluginAdapter`, named after its module;
+    * subclasses of this package's :class:`Plugin` (native contract) —
+      instantiated directly.
+
+    Files starting with ``_`` are skipped.  A module that fails to
+    import raises ``ImportError`` like the reference (fail loud: a
+    silently unloadable plugin means silently unnormalized events).
+    Returned in execution order (phase, then priority)."""
+    import importlib.util
+
+    plugins: list[Plugin] = []
+    if not os.path.isdir(directory_name):
+        return plugins
+    for fname in sorted(os.listdir(directory_name)):
+        if not fname.endswith(".py") or fname.startswith("_"):
+            continue
+        mod_name = fname[:-3]
+        path = os.path.join(directory_name, fname)
+        spec = importlib.util.spec_from_file_location(
+            f"defenda_plugins_{mod_name}", path
+        )
+        if spec is None or spec.loader is None:
+            raise ImportError(f"Unable to load module {mod_name} from {path}")
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        if hasattr(module, "message"):
+            plugins.append(ReferencePluginAdapter(module.message(), mod_name))
+            continue
+        for attr in vars(module).values():
+            if (
+                isinstance(attr, type)
+                and issubclass(attr, Plugin)
+                and attr is not Plugin
+                and attr is not ReferencePluginAdapter
+            ):
+                plugins.append(attr())
+    return order_plugins(plugins)
+
+
+def plugin_dir_factory(
+    directory_name: str, include_defaults: bool = True
+) -> Callable[[], list[Plugin]]:
+    """A ``plugin_factory`` for :func:`normalize_df` that re-scans
+    ``directory_name`` on each worker — dropping a file into the
+    directory extends the pipeline with no engine-code change, exactly
+    the reference's deployment story.  The scan runs once per task (the
+    factory is invoked inside the Arrow host), so per-event cost is
+    zero."""
+
+    def factory() -> list[Plugin]:
+        discovered = register_plugins(directory_name)
+        if include_defaults:
+            return default_plugins() + discovered
+        return discovered
+
+    return factory
 
 
 def _shell_row(event: dict) -> dict:

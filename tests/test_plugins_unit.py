@@ -273,3 +273,104 @@ class TestRouter:
                 return None
 
         assert run_pipeline({"a": 1}, default_plugins() + [Dropper()]) is None
+
+
+# ------------------------------------------------- dynamic discovery
+
+
+REFERENCE_STYLE_PLUGIN = '''
+class message(object):
+    def __init__(self):
+        self.registration = ["customfield"]
+        self.priority = 5
+
+    def onMessage(self, message, metadata):
+        message["details"]["custom_seen"] = True
+        return (message, metadata)
+'''
+
+NATIVE_STYLE_PLUGIN = '''
+from defenda_data_lake_spark.operators.pipeline import Plugin
+
+class DropSpam(Plugin):
+    name = "drop_spam"
+    registration = ["spamfield"]
+    priority = 7
+    phase = "enrichment"
+
+    def on_event(self, event, metadata):
+        return None
+'''
+
+
+class TestRegisterPlugins:
+    """Mirrors the reference's dynamic-discovery contract
+    (reference utils/plugins.py:31-58): scan a directory, register every
+    module exposing a ``message`` class, order by priority."""
+
+    def _plugin_dir(self, tmp_path):
+        d = tmp_path / "normalization_plugins"
+        d.mkdir()
+        (d / "custom_marker.py").write_text(REFERENCE_STYLE_PLUGIN)
+        (d / "drop_spam.py").write_text(NATIVE_STYLE_PLUGIN)
+        (d / "_helper.py").write_text("raise RuntimeError('must not import')")
+        (d / "notes.txt").write_text("not python")
+        return str(d)
+
+    def test_discovers_both_contracts(self, tmp_path):
+        from defenda_data_lake_spark.operators.pipeline import register_plugins
+
+        plugins = register_plugins(self._plugin_dir(tmp_path))
+        names = [p.name for p in plugins]
+        # reference-style plugin is named after its module, like the
+        # reference's __module__-derived provenance name
+        assert names == ["custom_marker", "drop_spam"]
+        assert plugins[0].priority == 5
+        assert plugins[0].registration == ["customfield"]
+
+    def test_missing_dir_is_empty(self):
+        from defenda_data_lake_spark.operators.pipeline import register_plugins
+
+        assert register_plugins("/nonexistent/plugins") == []
+
+    def test_routes_through_run_pipeline(self, tmp_path):
+        from defenda_data_lake_spark.operators.pipeline import (
+            register_plugins,
+            run_pipeline,
+        )
+
+        plugins = register_plugins(self._plugin_dir(tmp_path))
+        fired = run_pipeline(
+            {"details": {"customfield": 1}, "tags": []}, plugins
+        )
+        assert fired["details"]["custom_seen"] is True
+        assert fired["plugins"] == ["custom_marker"]
+        skipped = run_pipeline({"details": {"other": 1}}, plugins)
+        assert "custom_seen" not in skipped["details"]
+        # native-contract plugin signals drop with None
+        assert run_pipeline({"details": {"spamfield": 1}}, plugins) is None
+
+    def test_dropped_in_plugin_fires_through_normalize_df(self, spark, tmp_path):
+        """A file dropped into the plugin dir extends normalize_df with
+        no engine-code change — the reference's deployment story."""
+        import json
+
+        from defenda_data_lake_spark.operators.pipeline import (
+            STATUS_OK,
+            normalize_df,
+            plugin_dir_factory,
+        )
+
+        plugin_dir = self._plugin_dir(tmp_path)
+        raw = spark.createDataFrame(
+            [(json.dumps({"customfield": "x", "summary": "hi"}),)], ["raw"]
+        )
+        out = normalize_df(
+            raw, plugin_factory=plugin_dir_factory(plugin_dir)
+        ).filter(f"_status = '{STATUS_OK}'")
+        row = out.collect()[0]
+        details = json.loads(row["details"])
+        assert details["custom_seen"] is True
+        assert "custom_marker" in row["plugins"]
+        # defaults still ran (event_shell et al.)
+        assert "event_shell" in row["plugins"]
