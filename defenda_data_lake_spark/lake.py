@@ -89,6 +89,60 @@ def ingest_batch(
     return spark.table(EVENTS_TABLE)
 
 
+def register_hour_partition(
+    spark: SparkSession,
+    base_location: str,
+    parts: tuple[str, str, str, str] | None = None,
+) -> str:
+    """Register one hour partition with the reference's VERBATIM DDL
+    (reference generate_partitions.py:26-34): ``ALTER TABLE
+    defenda_data_lake.events ADD IF NOT EXISTS PARTITION
+    (year=..., month=..., day=..., hour=...) LOCATION
+    '<base>/<year>/<month>/<day>/<hour>'`` — the bare ``Y/M/D/H`` path
+    layout the reference's Firehose writer produces (NOT hive-style
+    ``year=Y/...``), which is exactly why the reference needs explicit
+    per-partition DDL instead of ``MSCK REPAIR``.
+
+    ``parts`` defaults to the current UTC wall-clock hour, zero-padded,
+    matching the reference's processing-time cron
+    (generate_partitions.py:15-24, utils/dates.py:11-33).  Returns the
+    statement (the reference logs it; callers/tests inspect it).
+
+    Athena treats ``ADD IF NOT EXISTS`` on a registered partition as a
+    true no-op, but Spark RE-POINTS the existing partition to the new
+    LOCATION (orphaning its data) — so this helper checks registration
+    first and skips the ALTER when the partition already exists,
+    preserving the reference cron's fire-every-10-minutes idempotency."""
+    if parts is None:
+        from datetime import datetime, timezone
+
+        now = datetime.now(timezone.utc)
+        parts = (
+            str(now.year),
+            str(now.month).rjust(2, "0"),
+            str(now.day).rjust(2, "0"),
+            str(now.hour).rjust(2, "0"),
+        )
+    year, month, day, hour = parts
+    query = f"""
+    ALTER TABLE {DATABASE}.events
+    ADD IF NOT EXISTS PARTITION
+    (year='{year}',
+    month='{month}',
+    day='{day}',
+    hour='{hour}'
+    )
+    location '{base_location}/{year}/{month}/{day}/{hour}'
+    """
+    already = spark.sql(
+        f"SHOW PARTITIONS {DATABASE}.events "
+        f"PARTITION (year='{year}', month='{month}', day='{day}', hour='{hour}')"
+    ).count()
+    if not already:
+        spark.sql(query)
+    return query
+
+
 def repair_events_table(spark: SparkSession) -> None:
     """Re-register partitions for an externally-written events layout —
     the Spark equivalent of the reference's 10-minute partition cron

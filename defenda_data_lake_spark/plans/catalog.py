@@ -2739,6 +2739,53 @@ FROM events GROUP BY 1
 """
 
 
+def q71_pii_redaction(spark, sf_dir):
+    """PII redaction audit over the corpus: every document with its
+    redacted-text digest and per-label replacement counts
+    (operators.text.redact — email, then ipv4, then phone, applied
+    sequentially, each label counted on the text as already redacted by
+    the labels before it).  Pure codegen regexp projection, no shuffle;
+    the md5 pins the full redacted text in the oracle compare without
+    shipping megabytes of text through the hash."""
+    from defenda_data_lake_spark.operators.text import redact
+
+    docs = _t(spark, sf_dir, "documents")
+    out = redact(docs, "text")
+    return out.select(
+        "doc_id",
+        F.md5("text_redacted").alias("redacted_md5"),
+        F.col("redaction_counts")["email"].alias("n_email"),
+        F.col("redaction_counts")["ipv4"].alias("n_ipv4"),
+        F.col("redaction_counts")["phone"].alias("n_phone"),
+        "n_redactions",
+    )
+
+
+# mirrors operators.text.REDACTION_PATTERNS and redact()'s sequential
+# label order: each stage counts on the previous stage's output
+Q71_SQL = r"""
+WITH s1 AS (
+  SELECT doc_id,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email
+  FROM documents
+), s2 AS (
+  SELECT doc_id, n_email,
+         regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g') AS t,
+         CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         regexp_replace(t, '\+?\d[\d\- ()]{5,}\d', '<PHONE>', 'g') AS t,
+         CAST(len(regexp_extract_all(t, '\+?\d[\d\- ()]{5,}\d')) AS BIGINT) AS n_phone
+  FROM s2
+)
+SELECT doc_id, md5(t) AS redacted_md5, n_email, n_ipv4, n_phone,
+       n_email + n_ipv4 + n_phone AS n_redactions
+FROM s3
+"""
+
+
 # CATALOG ordering policy: the correctness driver checks only the FIRST
 # 50 entries each round, so entries are ordered least-recently-
 # driver-verified first, then queries whose behavior/oracle changed in
@@ -2767,9 +2814,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q46_knn_ivf": (q46_knn_ivf, Q46_SQL),
     "q47_kmeans_clusters": (q47_kmeans_clusters, Q47_SQL),
     "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),
-    # --- modified this round (must be driver-verified, ADVICE r4)
+    # --- new / modified this round (must be driver-verified, ADVICE r4)
     "q62_audio_chunks": (q62_audio_chunks, Q62_SQL),
     "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
+    "q71_pii_redaction": (q71_pii_redaction, Q71_SQL),
     # --- r4-verified remainder (tail rotates back in next round)
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),

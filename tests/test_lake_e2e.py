@@ -208,3 +208,47 @@ def test_extract_events_list_and_dict():
     assert len(list(extract_events(json.dumps([{"a": 1}, {"b": 2}]), "x.json"))) == 2
     assert len(list(extract_events(json.dumps({"a": 1}), "x.json"))) == 1
     assert len(list(extract_events("not json at all", "x.json"))) == 0
+
+
+def test_verbatim_partition_ddl_registers_external_hour(lake):
+    """The reference's partition cron emits literal ``ALTER TABLE …
+    ADD IF NOT EXISTS PARTITION (…) LOCATION 's3://…/Y/M/D/H'`` text
+    (reference generate_partitions.py:26-34) against a BARE Y/M/D/H
+    path layout.  Replay that exact statement against the events table
+    and check the partition's rows become visible to the README-style
+    queries."""
+    from defenda_data_lake_spark.lake import register_hour_partition
+
+    spark, tmp = lake["spark"], lake["tmp"]
+    base = tmp / "firehose_output"
+    parts = ("2031", "02", "03", "04")
+    hour_dir = base / "/".join(parts)
+
+    # an external writer (the reference's Firehose) lands data columns
+    # only — partition values live in the DDL, not the files
+    data = spark.table(EVENTS_TABLE).drop("year", "month", "day", "hour")
+    row = data.limit(1).collect()[0].asDict()
+    row.update(
+        eventid="ddl-registered-event",
+        source="ddlsource",
+        summary="external partition row",
+    )
+    spark.createDataFrame([row], data.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(hour_dir))
+
+    before = spark.table(EVENTS_TABLE).filter("year = '2031'").count()
+    assert before == 0
+    stmt = register_hour_partition(spark, str(base), parts)
+    assert "ADD IF NOT EXISTS PARTITION" in stmt and "location" in stmt
+
+    after = spark.sql(
+        f"""SELECT source, summary FROM "defenda_data_lake"."events"
+            WHERE year='2031' AND month='02' AND day='03' AND hour='04'"""
+    ).collect()
+    assert [(r["source"], r["summary"]) for r in after] == [
+        ("ddlsource", "external partition row")
+    ]
+    # idempotent, like IF NOT EXISTS promises
+    register_hour_partition(spark, str(base), parts)
+    assert spark.table(EVENTS_TABLE).filter("eventid = 'ddl-registered-event'").count() == 1
