@@ -4,12 +4,20 @@ Media travel as opaque ``binary`` columns plus a typed metadata struct
 (the lakehouse-standard pattern); decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` stages.
 
-The actual codec work needs image/audio libraries not present in this
-container, so the decode kernels are STUBBED: ``fake=True`` (default)
+Decode paths, in order of preference at ``fake=False``:
+
+* **PNG** — real, dependency-free: pure-Python chunk parse + zlib
+  inflate + scanline unfilter (all five PNG filter types), 8-bit
+  gray/RGB/gray-alpha/RGBA.
+* **WAV** — real, dependency-free: stdlib ``wave`` PCM decode.
+* **Anything else** — Pillow when importable (images), ffmpeg when on
+  PATH (video frame sampling); otherwise ``NotImplementedError`` at
+  the exact point the codec would run.
+
+``fake=True`` (default, and the correctness-oracle path — q44)
 produces a deterministic fake decode (stable per content hash) that
 exercises the real Spark plumbing — schema, batching, partitioning —
-end to end; ``fake=False`` raises ``NotImplementedError`` at the point
-a real decoder (Pillow/ffmpeg/torchaudio) would be called.
+end to end without any codec.
 
 Scale notes: binary payloads never pass through the driver, and the
 metadata struct lets Catalyst prune the (huge) binary column away for
@@ -76,14 +84,189 @@ def as_media_table(
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type → samples per pixel (8-bit depth; palette unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytearray:
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth) over the inflated IDAT stream.  Returns height*width*channels
+    bytes of pixel data."""
+    stride = width * channels
+    out = bytearray(height * stride)
+    prev_off = -stride
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = raw[pos : pos + stride]
+        pos += stride
+        off = y * stride
+        if ftype == 0:  # None
+            out[off : off + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                left = out[off + i - channels] if i >= channels else 0
+                out[off + i] = (line[i] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                up = out[off + prev_off + i] if y > 0 else 0
+                out[off + i] = (line[i] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = out[off + i - channels] if i >= channels else 0
+                up = out[off + prev_off + i] if y > 0 else 0
+                out[off + i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = out[off + i - channels] if i >= channels else 0
+                b = out[off + prev_off + i] if y > 0 else 0
+                c = (
+                    out[off + prev_off + i - channels]
+                    if (y > 0 and i >= channels)
+                    else 0
+                )
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[off + i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Pure-Python PNG decode: (width, height, n_channels, pixels).
+    8-bit depth, color types gray/RGB/gray+alpha/RGBA, no interlace."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace} "
+                    "outside the dependency-free decoder's profile"
+                )
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(bytes(idat))
+    return width, height, channels, _png_unfilter(raw, width, height, channels)
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Stdlib WAV decode: (n_frames, sample_rate, n_channels, pcm)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return (
+            w.getnframes(),
+            w.getframerate(),
+            w.getnchannels(),
+            w.readframes(w.getnframes()),
+        )
+
+
+def _mean_feature(values, n_slices: int) -> list[float]:
+    """Deterministic real-decode feature: per-slice mean of the decoded
+    samples, normalized to [0, 1] — a decode-verifying signature (any
+    pixel/sample change moves it), not a learned embedding."""
+    import numpy as np
+
+    arr = np.asarray(values, dtype=np.float64)
+    if arr.size == 0:
+        return [0.0] * n_slices
+    bounds = np.linspace(0, arr.size, n_slices + 1, dtype=int)
+    out = []
+    for i in range(n_slices):
+        lo, hi = bounds[i], bounds[i + 1]
+        out.append(float(arr[lo:hi].mean()) if hi > lo else 0.0)
+    return out
+
+
+def _decode_real(payload: bytes, feature_dim: int) -> dict:
+    """Dispatch one payload on its magic bytes to a real decoder.
+
+    Image rows report (width, height, n_channels); audio rows map
+    n_frames→width, sample_rate→height, channels→n_channels (the
+    DECODED_SCHEMA is modality-neutral by design).  Features are
+    per-slice means of the decoded bytes/samples scaled to [0, 1]."""
+    import numpy as np
+
+    if payload[:8] == _PNG_SIG:
+        width, height, channels, pixels = _decode_png(payload)
+        feature = _mean_feature(
+            np.frombuffer(bytes(pixels), dtype=np.uint8) / 255.0, feature_dim
+        )
+        return {
+            "width": width,
+            "height": height,
+            "n_channels": channels,
+            "feature": feature,
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        n_frames, rate, channels, pcm = _decode_wav(payload)
+        samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+        feature = _mean_feature((samples / 32768.0 + 1.0) / 2.0, feature_dim)
+        return {
+            "width": n_frames,
+            "height": rate,
+            "n_channels": channels,
+            "feature": feature,
+        }
+    try:  # optional Pillow path for other image formats
+        import io
+
+        from PIL import Image  # type: ignore
+
+        img = Image.open(io.BytesIO(payload))
+        arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        return {
+            "width": img.width,
+            "height": img.height,
+            "n_channels": arr.shape[2] if arr.ndim == 3 else 1,
+            "feature": _mean_feature(arr / 255.0, feature_dim),
+        }
+    except ImportError:
+        raise NotImplementedError(
+            "payload is neither PNG nor WAV and Pillow is not installed; "
+            "the dependency-free decoders cover image/png + audio/wav"
+        )
+
+
 def _make_decoder(fake: bool, feature_dim: int):
     def decode_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires Pillow/ffmpeg; "
-                    "install and replace this kernel"
+                rows = []
+                for media_id, content in zip(batch["media_id"], batch["content"]):
+                    payload = bytes(content) if content is not None else b""
+                    decoded = _decode_real(payload, feature_dim)
+                    rows.append({"media_id": media_id, **decoded})
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in DECODED_SCHEMA.fields]
                 )
+                continue
             rows = []
             for media_id, content in zip(batch["media_id"], batch["content"]):
                 payload = bytes(content) if content is not None else b""
@@ -112,8 +295,10 @@ def _make_decoder(fake: bool, feature_dim: int):
 def decode_media(
     media: DataFrame, fake: bool = True, feature_dim: int = 8
 ) -> DataFrame:
-    """Decode + feature-extract each media row (STUB: deterministic
-    fake unless a real decoder is wired in)."""
+    """Decode + feature-extract each media row.  ``fake=True`` is the
+    deterministic content-hash stub (the oracle path, q44);
+    ``fake=False`` really decodes — PNG and WAV dependency-free, other
+    image formats via Pillow when importable (see module docstring)."""
     return media.select("media_id", "content").mapInPandas(
         _make_decoder(fake, feature_dim), schema=DECODED_SCHEMA
     )
@@ -124,9 +309,19 @@ def sample_frames(
 ) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits one row per
     sampled frame index (STUB: frame count derived deterministically
-    from payload size; a real implementation swaps in ffmpeg)."""
+    from payload size; ``fake=False`` requires ffmpeg on PATH — the one
+    modality with no stdlib decode path)."""
     if not fake:
-        raise NotImplementedError("real frame sampling requires ffmpeg")
+        import shutil
+
+        if shutil.which("ffmpeg") is None:
+            raise NotImplementedError(
+                "real frame sampling requires ffmpeg on PATH"
+            )
+        raise NotImplementedError(
+            "ffmpeg present but the frame-extraction kernel is not wired; "
+            "decode via `ffmpeg -i - -vf select=...` per payload"
+        )
     n_frames = (F.col("meta.n_bytes") / 1024 + 1).cast("int")
     return media.select(
         "media_id",
