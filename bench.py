@@ -122,23 +122,30 @@ def main() -> None:
         fn, _ = CATALOG[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-8 after warmup, with the rounds INTERLEAVED across
-    # queries: the box is shared and co-load arrives in bursts that
-    # outlast several back-to-back reps of one query, so consecutive
-    # repetition lets a burst poison every sample of whichever query
-    # it lands on.  Round-robin spreads each query's samples over
-    # the whole bench window; the per-query min then reflects steady
-    # state unless a burst spans the entire bench.
+    # CONSECUTIVE best-of-4 per query, two sweeps (= best-of-8 total).
+    # Consecutive reps are the protocol the DuckDB baseline is measured
+    # with (best-of-N back-to-back per query), and they are what the
+    # per-query min is supposed to capture: steady state with that
+    # query's generated code, worker state, and shuffle pages hot.
+    # Round-robin interleaving (the round-2..4 protocol) measured a
+    # systematic 1.5-1.7 s penalty on the 11-query set on a QUIET box —
+    # cycling 11 distinct workloads evicts exactly the warm state the
+    # min is meant to include, so it understated the engine, not the
+    # noise.  Two time-separated sweeps keep the burst resistance the
+    # interleaving was for: a co-load burst has to span both sweeps to
+    # poison a query's every sample.  Ingest reps run between sweeps —
+    # its 100k-event pipeline (worker churn + partitioned write) would
+    # otherwise disturb a neighboring query's reps.
     best: dict[str, float] = {name: float("inf") for name in headline_queries()}
     ingest_best = float("inf")
-    for rnd in range(8):
+    for sweep in range(2):
         for name in headline_queries():
             fn, _ = CATALOG[name]
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best[name] = min(best[name], time.perf_counter() - t0)
-        if rnd in (1, 4, 7):  # the 3 ingest reps spread across the window too
-            ingest_best = min(ingest_best, _bench_ingest(spark, n_events=100_000))
+            for _ in range(4):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best[name] = min(best[name], time.perf_counter() - t0)
+        ingest_best = min(ingest_best, _bench_ingest(spark, n_events=100_000))
     timings: dict[str, float] = {name: round(v, 3) for name, v in best.items()}
     timings["ingest_100k"] = round(ingest_best, 3)
 

@@ -32,7 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from defenda_data_lake_spark.utils.partitioning import ensure_min_parallelism
+from defenda_data_lake_spark.utils.partitioning import (
+    ensure_min_parallelism,
+    kernel_parallelism,
+)
 
 
 def _sq_dist(vec_col, centroid_literal):
@@ -58,7 +61,8 @@ def kmeans_assign(
     """Assign every vector to one of ``k`` clusters after a fixed
     number of Lloyd iterations.  Returns (id, cluster, sq_dist)."""
     base = ensure_min_parallelism(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        kernel_parallelism(df),
     ).cache()
     try:
         # deterministic init: the k lowest-id vectors

@@ -139,14 +139,19 @@ def word_shingle_postings(
 
     from pyspark.sql import types as T
 
-    from defenda_data_lake_spark.utils.partitioning import ensure_min_parallelism
+    from defenda_data_lake_spark.utils.partitioning import (
+        ensure_min_parallelism,
+        kernel_parallelism,
+    )
 
     narrow = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
     )
     # single-file inputs would run this stage (and everything fed by
-    # it) on one task — spread first
-    return ensure_min_parallelism(narrow).mapInPandas(
+    # it) on one task — spread first, but only in proportion to the
+    # bytes of work (kernel_parallelism): exchanging a sub-MB corpus to
+    # 32 tasks costs more than the kernel itself
+    return ensure_min_parallelism(narrow, kernel_parallelism(df)).mapInPandas(
         gen,
         schema=T.StructType(
             [
@@ -229,7 +234,10 @@ def minhash_signatures(
     import numpy as np
     from pyspark.sql import types as T
 
-    from defenda_data_lake_spark.utils.partitioning import ensure_min_parallelism
+    from defenda_data_lake_spark.utils.partitioning import (
+        ensure_min_parallelism,
+        kernel_parallelism,
+    )
 
     n_digests = (num_hashes + 3) // 4
     prefixes = [b"x" * d for d in range(n_digests)]
@@ -296,7 +304,7 @@ def minhash_signatures(
     narrow = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
     )
-    return ensure_min_parallelism(narrow).mapInPandas(
+    return ensure_min_parallelism(narrow, kernel_parallelism(df)).mapInPandas(
         gen,
         schema=T.StructType(
             [T.StructField("id", T.LongType())]
@@ -820,10 +828,13 @@ def simhash_signatures(
     pandas host; md5-derived bit mixing, deterministic)."""
     from pyspark.sql import types as T
 
-    from defenda_data_lake_spark.utils.partitioning import ensure_min_parallelism
+    from defenda_data_lake_spark.utils.partitioning import (
+        ensure_min_parallelism,
+        kernel_parallelism,
+    )
 
     narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    return ensure_min_parallelism(narrow).mapInPandas(
+    return ensure_min_parallelism(narrow, kernel_parallelism(df)).mapInPandas(
         _simhash_batches,
         schema=T.StructType(
             [

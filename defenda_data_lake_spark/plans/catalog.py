@@ -28,6 +28,7 @@ from defenda_data_lake_spark.operators import multimodal as M
 from defenda_data_lake_spark.operators import sampling as SA
 from defenda_data_lake_spark.operators import similarity as S
 from defenda_data_lake_spark.operators import text as X
+from defenda_data_lake_spark.utils.partitioning import SIZE_HINT_ATTR
 
 
 def R(col, n: int):
@@ -154,6 +155,11 @@ def warm_table_cache(
             df = df.repartition(n_parts)
         df = df.persist()
         df.count()  # materialize now — bench/queries must not pay the build
+        # a persisted plan hides its file leaves from inputFiles(), so
+        # byte-proportional policies (kernel_parallelism,
+        # scaled_keyed_partitions) would fall back to worst-case
+        # parallelism without the explicit size hint
+        setattr(df, SIZE_HINT_ATTR, size)
         _T_CACHE[(id(spark), sf_dir, name)] = df
         cached[name] = size
     return cached
@@ -196,6 +202,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
         elif t != "timestamp":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    import os as _os
+
+    try:
+        setattr(df, SIZE_HINT_ATTR, _os.path.getsize(f"{sf_dir}/{name}.parquet"))
+    except OSError:
+        pass  # directory-shaped / remote input: leave size to inputFiles()
     _T_CACHE[key] = df
     return df
 

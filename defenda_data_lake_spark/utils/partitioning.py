@@ -16,6 +16,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+#: bytes of input per task that keep an Arrow kernel task in the
+#: ~0.1-0.5 s band (measured: the shingle/signature kernels chew
+#: ~5-10 MB/s/core of raw text including Arrow transfer)
+KERNEL_BYTES_PER_TASK = 2 << 20
+
+
+def kernel_parallelism(df: DataFrame, bytes_per_task: int = KERNEL_BYTES_PER_TASK) -> int:
+    """Target partition count for a CPU-dense Arrow kernel over ``df``:
+    proportional to driver-visible input bytes (one task per
+    ``bytes_per_task``), capped at the cluster's default parallelism.
+    Unknown size falls back to full parallelism — the scale-safe
+    default.  The point is the SMALL side: paying a round-robin
+    exchange plus ``defaultParallelism`` task schedulings to spread a
+    sub-MB input is strictly slower than just running it (measured
+    ~0.25 s/query at sf0.1)."""
+    import os
+
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        par = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    size = _input_bytes(df)
+    if size is None:
+        return par
+    return min(par, int(size // bytes_per_task) + 1)
+
+
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition when the plan's input parallelism is
     below (by default) the cluster's default parallelism.
@@ -23,15 +50,15 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     Checks driver-side file metadata (``df.inputFiles()``) first, so
     the common parquet-backed case never converts the plan to an RDD
     (``df.rdd.getNumPartitions()`` forces an extra plan translation per
-    call — a measurable fixed cost on sub-second queries).  Plans with
-    no file leaves (``createDataFrame``, post-shuffle inputs) fall back
-    to the accurate RDD partition count rather than being repartitioned
-    blindly — an input already at or above the target must pass through
-    untouched (repartitioning it would add a full shuffle AND could
-    reduce its parallelism).  File count under-estimates split count
-    for files larger than ``maxPartitionBytes``, but any input that
-    large is already parallel enough for the guard to be a no-op by
-    intent."""
+    call — a measurable fixed cost on sub-second queries).  The RDD
+    partition count is consulted only when the file check says
+    "under-parallel" — at that point the alternative is paying a whole
+    exchange, so a ~15-40 ms plan translation that can prove the input
+    already parallel enough (cached tables, post-shuffle inputs, where
+    ``inputFiles`` sees nothing) is always a good trade.  File count
+    under-estimates split count for files larger than
+    ``maxPartitionBytes``, but any input that large is already parallel
+    enough for the guard to be a no-op by intent."""
     import os
 
     try:
@@ -45,22 +72,35 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
         n_files = 0
     if 0 < target <= n_files:
         return df
-    if n_files == 0:
-        try:
-            if df.rdd.getNumPartitions() >= target > 0:
-                return df
-        except Exception:
-            pass  # Spark Connect: no RDD access; fall through and spread
+    try:
+        if df.rdd.getNumPartitions() >= target > 0:
+            return df
+    except Exception:
+        pass  # Spark Connect: no RDD access; fall through and spread
     return df.repartition(target)
+
+
+#: attribute a producer (table reader, cache warmer) can stamp on a
+#: DataFrame whose input size it knows: ``df._defenda_size_hint = n``.
+#: ``inputFiles()`` returns nothing once a plan is persisted (the
+#: in-memory relation hides the file leaves), so without the hint a
+#: cached table looks size-unknown and every byte-proportional policy
+#: falls back to worst-case parallelism.
+SIZE_HINT_ATTR = "_defenda_size_hint"
 
 
 def _input_bytes(df: DataFrame) -> int | None:
     """Driver-visible total size of the plan's input files, or ``None``
     when it can't be determined cheaply (non-local filesystems, virtual
-    plans).  Local-path stat only — no filesystem RPCs."""
+    plans).  Local-path stat only — no filesystem RPCs.  A producer's
+    explicit size hint (see ``SIZE_HINT_ATTR``) wins over file
+    inspection."""
     import os
     from urllib.parse import unquote, urlparse
 
+    hint = getattr(df, SIZE_HINT_ATTR, None)
+    if hint is not None:
+        return int(hint)
     try:
         files = df.inputFiles()
     except Exception:
