@@ -396,7 +396,12 @@ def _sharded_postings(
 
     The guard is a document-frequency window over the SAME shingle
     partitioning the consumers need: it adds no shuffle, no broadcast
-    build, and no second run of the shingle kernel."""
+    build, and no second run of the shingle kernel.  (An aggregate +
+    anti-join formulation would avoid the window's sort when the
+    downstream join is a shuffled-hash build, but referencing the
+    postings subtree from a second aggregation branch defeats exchange
+    reuse — the shingle kernel ran twice, which costs more than the
+    sort saves.)"""
     from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
 
     postings = word_shingle_postings(df, text_col, id_col, shingle_n)
@@ -418,13 +423,16 @@ def _postings_pair_counts(
 ) -> DataFrame:
     """Inverted-index pair intersection: self-join the sharded postings
     on shingle (both sides the identical subplan, so the exchange is
-    built once and reused; the merge hint keeps the streaming
-    sort-merge path — a broadcast build would materialize and ship the
-    postings subtree a second time) and aggregate per (id_a, id_b).
+    built once and reused; ``pair_join_hint`` picks shuffled-hash vs
+    streaming sort-merge by input size — never a broadcast build, which
+    would materialize and ship the postings subtree a second time) and
+    aggregate per (id_a, id_b).
     Returns ``(id_a, id_b, inter_size, size_a, size_b)``."""
+    from defenda_data_lake_spark.utils.partitioning import pair_join_hint
+
     postings = _sharded_postings(
         df, text_col, id_col, shingle_n, max_shingle_docs
-    ).hint("merge")
+    ).hint(pair_join_hint(df))
     a = postings.alias("a")
     b = postings.alias("b")
     on = [
@@ -556,8 +564,10 @@ def ngram_novelty(
     posting list in one aggregation row and OOM), and the claims join
     back to the postings over the SAME reused exchange.  Two narrow
     long-keyed shuffles total; every intermediate row is fixed-width."""
+    from defenda_data_lake_spark.utils.partitioning import pair_join_hint
+
     postings = _sharded_postings(df, text_col, id_col, shingle_n, None).hint(
-        "merge"
+        pair_join_hint(df)
     )
     claims = postings.groupBy("shingle").agg(F.min("id").alias("first_doc"))
     per_doc = (

@@ -151,7 +151,12 @@ def warm_table_cache(
         if size > max_bytes:
             continue
         df = _t(spark, sf_dir, name)
-        if size > (1 << 20):
+        # the repartition-before-cache threshold is deliberately low:
+        # even a sub-MB single-file table strangles downstream stages
+        # to one task (a 0.6 MB documents corpus carries ~0.2 s of
+        # single-thread shingle-kernel CPU), and the exchange is paid
+        # once at cache build, never at query time
+        if size > (256 << 10):
             df = df.repartition(n_parts)
         df = df.persist()
         df.count()  # materialize now — bench/queries must not pay the build

@@ -119,6 +119,34 @@ def _input_bytes(df: DataFrame) -> int | None:
     return total
 
 
+#: driver-visible input bytes below which a pair-expansion self-join
+#: prefers a shuffled-hash build over sort-merge.  Well under executor
+#: memory even after the ~8x postings expansion, so the per-partition
+#: hash build cannot spill; above it (or size-unknown) the streaming
+#: sort-merge path is the scale-safe default.
+PAIR_HASH_JOIN_MAX_BYTES = 512 << 20
+
+
+def pair_join_hint(df: DataFrame) -> str:
+    """Join-strategy hint for the inverted-index pair self-joins:
+    ``"shuffle_hash"`` when the *source* input is small enough that the
+    build side trivially fits per-partition memory, else ``"merge"``.
+
+    Sort-merge pays two 64-bit sorts over the postings per execution;
+    on a small corpus those sorts cost more than the whole hash build
+    (measured at sf0.1: the Jaccard pair join is ~2.3x faster with a
+    shuffled-hash build).  At 100 TB the postings per partition are
+    GB-scale and a hash build would spill — sort-merge (plus AQE skew
+    splitting) is the right plan there, and size-unknown inputs get it
+    too.  Both strategies shuffle identically on the join key, so the
+    reused exchange is preserved either way; only the per-partition
+    algorithm changes."""
+    size = _input_bytes(df)
+    if size is not None and size <= PAIR_HASH_JOIN_MAX_BYTES:
+        return "shuffle_hash"
+    return "merge"
+
+
 def scaled_keyed_partitions(
     df: DataFrame,
     expansion: float = 8.0,
