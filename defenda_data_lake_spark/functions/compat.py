@@ -208,6 +208,84 @@ _COMPAT_FUNCTIONS: dict[str, str] = {
         RETURNS BIGINT
         RETURN a ^ b
     """,
+    # Presto raises on unequal lengths; this surface returns NULL
+    # (SQL-function bodies cannot raise).  Codegen higher-order funcs
+    # over per-char arrays — fine for the short strings (ids, hashes)
+    # the function exists for.
+    "hamming_distance": """
+        CREATE OR REPLACE TEMPORARY FUNCTION hamming_distance(a STRING, b STRING)
+        RETURNS BIGINT
+        RETURN CASE
+            WHEN length(a) != length(b) THEN CAST(NULL AS BIGINT)
+            ELSE CAST(size(filter(zip_with(split(a, ''), split(b, ''),
+                                           (x, y) -> x = y),
+                                  m -> NOT m)) AS BIGINT)
+        END
+    """,
+    # Presto array_average / array_sum skip NULL elements and return
+    # NULL when no non-null element exists
+    "array_average": """
+        CREATE OR REPLACE TEMPORARY FUNCTION array_average(arr ARRAY<DOUBLE>)
+        RETURNS DOUBLE
+        RETURN CASE
+            WHEN size(filter(arr, v -> v IS NOT NULL)) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE aggregate(filter(arr, v -> v IS NOT NULL), CAST(0 AS DOUBLE),
+                           (acc, v) -> acc + v)
+                 / size(filter(arr, v -> v IS NOT NULL))
+        END
+    """,
+    "array_sum": """
+        CREATE OR REPLACE TEMPORARY FUNCTION array_sum(arr ARRAY<DOUBLE>)
+        RETURNS DOUBLE
+        RETURN CASE
+            WHEN size(filter(arr, v -> v IS NOT NULL)) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE aggregate(filter(arr, v -> v IS NOT NULL), CAST(0 AS DOUBLE),
+                           (acc, v) -> acc + v)
+        END
+    """,
+    # Presto truncate(x): round toward zero
+    "truncate": """
+        CREATE OR REPLACE TEMPORARY FUNCTION truncate(x DOUBLE)
+        RETURNS DOUBLE
+        RETURN sign(x) * floor(abs(x))
+    """,
+    "infinity": """
+        CREATE OR REPLACE TEMPORARY FUNCTION infinity()
+        RETURNS DOUBLE
+        RETURN CAST('Infinity' AS DOUBLE)
+    """,
+    "nan": """
+        CREATE OR REPLACE TEMPORARY FUNCTION nan()
+        RETURNS DOUBLE
+        RETURN CAST('NaN' AS DOUBLE)
+    """,
+    "is_nan": """
+        CREATE OR REPLACE TEMPORARY FUNCTION is_nan(x DOUBLE)
+        RETURNS BOOLEAN
+        RETURN isnan(x)
+    """,
+    # Presto date_add(unit, value, ts) — the interval-typed complement
+    # of date_diff_presto.  Unknown units return NULL (body can't
+    # raise); millisecond keeps sub-second precision via DECIMAL secs.
+    "date_add_presto": """
+        CREATE OR REPLACE TEMPORARY FUNCTION date_add_presto(
+            unit STRING, value BIGINT, ts TIMESTAMP)
+        RETURNS TIMESTAMP
+        RETURN CASE lower(unit)
+            WHEN 'millisecond' THEN
+                ts + make_interval(0, 0, 0, 0, 0, 0,
+                                   CAST(value AS DECIMAL(24, 3)) / 1000)
+            WHEN 'second' THEN ts + make_interval(0, 0, 0, 0, 0, 0, value)
+            WHEN 'minute' THEN ts + make_interval(0, 0, 0, 0, 0, value, 0)
+            WHEN 'hour' THEN ts + make_interval(0, 0, 0, 0, value, 0, 0)
+            WHEN 'day' THEN ts + make_interval(0, 0, 0, value, 0, 0, 0)
+            WHEN 'week' THEN ts + make_interval(0, 0, value, 0, 0, 0, 0)
+            WHEN 'month' THEN ts + make_interval(0, value, 0, 0, 0, 0, 0)
+            WHEN 'quarter' THEN ts + make_interval(0, 3 * value, 0, 0, 0, 0, 0)
+            WHEN 'year' THEN ts + make_interval(value, 0, 0, 0, 0, 0, 0)
+            ELSE CAST(NULL AS TIMESTAMP)
+        END
+    """,
 }
 
 

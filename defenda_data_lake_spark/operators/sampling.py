@@ -15,7 +15,7 @@ assignment (the standard way to get independent folds).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: bucket space for hash sampling: rates are expressed in 1/10000ths
@@ -154,4 +154,57 @@ def temperature_resample(
             hash_bucket(id_col, salt)
             < F.floor(F.col("rate") * F.lit(float(BUCKETS))).cast("long")
         ).cast("int"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (top-``k``):
+    Efraimidis–Spirakis A-Res with hash-derived randomness.  Each row
+    draws ``u`` from ``md5(salt || id)`` (32-bit resolution, uniform in
+    (0, 1)) and gets priority ``ln(u) / w``; the ``k`` largest
+    priorities ARE a weighted sample without replacement — a row's
+    inclusion probability is proportional to its weight, and the whole
+    draw replays bit-for-bit in any engine with md5 (the q72 DuckDB
+    oracle does).  ``df.sample()`` can't do this: not weighted, not
+    deterministic across partitionings, not replayable elsewhere.
+
+    The standard curation move this exists for: sample documents
+    proportionally to length/quality for eval sets or pilot corpora,
+    reproducibly, with an audit trail.
+
+    Scale notes (100 TB): priority is a narrow codegen expression; the
+    global top-k plans as ``TakeOrderedAndProject`` (per-partition
+    heaps, then a k-row merge on one reducer) — no full sort, no
+    shuffle of the corpus.  Ties in priority are broken by id, so the
+    result is total-order deterministic.
+
+    Returns the sampled rows with their ``priority`` (the E-S key,
+    useful for debugging draw boundaries) and 1-based ``sample_rank``.
+    Non-positive or NULL weights are clamped to 1 so they behave as
+    unit weight instead of poisoning the draw with NaN/Inf."""
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.greatest(wcol.cast("double"), F.lit(1.0))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = df.withColumn("priority", F.log(u) / w)
+    topk = keyed.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k)
+    return topk.withColumn(
+        "sample_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("priority").desc(), F.col(id_col))
+        ),
     )

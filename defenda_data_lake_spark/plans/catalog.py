@@ -2816,6 +2816,47 @@ FROM s3
 """
 
 
+def q72_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample without replacement, k=100, weight
+    = document length (operators.sampling.weighted_sample): the
+    Efraimidis–Spirakis A-Res draw with hash-derived randomness, so the
+    same 100 docs come back on every engine and every re-run.  The
+    top-k plans as ``TakeOrderedAndProject`` — per-partition heaps, no
+    corpus shuffle.  Priority is rounded for display only; ordering
+    uses the unrounded key with id tie-breaks."""
+    from defenda_data_lake_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "doc_id", "n_chars", k=100, salt="wsample")
+    return out.select(
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+        "doc_id",
+        "source",
+        "n_chars",
+        R("priority", 8).alias("priority"),
+    )
+
+
+# replays the E-S draw exactly: same md5-derived uniform (32-bit, first
+# 8 hex chars), same ln(u)/w priority, same tie-break, same rounding
+Q72_SQL = """
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         ln((CAST('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) + 0.5) / 4294967296.0)
+         / greatest(CAST(n_chars AS DOUBLE), 1.0) AS priority
+  FROM documents
+), topk AS (
+  SELECT doc_id, source, n_chars, priority,
+         row_number() OVER (ORDER BY priority DESC, doc_id) AS sample_rank
+  FROM pri ORDER BY priority DESC, doc_id LIMIT 100
+)
+SELECT sample_rank, doc_id, source, n_chars,
+       round(priority * 100000000, 0) / 100000000 AS priority
+FROM topk
+"""
+
+
 # CATALOG ordering policy: the correctness driver checks only the FIRST
 # 50 entries each round, so entries are ordered least-recently-
 # driver-verified first, then queries whose behavior/oracle changed in
@@ -2848,6 +2889,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q62_audio_chunks": (q62_audio_chunks, Q62_SQL),
     "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
     "q71_pii_redaction": (q71_pii_redaction, Q71_SQL),
+    "q72_weighted_sample": (q72_weighted_sample, Q72_SQL),
     # --- r4-verified remainder (tail rotates back in next round)
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),

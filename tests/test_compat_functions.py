@@ -132,3 +132,53 @@ def test_bitwise_functions(spark):
     assert one(spark, "bitwise_and(19, 25)") == 17
     assert one(spark, "bitwise_or(19, 25)") == 27
     assert one(spark, "bitwise_xor(19, 25)") == 10
+
+
+def test_hamming_distance(spark):
+    assert one(spark, "hamming_distance('cat', 'car')") == 1
+    assert one(spark, "hamming_distance('abcd', 'abcd')") == 0
+    assert one(spark, "hamming_distance('0110', '1001')") == 4
+    # Presto raises on unequal lengths; this surface returns NULL
+    assert one(spark, "hamming_distance('ab', 'abc')") is None
+
+
+def test_array_average_and_sum(spark):
+    assert one(spark, "array_average(array(1D, 2D, 3D))") == 2.0
+    # NULL elements are skipped, not counted
+    assert one(spark, "array_average(array(1D, NULL, 3D))") == 2.0
+    assert one(spark, "array_average(array(CAST(NULL AS DOUBLE)))") is None
+    assert one(spark, "array_sum(array(1D, NULL, 3D))") == 4.0
+    assert one(spark, "array_sum(array(CAST(NULL AS DOUBLE)))") is None
+
+
+def test_truncate_nan_infinity(spark):
+    assert one(spark, "truncate(17.18)") == 17.0
+    assert one(spark, "truncate(-17.18)") == -17.0
+    assert one(spark, "is_nan(nan())") is True
+    assert one(spark, "is_nan(1.0D)") is False
+    assert one(spark, "infinity() > 1e308") is True
+
+
+def test_date_add_presto(spark):
+    assert (
+        str(one(spark, "date_add_presto('hour', 3, TIMESTAMP '2020-01-01 00:30:00')"))
+        == "2020-01-01 03:30:00"
+    )
+    assert (
+        str(one(spark, "date_add_presto('month', -1, TIMESTAMP '2020-03-31 12:00:00')"))
+        == "2020-02-29 12:00:00"
+    )
+    assert (
+        str(one(spark, "date_add_presto('millisecond', 1500, TIMESTAMP '2020-01-01 00:00:00')"))
+        == "2020-01-01 00:00:01.500000"
+    )
+    # round-trip with the existing diff complement
+    assert (
+        one(
+            spark,
+            "date_diff_presto('day', TIMESTAMP '2020-01-01 00:00:00', "
+            "date_add_presto('day', 40, TIMESTAMP '2020-01-01 00:00:00'))",
+        )
+        == 40
+    )
+    assert one(spark, "date_add_presto('fortnight', 1, TIMESTAMP '2020-01-01 00:00:00')") is None

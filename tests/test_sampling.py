@@ -70,3 +70,45 @@ def test_bucket_range(spark):
         F.min("b"), F.max("b")
     ).first()
     assert 0 <= stats[0] and stats[1] < BUCKETS
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from defenda_data_lake_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000 if i < 50 else 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    s1 = weighted_sample(df, "id", "w", k=100).select("id", "sample_rank")
+    s2 = weighted_sample(df, "id", "w", k=100).select("id", "sample_rank")
+    r1 = sorted((r["id"], r["sample_rank"]) for r in s1.collect())
+    assert r1 == sorted((r["id"], r["sample_rank"]) for r in s2.collect())
+    assert len(r1) == 100
+    assert [rank for _, rank in r1] and len({rank for _, rank in r1}) == 100
+    # 50 heavy ids carry 100x the weight of each of the 950 light ones
+    # (50k vs 9.5k total): the heavy minority must dominate the sample
+    heavy = sum(1 for i, _ in r1 if i < 50)
+    assert heavy >= 35, heavy
+
+
+def test_weighted_sample_clamps_bad_weights(spark):
+    from defenda_data_lake_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, None), (4, 100)], "id long, w long"
+    )
+    out = weighted_sample(df, "id", "w", k=4).collect()
+    assert len(out) == 4
+    # no NaN/Inf priorities from non-positive weights
+    import math
+
+    assert all(math.isfinite(r["priority"]) for r in out)
+
+
+def test_weighted_sample_plans_as_topk(spark):
+    from defenda_data_lake_spark.operators.sampling import weighted_sample
+
+    df = spark.range(10000).withColumn("w", (F.col("id") % 7) + 1)
+    plan = (
+        weighted_sample(df, "id", "w", k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
