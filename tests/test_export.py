@@ -1,0 +1,91 @@
+"""Deterministic training-shard export (operators/export.py)."""
+
+import glob
+import gzip
+import json
+import os
+
+from defenda_data_lake_spark.operators.export import (
+    export_jsonl_shards,
+    read_jsonl_shards,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_export_shards_membership_and_manifest(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    docs = _docs(spark)
+    manifest = export_jsonl_shards(docs, out, "doc_id", n_shards=4)
+    assert manifest["n_shards"] == 4
+    assert manifest["total_rows"] == docs.count()
+    assert sum(manifest["shards"].values()) == manifest["total_rows"]
+    # one data file per shard directory
+    for s in range(4):
+        files = [
+            f
+            for f in glob.glob(os.path.join(out, f"shard={s}", "*"))
+            if not os.path.basename(f).startswith((".", "_"))
+        ]
+        assert len(files) == 1, files
+    # manifest on disk matches the returned one
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f) == manifest
+
+
+def test_export_is_byte_deterministic(spark, tmp_path):
+    docs = _docs(spark)
+    outs = []
+    for name in ("a", "b"):
+        out = str(tmp_path / name)
+        export_jsonl_shards(docs, out, "doc_id", n_shards=3)
+        blobs = {}
+        for s in range(3):
+            (f,) = [
+                p
+                for p in glob.glob(os.path.join(out, f"shard={s}", "*"))
+                if not os.path.basename(p).startswith((".", "_"))
+            ]
+            with open(f, "rb") as fh:
+                blobs[s] = fh.read()
+        outs.append(blobs)
+    assert outs[0] == outs[1]
+
+
+def test_export_rows_sorted_within_shard(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    export_jsonl_shards(_docs(spark), out, "doc_id", n_shards=2)
+    (f,) = [
+        p
+        for p in glob.glob(os.path.join(out, "shard=0", "*"))
+        if not os.path.basename(p).startswith((".", "_"))
+    ]
+    with gzip.open(f, "rt") as fh:
+        ids = [json.loads(line)["doc_id"] for line in fh]
+    assert ids == sorted(ids)
+    assert ids
+
+
+def test_roundtrip_and_shard_pruning(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    docs = _docs(spark)
+    manifest = export_jsonl_shards(docs, out, "doc_id", n_shards=4)
+    back = read_jsonl_shards(spark, out)
+    assert back.count() == docs.count()
+    one = read_jsonl_shards(spark, out, shards=[2])
+    assert one.count() == manifest["shards"]["2"]
+    # partition pruning reaches the scan (shard is a partition filter,
+    # not a post-scan row filter)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_rejects_bad_shard_count(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        export_jsonl_shards(_docs(spark), str(tmp_path / "x"), "doc_id", 0)
