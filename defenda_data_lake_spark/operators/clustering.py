@@ -57,9 +57,12 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: int | None = 9,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign every vector to one of ``k`` clusters after a fixed
-    number of Lloyd iterations.  Returns (id, cluster, sq_dist)."""
+    number of Lloyd iterations.  Returns (id, cluster, sq_dist), plus
+    the vector itself as ``vec`` when ``keep_vec`` (for consumers like
+    :func:`semdedup` that pair vectors within a cluster)."""
     base = ensure_min_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
         kernel_parallelism(df),
@@ -117,6 +120,59 @@ def kmeans_assign(
                 new_centroids[row["cluster"]] = [float(x) for x in row["centroid"]]
             centroids = new_centroids
 
-        return assignment(centroids).select("id", "cluster", "sq_dist")
+        cols = ["id", "cluster", "sq_dist"] + (["vec"] if keep_vec else [])
+        return assignment(centroids).select(*cols)
     finally:
         base.unpersist()
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup-style semantic deduplication: cluster the embedding
+    space (fixed-iteration Lloyd, deterministic init), then mark as
+    duplicates the vectors that have a higher-priority (lower-id)
+    near-identical neighbor *within their own cluster* (cosine ≥
+    ``threshold``).  The cluster step is what makes this scale: pair
+    comparison is confined to same-cluster vectors, so the pair volume
+    is Σ n_c² instead of N² — at 100 TB you raise ``k`` with corpus
+    size (k ∝ N/target_cluster_size) and the per-cluster work stays
+    bounded, while the cluster equi-join shuffles on a single int key.
+
+    The drop rule is the non-greedy form (drop if ANY lower-id
+    same-cluster neighbor is ≥ threshold, retained or not) — the
+    standard approximation; it is order-independent and replayable in
+    plain SQL, where the greedy chain would be sequential.
+
+    Returns ``(id, cluster, sq_dist, is_duplicate)``."""
+    assigned = kmeans_assign(
+        df, k, iterations, id_col, vec_col, keep_vec=True
+    )
+    a = assigned.select(
+        "cluster", F.col("id").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = assigned.select(
+        "cluster", F.col("id").alias("id_b"), F.col("vec").alias("vb")
+    )
+    from defenda_data_lake_spark.operators.similarity import with_cosine
+
+    pairs = a.join(b, on=["cluster"]).filter(F.col("id_a") < F.col("id_b"))
+    dups = (
+        with_cosine(pairs, "va", "vb", out="cosine")
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dups, assigned["id"] == dups["dup_id"], "left"
+    ).select(
+        assigned["id"],
+        assigned["cluster"],
+        assigned["sq_dist"],
+        F.col("dup_id").isNotNull().alias("is_duplicate"),
+    )

@@ -1979,6 +1979,14 @@ FROM a{iterations} GROUP BY cl
     )
 
 
+def _kmeans_cte(k: int = 8, iterations: int = 3) -> str:
+    """The Lloyd CTE chain of :func:`_kmeans_sql` without its final
+    SELECT — the final assignment lives in ``a{iterations}`` — so other
+    oracles (q73 SemDedup) can build on the identical clustering."""
+    base = _kmeans_sql(k=k, iterations=iterations)
+    return base.rsplit("SELECT cl AS cluster", 1)[0].rstrip().rstrip(",")
+
+
 Q47_SQL = _kmeans_sql()
 
 
@@ -2857,6 +2865,42 @@ FROM topk
 """
 
 
+def q73_semdedup(spark, sf_dir):
+    """SemDedup-style semantic dedup summary (operators/clustering.py
+    ``semdedup``): k-means clusters the embedding space, then vectors
+    with a lower-id same-cluster neighbor at cosine ≥ 0.4 are marked
+    duplicates.  Pair volume is confined within clusters (Σ n_c², not
+    N²); the oracle replays the identical Lloyd chain (q47's CTE
+    machinery) plus the same pair rule."""
+    from defenda_data_lake_spark.operators.clustering import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semdedup(emb, k=8, iterations=3, threshold=0.4)
+    return out.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("is_duplicate").cast("long")).alias("n_duplicates"),
+    ).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_vectors",
+        "n_duplicates",
+    )
+
+
+Q73_SQL = _kmeans_cte() + """,
+sd_pairs AS (
+  SELECT x.cl, y.vec_id AS dup_id
+  FROM a3 x JOIN a3 y ON x.cl = y.cl AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.v, y.v) >= 0.4
+),
+sd_dups AS (SELECT DISTINCT cl, dup_id FROM sd_pairs)
+SELECT a3.cl AS cluster, count(*) AS n_vectors,
+       CAST(count(sd_dups.dup_id) AS BIGINT) AS n_duplicates
+FROM a3 LEFT JOIN sd_dups
+  ON a3.cl = sd_dups.cl AND a3.vec_id = sd_dups.dup_id
+GROUP BY a3.cl
+"""
+
+
 # CATALOG ordering policy: the correctness driver checks only the FIRST
 # 50 entries each round, so entries are ordered least-recently-
 # driver-verified first, then queries whose behavior/oracle changed in
@@ -2890,6 +2934,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
     "q71_pii_redaction": (q71_pii_redaction, Q71_SQL),
     "q72_weighted_sample": (q72_weighted_sample, Q72_SQL),
+    "q73_semdedup": (q73_semdedup, Q73_SQL),
     # --- r4-verified remainder (tail rotates back in next round)
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),

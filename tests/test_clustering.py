@@ -49,3 +49,47 @@ def test_kmeans_feeds_ivf(spark):
     ).collect()
     assert len(res) == 5
     assert all(r["query_id"] == 0 for r in res)
+
+
+def test_semdedup_matches_bruteforce_within_clusters(spark):
+    from defenda_data_lake_spark.operators.clustering import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semdedup(emb, k=4, iterations=2, threshold=0.4)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    # recompute the drop rule brute-force from the same assignment
+    assigned = kmeans_assign(emb, k=4, iterations=2, keep_vec=True).collect()
+    import numpy as np
+
+    by_cluster = {}
+    for r in assigned:
+        by_cluster.setdefault(r["cluster"], []).append(
+            (r["id"], np.array(r["vec"], dtype=float))
+        )
+    expect_dup = set()
+    for members in by_cluster.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                ia, va = members[i]
+                ib, vb = members[j]
+                cos = float(
+                    va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                )
+                if cos >= 0.4:
+                    expect_dup.add(ib)
+    got_dup = {r["id"] for r in rows if r["is_duplicate"]}
+    assert got_dup == expect_dup
+    # the lowest id of every cluster is never a duplicate
+    for members in by_cluster.values():
+        assert min(m[0] for m in members) not in got_dup
+
+
+def test_semdedup_deterministic(spark):
+    from defenda_data_lake_spark.operators.clustering import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, semdedup(emb, k=4, iterations=2).collect()))
+    b = sorted(map(tuple, semdedup(emb, k=4, iterations=2).collect()))
+    assert a == b
