@@ -29,6 +29,7 @@ growth with iterations.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -149,24 +150,47 @@ def semdedup(
     standard approximation; it is order-independent and replayable in
     plain SQL, where the greedy chain would be sequential.
 
+    The within-cluster comparison is a per-cluster Gram-matrix kernel
+    (``applyInPandas`` over the cluster groups), NOT a pair self-join:
+    a join would materialize both vectors on every one of the Σ n_c²
+    pair rows (n_c² · 2 · dim floats through the shuffle and Arrow),
+    where the kernel ships each vector ONCE and computes blockwise
+    ``V @ Vᵀ`` in BLAS, O(n_c · dim) bytes moved for O(n_c² · dim)
+    flops.  Row blocks bound the similarity-matrix memory, so a big
+    cluster costs time, not heap.  One cluster-keyed exchange total.
+
     Returns ``(id, cluster, sq_dist, is_duplicate)``."""
+    import numpy as np
+
     assigned = kmeans_assign(
         df, k, iterations, id_col, vec_col, keep_vec=True
     )
-    a = assigned.select(
-        "cluster", F.col("id").alias("id_a"), F.col("vec").alias("va")
-    )
-    b = assigned.select(
-        "cluster", F.col("id").alias("id_b"), F.col("vec").alias("vb")
-    )
-    from defenda_data_lake_spark.operators.similarity import with_cosine
 
-    pairs = a.join(b, on=["cluster"]).filter(F.col("id_a") < F.col("id_b"))
-    dups = (
-        with_cosine(pairs, "va", "vb", out="cosine")
-        .filter(F.col("cosine") >= threshold)
-        .select(F.col("id_b").alias("dup_id"))
-        .distinct()
+    def dup_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])[
+            order
+        ]
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        n = len(ids)
+        has_earlier = np.zeros(n, dtype=bool)
+        block = 1024
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            S = (V[lo:hi] @ V.T) / np.outer(norms[lo:hi], norms)
+            # rows lo..hi are the EARLIER side: mark any strictly-later
+            # column j whose similarity to an earlier row i (< j) passes
+            for r in range(hi - lo):
+                i = lo + r
+                js = np.nonzero(S[r, i + 1 :] >= threshold)[0]
+                if len(js):
+                    has_earlier[i + 1 + js] = True
+        return pd.DataFrame({"dup_id": pd.Series(ids[has_earlier], dtype="int64")})
+
+    dups = assigned.groupBy("cluster").applyInPandas(
+        dup_ids, schema="dup_id long"
     )
     return assigned.join(
         dups, assigned["id"] == dups["dup_id"], "left"

@@ -59,26 +59,42 @@ def export_jsonl_shards(
     n_shards: int,
     salt: str = "shard",
     compression: str | None = "gzip",
+    order: str = "id",
 ) -> dict:
     """Export ``df`` as ``n_shards`` deterministic JSONL shards under
     ``out_dir`` (``shard=N/part-*.json[.gz]``) plus a ``manifest.json``.
 
+    ``order`` controls the intra-shard row order: ``"id"`` (sorted by
+    ``id_col`` — compact, mergeable) or ``"hash"`` (sorted by
+    ``md5(salt || id)`` — a deterministic pseudo-shuffle, the standard
+    prep for training loaders that read shards sequentially and must
+    not see the corpus in insertion order).  Both are local sorts per
+    shard task, never global.
+
     Returns the manifest dict: ``{"n_shards", "total_rows", "salt",
-    "id_col", "columns", "shards": {shard: n_rows}}``.
+    "id_col", "order", "columns", "shards": {shard: n_rows}}``.
 
     Two jobs total: the per-shard count aggregation (rows = n_shards)
     and the partitioned write.  The corpus is shuffled exactly once, on
     the shard key."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    if order not in ("id", "hash"):
+        raise ValueError(f"order must be 'id' or 'hash' (got {order!r})")
     tagged = df.withColumn(SHARD_COL, shard_assignment(id_col, n_shards, salt))
     counts = {
         int(r[SHARD_COL]): int(r["n"])
         for r in tagged.groupBy(SHARD_COL).agg(F.count("*").alias("n")).collect()
     }
+    if order == "hash":
+        sort_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    else:
+        sort_key = F.col(id_col)
     writer = (
-        tagged.repartition(n_shards, SHARD_COL)
-        .sortWithinPartitions(SHARD_COL, id_col)
+        tagged.withColumn("_ord", sort_key)
+        .repartition(n_shards, SHARD_COL)
+        .sortWithinPartitions(SHARD_COL, "_ord", id_col)
+        .drop("_ord")
         .write.mode("overwrite")
         .partitionBy(SHARD_COL)
     )
@@ -90,6 +106,7 @@ def export_jsonl_shards(
         "total_rows": sum(counts.values()),
         "salt": salt,
         "id_col": id_col,
+        "order": order,
         "columns": [c for c in df.columns],
         "shards": {str(s): counts.get(s, 0) for s in range(n_shards)},
     }

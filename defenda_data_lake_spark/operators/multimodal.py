@@ -187,6 +187,129 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
         )
 
 
+def _encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal deterministic PNG encoder (8-bit, filter type 0 on every
+    scanline, one IDAT, fixed zlib level) — the write half of the
+    dependency-free codec.  Output is byte-stable for fixed input, so
+    resized payloads are reproducible across runs and engines."""
+    import struct
+    import zlib
+
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw.extend(pixels[y * stride : (y + 1) * stride])
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _resize_nearest(
+    width: int, height: int, channels: int, pixels, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample (the deterministic, interpolation-free
+    baseline): source index = floor(i * src / dst)."""
+    src = memoryview(bytes(pixels))
+    stride = width * channels
+    out = bytearray(out_w * out_h * channels)
+    xs = [min(x * width // out_w, width - 1) * channels for x in range(out_w)]
+    pos = 0
+    for y in range(out_h):
+        row = min(y * height // out_h, height - 1) * stride
+        for xoff in xs:
+            base = row + xoff
+            out[pos : pos + channels] = src[base : base + channels]
+            pos += channels
+    return bytes(out)
+
+
+def resize_images(
+    media: DataFrame, out_width: int, out_height: int, fake: bool = True
+) -> DataFrame:
+    """Resize each image payload to ``out_width x out_height``,
+    returning the standard media layout (new payload + updated meta).
+
+    ``fake=False`` really resizes: dependency-free PNG decode →
+    nearest-neighbor resample → deterministic PNG re-encode (both
+    halves pure Python + zlib, so the output bytes are reproducible).
+    ``fake=True`` (the no-codec plumbing path, same policy as
+    ``decode_media``) passes the payload through untouched and stamps
+    the TARGET dimensions into the metadata struct — schema, batching
+    and partitioning behave exactly like the real path.
+
+    Scale: Arrow-batched ``mapInPandas``; payloads stay on executors,
+    one narrow stage, no shuffle."""
+    if out_width < 1 or out_height < 1:
+        raise ValueError(f"bad target size {out_width}x{out_height}")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("media_type", T.StringType(), True),
+                        T.StructField("mime", T.StringType(), True),
+                        T.StructField("n_bytes", T.LongType(), True),
+                        T.StructField("width", T.IntegerType(), True),
+                        T.StructField("height", T.IntegerType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for media_id, content in zip(batch["media_id"], batch["content"]):
+                payload = bytes(content) if content is not None else b""
+                if fake:
+                    out_payload = payload
+                else:
+                    w, h, ch, px = _decode_png(payload)
+                    out_payload = _encode_png(
+                        out_width,
+                        out_height,
+                        ch,
+                        _resize_nearest(w, h, ch, px, out_width, out_height),
+                    )
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "content": out_payload,
+                        "meta": {
+                            "media_type": "image",
+                            "mime": "image/png",
+                            "n_bytes": len(out_payload),
+                            "width": out_width,
+                            "height": out_height,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content", "meta"])
+
+    return media.select("media_id", "content").mapInPandas(kernel, out_schema)
+
+
 def _mean_feature(values, n_slices: int) -> list[float]:
     """Deterministic real-decode feature: per-slice mean of the decoded
     samples, normalized to [0, 1] — a decode-verifying signature (any

@@ -89,3 +89,25 @@ def test_rejects_bad_shard_count(spark, tmp_path):
 
     with pytest.raises(ValueError):
         export_jsonl_shards(_docs(spark), str(tmp_path / "x"), "doc_id", 0)
+
+
+def test_export_hash_order_pseudo_shuffle(spark, tmp_path):
+    import hashlib
+
+    out = str(tmp_path / "shards")
+    export_jsonl_shards(_docs(spark), out, "doc_id", n_shards=2, order="hash")
+    (f,) = [
+        p
+        for p in glob.glob(os.path.join(out, "shard=1", "*"))
+        if not os.path.basename(p).startswith((".", "_"))
+    ]
+    with gzip.open(f, "rt") as fh:
+        ids = [json.loads(line)["doc_id"] for line in fh]
+    assert ids != sorted(ids)  # not insertion order
+    keys = [hashlib.md5(f"shard{i}".encode()).hexdigest() for i in ids]
+    assert keys == sorted(keys)  # but exactly the deterministic hash order
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        export_jsonl_shards(_docs(spark), out, "doc_id", 2, order="random")

@@ -351,3 +351,51 @@ def test_redact_is_pure_jvm(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_resize_images_real_roundtrip(spark):
+    from defenda_data_lake_spark.operators.multimodal import (
+        _decode_png,
+        as_media_table,
+        resize_images,
+    )
+
+    # 8x4 RGB gradient, mixed scanline filters to exercise the decoder
+    png = _build_png(
+        8, 4, lambda x, y, c: (x * 30 + y * 40 + c * 7) % 256, filters=[0, 1, 2]
+    )
+    df = spark.createDataFrame([(7, bytearray(png))], ["id", "p"])
+    media = as_media_table(df, "id", "p")
+    out = resize_images(media, 4, 2, fake=False).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["meta"]["width"] == 4 and row["meta"]["height"] == 2
+    w, h, ch, px = _decode_png(bytes(row["content"]))
+    assert (w, h, ch) == (4, 2, 3)
+    # nearest-neighbor: out pixel (x,y) = src pixel (x*8//4, y*4//2)
+    for y in range(2):
+        for x in range(4):
+            for c in range(3):
+                expect = ((x * 2) * 30 + (y * 2) * 40 + c * 7) % 256
+                assert px[(y * 4 + x) * 3 + c] == expect
+    # deterministic bytes across runs
+    out2 = resize_images(media, 4, 2, fake=False).collect()
+    assert bytes(out2[0]["content"]) == bytes(row["content"])
+
+
+def test_resize_images_fake_is_plumbing_only(spark):
+    from defenda_data_lake_spark.operators.multimodal import (
+        as_media_table,
+        resize_images,
+    )
+
+    df = spark.createDataFrame([(1, b"not a png")], ["id", "p"])
+    media = as_media_table(df, "id", "p")
+    out = resize_images(media, 32, 32, fake=True).collect()
+    assert out[0]["meta"]["width"] == 32
+    assert bytes(out[0]["content"]) == b"not a png"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        resize_images(media, 0, 32)
