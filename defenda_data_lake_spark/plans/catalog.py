@@ -2886,6 +2886,38 @@ def q73_semdedup(spark, sf_dir):
     )
 
 
+def q74_resize_plumbing(spark, sf_dir):
+    """Image-resize plumbing through the media layout
+    (operators/multimodal.py ``resize_images``, fake/no-codec mode —
+    same oracle policy as q44's decode stub): payload passthrough with
+    target dims stamped into the metadata struct; the md5 pins the
+    payload bytes through the Arrow round-trip."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.as_media_table(
+        docs.withColumn("payload", F.encode(F.col("text"), "UTF-8")),
+        "doc_id",
+        "payload",
+    )
+    out = M.resize_images(media, 32, 24, fake=True)
+    return out.select(
+        "media_id",
+        F.md5("content").alias("payload_md5"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+    )
+
+
+Q74_SQL = """
+SELECT doc_id AS media_id,
+       md5(text) AS payload_md5,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(32 AS BIGINT) AS width,
+       CAST(24 AS BIGINT) AS height
+FROM documents
+"""
+
+
 Q73_SQL = _kmeans_cte() + """,
 sd_pairs AS (
   SELECT x.cl, y.vec_id AS dup_id
@@ -2935,6 +2967,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q71_pii_redaction": (q71_pii_redaction, Q71_SQL),
     "q72_weighted_sample": (q72_weighted_sample, Q72_SQL),
     "q73_semdedup": (q73_semdedup, Q73_SQL),
+    "q74_resize_plumbing": (q74_resize_plumbing, Q74_SQL),
     # --- r4-verified remainder (tail rotates back in next round)
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
