@@ -162,9 +162,14 @@ def semdedup(
     Returns ``(id, cluster, sq_dist, is_duplicate)``."""
     import numpy as np
 
+    # the assignment feeds BOTH branches below (the dup kernel and the
+    # join probe side); without materialization the Lloyd assignment
+    # expressions and the source scan would execute twice per action —
+    # localCheckpoint pins the one copy (same precedent as connected
+    # components in operators/dedup.py)
     assigned = kmeans_assign(
         df, k, iterations, id_col, vec_col, keep_vec=True
-    )
+    ).localCheckpoint()
 
     def dup_ids(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(pdf["id"].to_numpy(), kind="stable")

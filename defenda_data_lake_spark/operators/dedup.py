@@ -253,10 +253,16 @@ def minhash_signatures(
 
         cache = _mod._MINHASH_HEX_CACHE.setdefault(n_digests, {})
 
+        # the shared 4M-entry bound was sized for 8-byte values; hex
+        # rows here are n_digests*32 bytes each, so scale the entry
+        # cap down to keep the same ~hundreds-of-MB memory envelope
+        # per worker
+        cache_max = max(_HASH_CACHE_MAX // (n_digests * 4), 50_000)
+
         def shingle_hex(s: str) -> bytes:
             row = cache.get(s)
             if row is None:
-                if len(cache) >= _HASH_CACHE_MAX:
+                if len(cache) >= cache_max:
                     cache.clear()
                 e = s.encode()
                 row = cache[s] = b"".join(

@@ -110,9 +110,37 @@ def export_jsonl_shards(
         "columns": [c for c in df.columns],
         "shards": {str(s): counts.get(s, 0) for s in range(n_shards)},
     }
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+    _write_text(
+        df.sparkSession,
+        out_dir,
+        "manifest.json",
+        json.dumps(manifest, indent=2, sort_keys=True),
+    )
     return manifest
+
+
+def _write_text(spark, out_dir: str, name: str, text: str) -> None:
+    """Write a small sidecar file next to the shards.  Local paths use
+    plain ``open``; URI paths (s3a://, hdfs://, …) go through the
+    Hadoop FileSystem API so the manifest lands wherever the shards
+    did — a local-only ``open`` would throw AFTER the expensive corpus
+    write and leave the export without its audit manifest."""
+    from urllib.parse import urlparse
+
+    if not urlparse(out_dir).scheme:
+        with open(os.path.join(out_dir, name), "w") as f:
+            f.write(text)
+        return
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(out_dir.rstrip("/") + "/" + name)
+    fs = hpath.getFileSystem(conf)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def read_jsonl_shards(spark, out_dir: str, shards: list[int] | None = None):

@@ -187,8 +187,15 @@ class ReferencePluginAdapter(Plugin):
         self._impl = impl
         self.name = name
         reg = getattr(impl, "registration", ["*"])
+        # a bare string is the hand-rolled reference form — one token,
+        # NOT the wildcard (coercing it to ["*"] would silently run the
+        # plugin against every event)
+        if isinstance(reg, str):
+            reg = [reg]
         self.registration = (
-            [str(t).lower() for t in reg] if isinstance(reg, list) else ["*"]
+            [str(t).lower() for t in reg]
+            if isinstance(reg, (list, tuple, set))
+            else ["*"]
         )
         self.priority = getattr(impl, "priority", 100)
         self.phase = getattr(impl, "phase", "normalization")

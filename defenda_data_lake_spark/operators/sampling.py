@@ -187,9 +187,13 @@ def weighted_sample(
     Returns the sampled rows with their ``priority`` (the E-S key,
     useful for debugging draw boundaries) and 1-based ``sample_rank``.
     Non-positive or NULL weights are clamped to 1 so they behave as
-    unit weight instead of poisoning the draw with NaN/Inf."""
-    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    w = F.greatest(wcol.cast("double"), F.lit(1.0))
+    unit weight instead of poisoning the draw with NaN/Inf; positive
+    fractional weights pass through untouched (0 < w < 1 is a
+    legitimate down-weight, e.g. a quality score)."""
+    wcol = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    w = F.when(wcol > 0, wcol).otherwise(F.lit(1.0))
     u = (
         F.conv(
             F.substring(

@@ -86,6 +86,31 @@ def clear_table_cache() -> None:
     _T_CACHE.clear()
 
 
+def _path_bytes(path: str) -> int | None:
+    """Total bytes of a parquet table path — a single file OR a
+    directory of part files.  ``os.path.getsize`` alone is a trap for
+    directories: it returns the inode size (~4 KB), not an error, so a
+    directory-shaped 100 GB table would read as "tiny" and poison every
+    byte-proportional policy (kernel parallelism, pair-join strategy,
+    cache admission).  Returns ``None`` for missing/remote paths."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isfile(path):
+        try:
+            return _os.path.getsize(path)
+        except OSError:
+            return None
+    if _os.path.isdir(path):
+        sizes = [
+            _os.path.getsize(p)
+            for p in _glob.glob(_os.path.join(path, "**", "*"), recursive=True)
+            if _os.path.isfile(p)
+        ]
+        return sum(sizes) if sizes else None
+    return None
+
+
 def warm_table_cache(
     spark: SparkSession,
     sf_dir: str,
@@ -137,17 +162,9 @@ def warm_table_cache(
     cached: dict[str, int] = {}
     for name in tables:
         path = _os.path.join(sf_dir, f"{name}.parquet")
-        try:
-            size = _os.path.getsize(path)
-        except OSError:
-            sizes = [
-                _os.path.getsize(p)
-                for p in _glob.glob(_os.path.join(path, "**", "*"), recursive=True)
-                if _os.path.isfile(p)
-            ]
-            if not sizes:
-                continue
-            size = sum(sizes)
+        size = _path_bytes(path)
+        if size is None:
+            continue
         if size > max_bytes:
             continue
         df = _t(spark, sf_dir, name)
@@ -207,12 +224,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
         elif t != "timestamp":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
-    import os as _os
-
-    try:
-        setattr(df, SIZE_HINT_ATTR, _os.path.getsize(f"{sf_dir}/{name}.parquet"))
-    except OSError:
-        pass  # directory-shaped / remote input: leave size to inputFiles()
+    size = _path_bytes(f"{sf_dir}/{name}.parquet")
+    if size is not None:
+        setattr(df, SIZE_HINT_ATTR, size)
     _T_CACHE[key] = df
     return df
 
@@ -2852,7 +2866,8 @@ WITH pri AS (
   SELECT doc_id, source, n_chars,
          ln((CAST('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 8)
               AS BIGINT) + 0.5) / 4294967296.0)
-         / greatest(CAST(n_chars AS DOUBLE), 1.0) AS priority
+         / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) ELSE 1.0 END)
+           AS priority
   FROM documents
 ), topk AS (
   SELECT doc_id, source, n_chars, priority,

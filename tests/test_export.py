@@ -111,3 +111,11 @@ def test_export_hash_order_pseudo_shuffle(spark, tmp_path):
 
     with pytest.raises(ValueError):
         export_jsonl_shards(_docs(spark), out, "doc_id", 2, order="random")
+
+
+def test_export_uri_out_dir_writes_manifest_via_hadoop_fs(spark, tmp_path):
+    out = "file://" + str(tmp_path / "shards")
+    manifest = export_jsonl_shards(_docs(spark), out, "doc_id", n_shards=2)
+    local = os.path.join(str(tmp_path / "shards"), "manifest.json")
+    with open(local) as f:
+        assert json.load(f) == manifest

@@ -374,3 +374,23 @@ class TestRegisterPlugins:
         assert "custom_marker" in row["plugins"]
         # defaults still ran (event_shell et al.)
         assert "event_shell" in row["plugins"]
+
+
+def test_adapter_string_registration_is_one_token_not_wildcard():
+    from defenda_data_lake_spark.operators.pipeline import ReferencePluginAdapter
+
+    class Impl:
+        registration = "SourceIpAddress"
+        priority = 5
+
+        def onMessage(self, message, metadata):
+            return message, metadata
+
+    p = ReferencePluginAdapter(Impl(), "impl")
+    assert p.registration == ["sourceipaddress"]
+
+    class NoReg:
+        def onMessage(self, message, metadata):
+            return message, metadata
+
+    assert ReferencePluginAdapter(NoReg(), "noreg").registration == ["*"]

@@ -112,3 +112,18 @@ def test_weighted_sample_plans_as_topk(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_respects_fractional_weights(spark):
+    from defenda_data_lake_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 0.2), (2, 0.9)], "id long, w double")
+    out = {r["id"]: r["priority"] for r in weighted_sample(df, "id", "w", k=2).collect()}
+    import hashlib
+    import math
+
+    for i, w in ((1, 0.2), (2, 0.9)):
+        u = (
+            int(hashlib.md5(f"wsample{i}".encode()).hexdigest()[:8], 16) + 0.5
+        ) / 4294967296.0
+        assert abs(out[i] - math.log(u) / w) < 1e-12, (i, out[i])
