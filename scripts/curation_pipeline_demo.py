@@ -89,6 +89,23 @@ def main() -> None:
     counts["total_tokens"] = int(total_tokens)
     counts["bins_256"] = int((total_tokens + 255) // 256)
 
+    # 8. materialize the curated corpus as deterministic training
+    # shards (hash membership + pseudo-shuffled order + manifest)
+    import tempfile
+
+    from defenda_data_lake_spark.operators.export import export_jsonl_shards
+
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="curation_"), "shards")
+    manifest = export_jsonl_shards(
+        kept.select("doc_id", "text_redacted", "source"),
+        out_dir,
+        "doc_id",
+        n_shards=4,
+        order="hash",
+    )
+    counts["exported_rows"] = manifest["total_rows"]
+    counts["export_shards"] = manifest["n_shards"]
+
     print(json.dumps(counts))
     spark.stop()
 
