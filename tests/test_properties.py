@@ -129,3 +129,41 @@ def test_get_by_path_never_raises(obj, path_segs):
     if len(path_segs) == 1:
         # single-segment path: must agree with plain dict lookup
         assert result is obj.get(path_segs[0], sentinel)
+
+
+@given(
+    st.integers(1, 8),
+    st.integers(1, 8),
+    st.sampled_from([1, 2, 3, 4]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_encode_decode_roundtrip(w, h, channels, rnd):
+    from defenda_data_lake_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    pixels = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+    out_w, out_h, out_ch, out_px = _decode_png(_encode_png(w, h, channels, pixels))
+    assert (out_w, out_h, out_ch) == (w, h, channels)
+    assert bytes(out_px) == pixels
+
+
+@given(
+    st.integers(1, 8),
+    st.integers(1, 8),
+    st.integers(1, 8),
+    st.integers(1, 8),
+    st.sampled_from([1, 3]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_resize_nearest_dims_and_identity(w, h, out_w, out_h, channels, rnd):
+    from defenda_data_lake_spark.operators.multimodal import _resize_nearest
+
+    pixels = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+    out = _resize_nearest(w, h, channels, pixels, out_w, out_h)
+    assert len(out) == out_w * out_h * channels
+    if (out_w, out_h) == (w, h):
+        assert out == pixels  # identity resize is exact
