@@ -8,6 +8,7 @@ caring where records come from.
 """
 
 from defenda_data_lake_spark.sources.file_landing import FileLandingSource
+from defenda_data_lake_spark.sources.kafka import KafkaSource
 from defenda_data_lake_spark.sources.kinesis import KinesisSource
 
-__all__ = ["FileLandingSource", "KinesisSource"]
+__all__ = ["FileLandingSource", "KafkaSource", "KinesisSource"]

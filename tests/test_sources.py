@@ -62,3 +62,41 @@ def test_start_ingest_with_explicit_source(spark, tmp_path):
         assert len(rows) == 1
     finally:
         query.stop()
+
+
+def test_kafka_source_option_wiring():
+    from defenda_data_lake_spark.sources import KafkaSource
+
+    src = KafkaSource(
+        "broker1:9092,broker2:9092",
+        "events",
+        starting_offsets="earliest",
+        max_offsets_per_trigger=50_000,
+        fail_on_data_loss=False,
+    )
+    assert src.options() == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "50000",
+    }
+    defaults = KafkaSource("b:9092", "t").options()
+    assert defaults["startingOffsets"] == "latest"
+    assert defaults["failOnDataLoss"] == "true"
+    assert "maxOffsetsPerTrigger" not in defaults
+
+
+def test_kafka_source_without_connector_raises_actionable(spark):
+    import pytest
+
+    from defenda_data_lake_spark.sources import KafkaSource
+
+    src = KafkaSource("b:9092", "t")
+    try:
+        df = src.load(spark)
+    except RuntimeError as exc:
+        assert "spark-sql-kafka" in str(exc)
+    else:
+        # connector present in this build: the contract column exists
+        assert df.columns == ["raw"]
