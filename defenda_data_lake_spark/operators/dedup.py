@@ -24,7 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator
+from typing import Iterable, Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -208,8 +208,12 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_n: int = 3,
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
-    """MinHash signature per document.
+    """MinHash signature per document.  ``passthrough`` columns are
+    carried to the output unchanged (one value per doc) — the streaming
+    LSH dedup uses this to keep its watermark column alive through the
+    kernel without a stream-stream join-back.
 
     Hash family i is the i-th 32-bit hex chunk of ``md5(p || shingle)``
     where p cycles through ``'' , 'x', 'xx', …`` every 4 families: one
@@ -273,7 +277,10 @@ def minhash_signatures(
         for batch in batches:
             ids: list = []
             cols: list[list[str]] = [[] for _ in range(num_hashes)]
-            for doc_id, text in zip(batch["id"], batch["text"]):
+            pt_vals: dict[str, list] = {c: [] for c in passthrough}
+            for row_idx, (doc_id, text) in enumerate(
+                zip(batch["id"], batch["text"])
+            ):
                 # .split() with no argument already collapses/trims all
                 # whitespace runs, so tokens equal normalized_text's
                 words = str(text).lower().split()
@@ -303,38 +310,54 @@ def minhash_signatures(
                 for i in range(num_hashes):
                     cols[i].append(mins[i * 8 : (i + 1) * 8].decode("ascii"))
                 ids.append(doc_id)
+                for c in passthrough:
+                    pt_vals[c].append(batch[c].iloc[row_idx])
             yield pd.DataFrame(
-                {"id": ids, **{f"h{i}": cols[i] for i in range(num_hashes)}}
+                {
+                    "id": ids,
+                    **{f"h{i}": cols[i] for i in range(num_hashes)},
+                    **{c: pt_vals[c] for c in passthrough},
+                }
             )
 
     narrow = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+        F.col(id_col).cast("long").alias("id"),
+        F.col(text_col).alias("text"),
+        *[F.col(c) for c in passthrough],
     )
+    pt_fields = [df.schema[c] for c in passthrough]
     return ensure_min_parallelism(narrow, kernel_parallelism(df)).mapInPandas(
         gen,
         schema=T.StructType(
             [T.StructField("id", T.LongType())]
             + [T.StructField(f"h{i}", T.StringType()) for i in range(num_hashes)]
+            + pt_fields
         ),
     )
 
 
-def minhash_lsh_candidates(
+def banded_minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 2,
     shingle_n: int = 3,
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
-    """LSH banding over MinHash signatures: docs agreeing on all hashes
-    of any band become a candidate pair (id_a < id_b).  Equi-join on the
-    band signature — no cross product."""
-    assert num_hashes % bands == 0
+    """One row per (doc, band): ``(id, band, band_sig)`` where
+    ``band_sig`` is the '|'-joined hex minhashes of that band — the
+    shared front half of batch LSH candidates and the streaming LSH
+    dedup.  One row per (doc, band) via explode — NOT a union of
+    per-band selects, so the signature kernel runs once, not per
+    band.  Works on streaming DataFrames too (the signature kernel is
+    stateless)."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    # one row per (doc, band) via explode — NOT a union of per-band
-    # selects, so the signature kernel runs once, not per band
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, passthrough=passthrough
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -350,8 +373,29 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = sigs.select("id", F.explode(band_structs).alias("bs")).select(
-        "id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    return sigs.select(
+        "id", F.explode(band_structs).alias("bs"), *[F.col(c) for c in passthrough]
+    ).select(
+        "id",
+        F.col("bs.band").alias("band"),
+        F.col("bs.band_sig").alias("band_sig"),
+        *[F.col(c) for c in passthrough],
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding over MinHash signatures: docs agreeing on all hashes
+    of any band become a candidate pair (id_a < id_b).  Equi-join on the
+    band signature — no cross product."""
+    banded = banded_minhash_signatures(
+        df, text_col, id_col, num_hashes, bands, shingle_n
     )
     # bucket-grouped pair expansion instead of a self-join: ONE hash
     # aggregation collects each LSH bucket's member list, then pairs

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -72,3 +73,115 @@ def content_dedupe_stream(
         watermark_delay=watermark_delay,
         event_time_col=event_time_col,
     ).drop("_dedup_content_hash")
+
+
+LSH_CANDIDATE_SCHEMA = "doc_id long, first_doc long, band int, band_sig string"
+_LSH_STATE_SCHEMA = "first_doc long, first_us long"
+
+
+def lsh_candidates_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time_col: str = "event_time",
+    watermark_delay: str = "1 hour",
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming NEAR-duplicate candidate generation — the streaming
+    twin of ``operators.dedup.minhash_lsh_candidates``: as documents
+    arrive, each is hashed into its MinHash LSH buckets, and a bucket
+    that already saw an earlier document emits a candidate row
+    ``(doc_id, first_doc, band, band_sig)`` mapping the newcomer to the
+    bucket's first claimant.  Downstream consumers verify (exact
+    Jaccard / cosine) or drop on sight — exactly how a continuous
+    crawl ingest discards near-re-posts without a nightly batch job.
+
+    Statefulness: ONE ``applyInPandasWithState`` keyed by (band,
+    band_sig).  State per bucket is two longs (first doc id + its
+    event time); the event-time timeout evicts a bucket once the
+    watermark passes its last activity + horizon, so state is bounded
+    by buckets-per-horizon, not all buckets ever — same contract as
+    ``dedupe_stream``.  A doc with duplicate content in ``bands``
+    buckets emits up to ``bands`` candidate rows (band granularity is
+    preserved deliberately; `.distinct()` downstream if pairs are all
+    that matters).
+
+    Within one micro-batch, arrival order is by event time (ties by
+    id) — deterministic given the batch contents.  Works only on
+    streaming inputs; for batch use ``minhash_lsh_candidates``.
+
+    Scale: the signature kernel is stateless and shuffle-free; the one
+    exchange is the state-store partitioning on (band, band_sig) —
+    identical key layout to the batch bucket join, so hot-bucket
+    behavior matches batch, and executors split state linearly."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from defenda_data_lake_spark.operators.dedup import banded_minhash_signatures
+
+    horizon_ms = int(pd.Timedelta(watermark_delay).total_seconds() * 1000)
+
+    with_time = docs.withColumn(
+        "_lsh_event_time", F.to_timestamp(F.col(event_time_col))
+    ).withWatermark("_lsh_event_time", watermark_delay)
+    # the event-time column rides through the signature kernel as a
+    # passthrough column, so the watermark survives to the stateful
+    # operator without any stream-stream join-back
+    banded = banded_minhash_signatures(
+        with_time,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        passthrough=["_lsh_event_time"],
+    ).withColumnRenamed("id", "doc_id")
+
+    def claim(key, batches, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "first_doc": pd.Series([], dtype="int64"),
+                    "band": pd.Series([], dtype="int32"),
+                    "band_sig": pd.Series([], dtype="str"),
+                }
+            )
+            return
+        rows = pd.concat(list(batches), ignore_index=True)
+        times = pd.to_datetime(rows["_lsh_event_time"], utc=True)
+        rows = rows.assign(_us=times.astype("int64") // 1000).sort_values(
+            ["_us", "doc_id"]
+        )
+        if state.exists:
+            first_doc, first_us = state.get
+        else:
+            first_doc = int(rows["doc_id"].iloc[0])
+            first_us = int(rows["_us"].iloc[0])
+        out = rows[rows["doc_id"] != first_doc]
+        last_us = max(int(rows["_us"].max()), first_us)
+        state.update((first_doc, last_us))
+        watermark_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(last_us // 1000, watermark_ms + 1) + horizon_ms
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype("int64"),
+                "first_doc": pd.Series(
+                    [first_doc] * len(out), dtype="int64"
+                ),
+                "band": pd.Series([key[0]] * len(out), dtype="int32"),
+                "band_sig": pd.Series([key[1]] * len(out), dtype="str"),
+            }
+        )
+
+    return banded.groupBy("band", "band_sig").applyInPandasWithState(
+        claim,
+        outputStructType=LSH_CANDIDATE_SCHEMA,
+        stateStructType=_LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -108,3 +108,81 @@ def test_dedupe_batch_fallback(spark):
     )
     out = dedupe_stream(df, keys=("eventid",))
     assert out.count() == 2
+
+
+def _doc(doc_id, ts, text):
+    return json.dumps({"doc_id": doc_id, "ts": ts, "text": text})
+
+
+def _doc_stream(spark, landing):
+    return (
+        spark.readStream.format("text")
+        .schema("value string")
+        .load(str(landing))
+        .select(
+            F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+            F.get_json_object("value", "$.ts").alias("ts"),
+            F.get_json_object("value", "$.text").alias("text"),
+        )
+    )
+
+
+def test_lsh_candidates_stream_flags_near_dups(spark, tmp_path):
+    from defenda_data_lake_spark.streaming.dedup import lsh_candidates_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tonight"  # near-dup: long shared prefix
+    other = "completely different words describing unrelated observations here"
+    with open(landing / "b1.ndjson", "w") as f:
+        f.write(_doc(1, "2026-01-01T00:01:00+00:00", base) + "\n")
+        f.write(_doc(9, "2026-01-01T00:02:00+00:00", other) + "\n")
+
+    query = (
+        lsh_candidates_stream(
+            _doc_stream(spark, landing), event_time_col="ts"
+        )
+        .writeStream.format("memory")
+        .queryName("lsh_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # nothing is a dup of anything yet
+        assert spark.sql("SELECT * FROM lsh_out").count() == 0
+        # a near-dup of doc 1 and an exact re-post of doc 9 arrive later
+        with open(landing / "b2.ndjson", "w") as f:
+            f.write(_doc(2, "2026-01-01T00:05:00+00:00", near) + "\n")
+            f.write(_doc(8, "2026-01-01T00:06:00+00:00", other) + "\n")
+        query.processAllAvailable()
+        rows = spark.sql(
+            "SELECT DISTINCT doc_id, first_doc FROM lsh_out"
+        ).collect()
+        pairs = {(r["doc_id"], r["first_doc"]) for r in rows}
+        assert (8, 9) in pairs  # exact re-post maps to the first claimant
+        assert (2, 1) in pairs  # near-dup shares at least one band
+        assert all(d != f for d, f in pairs)
+    finally:
+        query.stop()
+
+
+def test_lsh_candidates_stream_batch_parity(spark):
+    """The same near-dup pair set the batch operator finds (restricted
+    to first-claimant pairs) must be reachable from the stream."""
+    from defenda_data_lake_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "unrelated content entirely distinct tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert (1, 2) in pairs and all(3 not in p for p in pairs)
