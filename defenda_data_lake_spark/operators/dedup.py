@@ -278,6 +278,9 @@ def minhash_signatures(
             ids: list = []
             cols: list[list[str]] = [[] for _ in range(num_hashes)]
             pt_vals: dict[str, list] = {c: [] for c in passthrough}
+            # hoisted out of the doc loop: scalar Series.iloc per row
+            # would cost ~20-40x a plain list index in this hot kernel
+            pt_cols = {c: batch[c].to_list() for c in passthrough}
             for row_idx, (doc_id, text) in enumerate(
                 zip(batch["id"], batch["text"])
             ):
@@ -311,7 +314,7 @@ def minhash_signatures(
                     cols[i].append(mins[i * 8 : (i + 1) * 8].decode("ascii"))
                 ids.append(doc_id)
                 for c in passthrough:
-                    pt_vals[c].append(batch[c].iloc[row_idx])
+                    pt_vals[c].append(pt_cols[c][row_idx])
             yield pd.DataFrame(
                 {
                     "id": ids,

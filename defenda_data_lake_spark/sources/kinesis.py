@@ -72,6 +72,18 @@ class KinesisSource:
             reader = reader.option(key, value)
         try:
             records = reader.load()
-        except Exception as exc:  # DATA_SOURCE_NOT_FOUND without the JAR
-            raise RuntimeError(_CONNECTOR_HINT) from exc
+        except Exception as exc:
+            # substitute the actionable hint ONLY for the missing-JAR
+            # signature; any other failure (bad option value, malformed
+            # offsets, auth) is a real config error whose own message is
+            # the actionable one — mislabeling it "add the connector"
+            # sends the user down the wrong path
+            msg = str(exc)
+            if (
+                "DATA_SOURCE_NOT_FOUND" in msg
+                or "Failed to find data source" in msg
+                or "ClassNotFoundException" in msg
+            ):
+                raise RuntimeError(_CONNECTOR_HINT) from exc
+            raise
         return records.select(F.col("data").cast("string").alias("raw"))

@@ -112,6 +112,13 @@ def lsh_candidates_stream(
     id) — deterministic given the batch contents.  Works only on
     streaming inputs; for batch use ``minhash_lsh_candidates``.
 
+    Malformed or missing event times: the cast is ``try_to_timestamp``
+    (one poison record must not wedge a continuous query on replay —
+    ANSI ``to_timestamp`` would fail the micro-batch forever), and
+    rows without a parseable event time are filtered out before
+    bucketing — a doc that can't be placed on the event timeline can
+    neither claim a bucket nor be judged against the horizon.
+
     Scale: the signature kernel is stateless and shuffle-free; the one
     exchange is the state-store partitioning on (band, band_sig) —
     identical key layout to the batch bucket join, so hot-bucket
@@ -122,9 +129,13 @@ def lsh_candidates_stream(
 
     horizon_ms = int(pd.Timedelta(watermark_delay).total_seconds() * 1000)
 
-    with_time = docs.withColumn(
-        "_lsh_event_time", F.to_timestamp(F.col(event_time_col))
-    ).withWatermark("_lsh_event_time", watermark_delay)
+    with_time = (
+        docs.withColumn(
+            "_lsh_event_time", F.try_to_timestamp(F.col(event_time_col))
+        )
+        .filter(F.col("_lsh_event_time").isNotNull())
+        .withWatermark("_lsh_event_time", watermark_delay)
+    )
     # the event-time column rides through the signature kernel as a
     # passthrough column, so the watermark survives to the stateful
     # operator without any stream-stream join-back
@@ -167,9 +178,12 @@ def lsh_candidates_stream(
         state.setTimeoutTimestamp(
             max(last_us // 1000, watermark_ms + 1) + horizon_ms
         )
+        # .to_numpy(): the filtered slice keeps its ORIGINAL index, and
+        # pandas aligns DataFrame columns on index — mixing it with
+        # fresh 0-based Series would interleave NaN rows
         yield pd.DataFrame(
             {
-                "doc_id": out["doc_id"].astype("int64"),
+                "doc_id": out["doc_id"].to_numpy(dtype="int64"),
                 "first_doc": pd.Series(
                     [first_doc] * len(out), dtype="int64"
                 ),

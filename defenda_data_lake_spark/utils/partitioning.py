@@ -58,8 +58,18 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     ``inputFiles`` sees nothing) is always a good trade.  File count
     under-estimates split count for files larger than
     ``maxPartitionBytes``, but any input that large is already parallel
-    enough for the guard to be a no-op by intent."""
+    enough for the guard to be a no-op by intent.
+
+    Streaming inputs pass through untouched: both size probes throw on
+    a streaming plan, so the guard would otherwise inject an
+    unconditional round-robin exchange into EVERY micro-batch — the
+    normal micro-batch is small, and a stream's parallelism is the
+    source's partitioning (files per trigger, topic partitions), not
+    something a blanket repartition should second-guess."""
     import os
+
+    if df.isStreaming:
+        return df
 
     try:
         target = min_partitions or df.sparkSession.sparkContext.defaultParallelism

@@ -95,7 +95,13 @@ def main() -> None:
 
     from defenda_data_lake_spark.operators.export import export_jsonl_shards
 
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="curation_"), "shards")
+    # argv[2] keeps the shards; the default temp dir is printed so the
+    # output is findable, and repeated demo runs don't silently pile up
+    out_dir = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(tempfile.mkdtemp(prefix="curation_"), "shards")
+    )
     manifest = export_jsonl_shards(
         kept.select("doc_id", "text_redacted", "source"),
         out_dir,
@@ -105,6 +111,7 @@ def main() -> None:
     )
     counts["exported_rows"] = manifest["total_rows"]
     counts["export_shards"] = manifest["n_shards"]
+    counts["export_dir"] = out_dir
 
     print(json.dumps(counts))
     spark.stop()

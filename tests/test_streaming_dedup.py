@@ -169,20 +169,45 @@ def test_lsh_candidates_stream_flags_near_dups(spark, tmp_path):
         query.stop()
 
 
-def test_lsh_candidates_stream_batch_parity(spark):
-    """The same near-dup pair set the batch operator finds (restricted
-    to first-claimant pairs) must be reachable from the stream."""
+def test_lsh_candidates_stream_batch_parity(spark, tmp_path):
+    """The pair set the batch operator finds equals the stream's
+    (doc -> first claimant) candidates, as unordered pairs, on the same
+    corpus."""
     from defenda_data_lake_spark.operators.dedup import minhash_lsh_candidates
+    from defenda_data_lake_spark.streaming.dedup import lsh_candidates_stream
 
-    docs = spark.createDataFrame(
-        [
-            (1, "alpha beta gamma delta epsilon zeta eta theta"),
-            (2, "alpha beta gamma delta epsilon zeta eta theta"),
-            (3, "unrelated content entirely distinct tokens"),
-        ],
-        "doc_id long, text string",
-    )
-    pairs = {
+    corpus = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "unrelated content entirely distinct tokens"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    batch_pairs = {
         (r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()
     }
-    assert (1, 2) in pairs and all(3 not in p for p in pairs)
+    assert (1, 2) in batch_pairs and all(3 not in p for p in batch_pairs)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "b1.ndjson", "w") as f:
+        for i, (doc_id, text) in enumerate(corpus):
+            f.write(_doc(doc_id, f"2026-01-01T00:0{i + 1}:00+00:00", text) + "\n")
+    query = (
+        lsh_candidates_stream(_doc_stream(spark, landing), event_time_col="ts")
+        .writeStream.format("memory")
+        .queryName("lsh_parity_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        stream_pairs = {
+            (min(r["doc_id"], r["first_doc"]), max(r["doc_id"], r["first_doc"]))
+            for r in spark.sql(
+                "SELECT doc_id, first_doc FROM lsh_parity_out"
+            ).collect()
+        }
+    finally:
+        query.stop()
+    assert stream_pairs == batch_pairs
