@@ -2954,10 +2954,13 @@ GROUP BY a3.cl
 # the current round, then the stable remainder.  Rotate every round so
 # the 50-slot window always re-covers the stalest entries (VERDICT r4
 # item 1).  Round-5 ordering: q33-q48 (last driver row r2/r3, q43/q44
-# r1) first; then q62 (oracle changed: audio-chunk tail fix), q32
-# (kernel rewrite) and any new queries; then the r4-verified remainder
-# in original order — the tail that falls outside the window was
-# driver-green in r4 and rotates back in next round.
+# r1) first; then every query whose behavior or plan changed in round
+# 5 — q62 (audio-chunk tail fix), q32/q58/q60/q63 (pair-join strategy
+# + banding refactor), q71-q74 (new), q30/q31/q49 (SQL-string
+# conversion / kernel memoization / banding) — then the r4-verified
+# remainder.  The 20 entries outside the window (q50-q70 tail plus
+# q21/q22/q29, deliberately rotated out as untouched-in-r5) were all
+# driver-green in r4 and lead the round-6 rotation.
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- stalest: no driver correctness row since r2/r3 (q43/q44: r1)
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
@@ -2983,6 +2986,12 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q72_weighted_sample": (q72_weighted_sample, Q72_SQL),
     "q73_semdedup": (q73_semdedup, Q73_SQL),
     "q74_resize_plumbing": (q74_resize_plumbing, Q74_SQL),
+    "q63_candidate_verify": (q63_candidate_verify, Q63_SQL),
+    "q60_containment_pairs": (q60_containment_pairs, Q60_SQL),
+    "q58_ngram_novelty": (q58_ngram_novelty, Q58_SQL),
+    "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
+    "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
+    "q49_dup_clusters": (q49_dup_clusters, Q49_SQL),
     # --- r4-verified remainder (tail rotates back in next round)
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -3005,13 +3014,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q26_regexp_count": (q26_regexp_count, Q26_SQL),
     "q27_grouping_sets": (q27_grouping_sets, Q27_SQL),
     "q28_exists_sql": (q28_exists_sql, Q28_SQL),
-    "q29_asof_join": (q29_asof_join, Q29_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
-    "q21_events_sessions": (q21_events_sessions, Q21_SQL),
-    "q22_events_hourly": (q22_events_hourly, Q22_SQL),
-    "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
-    "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
-    "q49_dup_clusters": (q49_dup_clusters, Q49_SQL),
     "q50_tfidf": (q50_tfidf, Q50_SQL),
     "q51_decontamination": (q51_decontamination, Q51_SQL),
     "q52_stratified_sample": (q52_stratified_sample, Q52_SQL),
@@ -3020,11 +3023,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q55_group_sample": (q55_group_sample, Q55_SQL),
     "q56_contrastive_pairs": (q56_contrastive_pairs, Q56_SQL),
     "q57_gopher_filter": (q57_gopher_filter, Q57_SQL),
-    "q58_ngram_novelty": (q58_ngram_novelty, Q58_SQL),
     "q59_temperature_mix": (q59_temperature_mix, Q59_SQL),
-    "q60_containment_pairs": (q60_containment_pairs, Q60_SQL),
     "q61_length_buckets": (q61_length_buckets, Q61_SQL),
-    "q63_candidate_verify": (q63_candidate_verify, Q63_SQL),
     "q64_bigram_logprob": (q64_bigram_logprob, Q64_SQL),
     "q65_oov_rate": (q65_oov_rate, Q65_SQL),
     "q66_funnel": (q66_funnel, Q66_SQL),
@@ -3032,6 +3032,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q68_doc_chunks": (q68_doc_chunks, Q68_SQL),
     "q69_rolling_anomaly": (q69_rolling_anomaly, Q69_SQL),
     "q70_pivot_daily": (q70_pivot_daily, Q70_SQL),
+    "q21_events_sessions": (q21_events_sessions, Q21_SQL),
+    "q22_events_hourly": (q22_events_hourly, Q22_SQL),
+    "q29_asof_join": (q29_asof_join, Q29_SQL),
 }
 
 
