@@ -185,3 +185,85 @@ def _parquet_rows(directory: str) -> int:
         if name.endswith(".parquet") and not name.startswith("."):
             total += pq.read_metadata(os.path.join(directory, name)).num_rows
     return total
+
+
+def expire_partitions(
+    spark: SparkSession,
+    table_location: str,
+    retention_days: int,
+    now: "datetime.datetime | None" = None,
+    table: str = EVENTS_TABLE,
+    dry_run: bool = False,
+) -> dict:
+    """Retention enforcement for the hour-partitioned events layout —
+    the engine-side equivalent of the reference's S3 lifecycle rules
+    (reference main.tf:31-42,62-73: input expires at 90 d, output at
+    360 d; there the *bucket* ages data out, here the *table* must).
+
+    Every ``year=/month=/day=/hour=`` partition whose hour is strictly
+    older than ``now - retention_days`` is dropped from the catalog
+    (``ALTER TABLE … DROP IF EXISTS PARTITION``) and deleted from disk
+    — catalog first, so a crash between the two steps leaves an
+    unregistered directory (harmless, re-droppable) rather than a
+    registered partition with no data (every query over it would fail).
+
+    ``now`` is an explicit parameter so retention runs are reproducible
+    and testable; production callers pass their scheduler's tick time.
+    Returns {"dropped": [partition dicts], "kept": n, "freed_bytes": n}.
+
+    Scale notes: the scan is driver-side directory listing (4 levels,
+    bounded by calendar cardinality — 24*365 dirs/year, trivial); each
+    drop is one metastore call + one recursive delete.  At object-store
+    scale the listing maps to LIST calls of the same shape the
+    reference's lifecycle manager performs; no executor work at all."""
+    import datetime
+    import glob as _glob
+    import re
+
+    if retention_days < 0:
+        raise ValueError(f"retention_days must be >= 0 (got {retention_days})")
+    now = now or datetime.datetime.now(datetime.timezone.utc)
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=datetime.timezone.utc)
+    cutoff = now - datetime.timedelta(days=retention_days)
+
+    pat = re.compile(
+        r"year=(\d{4})/month=(\d{2})/day=(\d{2})/hour=(\d{2})$"
+    )
+    dropped: list[dict] = []
+    kept = 0
+    freed = 0
+    for part_dir in sorted(
+        _glob.glob(
+            os.path.join(table_location, "year=*", "month=*", "day=*", "hour=*")
+        )
+    ):
+        m = pat.search(part_dir.replace(os.sep, "/"))
+        if not m:
+            continue
+        y, mo, d, h = m.groups()
+        try:
+            part_time = datetime.datetime(
+                int(y), int(mo), int(d), int(h), tzinfo=datetime.timezone.utc
+            )
+        except ValueError:
+            continue  # malformed partition values: never delete blindly
+        if part_time >= cutoff:
+            kept += 1
+            continue
+        size = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(part_dir)
+            for f in files
+        )
+        if not dry_run:
+            spark.sql(
+                f'ALTER TABLE {table} DROP IF EXISTS PARTITION '
+                f"(year='{y}', month='{mo}', day='{d}', hour='{h}')"
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        dropped.append(
+            {"year": y, "month": mo, "day": d, "hour": h, "bytes": size}
+        )
+        freed += size
+    return {"dropped": dropped, "kept": kept, "freed_bytes": freed}

@@ -133,3 +133,60 @@ def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
         upsert_corpus_snapshot(spark, corpus, dup_updates)
     # corpus untouched
     assert spark.read.parquet(corpus).count() == 1
+
+
+def test_expire_partitions_enforces_retention(spark, tmp_path):
+    import datetime
+    import os
+
+    from defenda_data_lake_spark.lake_maintenance import (
+        expire_partitions,
+        partition_path,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    location = str(tmp_path / "events_tbl")
+    spark.sql("DROP TABLE IF EXISTS defenda_data_lake.events")
+    create_events_table(spark, location=location)
+    with open(landing / "b.ndjson", "w") as f:
+        f.write(json.dumps(ALL_FIXTURES["cloudtrail"]()) + "\n")
+    ingest_batch(spark, str(landing), mode="ndjson")
+
+    part = spark.sql(
+        f"SELECT year, month, day, hour FROM {EVENTS_TABLE} LIMIT 1"
+    ).first()
+    part_time = datetime.datetime(
+        int(part["year"]), int(part["month"]), int(part["day"]),
+        int(part["hour"]), tzinfo=datetime.timezone.utc,
+    )
+
+    # within retention: nothing dropped
+    report = expire_partitions(
+        spark, location, retention_days=90,
+        now=part_time + datetime.timedelta(days=1),
+    )
+    assert report["dropped"] == [] and report["kept"] == 1
+    assert spark.table(EVENTS_TABLE).count() == 1
+
+    # dry run past retention: reported, not deleted
+    later = part_time + datetime.timedelta(days=91)
+    report = expire_partitions(
+        spark, location, retention_days=90, now=later, dry_run=True
+    )
+    assert len(report["dropped"]) == 1 and report["freed_bytes"] > 0
+    assert spark.table(EVENTS_TABLE).count() == 1
+
+    # real run: catalog entry gone, directory gone, queries still work
+    report = expire_partitions(spark, location, retention_days=90, now=later)
+    assert len(report["dropped"]) == 1
+    assert spark.table(EVENTS_TABLE).count() == 0
+    d = report["dropped"][0]
+    assert not os.path.exists(
+        partition_path(location, d["year"], d["month"], d["day"], d["hour"])
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        expire_partitions(spark, location, retention_days=-1)
