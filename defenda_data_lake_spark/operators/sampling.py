@@ -157,6 +157,32 @@ def temperature_resample(
     )
 
 
+def es_priority(
+    id_col: str, weight_col: str | Column, salt: str = "wsample"
+) -> Column:
+    """The Efraimidis–Spirakis A-Res priority ``ln(u)/w`` with
+    hash-derived randomness: ``u`` uniform in (0, 1) from the first 8
+    hex chars of ``md5(salt || id)`` (32-bit resolution), ``w`` the
+    weight with non-positive/NULL clamped to 1 (fractional weights
+    pass through).  Larger priority = drawn earlier; any engine with
+    md5 replays it bit-for-bit."""
+    wcol = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    w = F.when(wcol > 0, wcol).otherwise(F.lit(1.0))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    return F.log(u) / w
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,
@@ -190,25 +216,38 @@ def weighted_sample(
     unit weight instead of poisoning the draw with NaN/Inf; positive
     fractional weights pass through untouched (0 < w < 1 is a
     legitimate down-weight, e.g. a quality score)."""
-    wcol = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
-        "double"
-    )
-    w = F.when(wcol > 0, wcol).otherwise(F.lit(1.0))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
-    keyed = df.withColumn("priority", F.log(u) / w)
+    keyed = df.withColumn("priority", es_priority(id_col, weight_col, salt))
     topk = keyed.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k)
     return topk.withColumn(
         "sample_rank",
         F.row_number().over(
             Window.orderBy(F.col("priority").desc(), F.col(id_col))
         ),
+    )
+
+
+def group_weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    salt: str = "gwsample",
+) -> DataFrame:
+    """Per-group weighted sampling without replacement: the ``k``
+    highest Efraimidis–Spirakis priorities WITHIN each group — e.g.
+    "20 docs per source, drawn proportionally to length/quality",
+    reproducibly.  The per-group twin of :func:`weighted_sample`.
+
+    Scale notes (100 TB): one hash shuffle on ``group_col``; the
+    ``row_number <= k`` filter over the window plans as
+    WindowGroupLimit (same property q55 asserts), so every map task
+    keeps only its own top-k per group BEFORE the exchange — the
+    shuffle carries O(groups x k) rows per task, not the corpus."""
+    keyed = df.withColumn("priority", es_priority(id_col, weight_col, salt))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("priority").desc(), F.col(id_col)
+    )
+    return keyed.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= k
     )

@@ -2933,6 +2933,119 @@ FROM documents
 """
 
 
+def q75_group_weighted_sample(spark, sf_dir):
+    """Per-source weighted sampling without replacement, k=20, weight =
+    document length (operators/sampling.py ``group_weighted_sample``):
+    the per-group twin of q72 — one hash shuffle on source, and the
+    rank filter plans as WindowGroupLimit so map tasks pre-prune to
+    their own top-k per group before the exchange."""
+    from defenda_data_lake_spark.operators.sampling import group_weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = group_weighted_sample(
+        docs, "source", "doc_id", "n_chars", k=20, salt="gwsample"
+    )
+    return out.select(
+        "source",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+        "doc_id",
+        "n_chars",
+        R("priority", 8).alias("priority"),
+    )
+
+
+Q75_SQL = """
+WITH pri AS (
+  SELECT source, doc_id, n_chars,
+         ln((CAST('0x' || substr(md5('gwsample' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) + 0.5) / 4294967296.0)
+         / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) ELSE 1.0 END)
+           AS priority
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, n_chars, priority,
+         row_number() OVER (
+           PARTITION BY source ORDER BY priority DESC, doc_id
+         ) AS sample_rank
+  FROM pri
+)
+SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, n_chars,
+       round(priority * 100000000, 0) / 100000000 AS priority
+FROM ranked WHERE sample_rank <= 20
+"""
+
+
+def q76_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: per-doc unigram-LM mean log
+    probability (q54's signal), rounded, cut at the corpus terciles
+    into head/middle/tail (head = most natural), summarized per
+    (source, bucket).  Rounding BEFORE the tercile cut makes the
+    bucket assignment engine-stable — raw double sums could differ by
+    1 ulp exactly at a cut point.
+
+    Scale: the doc scores are q54's broadcast-vocab plan (no corpus
+    shuffle); the two tercile scalars reduce to one row and broadcast
+    back; the summary is one small aggregation."""
+    scored = X.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+    scored = scored.withColumn("r_logp", R("avg_logp", 6))
+    cuts = F.broadcast(
+        scored.agg(
+            F.expr("percentile(r_logp, CAST(1 AS DOUBLE)/3)").alias("t1"),
+            F.expr("percentile(r_logp, CAST(2 AS DOUBLE)/3)").alias("t2"),
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    bucketed = (
+        scored.crossJoin(cuts)
+        .join(docs, "doc_id")
+        .withColumn(
+            "bucket",
+            F.when(F.col("r_logp") >= F.col("t2"), F.lit("head"))
+            .when(F.col("r_logp") >= F.col("t1"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        R(F.avg("r_logp"), 4).alias("mean_logp"),
+    )
+
+
+Q76_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+  FROM documents
+),
+counts AS (SELECT word, count(*) AS wc FROM words GROUP BY word),
+tot AS (SELECT sum(wc) AS total_words FROM counts),
+scored AS (
+  SELECT doc_id,
+         round(avg(ln(CAST(wc AS DOUBLE) / total_words)) * 1000000, 0)
+           / 1000000 AS r_logp
+  FROM words JOIN counts USING (word), tot
+  GROUP BY doc_id
+),
+cuts AS (
+  SELECT quantile_cont(r_logp, CAST(1 AS DOUBLE)/3) AS t1,
+         quantile_cont(r_logp, CAST(2 AS DOUBLE)/3) AS t2
+  FROM scored
+),
+bucketed AS (
+  SELECT d.source,
+         CASE WHEN s.r_logp >= c.t2 THEN 'head'
+              WHEN s.r_logp >= c.t1 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         s.r_logp
+  FROM scored s JOIN documents d USING (doc_id), cuts c
+)
+SELECT source, bucket, count(*) AS n_docs,
+       round(avg(r_logp) * 10000, 0) / 10000 AS mean_logp
+FROM bucketed
+GROUP BY source, bucket
+"""
+
+
 Q73_SQL = _kmeans_cte() + """,
 sd_pairs AS (
   SELECT x.cl, y.vec_id AS dup_id
@@ -2992,6 +3105,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
     "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
     "q49_dup_clusters": (q49_dup_clusters, Q49_SQL),
+    "q75_group_weighted_sample": (q75_group_weighted_sample, Q75_SQL),
+    "q76_perplexity_buckets": (q76_perplexity_buckets, Q76_SQL),
     # --- r4-verified remainder (tail rotates back in next round)
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -3012,8 +3127,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q24_presto_text": (q24_presto_text, Q24_SQL),
     "q25_percentile_stats": (q25_percentile_stats, Q25_SQL),
     "q26_regexp_count": (q26_regexp_count, Q26_SQL),
-    "q27_grouping_sets": (q27_grouping_sets, Q27_SQL),
-    "q28_exists_sql": (q28_exists_sql, Q28_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
     "q50_tfidf": (q50_tfidf, Q50_SQL),
     "q51_decontamination": (q51_decontamination, Q51_SQL),
@@ -3035,6 +3148,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q21_events_sessions": (q21_events_sessions, Q21_SQL),
     "q22_events_hourly": (q22_events_hourly, Q22_SQL),
     "q29_asof_join": (q29_asof_join, Q29_SQL),
+    "q28_exists_sql": (q28_exists_sql, Q28_SQL),
+    "q27_grouping_sets": (q27_grouping_sets, Q27_SQL),
 }
 
 

@@ -127,3 +127,35 @@ def test_weighted_sample_respects_fractional_weights(spark):
             int(hashlib.md5(f"wsample{i}".encode()).hexdigest()[:8], 16) + 0.5
         ) / 4294967296.0
         assert abs(out[i] - math.log(u) / w) < 1e-12, (i, out[i])
+
+
+def test_group_weighted_sample_topk_and_plan(spark):
+    from defenda_data_lake_spark.operators.sampling import (
+        es_priority,
+        group_weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), (i % 5) + 1) for i in range(300)],
+        "id long, grp string, w long",
+    )
+    out = group_weighted_sample(df, "grp", "id", "w", k=7)
+    rows = out.collect()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r["grp"], []).append(r)
+    assert set(per_group) == {"g0", "g1", "g2"}
+    for grp_rows in per_group.values():
+        assert len(grp_rows) == 7
+        assert sorted(r["sample_rank"] for r in grp_rows) == list(range(1, 8))
+        # ranks follow priority descending
+        by_rank = sorted(grp_rows, key=lambda r: r["sample_rank"])
+        pris = [r["priority"] for r in by_rank]
+        assert pris == sorted(pris, reverse=True)
+    # map-side group-limit reaches the plan (the scale property: the
+    # shuffle carries O(groups x k) rows, not the corpus)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # determinism
+    again = sorted((r["grp"], r["id"]) for r in group_weighted_sample(df, "grp", "id", "w", k=7).collect())
+    assert again == sorted((r["grp"], r["id"]) for r in rows)
