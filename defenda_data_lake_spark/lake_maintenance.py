@@ -200,8 +200,8 @@ def expire_partitions(
     (reference main.tf:31-42,62-73: input expires at 90 d, output at
     360 d; there the *bucket* ages data out, here the *table* must).
 
-    Every ``year=/month=/day=/hour=`` partition whose hour is strictly
-    older than ``now - retention_days`` is dropped from the catalog
+    Every ``year=/month=/day=/hour=`` partition whose hour has fully
+    ended before ``now - retention_days`` is dropped from the catalog
     (``ALTER TABLE … DROP IF EXISTS PARTITION``) and deleted from disk
     — catalog first, so a crash between the two steps leaves an
     unregistered directory (harmless, re-droppable) rather than a
@@ -209,7 +209,9 @@ def expire_partitions(
 
     ``now`` is an explicit parameter so retention runs are reproducible
     and testable; production callers pass their scheduler's tick time.
-    Returns {"dropped": [partition dicts], "kept": n, "freed_bytes": n}.
+    Returns {"dropped": [partition dicts], "kept": n, "freed_bytes": n,
+    "delete_failures": [paths whose rmtree failed — catalog entry gone,
+    bytes not reclaimed]}.
 
     Scale notes: the scan is driver-side directory listing (4 levels,
     bounded by calendar cardinality — 24*365 dirs/year, trivial); each
@@ -233,9 +235,13 @@ def expire_partitions(
     dropped: list[dict] = []
     kept = 0
     freed = 0
+    dropped_failed: list[str] = []
     for part_dir in sorted(
         _glob.glob(
-            os.path.join(table_location, "year=*", "month=*", "day=*", "hour=*")
+            os.path.join(
+                _glob.escape(table_location),
+                "year=*", "month=*", "day=*", "hour=*",
+            )
         )
     ):
         m = pat.search(part_dir.replace(os.sep, "/"))
@@ -248,7 +254,11 @@ def expire_partitions(
             )
         except ValueError:
             continue  # malformed partition values: never delete blindly
-        if part_time >= cutoff:
+        # a partition covers [part_time, part_time + 1h); it is only
+        # fully expired once its END is past the cutoff — comparing the
+        # start would delete the boundary hour up to ~1 h early (the S3
+        # lifecycle rules this mirrors never delete early)
+        if part_time + datetime.timedelta(hours=1) > cutoff:
             kept += 1
             continue
         size = sum(
@@ -262,8 +272,19 @@ def expire_partitions(
                 f"(year='{y}', month='{mo}', day='{d}', hour='{h}')"
             )
             shutil.rmtree(part_dir, ignore_errors=True)
+            if os.path.exists(part_dir):
+                # delete failed (permissions, busy mount): the catalog
+                # entry is already gone, but the bytes are NOT freed —
+                # report it instead of silently overstating reclaim
+                dropped_failed.append(part_dir)
+                continue
         dropped.append(
             {"year": y, "month": mo, "day": d, "hour": h, "bytes": size}
         )
         freed += size
-    return {"dropped": dropped, "kept": kept, "freed_bytes": freed}
+    return {
+        "dropped": dropped,
+        "kept": kept,
+        "freed_bytes": freed,
+        "delete_failures": dropped_failed,
+    }

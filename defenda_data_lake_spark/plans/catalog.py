@@ -2987,11 +2987,19 @@ def q76_perplexity_buckets(spark, sf_dir):
     shuffle); the two tercile scalars reduce to one row and broadcast
     back; the summary is one small aggregation."""
     scored = X.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
-    scored = scored.withColumn("r_logp", R("avg_logp", 6))
+    # localCheckpoint: the LM scoring pipeline (word explode + vocab
+    # join + per-doc agg) feeds BOTH the tercile aggregate and the
+    # bucketing branch — without materialization it would run twice
+    # (the q73 lesson)
+    scored = scored.withColumn("r_logp", R("avg_logp", 6)).localCheckpoint()
+    # the cut points are rounded like the scores: percentile
+    # interpolation can differ by 1 ulp between engines, and an
+    # unrounded cut exactly at a score grid value would flip that
+    # doc's bucket
     cuts = F.broadcast(
         scored.agg(
-            F.expr("percentile(r_logp, CAST(1 AS DOUBLE)/3)").alias("t1"),
-            F.expr("percentile(r_logp, CAST(2 AS DOUBLE)/3)").alias("t2"),
+            R(F.expr("percentile(r_logp, CAST(1 AS DOUBLE)/3)"), 6).alias("t1"),
+            R(F.expr("percentile(r_logp, CAST(2 AS DOUBLE)/3)"), 6).alias("t2"),
         )
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
@@ -3027,8 +3035,10 @@ scored AS (
   GROUP BY doc_id
 ),
 cuts AS (
-  SELECT quantile_cont(r_logp, CAST(1 AS DOUBLE)/3) AS t1,
-         quantile_cont(r_logp, CAST(2 AS DOUBLE)/3) AS t2
+  SELECT round(quantile_cont(r_logp, CAST(1 AS DOUBLE)/3) * 1000000, 0)
+           / 1000000 AS t1,
+         round(quantile_cont(r_logp, CAST(2 AS DOUBLE)/3) * 1000000, 0)
+           / 1000000 AS t2
   FROM scored
 ),
 bucketed AS (
@@ -3071,9 +3081,9 @@ GROUP BY a3.cl
 # 5 — q62 (audio-chunk tail fix), q32/q58/q60/q63 (pair-join strategy
 # + banding refactor), q71-q74 (new), q30/q31/q49 (SQL-string
 # conversion / kernel memoization / banding) — then the r4-verified
-# remainder.  The 20 entries outside the window (q50-q70 tail plus
-# q21/q22/q29, deliberately rotated out as untouched-in-r5) were all
-# driver-green in r4 and lead the round-6 rotation.
+# remainder.  The 22 entries outside the window (q50-q70 tail plus
+# q21/q22/q27/q28/q29, deliberately rotated out as untouched-in-r5)
+# were all driver-green in r4 and lead the round-6 rotation.
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- stalest: no driver correctness row since r2/r3 (q43/q44: r1)
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
