@@ -3076,68 +3076,17 @@ GROUP BY a3.cl
 # driver-verified first, then queries whose behavior/oracle changed in
 # the current round, then the stable remainder.  Rotate every round so
 # the 50-slot window always re-covers the stalest entries (VERDICT r4
-# item 1).  Round-5 ordering: q33-q48 (last driver row r2/r3, q43/q44
-# r1) first; then every query whose behavior or plan changed in round
-# 5 — q62 (audio-chunk tail fix), q32/q58/q60/q63 (pair-join strategy
-# + banding refactor), q71-q74 (new), q30/q31/q49 (SQL-string
-# conversion / kernel memoization / banding) — then the r4-verified
-# remainder.  The 22 entries outside the window (q50-q70 tail plus
-# q21/q22/q27/q28/q29, deliberately rotated out as untouched-in-r5)
-# were all driver-green in r4 and lead the round-6 rotation.
+# item 1).  Round-6 ordering: the 22 entries outside the r5 window
+# (q50-q57, q59, q61, q64-q70, q21/q22/q27-q29 — last driver row r4,
+# judge-re-verified green during r5 grading) lead; then the queries
+# whose behavior/oracle changed in round 6 (q31 max_bucket_docs cap,
+# q73 oversized-cluster split); then the 11 headline-bench queries
+# (round-6 perf work touches their submission paths); the window tail
+# is filled with the freshest r5-verified remainder and everything
+# past slot 50 was driver-green in CORRECTNESS_r05 (2-round cadence
+# invariant preserved).
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- stalest: no driver correctness row since r2/r3 (q43/q44: r1)
-    "q33_text_tokens": (q33_text_tokens, Q33_SQL),
-    "q34_text_quality": (q34_text_quality, Q34_SQL),
-    "q35_text_langid": (q35_text_langid, Q35_SQL),
-    "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
-    "q37_vocab_topk": (q37_vocab_topk, Q37_SQL),
-    "q38_dataset_split": (q38_dataset_split, Q38_SQL),
-    "q39_sequence_packing": (q39_sequence_packing, Q39_SQL),
-    "q40_knn_brute": (q40_knn_brute, Q40_SQL),
-    "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
-    "q42_simhash_pairs": (q42_simhash_pairs, Q42_SQL),
-    "q43_multimodal_meta": (q43_multimodal_meta, Q43_SQL),
-    "q44_multimodal_decode": (q44_multimodal_decode, Q44_SQL),
-    "q45_embedding_dedup": (q45_embedding_dedup, Q45_SQL),
-    "q46_knn_ivf": (q46_knn_ivf, Q46_SQL),
-    "q47_kmeans_clusters": (q47_kmeans_clusters, Q47_SQL),
-    "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),
-    # --- new / modified this round (must be driver-verified, ADVICE r4)
-    "q62_audio_chunks": (q62_audio_chunks, Q62_SQL),
-    "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
-    "q71_pii_redaction": (q71_pii_redaction, Q71_SQL),
-    "q72_weighted_sample": (q72_weighted_sample, Q72_SQL),
-    "q73_semdedup": (q73_semdedup, Q73_SQL),
-    "q74_resize_plumbing": (q74_resize_plumbing, Q74_SQL),
-    "q63_candidate_verify": (q63_candidate_verify, Q63_SQL),
-    "q60_containment_pairs": (q60_containment_pairs, Q60_SQL),
-    "q58_ngram_novelty": (q58_ngram_novelty, Q58_SQL),
-    "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
-    "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
-    "q49_dup_clusters": (q49_dup_clusters, Q49_SQL),
-    "q75_group_weighted_sample": (q75_group_weighted_sample, Q75_SQL),
-    "q76_perplexity_buckets": (q76_perplexity_buckets, Q76_SQL),
-    # --- r4-verified remainder (tail rotates back in next round)
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
-    "q05_regional_revenue": (q05_regional_revenue, Q05_SQL),
-    "q07_top_customers": (q07_top_customers, Q07_SQL),
-    "q09_rollup_orders": (q09_rollup_orders, Q09_SQL),
-    "q10_window_rank": (q10_window_rank, Q10_SQL),
-    "q11_window_running": (q11_window_running, Q11_SQL),
-    "q12_distinct_agg": (q12_distinct_agg, Q12_SQL),
-    "q13_semi_join": (q13_semi_join, Q13_SQL),
-    "q14_anti_join": (q14_anti_join, Q14_SQL),
-    "q15_setops": (q15_setops, Q15_SQL),
-    "q16_event_pairs": (q16_event_pairs, Q16_SQL),
-    "q17_above_customer_avg": (q17_above_customer_avg, Q17_SQL),
-    "q18_full_outer": (q18_full_outer, Q18_SQL),
-    "q19_cube_customers": (q19_cube_customers, Q19_SQL),
-    "q23_string_funcs": (q23_string_funcs, Q23_SQL),
-    "q24_presto_text": (q24_presto_text, Q24_SQL),
-    "q25_percentile_stats": (q25_percentile_stats, Q25_SQL),
-    "q26_regexp_count": (q26_regexp_count, Q26_SQL),
-    "q20_events_json": (q20_events_json, Q20_SQL),
+    # --- 22 stale: last driver correctness row r4 (judge-green in r5)
     "q50_tfidf": (q50_tfidf, Q50_SQL),
     "q51_decontamination": (q51_decontamination, Q51_SQL),
     "q52_stratified_sample": (q52_stratified_sample, Q52_SQL),
@@ -3160,6 +3109,60 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q29_asof_join": (q29_asof_join, Q29_SQL),
     "q28_exists_sql": (q28_exists_sql, Q28_SQL),
     "q27_grouping_sets": (q27_grouping_sets, Q27_SQL),
+    # --- changed in round 6 (must be driver-verified this round)
+    "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
+    "q73_semdedup": (q73_semdedup, Q73_SQL),
+    # --- headline bench set
+    "q40_knn_brute": (q40_knn_brute, Q40_SQL),
+    "q20_events_json": (q20_events_json, Q20_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
+    "q05_regional_revenue": (q05_regional_revenue, Q05_SQL),
+    "q10_window_rank": (q10_window_rank, Q10_SQL),
+    "q16_event_pairs": (q16_event_pairs, Q16_SQL),
+    "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
+    "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
+    "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
+    # --- window fill (r5-verified remainder)
+    "q07_top_customers": (q07_top_customers, Q07_SQL),
+    "q09_rollup_orders": (q09_rollup_orders, Q09_SQL),
+    "q11_window_running": (q11_window_running, Q11_SQL),
+    "q12_distinct_agg": (q12_distinct_agg, Q12_SQL),
+    "q13_semi_join": (q13_semi_join, Q13_SQL),
+    "q14_anti_join": (q14_anti_join, Q14_SQL),
+    "q15_setops": (q15_setops, Q15_SQL),
+    "q17_above_customer_avg": (q17_above_customer_avg, Q17_SQL),
+    "q18_full_outer": (q18_full_outer, Q18_SQL),
+    "q19_cube_customers": (q19_cube_customers, Q19_SQL),
+    "q23_string_funcs": (q23_string_funcs, Q23_SQL),
+    "q24_presto_text": (q24_presto_text, Q24_SQL),
+    "q25_percentile_stats": (q25_percentile_stats, Q25_SQL),
+    "q26_regexp_count": (q26_regexp_count, Q26_SQL),
+    "q33_text_tokens": (q33_text_tokens, Q33_SQL),
+    "q34_text_quality": (q34_text_quality, Q34_SQL),
+    # --- tail: r5-driver-verified, rotates back next round
+    "q35_text_langid": (q35_text_langid, Q35_SQL),
+    "q37_vocab_topk": (q37_vocab_topk, Q37_SQL),
+    "q38_dataset_split": (q38_dataset_split, Q38_SQL),
+    "q39_sequence_packing": (q39_sequence_packing, Q39_SQL),
+    "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
+    "q42_simhash_pairs": (q42_simhash_pairs, Q42_SQL),
+    "q43_multimodal_meta": (q43_multimodal_meta, Q43_SQL),
+    "q44_multimodal_decode": (q44_multimodal_decode, Q44_SQL),
+    "q45_embedding_dedup": (q45_embedding_dedup, Q45_SQL),
+    "q46_knn_ivf": (q46_knn_ivf, Q46_SQL),
+    "q47_kmeans_clusters": (q47_kmeans_clusters, Q47_SQL),
+    "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),
+    "q62_audio_chunks": (q62_audio_chunks, Q62_SQL),
+    "q71_pii_redaction": (q71_pii_redaction, Q71_SQL),
+    "q72_weighted_sample": (q72_weighted_sample, Q72_SQL),
+    "q74_resize_plumbing": (q74_resize_plumbing, Q74_SQL),
+    "q63_candidate_verify": (q63_candidate_verify, Q63_SQL),
+    "q60_containment_pairs": (q60_containment_pairs, Q60_SQL),
+    "q58_ngram_novelty": (q58_ngram_novelty, Q58_SQL),
+    "q49_dup_clusters": (q49_dup_clusters, Q49_SQL),
+    "q75_group_weighted_sample": (q75_group_weighted_sample, Q75_SQL),
+    "q76_perplexity_buckets": (q76_perplexity_buckets, Q76_SQL),
 }
 
 
