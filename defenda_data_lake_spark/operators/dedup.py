@@ -393,10 +393,25 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     bands: int = 2,
     shingle_n: int = 3,
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures: docs agreeing on all hashes
     of any band become a candidate pair (id_a < id_b).  Equi-join on the
-    band signature — no cross product."""
+    band signature — no cross product.
+
+    ``max_bucket_docs`` skips buckets whose membership exceeds the
+    bound — the LSH twin of ``ngram_jaccard_pairs``'s
+    ``max_shingle_docs`` guard.  A degenerate bucket (a boilerplate
+    cluster where millions of near-empty docs share one band
+    signature — a certainty in a 100 TB crawl) would otherwise
+    materialize one giant member array AND emit |bucket|² pairs; a
+    capped bucket emits nothing, on the argument that a signature
+    shared by more docs than the cap carries no discriminating signal
+    (exact-dup handling belongs to ``exact_duplicate_groups``, which
+    is linear).  The guard is a membership count over the SAME
+    (band, band_sig) partitioning the bucket aggregation needs, so it
+    adds no shuffle — and it runs BEFORE collect_list, so the giant
+    array is never built."""
     banded = banded_minhash_signatures(
         df, text_col, id_col, num_hashes, bands, shingle_n
     )
@@ -405,17 +420,20 @@ def minhash_lsh_candidates(
     # explode JVM-side.  Versus the sort-merge self-join this drops both
     # per-side sorts, halves the exchange traffic (one write, one read),
     # and needs no exchange-reuse machinery — measured ~20% faster at
-    # sf0.1 and strictly fewer shuffled bytes at scale.  A degenerate
-    # bucket (e.g. every near-empty doc sharing one signature)
-    # materializes its member list in one row here, but the self-join
-    # formulation would emit |bucket|^2 join rows for the same key —
-    # both die at that point, and the fix in both cases is upstream
-    # filtering of degenerate content, not the join shape.
+    # sf0.1 and strictly fewer shuffled bytes at scale.
     from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
 
+    banded = banded.repartition(scaled_keyed_partitions(df), "band", "band_sig")
+    if max_bucket_docs is not None:
+        banded = (
+            banded.withColumn(
+                "n_", F.count("*").over(Window.partitionBy("band", "band_sig"))
+            )
+            .filter(F.col("n_") <= max_bucket_docs)
+            .drop("n_")
+        )
     buckets = (
-        banded.repartition(scaled_keyed_partitions(df), "band", "band_sig")
-        .groupBy("band", "band_sig")
+        banded.groupBy("band", "band_sig")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") >= 2)
     )

@@ -988,10 +988,21 @@ GROUP BY 1
 """
 
 
+_Q31_MAX_BUCKET_DOCS = 1000
+
+
 def q31_dedup_minhash(spark, sf_dir):
-    """MinHash(8) + LSH(2 bands) candidate pairs."""
+    """MinHash(8) + LSH(2 bands) candidate pairs, with the
+    degenerate-bucket guard ON: a band signature shared by more than
+    ``_Q31_MAX_BUCKET_DOCS`` documents (a boilerplate cluster at crawl
+    scale) emits no pairs — it would contribute |bucket|² candidates
+    and zero discriminating signal.  The oracle mirrors the cap with a
+    HAVING over the same bucket grouping."""
     docs = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_candidates(docs, num_hashes=8, bands=2, shingle_n=3)
+    return D.minhash_lsh_candidates(
+        docs, num_hashes=8, bands=2, shingle_n=3,
+        max_bucket_docs=_Q31_MAX_BUCKET_DOCS,
+    )
 
 
 # the MinHash CTE chain and pair select are shared by Q31 (the pair
@@ -1015,9 +1026,19 @@ _MINHASH_PAIRS_SELECT = """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id"""
 
+# q31's capped variant: buckets above _Q31_MAX_BUCKET_DOCS are skipped
+# (mirrors minhash_lsh_candidates(max_bucket_docs=...)); q49/q63 keep
+# the uncapped pair select.
 Q31_SQL = f"""
-WITH {_MINHASH_CTES_SQL}
-{_MINHASH_PAIRS_SELECT}
+WITH {_MINHASH_CTES_SQL},
+ok_buckets AS (
+  SELECT band, band_sig FROM bands
+  GROUP BY band, band_sig HAVING count(*) <= {_Q31_MAX_BUCKET_DOCS}
+),
+capped AS (SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_sig))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 """
 
 

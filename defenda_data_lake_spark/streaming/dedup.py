@@ -76,7 +76,7 @@ def content_dedupe_stream(
 
 
 LSH_CANDIDATE_SCHEMA = "doc_id long, first_doc long, band int, band_sig string"
-_LSH_STATE_SCHEMA = "first_doc long, first_us long"
+_LSH_STATE_SCHEMA = "first_doc long, first_us long, n_seen long"
 
 
 def lsh_candidates_stream(
@@ -88,6 +88,7 @@ def lsh_candidates_stream(
     num_hashes: int = 8,
     bands: int = 2,
     shingle_n: int = 3,
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """Streaming NEAR-duplicate candidate generation — the streaming
     twin of ``operators.dedup.minhash_lsh_candidates``: as documents
@@ -119,6 +120,16 @@ def lsh_candidates_stream(
     bucketing — a doc that can't be placed on the event timeline can
     neither claim a bucket nor be judged against the horizon.
 
+    ``max_bucket_docs`` is the streaming twin of
+    ``minhash_lsh_candidates``'s cap: once a bucket has seen more than
+    the bound of documents (count persisted in state, so it spans
+    micro-batches within the bucket's lifetime), the bucket is treated
+    as degenerate boilerplate and stops emitting candidates.  The
+    kernel also stops *materializing* such a bucket: rows are consumed
+    chunk-by-chunk from Arrow and the in-memory buffer is bounded by
+    ``max_bucket_docs + chunk`` rows — a million-member bucket never
+    lives in one pandas frame.
+
     Scale: the signature kernel is stateless and shuffle-free; the one
     exchange is the state-store partitioning on (band, band_sig) —
     identical key layout to the batch bucket join, so hot-bucket
@@ -128,6 +139,13 @@ def lsh_candidates_stream(
     from defenda_data_lake_spark.operators.dedup import banded_minhash_signatures
 
     horizon_ms = int(pd.Timedelta(watermark_delay).total_seconds() * 1000)
+    # ADVICE r5: the kernel receives Arrow-delivered NAIVE timestamps
+    # rendered in the session timezone; localize with THAT zone before
+    # the epoch-microsecond math (get_spark pins UTC, but any session
+    # is accepted here and a non-UTC session would otherwise skew the
+    # state-eviction timeout against getCurrentWatermarkMs by the
+    # offset).
+    session_tz = docs.sparkSession.conf.get("spark.sql.session.timeZone")
 
     with_time = (
         docs.withColumn(
@@ -161,23 +179,53 @@ def lsh_candidates_stream(
                 }
             )
             return
-        rows = pd.concat(list(batches), ignore_index=True)
-        times = pd.to_datetime(rows["_lsh_event_time"], utc=True)
-        rows = rows.assign(_us=times.astype("int64") // 1000).sort_values(
-            ["_us", "doc_id"]
-        )
+        # Consume Arrow chunks incrementally, keeping only the
+        # (max_bucket_docs + 1) earliest rows buffered — when the cap
+        # is unset the buffer holds everything (same as the old
+        # concat), but a capped degenerate bucket stays O(cap + chunk)
+        # in memory while n_total keeps the true count.
+        buf = None
+        n_total = 0
+        last_us = None
+        keep = None if max_bucket_docs is None else max_bucket_docs + 1
+        for chunk in batches:
+            if chunk.empty:
+                continue
+            times = pd.to_datetime(chunk["_lsh_event_time"])
+            if times.dt.tz is None:
+                times = times.dt.tz_localize(session_tz)
+            times = times.dt.tz_convert("UTC")
+            chunk = chunk.assign(_us=times.astype("int64") // 1000)
+            n_total += len(chunk)
+            cmax = int(chunk["_us"].max())
+            last_us = cmax if last_us is None else max(last_us, cmax)
+            buf = chunk if buf is None else pd.concat(
+                [buf, chunk], ignore_index=True
+            )
+            if keep is not None and len(buf) > keep:
+                buf = buf.nsmallest(keep, ["_us", "doc_id"], keep="first")
+        if buf is None:  # only empty chunks delivered
+            return
+        rows = buf.sort_values(["_us", "doc_id"])
         if state.exists:
-            first_doc, first_us = state.get
+            first_doc, first_us, n_seen = state.get
         else:
             first_doc = int(rows["doc_id"].iloc[0])
             first_us = int(rows["_us"].iloc[0])
-        out = rows[rows["doc_id"] != first_doc]
-        last_us = max(int(rows["_us"].max()), first_us)
-        state.update((first_doc, last_us))
+            n_seen = 0
+        n_seen += n_total
+        last_us = max(last_us, first_us)
+        state.update((first_doc, last_us, n_seen))
         watermark_ms = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(
             max(last_us // 1000, watermark_ms + 1) + horizon_ms
         )
+        if max_bucket_docs is not None and n_seen > max_bucket_docs:
+            # degenerate bucket: stop emitting (state still tracks it,
+            # so it stays suppressed until the watermark evicts it)
+            out = rows.iloc[0:0]
+        else:
+            out = rows[rows["doc_id"] != first_doc]
         # .to_numpy(): the filtered slice keeps its ORIGINAL index, and
         # pandas aligns DataFrame columns on index — mixing it with
         # fresh 0-based Series would interleave NaN rows

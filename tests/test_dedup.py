@@ -143,3 +143,31 @@ def test_ngram_contamination_train_guard(spark):
     # ubiquitous boilerplate: guard drops posting lists longer than 2
     assert ngram_contamination(train, test, n=8, max_shingle_docs=2).count() == 0
     assert ngram_contamination(train, test, n=8).count() == 5
+
+
+def test_lsh_max_bucket_docs_guard(docs, spark):
+    # ungated: the three normalize-identical docs bucket together
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert (1, 2) in base
+    # cap of 2: the 3-member bucket is degenerate -> emits nothing
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, max_bucket_docs=2).collect()
+    }
+    assert not any({1, 2, 3} & set(p) for p in capped)
+
+
+def test_lsh_degenerate_bucket_bounded(spark):
+    # adversarial: 10k identical docs land in ONE bucket per band.
+    # Uncapped this is a 10k-member array + ~50M pairs; capped it must
+    # complete promptly with zero output.
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate legal footer text repeated verbatim").alias("text"),
+    )
+    out = minhash_lsh_candidates(docs, max_bucket_docs=100)
+    assert out.count() == 0

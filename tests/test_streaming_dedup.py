@@ -211,3 +211,44 @@ def test_lsh_candidates_stream_batch_parity(spark, tmp_path):
     finally:
         query.stop()
     assert stream_pairs == batch_pairs
+
+
+def test_lsh_candidates_stream_bucket_cap(spark, tmp_path):
+    """max_bucket_docs: once a bucket's cumulative membership exceeds
+    the cap (count persisted in state across micro-batches), it stops
+    emitting candidates."""
+    from defenda_data_lake_spark.streaming.dedup import lsh_candidates_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    text = "boilerplate legal footer text repeated verbatim every page"
+    with open(landing / "b1.ndjson", "w") as f:
+        for i in range(1, 3):  # docs 1,2 -> bucket size 2 (at cap)
+            f.write(_doc(i, f"2026-01-01T00:0{i}:00+00:00", text) + "\n")
+    query = (
+        lsh_candidates_stream(
+            _doc_stream(spark, landing), event_time_col="ts", max_bucket_docs=2
+        )
+        .writeStream.format("memory")
+        .queryName("lsh_cap_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # at the cap: doc 2 still flagged against claimant 1
+        assert {
+            (r["doc_id"], r["first_doc"])
+            for r in spark.sql(
+                "SELECT doc_id, first_doc FROM lsh_cap_out"
+            ).collect()
+        } == {(2, 1)}
+        # a later micro-batch pushes the bucket over the cap -> silent
+        with open(landing / "b2.ndjson", "w") as f:
+            for i in range(3, 6):
+                f.write(_doc(i, f"2026-01-01T00:0{i}:00+00:00", text) + "\n")
+        query.processAllAvailable()
+        assert spark.sql("SELECT * FROM lsh_cap_out").count() == 2  # 2 bands of doc2, nothing new
+    finally:
+        query.stop()
