@@ -134,6 +134,7 @@ def semdedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """SemDedup-style semantic deduplication: cluster the embedding
     space (fixed-iteration Lloyd, deterministic init), then mark as
@@ -156,8 +157,22 @@ def semdedup(
     pair rows (n_c² · 2 · dim floats through the shuffle and Arrow),
     where the kernel ships each vector ONCE and computes blockwise
     ``V @ Vᵀ`` in BLAS, O(n_c · dim) bytes moved for O(n_c² · dim)
-    flops.  Row blocks bound the similarity-matrix memory, so a big
-    cluster costs time, not heap.  One cluster-keyed exchange total.
+    flops.  Row blocks bound the similarity-MATRIX memory, but the
+    cluster's vector matrix ``V`` (n_c · dim doubles) still lives in
+    one task — a skewed giant cluster is an OOM risk unless
+    ``max_group_rows`` is set.
+
+    ``max_group_rows`` bounds per-task heap: a cluster larger than the
+    cap is split into ``m = ceil(n_c / cap)`` sub-buckets by id hash,
+    and every *pair* of sub-buckets (including a bucket with itself)
+    becomes one kernel group, so each task holds at most ~2·cap
+    vectors while all intra-cluster pairs are still compared.  OUTPUT-
+    IDENTICAL to the uncapped form (a pinned parity test asserts it):
+    each vector is shipped m times instead of once — the standard
+    replication-for-memory trade, chosen per cluster so unskewed
+    clusters pay nothing (m = 1 reduces to the plain group).  One
+    broadcast of the k-row cluster-size table decides m; duplicates
+    found in multiple pair groups collapse with one distinct.
 
     Returns ``(id, cluster, sq_dist, is_duplicate)``."""
     import numpy as np
@@ -194,9 +209,38 @@ def semdedup(
                     has_earlier[i + 1 + js] = True
         return pd.DataFrame({"dup_id": pd.Series(ids[has_earlier], dtype="int64")})
 
-    dups = assigned.groupBy("cluster").applyInPandas(
-        dup_ids, schema="dup_id long"
-    )
+    if max_group_rows is None:
+        dups = assigned.groupBy("cluster").applyInPandas(
+            dup_ids, schema="dup_id long"
+        )
+    else:
+        if max_group_rows < 1:
+            raise ValueError(
+                f"max_group_rows must be >= 1 (got {max_group_rows})"
+            )
+        sizes = assigned.groupBy("cluster").agg(F.count("*").alias("n_c"))
+        m = F.ceil(F.col("n_c") / F.lit(max_group_rows)).cast("int")
+        sized = assigned.join(
+            F.broadcast(sizes.select("cluster", m.alias("m"))), "cluster"
+        )
+        bucket = F.pmod(F.xxhash64(F.col("id")), F.col("m")).cast("int")
+        pairs = (
+            sized.withColumn("b", bucket)
+            .select(
+                "cluster", "id", "vec", "b",
+                F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("x"),
+            )
+            .select(
+                "cluster", "id", "vec",
+                F.least("b", "x").alias("g1"),
+                F.greatest("b", "x").alias("g2"),
+            )
+        )
+        dups = (
+            pairs.groupBy("cluster", "g1", "g2")
+            .applyInPandas(dup_ids, schema="dup_id long")
+            .distinct()
+        )
     return assigned.join(
         dups, assigned["id"] == dups["dup_id"], "left"
     ).select(

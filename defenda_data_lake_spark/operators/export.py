@@ -25,7 +25,9 @@ Design (Spark-first, 100 TB-minded):
   file per shard directory.
 * **Manifest**: per-shard row counts (and the chosen salt/columns) are
   computed with one small aggregation and written as
-  ``manifest.json`` next to the shards.
+  ``_manifest.json`` next to the shards (underscore-prefixed so
+  Hadoop-convention readers and partition discovery skip it as a
+  non-data file).
 
 Gzip output is reproducible byte-for-byte: Hadoop's gzip codec writes
 a zero MTIME header, and the row order is pinned.
@@ -62,7 +64,10 @@ def export_jsonl_shards(
     order: str = "id",
 ) -> dict:
     """Export ``df`` as ``n_shards`` deterministic JSONL shards under
-    ``out_dir`` (``shard=N/part-*.json[.gz]``) plus a ``manifest.json``.
+    ``out_dir`` (``shard=N/part-*.json[.gz]``) plus a ``_manifest.json``
+    (underscore-prefixed: Hadoop-convention readers treat it as a
+    hidden non-data file, so foreign engines' partition inference
+    never ingests it).
 
     ``order`` controls the intra-shard row order: ``"id"`` (sorted by
     ``id_col`` — compact, mergeable) or ``"hash"`` (sorted by
@@ -113,7 +118,7 @@ def export_jsonl_shards(
     _write_text(
         df.sparkSession,
         out_dir,
-        "manifest.json",
+        "_manifest.json",
         json.dumps(manifest, indent=2, sort_keys=True),
     )
     return manifest

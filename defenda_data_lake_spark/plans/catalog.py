@@ -2911,7 +2911,10 @@ def q73_semdedup(spark, sf_dir):
     from defenda_data_lake_spark.operators.clustering import semdedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = semdedup(emb, k=8, iterations=3, threshold=0.4)
+    # max_group_rows exercises the oversized-cluster split (sub-bucket
+    # pairwise comparison) on real driver data; output-identical to
+    # the uncapped form, so the oracle needs no mirror.
+    out = semdedup(emb, k=8, iterations=3, threshold=0.4, max_group_rows=32)
     return out.groupBy("cluster").agg(
         F.count("*").alias("n_vectors"),
         F.sum(F.col("is_duplicate").cast("long")).alias("n_duplicates"),

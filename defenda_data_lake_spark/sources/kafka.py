@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from defenda_data_lake_spark.sources._errors import is_missing_connector
+
 _CONNECTOR_HINT = (
     "the Kafka connector is not on the classpath; submit with "
     "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
@@ -75,12 +77,7 @@ class KafkaSource:
             # offsets, auth) is a real config error whose own message is
             # the actionable one — mislabeling it "add the connector"
             # sends the user down the wrong path
-            msg = str(exc)
-            if (
-                "DATA_SOURCE_NOT_FOUND" in msg
-                or "Failed to find data source" in msg
-                or "ClassNotFoundException" in msg
-            ):
+            if is_missing_connector(exc):
                 raise RuntimeError(_CONNECTOR_HINT) from exc
             raise
         return records.select(F.col("value").cast("string").alias("raw"))

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from defenda_data_lake_spark.sources._errors import is_missing_connector
+
 _CONNECTOR_HINT = (
     "the Kinesis connector is not on the classpath; add the "
     "spark-sql-kinesis connector JAR (format 'aws-kinesis') to use a "
@@ -78,12 +80,7 @@ class KinesisSource:
             # offsets, auth) is a real config error whose own message is
             # the actionable one — mislabeling it "add the connector"
             # sends the user down the wrong path
-            msg = str(exc)
-            if (
-                "DATA_SOURCE_NOT_FOUND" in msg
-                or "Failed to find data source" in msg
-                or "ClassNotFoundException" in msg
-            ):
+            if is_missing_connector(exc):
                 raise RuntimeError(_CONNECTOR_HINT) from exc
             raise
         return records.select(F.col("data").cast("string").alias("raw"))

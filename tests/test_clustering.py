@@ -93,3 +93,21 @@ def test_semdedup_deterministic(spark):
     a = sorted(map(tuple, semdedup(emb, k=4, iterations=2).collect()))
     b = sorted(map(tuple, semdedup(emb, k=4, iterations=2).collect()))
     assert a == b
+
+
+def test_semdedup_max_group_rows_parity(spark):
+    """The oversized-cluster split (pairwise sub-bucket kernel groups)
+    is output-identical to the single-group form, even with a cap
+    small enough to force m >= 3 sub-buckets per cluster."""
+    from defenda_data_lake_spark.operators.clustering import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = sorted(map(tuple, semdedup(emb, k=4, iterations=2).collect()))
+    for cap in (1, 3, 10_000):
+        capped = sorted(
+            map(
+                tuple,
+                semdedup(emb, k=4, iterations=2, max_group_rows=cap).collect(),
+            )
+        )
+        assert capped == base, f"cap={cap} diverged"

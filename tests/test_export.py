@@ -33,7 +33,7 @@ def test_export_shards_membership_and_manifest(spark, tmp_path):
         ]
         assert len(files) == 1, files
     # manifest on disk matches the returned one
-    with open(os.path.join(out, "manifest.json")) as f:
+    with open(os.path.join(out, "_manifest.json")) as f:
         assert json.load(f) == manifest
 
 
@@ -116,6 +116,6 @@ def test_export_hash_order_pseudo_shuffle(spark, tmp_path):
 def test_export_uri_out_dir_writes_manifest_via_hadoop_fs(spark, tmp_path):
     out = "file://" + str(tmp_path / "shards")
     manifest = export_jsonl_shards(_docs(spark), out, "doc_id", n_shards=2)
-    local = os.path.join(str(tmp_path / "shards"), "manifest.json")
+    local = os.path.join(str(tmp_path / "shards"), "_manifest.json")
     with open(local) as f:
         assert json.load(f) == manifest
