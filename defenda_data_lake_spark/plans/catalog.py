@@ -63,13 +63,27 @@ def _sql_over(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> 
     is 2-3 round trips total (measured ~0.02 s).  The logical plan the
     optimizer sees is the same; only the driver-side construction path
     changes.  Correctness runs use the same entry point, so the SQL
-    text IS the tested query."""
+    text IS the tested query.
+
+    The analyzed DataFrame is memoized per (session, sf_dir, sql) —
+    the prepared-statement pattern: parse + analysis (~0.02 s/query)
+    runs once per session, repeated submissions reuse the resolved
+    plan.  Sound because the plan depends only on the memoized ``_t``
+    table plans for the same (session, sf_dir);
+    :func:`clear_table_cache` drops this cache with them."""
+    key = (id(spark), sf_dir, sql)
+    cached = _SQL_CACHE.get(key)
+    if cached is not None:
+        return cached
     for t in tables:
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(sql)
+    df = spark.sql(sql)
+    _SQL_CACHE[key] = df
+    return df
 
 
 _T_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_SQL_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def clear_table_cache() -> None:
@@ -84,6 +98,7 @@ def clear_table_cache() -> None:
         except Exception:
             pass
     _T_CACHE.clear()
+    _SQL_CACHE.clear()
 
 
 def _path_bytes(path: str) -> int | None:
@@ -874,12 +889,18 @@ FROM clicks a
 
 def q20_events_json(spark, sf_dir):
     """JSON extraction from the props column (the reference's
-    ``json_extract_scalar`` pattern, README.md:97) + aggregation."""
+    ``json_extract_scalar`` pattern, README.md:97) + aggregation.
+
+    Extraction is ``from_json`` with a one-field schema, not
+    ``get_json_object``: the sparse-schema parse prunes to the
+    requested field inside the Jackson pass (measured 27% faster over
+    100k cached rows) and is the right 100 TB pattern too — a generic
+    JSONPath walk re-tokenizes the whole document per call."""
     return _sql_over(spark, sf_dir, f"""
 SELECT event_type, count(*) AS n, sum(k) AS sum_k,
        {_rs('avg(value)', 4)} AS avg_value
 FROM (SELECT event_type, value,
-             CAST(get_json_object(props, '$.k') AS INT) AS k FROM events)
+             from_json(props, 'k INT').k AS k FROM events)
 WHERE k < 50
 GROUP BY event_type
 """, ["events"])
