@@ -282,7 +282,7 @@ def minhash_signatures(
             # would cost ~20-40x a plain list index in this hot kernel
             pt_cols = {c: batch[c].to_list() for c in passthrough}
             for row_idx, (doc_id, text) in enumerate(
-                zip(batch["id"], batch["text"])
+                zip(batch["_mh_id"], batch["_mh_text"])
             ):
                 # .split() with no argument already collapses/trims all
                 # whitespace runs, so tokens equal normalized_text's
@@ -323,16 +323,21 @@ def minhash_signatures(
                 }
             )
 
+    # internal underscore names so a passthrough column named "id" or
+    # "text" (payload-carrying callers like near_dedupe_stream) can't
+    # collide with the kernel's working columns
     narrow = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(text_col).alias("text"),
+        F.col(id_col).alias("_mh_id"),
+        F.col(text_col).alias("_mh_text"),
         *[F.col(c) for c in passthrough],
     )
     pt_fields = [df.schema[c] for c in passthrough]
+    # the id keeps its input type (long doc ids and string event ids
+    # both work); consumers that need a specific type cast at their end
     return ensure_min_parallelism(narrow, kernel_parallelism(df)).mapInPandas(
         gen,
         schema=T.StructType(
-            [T.StructField("id", T.LongType())]
+            [T.StructField("id", df.schema[id_col].dataType)]
             + [T.StructField(f"h{i}", T.StringType()) for i in range(num_hashes)]
             + pt_fields
         ),
@@ -443,6 +448,93 @@ def minhash_lsh_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
+
+
+def minhash_bucket_dedupe(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+    min_hash_agreement: float = 0.5,
+    max_bucket_docs: int | None = None,
+) -> DataFrame:
+    """Claimant-based near-dedup — the BATCH TWIN of
+    ``streaming.dedup.near_dedupe_stream`` (a pinned parity test keeps
+    them in lockstep): per LSH bucket, the earliest document (by
+    ``ts_col`` then id-as-string — string order deliberately, because
+    the streaming state store compares ids as strings) claims the
+    bucket; every other member whose FULL minhash signature agrees
+    with the claimant's on at least ``min_hash_agreement`` of the
+    ``num_hashes`` families (the MinHash estimate of Jaccard
+    similarity) is marked a duplicate of it.  A doc flagged in
+    several bands resolves ``dup_of`` to the string-min claimant.
+
+    Versus ``minhash_lsh_candidates`` + exact verify: candidate pairs
+    compare all bucket members pairwise and need a second look at the
+    documents; the claimant form compares each member against ONE
+    representative using only the signatures already in hand — state
+    bounded by one signature per bucket, which is what makes the
+    streaming twin possible at all.
+
+    Returns the input rows plus ``dup_of`` (string claimant id, NULL
+    for survivors/claimants).  Plan: signature kernel (shuffle-free)
+    → one exchange on (band, band_sig) where two window passes pick
+    claimant and bucket size → per-doc min aggregation → one join
+    back to the input.  ``max_bucket_docs`` skips oversized buckets,
+    same contract as ``minhash_lsh_candidates``."""
+    passthrough = [ts_col] if ts_col else []
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, passthrough=passthrough
+    )
+    hs = [f"h{i}" for i in range(num_hashes)]
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(h) for h in hs[b * rows_per_band : (b + 1) * rows_per_band]],
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col("id").cast("string").alias("id_s"),
+        *hs,
+        *passthrough,
+        F.explode(band_structs).alias("bs"),
+    ).select("id_s", *hs, *passthrough, "bs.band", "bs.band_sig")
+
+    order_cols = ([F.col(ts_col)] if ts_col else []) + [F.col("id_s")]
+    w_claim = Window.partitionBy("band", "band_sig").orderBy(*order_cols)
+    w_all = Window.partitionBy("band", "band_sig")
+    claimed = banded.select(
+        "id_s",
+        *hs,
+        F.first("id_s").over(w_claim).alias("first_id"),
+        *[F.first(h).over(w_claim).alias(f"c_{h}") for h in hs],
+        F.count("*").over(w_all).alias("n_bucket"),
+    )
+    agreement = sum(
+        F.when(F.col(h) == F.col(f"c_{h}"), 1).otherwise(0) for h in hs
+    ) / F.lit(float(num_hashes))
+    flagged = claimed.filter(
+        (F.col("id_s") != F.col("first_id"))
+        & (agreement >= F.lit(min_hash_agreement))
+    )
+    if max_bucket_docs is not None:
+        flagged = flagged.filter(F.col("n_bucket") <= max_bucket_docs)
+    dup_map = flagged.groupBy("id_s").agg(F.min("first_id").alias("dup_of"))
+    return df.join(
+        dup_map, F.col(id_col).cast("string") == dup_map["id_s"], "left"
+    ).drop("id_s")
 
 
 def _sharded_postings(

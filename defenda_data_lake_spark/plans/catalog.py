@@ -1063,6 +1063,48 @@ FROM capped a JOIN capped b
 """
 
 
+def q77_bucket_dedupe(spark, sf_dir):
+    """Claimant-based near-dedup (``dedup.minhash_bucket_dedupe``, the
+    batch twin of the streaming ``near_dedupe_stream`` — the parity
+    test in test_streaming_dedup.py pins them together): per LSH
+    bucket the string-min doc claims it, other members whose full
+    minhash signature agrees on ≥ half the families are marked
+    ``dup_of`` that claimant.  State-bounded verification (one
+    signature per bucket) — the form a continuous ingest can run."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.minhash_bucket_dedupe(docs, min_hash_agreement=0.5)
+    return out.select("doc_id", "dup_of")
+
+
+_Q77_AGREE = " + ".join(f"CAST(h{i} = c_h{i} AS INT)" for i in range(8))
+
+Q77_SQL = f"""
+WITH {_MINHASH_CTES_SQL},
+b2 AS (
+  SELECT b.doc_id, b.band, b.band_sig,
+         {", ".join(f"s.h{i}" for i in range(8))}
+  FROM bands b JOIN sigs s USING (doc_id)
+),
+cl AS (
+  SELECT doc_id, {", ".join(f"h{i}" for i in range(8))},
+         first_value(CAST(doc_id AS VARCHAR)) OVER w AS first_id,
+         {", ".join(f"first_value(h{i}) OVER w AS c_h{i}" for i in range(8))}
+  FROM b2
+  WINDOW w AS (PARTITION BY band, band_sig ORDER BY CAST(doc_id AS VARCHAR)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+fl AS (
+  SELECT doc_id, min(first_id) AS dup_of
+  FROM cl
+  WHERE CAST(doc_id AS VARCHAR) <> first_id
+    AND CAST({_Q77_AGREE} AS DOUBLE) / 8.0 >= CAST(0.5 AS DOUBLE)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, fl.dup_of
+FROM documents d LEFT JOIN fl USING (doc_id)
+"""
+
+
 def q49_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: MinHash+LSH near-dup pairs →
     connected components (iterated min-label propagation with pointer
@@ -3154,9 +3196,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q29_asof_join": (q29_asof_join, Q29_SQL),
     "q28_exists_sql": (q28_exists_sql, Q28_SQL),
     "q27_grouping_sets": (q27_grouping_sets, Q27_SQL),
-    # --- changed in round 6 (must be driver-verified this round)
+    # --- changed/new in round 6 (must be driver-verified this round)
     "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
     "q73_semdedup": (q73_semdedup, Q73_SQL),
+    "q77_bucket_dedupe": (q77_bucket_dedupe, Q77_SQL),
     # --- headline bench set
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),

@@ -247,3 +247,201 @@ def lsh_candidates_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def near_dedupe_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time_col: str = "event_time",
+    watermark_delay: str = "1 hour",
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+    min_hash_agreement: float = 0.5,
+    max_bucket_docs: int | None = None,
+) -> DataFrame:
+    """End-to-end streaming near-dedup: candidates AND verification in
+    one stateful pass — the streaming twin of
+    ``operators.dedup.minhash_bucket_dedupe`` (a pinned parity test
+    keeps them in lockstep).  Emits every input row ``bands`` times,
+    each with a ``dup_of`` column: the bucket claimant's id (as a
+    string) when the row's FULL minhash signature agrees with the
+    claimant's on ≥ ``min_hash_agreement`` of the hash families, else
+    NULL.  Reduce to one verdict per document with
+    :func:`resolve_stream_flags` (inside ``foreachBatch``, where the
+    micro-batch is a plain DataFrame).
+
+    Why verify against the CLAIMANT only: exact pairwise verification
+    needs both documents' contents, and the earlier document lives in
+    a previous micro-batch — storing full texts in state is unbounded.
+    The claimant's signature is ~``num_hashes``·8 hex chars, so state
+    stays two longs + two small strings per bucket, evicted by the
+    same event-time TTL as ``lsh_candidates_stream``.  Signature
+    agreement IS the MinHash estimator of Jaccard similarity, so the
+    verdict is principled, deterministic, and exactly replayable in
+    batch SQL (the q77 oracle replays it).
+
+    Claimant order is (event time, id-as-string) — string order so the
+    state store and every engine replaying the oracle compare ids
+    identically.
+
+    NO ROW IS EVER LOST — the invariant an ingest stage must hold.
+    Documents that cannot participate in dedup bypass the signature
+    kernel and survive unconditionally (one band-0 row, ``dup_of``
+    NULL): blank/NULL text (no shingles to hash) and rows without a
+    parseable event time (can neither claim a bucket nor be judged
+    against the watermark horizon — and a quarantine-bound record with
+    no timestamp must still reach the quarantine).  ``max_bucket_docs``:
+    once a bucket's cumulative membership exceeds the cap it stops
+    flagging (rows still flow through)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from defenda_data_lake_spark.operators.dedup import minhash_signatures
+
+    horizon_ms = int(pd.Timedelta(watermark_delay).total_seconds() * 1000)
+    session_tz = docs.sparkSession.conf.get("spark.sql.session.timeZone")
+    payload_cols = docs.columns
+    hs = [f"h{i}" for i in range(num_hashes)]
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rows_per_band = num_hashes // bands
+
+    with_time = docs.withColumn(
+        "_ndd_event_time", F.try_to_timestamp(F.col(event_time_col))
+    )
+    blank = F.col(text_col).isNull() | (
+        F.length(F.trim(F.col(text_col))) == 0
+    )
+    can_dedup = F.col("_ndd_event_time").isNotNull() & ~blank
+    shingleable = with_time.filter(can_dedup).withWatermark(
+        "_ndd_event_time", watermark_delay
+    )
+
+    sigs = minhash_signatures(
+        shingleable,
+        text_col,
+        id_col,
+        num_hashes,
+        shingle_n,
+        passthrough=["_ndd_event_time"]
+        + [c for c in payload_cols if c != id_col],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(h) for h in hs[b * rows_per_band : (b + 1) * rows_per_band]],
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col("id").cast("string").alias("_ndd_id"),
+        F.concat_ws("|", *hs).alias("_ndd_sig"),
+        "_ndd_event_time",
+        *[c for c in payload_cols if c != id_col],
+        F.explode(band_structs).alias("bs"),
+    ).select(
+        "_ndd_id", "_ndd_sig", "_ndd_event_time",
+        *[c for c in payload_cols if c != id_col],
+        "bs.band", "bs.band_sig",
+    )
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in docs.schema.fields
+        if f.name != id_col
+    )
+    out_schema = (
+        f"_ndd_id string, band int, dup_of string"
+        + (f", {out_fields}" if out_fields else "")
+    )
+    other_cols = [c for c in payload_cols if c != id_col]
+    n_fam = float(num_hashes)
+
+    def claim(key, batches, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = [c for c in batches if not c.empty]
+        if not chunks:
+            return
+        rows = pd.concat(chunks, ignore_index=True)
+        times = pd.to_datetime(rows["_ndd_event_time"])
+        if times.dt.tz is None:
+            times = times.dt.tz_localize(session_tz)
+        times = times.dt.tz_convert("UTC")
+        rows = rows.assign(_us=times.astype("int64") // 1000).sort_values(
+            ["_us", "_ndd_id"]
+        )
+        if state.exists:
+            first_id, first_us, n_seen, first_sig = state.get
+        else:
+            first_id = str(rows["_ndd_id"].iloc[0])
+            first_us = int(rows["_us"].iloc[0])
+            n_seen = 0
+            first_sig = str(rows["_ndd_sig"].iloc[0])
+        n_seen += len(rows)
+        last_us = max(int(rows["_us"].max()), first_us)
+        state.update((first_id, last_us, n_seen, first_sig))
+        watermark_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(last_us // 1000, watermark_ms + 1) + horizon_ms
+        )
+        capped = max_bucket_docs is not None and n_seen > max_bucket_docs
+        c_parts = first_sig.split("|")
+
+        def verdict(doc_id: str, sig: str) -> str | None:
+            if capped or doc_id == first_id:
+                return None
+            parts = sig.split("|")
+            agree = sum(a == b for a, b in zip(parts, c_parts)) / n_fam
+            return first_id if agree >= min_hash_agreement else None
+
+        out = pd.DataFrame(
+            {
+                "_ndd_id": rows["_ndd_id"].to_numpy(dtype=object),
+                "band": pd.Series([key[0]] * len(rows), dtype="int32"),
+                "dup_of": [
+                    verdict(str(i), str(s))
+                    for i, s in zip(rows["_ndd_id"], rows["_ndd_sig"])
+                ],
+                **{c: rows[c].to_numpy(dtype=object) for c in other_cols},
+            }
+        )
+        yield out
+
+    flagged = banded.groupBy("band", "band_sig").applyInPandasWithState(
+        claim,
+        outputStructType=out_schema,
+        stateStructType="first_id string, first_us long, n_seen long, first_sig string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    # blank / timeless docs bypass the kernel: one band-0 row, never
+    # flagged (see the no-row-lost invariant in the docstring)
+    bypass = with_time.filter(~can_dedup).select(
+        F.col(id_col).cast("string").alias("_ndd_id"),
+        F.lit(0).cast("int").alias("band"),
+        F.lit(None).cast("string").alias("dup_of"),
+        *[F.col(c) for c in other_cols],
+    )
+    return flagged.unionByName(bypass)
+
+
+def resolve_stream_flags(batch_df: DataFrame, id_col: str = "_ndd_id") -> DataFrame:
+    """Reduce ``near_dedupe_stream``'s per-band rows to one verdict per
+    document (min non-NULL claimant wins; NULL = survivor).  Meant for
+    the micro-batch DataFrame inside ``foreachBatch`` — the per-band
+    rows of one document always share a micro-batch, because the
+    stateful kernel processes both band rows in the batch that
+    delivered them."""
+    other = [c for c in batch_df.columns if c not in (id_col, "band", "dup_of")]
+    return batch_df.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in other],
+        F.min("dup_of").alias("dup_of"),
+    )

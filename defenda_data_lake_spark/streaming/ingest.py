@@ -93,3 +93,112 @@ def start_ingest(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def start_deduped_ingest(
+    spark: SparkSession,
+    landing_path: str | None = None,
+    checkpoint_path: str | None = None,
+    quarantine_path: str | None = None,
+    trigger_seconds: int = 60,
+    max_files_per_trigger: int | None = None,
+    source=None,
+    text_col: str = "summary",
+    min_hash_agreement: float = 0.5,
+    watermark_delay: str = "1 hour",
+    max_bucket_docs: int | None = None,
+) -> StreamingQuery:
+    """:func:`start_ingest` with an IN-STREAM near-dedup stage: after
+    normalization, events whose ``text_col`` is a MinHash near-match of
+    an earlier event in the same LSH bucket (within the watermark
+    horizon) are diverted to the quarantine with a ``Dropped`` status
+    and a ``dup_of`` pointer instead of landing in the events table —
+    a continuous crawl/ingest discarding near-re-posts with no nightly
+    batch job.
+
+    Composition (the round-5 verdict's missing end-to-end wiring):
+    normalization runs IN-PLAN (``normalize_df`` is a stateless
+    Arrow-batched map, legal on a stream), then
+    ``near_dedupe_stream`` adds the stateful candidate+verify stage,
+    and ``foreachBatch`` resolves per-event verdicts
+    (:func:`resolve_stream_flags`) and routes three ways: survivors →
+    events table, near-dups → quarantine (``Dropped``), processing
+    failures → quarantine (``ProcessingFailed``).  Failed records have
+    no usable timestamp or summary, so they ride the dedup stage's
+    bypass branch (no-row-lost invariant) and arrive here intact.
+
+    Semantics note: ``Dropped`` in the reference envelope means "a
+    plugin declined the event" (processor.py:59-76); here it also
+    covers near-duplicate suppression — both are policy drops, kept
+    distinct from failures by the ``dup_of`` field."""
+    if checkpoint_path is None:
+        raise ValueError("checkpoint_path is required")
+    create_events_table(spark)
+
+    if source is None:
+        if landing_path is None:
+            raise ValueError("pass landing_path or an explicit source")
+        from defenda_data_lake_spark.sources import FileLandingSource
+
+        source = FileLandingSource(landing_path, max_files_per_trigger)
+    lines = source.load(spark)
+
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.schema import SHELL_FIELDS
+    from defenda_data_lake_spark.streaming.dedup import (
+        near_dedupe_stream,
+        resolve_stream_flags,
+    )
+
+    raw = lines.filter(F.length(F.trim(F.col("raw"))) > 0).select("raw")
+    normalized = normalize_df(raw, raw_col="raw")
+    flagged = near_dedupe_stream(
+        normalized,
+        id_col="eventid",
+        text_col=text_col,
+        event_time_col="utctimestamp",
+        watermark_delay=watermark_delay,
+        min_hash_agreement=min_hash_agreement,
+        max_bucket_docs=max_bucket_docs,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            ok = resolve_stream_flags(
+                batch_df.filter(F.col("_status") == STATUS_OK)
+            ).withColumnRenamed("_ndd_id", "eventid")
+            ok = ok.cache()
+            try:
+                survivors = ok.filter(F.col("dup_of").isNull()).select(
+                    *SHELL_FIELDS
+                )
+                good = add_partition_columns(survivors)
+                good.write.mode("append").insertInto(EVENTS_TABLE)
+                spark.catalog.refreshTable(EVENTS_TABLE)
+                if quarantine_path:
+                    near_dups = ok.filter(F.col("dup_of").isNotNull()).select(
+                        F.lit("Dropped").alias("_status"),
+                        F.col("_raw"),
+                        F.col("dup_of"),
+                    )
+                    failed = batch_df.filter(
+                        F.col("_status") != STATUS_OK
+                    ).select(
+                        "_status", "_raw", F.lit(None).cast("string").alias("dup_of")
+                    )
+                    near_dups.unionByName(failed).write.mode("append").json(
+                        quarantine_path
+                    )
+            finally:
+                ok.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        flagged.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -171,3 +171,21 @@ def test_lsh_degenerate_bucket_bounded(spark):
     )
     out = minhash_lsh_candidates(docs, max_bucket_docs=100)
     assert out.count() == 0
+
+
+def test_minhash_bucket_dedupe(docs):
+    from defenda_data_lake_spark.operators.dedup import minhash_bucket_dedupe
+
+    out = {r["doc_id"]: r["dup_of"] for r in minhash_bucket_dedupe(docs).collect()}
+    # docs 2,3 normalize identically to 1 -> full-signature agreement 1.0
+    assert out[2] == "1" and out[3] == "1"
+    assert out[1] is None  # the claimant survives
+    assert out[5] is None  # unrelated content
+    # near-dup 4 shares a band with 1 and >= half its hash families
+    assert out[4] == "1"
+    # a strict agreement threshold keeps near (but not exact) dups
+    strict = {
+        r["doc_id"]: r["dup_of"]
+        for r in minhash_bucket_dedupe(docs, min_hash_agreement=0.99).collect()
+    }
+    assert strict[2] == "1" and strict[4] is None

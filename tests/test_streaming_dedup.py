@@ -252,3 +252,59 @@ def test_lsh_candidates_stream_bucket_cap(spark, tmp_path):
         assert spark.sql("SELECT * FROM lsh_cap_out").count() == 2  # 2 bands of doc2, nothing new
     finally:
         query.stop()
+
+
+def test_near_dedupe_stream_batch_parity(spark, tmp_path):
+    """End-to-end streaming near-dedup (candidates + claimant-signature
+    verify + per-doc resolution) produces the same per-doc verdicts as
+    the batch twin minhash_bucket_dedupe on the same corpus."""
+    from defenda_data_lake_spark.operators.dedup import minhash_bucket_dedupe
+    from defenda_data_lake_spark.streaming.dedup import (
+        near_dedupe_stream,
+        resolve_stream_flags,
+    )
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy cat"),
+        (4, "completely different words describing unrelated observations"),
+        (5, ""),  # blank: bypasses the signature kernel, must survive
+    ]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "b1.ndjson", "w") as f:
+        for i, (doc_id, text) in enumerate(corpus):
+            f.write(_doc(doc_id, f"2026-01-01T00:0{i + 1}:00+00:00", text) + "\n")
+
+    resolved = {}
+
+    def sink(batch_df, batch_id):
+        for r in resolve_stream_flags(batch_df).collect():
+            resolved[int(r["_ndd_id"])] = r["dup_of"]
+
+    query = (
+        near_dedupe_stream(
+            _doc_stream(spark, landing), event_time_col="ts"
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    docs = spark.createDataFrame(
+        [(d, f"2026-01-01T00:0{i + 1}:00+00:00", t) for i, (d, t) in enumerate(corpus)],
+        "doc_id long, ts string, text string",
+    )
+    batch = {
+        int(r["doc_id"]): r["dup_of"]
+        for r in minhash_bucket_dedupe(docs, ts_col="ts").collect()
+    }
+    assert resolved == batch
+    assert resolved[1] is None and resolved[2] == "1"
+    assert resolved[4] is None and resolved[5] is None
