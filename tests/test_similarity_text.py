@@ -399,3 +399,57 @@ def test_resize_images_fake_is_plumbing_only(spark):
 
     with pytest.raises(ValueError):
         resize_images(media, 0, 32)
+
+
+def test_png_stream_splitter_structural():
+    """_iter_png_stream walks chunk structure (not signature search —
+    the 8-byte signature can legitimately occur inside IDAT data)."""
+    from defenda_data_lake_spark.operators.multimodal import (
+        _encode_png,
+        _iter_png_stream,
+        _png_dims,
+    )
+
+    a = _encode_png(3, 2, 3, bytes(range(18)))
+    b = _encode_png(5, 4, 1, bytes(range(20)))
+    parts = list(_iter_png_stream(a + b + a))
+    assert [(len(p)) for p in parts] == [len(a), len(b), len(a)]
+    assert [_png_dims(p) for p in parts] == [(3, 2), (5, 4), (3, 2)]
+
+
+def _ffmpeg_missing():
+    import shutil
+
+    return shutil.which("ffmpeg") is None
+
+
+@pytest.mark.integration
+@pytest.mark.skipif(_ffmpeg_missing(), reason="ffmpeg not on PATH")
+def test_sample_frames_real_ffmpeg(spark):
+    """Real frame sampling end-to-end: synthesize a 10-frame test video
+    with ffmpeg, sample every 4th frame, decode dims from the PNGs."""
+    import subprocess
+
+    from defenda_data_lake_spark.operators.multimodal import (
+        _decode_png,
+        sample_frames,
+    )
+
+    gen = subprocess.run(
+        [
+            "ffmpeg", "-v", "error",
+            "-f", "lavfi", "-i", "testsrc=duration=1:size=64x48:rate=10",
+            "-f", "mpegts", "-vcodec", "mpeg2video", "pipe:1",
+        ],
+        capture_output=True,
+    )
+    assert gen.returncode == 0, gen.stderr[-300:]
+    media = spark.createDataFrame(
+        [(1, bytearray(gen.stdout))], "media_id long, content binary"
+    )
+    rows = sample_frames(media, every_n=4, fake=False).collect()
+    assert [r["frame_index"] for r in sorted(rows, key=lambda r: r["frame_index"])] == [0, 4, 8]
+    for r in rows:
+        assert (r["width"], r["height"]) == (64, 48)
+        w, h, ch, _px = _decode_png(bytes(r["frame_png"]))
+        assert (w, h) == (64, 48)
