@@ -537,6 +537,78 @@ def minhash_bucket_dedupe(
     ).drop("id_s")
 
 
+def chunk_level_dedupe(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 50,
+) -> DataFrame:
+    """Paragraph-granularity dedup (the Dolma/CCNet pipeline step,
+    adapted to word-chunks since this corpus has no newlines): split
+    each document into NON-overlapping ``chunk_words``-word chunks,
+    drop every chunk whose exact normalized content already occurred
+    EARLIER in the corpus (first occurrence = min (doc, position) —
+    encoded as one zero-padded sortable string so any engine's plain
+    ``min`` replays the choice), and reassemble each document from its
+    surviving chunks.  Catches copied boilerplate paragraphs inside
+    otherwise-distinct documents — which document-level dedup misses
+    entirely.
+
+    Returns ``(id, n_chunks, n_dropped, clean_text)``.
+
+    Plan shape (scale): chunking is pure JVM (split + explode + slice;
+    no interpreted HOF over O(L²)); dedup is ONE window count over the
+    chunk-hash partitioning (shuffle keyed by md5 — uniform, skew-
+    free); reassembly is one groupBy(doc) with a sorted collect_list
+    bounded by the document's own chunk count.  Two exchanges total,
+    both on high-cardinality keys."""
+    norm = normalized_text(F.col(text_col))
+    w = F.split(norm, " ")
+    t = df.select(
+        F.col(id_col).alias("id"), w.alias("_w"), F.size(w).alias("_n")
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1)), F.lit(chunk_words))
+    ex = t.select(
+        "id",
+        F.explode(starts).alias("start"),
+        "_w",
+    ).select(
+        "id",
+        "start",
+        F.array_join(F.slice(F.col("_w"), F.col("start"), chunk_words), " ").alias(
+            "chunk"
+        ),
+    )
+    # sortable first-occurrence key: doc id and position, zero-padded
+    occ = F.concat(
+        F.lpad(F.col("id").cast("string"), 12, "0"),
+        F.lit(":"),
+        F.lpad(F.col("start").cast("string"), 9, "0"),
+    )
+    hashed = ex.select("id", "start", "chunk", occ.alias("occ"), F.md5("chunk").alias("h"))
+    first_occ = F.min("occ").over(Window.partitionBy("h"))
+    flagged = hashed.select(
+        "id", "start", "chunk", (F.col("occ") != first_occ).alias("is_dup")
+    )
+    return flagged.groupBy("id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_dup"), F.struct("start", "chunk")
+                        )
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 def _sharded_postings(
     df: DataFrame,
     text_col: str,

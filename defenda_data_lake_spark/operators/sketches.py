@@ -1,0 +1,116 @@
+"""Deterministic distinct-count sketches as compositions of built-in
+expressions.
+
+``approx_count_distinct`` exists in both Spark and DuckDB, but each
+engine's HLL uses its own hash and register layout, so the two never
+agree — useless under this repo's value-hash correctness gate.  This
+module implements HyperLogLog from its definition with an md5-derived
+hash and STRING-domain bit inspection, so any engine with ``md5`` +
+``regexp`` replays the sketch register-for-register (the q79 oracle
+does), while the estimate math stays in exact-integer space until one
+final division.
+
+Why a sketch at all (100 TB): exact ``count(DISTINCT col)`` shuffles
+every distinct value; the HLL register table is ``m`` rows per group
+regardless of cardinality, with map-side partial ``max`` combine — the
+classic trade, here with cross-engine reproducibility.
+
+Determinism notes (the usual cross-engine float traps, designed out):
+
+* register sum uses integer ``2^(55 - rho)`` terms (rho capped at 55,
+  so terms are >= 1 and the 2^p-term sum — absent registers contribute
+  2^55 each, at least one register is present — stays under 2^63) —
+  bit-exact
+  in any engine; the one floating division happens on two exact
+  integers, and IEEE 754 division is correctly rounded everywhere.
+* the small-range (linear-counting) branch uses ``ln`` of a ratio of
+  small exact integers — correctly rounded on both engines in
+  practice; the final output is scale-rounded (``R``) anyway.
+"""
+
+from __future__ import annotations
+
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_rho(whex: Column) -> Column:
+    """Position of the first 1-bit (1-based) of a hex-string-encoded
+    bit field, capped at 55 (keeps the scaled register sum inside int64)
+    — computed entirely in the string domain
+    (leading-zero hex digits * 4 + a 16-way CASE on the first non-zero
+    digit), so the replay is engine-independent."""
+    zeros_hex = F.length(F.regexp_extract(whex, "^(0*)", 1))
+    first_nz = F.substring(F.regexp_replace(whex, "^0*", ""), 1, 1)
+    extra = (
+        F.when(first_nz == "1", 3)
+        .when(first_nz.isin("2", "3"), 2)
+        .when(first_nz.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return F.least(zeros_hex * 4 + extra + 1, F.lit(55))
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    group_by: Sequence[str] = (),
+    p: int = 8,
+    out: str = "hll_estimate",
+) -> DataFrame:
+    """HyperLogLog distinct estimate of ``col`` per ``group_by`` group.
+
+    Register index = first ``p`` bits of ``md5(col)`` (taken as hex
+    prefix), rho = first-1-bit position of the next 56 bits, registers
+    = ``max(rho)`` per (group, index) — one hash aggregation whose
+    output is at most ``2^p`` rows per group — then the standard
+    estimator with linear-counting small-range correction.
+
+    Returns ``group_by + [out]`` with the estimate as DOUBLE (round it
+    at the query boundary; q79 uses the house ``R``)."""
+    if not 4 <= p <= 12 or p % 4 != 0:
+        raise ValueError(f"p must be 4, 8, or 12 (hex-aligned); got {p}")
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    gcols = list(group_by)
+
+    h = F.md5(F.col(col).cast("string"))
+    # the register KEY can stay a hex string — it only ever groups,
+    # never leaves the plan, and a string key means the oracle replay
+    # needs no engine-specific hex->int conversion at all
+    idx = F.substring(h, 1, p // 4)
+    whex = F.substring(h, p // 4 + 1, 14)
+
+    regs = (
+        df.select(*gcols, idx.alias("_hll_idx"), hll_rho(whex).alias("_hll_rho"))
+        .groupBy(*gcols, "_hll_idx")
+        .agg(F.max("_hll_rho").alias("_hll_max"))
+    )
+    # integer-exact register sum: sum(2^-rho) scaled by 2^55; absent
+    # registers (rho = 0) contribute 2^55 each
+    # python API shiftleft() only takes a literal bit count; the SQL
+    # form accepts a column
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), 55 - _hll_max)")
+    per_group = regs.groupBy(*gcols).agg(
+        F.sum(term).alias("_hll_isum"),
+        F.count("*").alias("_hll_nonzero"),
+    )
+    zeros = F.lit(m) - F.col("_hll_nonzero")
+    isum = F.col("_hll_isum") + zeros * F.lit(1 << 55).cast("long")
+    raw = F.lit(alpha * m * m) * F.lit(float(1 << 55)) / isum.cast("double")
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), small).otherwise(raw)
+    return per_group.select(*gcols, est.alias(out))

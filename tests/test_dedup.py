@@ -189,3 +189,25 @@ def test_minhash_bucket_dedupe(docs):
         for r in minhash_bucket_dedupe(docs, min_hash_agreement=0.99).collect()
     }
     assert strict[2] == "1" and strict[4] is None
+
+
+def test_chunk_level_dedupe(spark):
+    from defenda_data_lake_spark.operators.dedup import chunk_level_dedupe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # chunks(3): 'a b c' | 'd e f'
+            (2, "a b c x y z"),   # first chunk is doc1's -> dropped
+            (3, "d e f"),         # whole doc is doc1's 2nd chunk
+            (4, ""),              # empty: one empty chunk, survives
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: (r["n_chunks"], r["n_dropped"], r["clean_text"])
+        for r in chunk_level_dedupe(docs, chunk_words=3).collect()
+    }
+    assert out[1] == (2, 0, "a b c d e f")
+    assert out[2] == (2, 1, "x y z")
+    assert out[3] == (1, 1, "")
+    assert out[4] == (1, 0, "")
