@@ -185,3 +185,47 @@ def test_q54_vocab_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_q77_bucket_dedupe_no_pair_blowup(spark):
+    """Claimant dedup never forms candidate PAIRS: no nested-loop or
+    cartesian anywhere, and the bucket work is window passes over the
+    one (band, band_sig) exchange."""
+    plan = plan_of(spark, "q77_bucket_dedupe")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_q78_chunk_dedupe_plan(spark):
+    """Chunk dedup: JVM chunking (no Python stage), no join at all on
+    the dedup path (window over the hash partitioning + one doc
+    re-aggregation)."""
+    plan = plan_of(spark, "q78_chunk_dedupe")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_q79_hll_plan_jvm_only(spark):
+    """The sketch is pure JVM expression work: two hash aggregations,
+    no Python stage, no window, no sort on the register path."""
+    plan = plan_of(spark, "q79_hll_distinct")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_kernel_coalesced(spark):
+    """The brute-force ANN kernel input is coalesced to bytes-
+    proportional parallelism (a sub-MB corpus must not fan the Python
+    stage across full parallelism — ~0.25 s of pure task dispatch)."""
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce" in plan
