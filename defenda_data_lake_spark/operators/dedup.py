@@ -209,11 +209,20 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
     passthrough: Sequence[str] = (),
+    keep_unshingleable: bool = False,
 ) -> DataFrame:
     """MinHash signature per document.  ``passthrough`` columns are
     carried to the output unchanged (one value per doc) — the streaming
     LSH dedup uses this to keep its watermark column alive through the
     kernel without a stream-stream join-back.
+
+    ``keep_unshingleable`` emits a row with NULL hash columns for
+    documents whose text yields no shingles (whitespace-only under
+    PYTHON's unicode whitespace rules — which no Spark-side regex
+    reproduces exactly, so the kernel itself must be the decider).
+    Default False preserves the agg-form contract: no shingles, no
+    row.  Pipelines that must not lose rows (near_dedupe_stream) set
+    True and route NULL-signature rows around the dedup.
 
     Hash family i is the i-th 32-bit hex chunk of ``md5(p || shingle)``
     where p cycles through ``'' , 'x', 'xx', …`` every 4 families: one
@@ -298,7 +307,13 @@ def minhash_signatures(
                     uniq = {" ".join(words)}
                 uniq.discard("")
                 if not uniq:
-                    continue  # same as the agg form: no shingles, no row
+                    if keep_unshingleable:
+                        for i in range(num_hashes):
+                            cols[i].append(None)
+                        ids.append(doc_id)
+                        for c in passthrough:
+                            pt_vals[c].append(pt_cols[c][row_idx])
+                    continue  # agg-form contract: no shingles, no row
                 # vectorized per-family min: fixed-width lowercase hex
                 # compares identically under lexicographic and numeric
                 # order, so the min of each 8-hex-char family chunk is
@@ -344,6 +359,32 @@ def minhash_signatures(
     )
 
 
+def band_structs_expr(hs: Sequence[str], bands: int) -> Column:
+    """The LSH banding expression shared by every batch/stream twin:
+    an array of (band, band_sig) structs where ``band_sig`` is the
+    '|'-joined hex minhashes of that band.  ONE definition — the q77
+    batch/stream/oracle parity depends on all three formulations
+    banding identically."""
+    if len(hs) % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({len(hs)})")
+    rows_per_band = len(hs) // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(h)
+                        for h in hs[b * rows_per_band : (b + 1) * rows_per_band]
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def banded_minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -360,27 +401,10 @@ def banded_minhash_signatures(
     per-band selects, so the signature kernel runs once, not per
     band.  Works on streaming DataFrames too (the signature kernel is
     stateless)."""
-    if num_hashes % bands != 0:
-        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, passthrough=passthrough
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"h{i}")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                ).alias("band_sig"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_structs = band_structs_expr([f"h{i}" for i in range(num_hashes)], bands)
     return sigs.select(
         "id", F.explode(band_structs).alias("bs"), *[F.col(c) for c in passthrough]
     ).select(
@@ -463,7 +487,11 @@ def minhash_bucket_dedupe(
 ) -> DataFrame:
     """Claimant-based near-dedup — the BATCH TWIN of
     ``streaming.dedup.near_dedupe_stream`` (a pinned parity test keeps
-    them in lockstep): per LSH bucket, the earliest document (by
+    them in lockstep for event-time-ordered arrival; the stream's
+    claimant is first-arrival across micro-batches, so out-of-order
+    delivery can flip WHICH member of a near-dup set survives — the
+    surviving content set is equivalent): per LSH bucket, the
+    earliest document (by
     ``ts_col`` then id-as-string — string order deliberately, because
     the streaming state store compares ids as strings) claims the
     bucket; every other member whose FULL minhash signature agrees
@@ -490,21 +518,7 @@ def minhash_bucket_dedupe(
         df, text_col, id_col, num_hashes, shingle_n, passthrough=passthrough
     )
     hs = [f"h{i}" for i in range(num_hashes)]
-    if num_hashes % bands != 0:
-        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    rows_per_band = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[F.col(h) for h in hs[b * rows_per_band : (b + 1) * rows_per_band]],
-                ).alias("band_sig"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_structs = band_structs_expr(hs, bands)
     banded = sigs.select(
         F.col("id").cast("string").alias("id_s"),
         *hs,
@@ -580,8 +594,12 @@ def chunk_level_dedupe(
         ),
     )
     # sortable first-occurrence key: doc id and position, zero-padded
+    # to the full non-negative int64 width (lpad TRUNCATES longer
+    # inputs, which would corrupt the ordering; 20 digits covers
+    # 2^63-1).  Ids must be non-negative — a '-' prefix does not
+    # string-sort numerically; same contract as the oracle replay.
     occ = F.concat(
-        F.lpad(F.col("id").cast("string"), 12, "0"),
+        F.lpad(F.col("id").cast("string"), 20, "0"),
         F.lit(":"),
         F.lpad(F.col("start").cast("string"), 9, "0"),
     )

@@ -1066,7 +1066,8 @@ FROM capped a JOIN capped b
 def q77_bucket_dedupe(spark, sf_dir):
     """Claimant-based near-dedup (``dedup.minhash_bucket_dedupe``, the
     batch twin of the streaming ``near_dedupe_stream`` — the parity
-    test in test_streaming_dedup.py pins them together): per LSH
+    test in test_streaming_dedup.py pins them together for event-time-
+    ordered arrival): per LSH
     bucket the string-min doc claims it, other members whose full
     minhash signature agrees on ≥ half the families are marked
     ``dup_of`` that claimant.  State-bounded verification (one
@@ -1129,7 +1130,7 @@ ch AS (
 ),
 hh AS (
   SELECT doc_id, start, chunk,
-         lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
+         lpad(CAST(doc_id AS VARCHAR), 20, '0') || ':' ||
          lpad(CAST(start AS VARCHAR), 9, '0') AS occ,
          md5(chunk) AS h
   FROM ch
@@ -3309,6 +3310,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q77_bucket_dedupe": (q77_bucket_dedupe, Q77_SQL),
     "q78_chunk_dedupe": (q78_chunk_dedupe, Q78_SQL),
     "q79_hll_distinct": (q79_hll_distinct, Q79_SQL),
+    # q41/q48 plans changed in round 6 too (cosine/lsh kernels gained
+    # the bytes-proportional coalesce), so they rotate INTO the window
+    "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
+    "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),
     # --- headline bench set
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
@@ -3332,24 +3337,22 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q18_full_outer": (q18_full_outer, Q18_SQL),
     "q19_cube_customers": (q19_cube_customers, Q19_SQL),
     "q23_string_funcs": (q23_string_funcs, Q23_SQL),
+    # --- tail: r5-driver-verified, rotates back next round
     "q24_presto_text": (q24_presto_text, Q24_SQL),
     "q25_percentile_stats": (q25_percentile_stats, Q25_SQL),
     "q26_regexp_count": (q26_regexp_count, Q26_SQL),
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q34_text_quality": (q34_text_quality, Q34_SQL),
-    # --- tail: r5-driver-verified, rotates back next round
     "q35_text_langid": (q35_text_langid, Q35_SQL),
     "q37_vocab_topk": (q37_vocab_topk, Q37_SQL),
     "q38_dataset_split": (q38_dataset_split, Q38_SQL),
     "q39_sequence_packing": (q39_sequence_packing, Q39_SQL),
-    "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
     "q42_simhash_pairs": (q42_simhash_pairs, Q42_SQL),
     "q43_multimodal_meta": (q43_multimodal_meta, Q43_SQL),
     "q44_multimodal_decode": (q44_multimodal_decode, Q44_SQL),
     "q45_embedding_dedup": (q45_embedding_dedup, Q45_SQL),
     "q46_knn_ivf": (q46_knn_ivf, Q46_SQL),
     "q47_kmeans_clusters": (q47_kmeans_clusters, Q47_SQL),
-    "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),
     "q62_audio_chunks": (q62_audio_chunks, Q62_SQL),
     "q71_pii_redaction": (q71_pii_redaction, Q71_SQL),
     "q72_weighted_sample": (q72_weighted_sample, Q72_SQL),

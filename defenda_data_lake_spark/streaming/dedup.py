@@ -76,6 +76,12 @@ def content_dedupe_stream(
 
 
 LSH_CANDIDATE_SCHEMA = "doc_id long, first_doc long, band int, band_sig string"
+# v2 state (round 6): added n_seen for the bucket cap.  State-store
+# schemas are versioned by the CHECKPOINT, not the code — a query
+# checkpointed under the 2-field v1 state cannot resume on this code
+# (Spark's state schema check rejects the widening).  Restart such a
+# query with a fresh checkpoint; the watermark horizon bounds what the
+# new state misses.
 _LSH_STATE_SCHEMA = "first_doc long, first_us long, n_seen long"
 
 
@@ -193,7 +199,13 @@ def lsh_candidates_stream(
                 continue
             times = pd.to_datetime(chunk["_lsh_event_time"])
             if times.dt.tz is None:
-                times = times.dt.tz_localize(session_tz)
+                # DST folds/gaps must not kill a continuous query:
+                # pick the pre-transition reading for ambiguous wall
+                # times and shift nonexistent ones forward — any
+                # consistent choice only nudges the eviction horizon
+                times = times.dt.tz_localize(
+                    session_tz, ambiguous=True, nonexistent="shift_forward"
+                )
             times = times.dt.tz_convert("UTC")
             chunk = chunk.assign(_us=times.astype("int64") // 1000)
             n_total += len(chunk)
@@ -282,64 +294,65 @@ def near_dedupe_stream(
     verdict is principled, deterministic, and exactly replayable in
     batch SQL (the q77 oracle replays it).
 
-    Claimant order is (event time, id-as-string) — string order so the
-    state store and every engine replaying the oracle compare ids
-    identically.
+    Claimant order: (event time, id-as-string) WITHIN a micro-batch
+    (string order so the state store and every engine replaying the
+    oracle compare ids identically); ACROSS micro-batches the claimant
+    is first-arrival — a stream cannot retract verdicts already
+    emitted, so a later batch delivering an earlier-timestamped doc
+    does not unseat the stored claimant.  Batch parity with
+    ``minhash_bucket_dedupe`` therefore holds exactly when arrival
+    order respects event time (the pinned parity test's contract);
+    out-of-order delivery can flip which member of a near-dup set
+    survives — the SET of surviving contents is equivalent either way.
 
     NO ROW IS EVER LOST — the invariant an ingest stage must hold.
-    Documents that cannot participate in dedup bypass the signature
-    kernel and survive unconditionally (one band-0 row, ``dup_of``
-    NULL): blank/NULL text (no shingles to hash) and rows without a
-    parseable event time (can neither claim a bucket nor be judged
-    against the watermark horizon — and a quarantine-bound record with
-    no timestamp must still reach the quarantine).  ``max_bucket_docs``:
-    once a bucket's cumulative membership exceeds the cap it stops
-    flagging (rows still flow through)."""
+    Documents that cannot participate in dedup bypass the stateful
+    stage and survive unconditionally (one band-0 row, ``dup_of``
+    NULL): rows without a parseable event time (can neither claim a
+    bucket nor be judged against the watermark horizon — and a
+    quarantine-bound record with no timestamp must still reach the
+    quarantine), and rows whose text yields no shingles.  The
+    no-shingle decision is made BY the signature kernel
+    (``keep_unshingleable=True`` → NULL-signature rows routed around
+    the stateful stage): Python's unicode whitespace rules decide
+    shingleability, and no Spark-side predicate reproduces them
+    exactly — a tab-only document under a trim()-based check would be
+    dropped by the kernel yet miss the bypass, silently destroying
+    the row.  ``max_bucket_docs``: once a bucket's cumulative
+    membership exceeds the cap it stops flagging (rows still flow
+    through)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from defenda_data_lake_spark.operators.dedup import minhash_signatures
+    from defenda_data_lake_spark.operators.dedup import (
+        band_structs_expr,
+        minhash_signatures,
+    )
 
     horizon_ms = int(pd.Timedelta(watermark_delay).total_seconds() * 1000)
     session_tz = docs.sparkSession.conf.get("spark.sql.session.timeZone")
     payload_cols = docs.columns
     hs = [f"h{i}" for i in range(num_hashes)]
-    if num_hashes % bands != 0:
-        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    rows_per_band = num_hashes // bands
 
     with_time = docs.withColumn(
         "_ndd_event_time", F.try_to_timestamp(F.col(event_time_col))
     )
-    blank = F.col(text_col).isNull() | (
-        F.length(F.trim(F.col(text_col))) == 0
-    )
-    can_dedup = F.col("_ndd_event_time").isNotNull() & ~blank
-    shingleable = with_time.filter(can_dedup).withWatermark(
-        "_ndd_event_time", watermark_delay
-    )
+    timed = with_time.filter(
+        F.col("_ndd_event_time").isNotNull()
+    ).withWatermark("_ndd_event_time", watermark_delay)
 
     sigs = minhash_signatures(
-        shingleable,
+        timed,
         text_col,
         id_col,
         num_hashes,
         shingle_n,
         passthrough=["_ndd_event_time"]
         + [c for c in payload_cols if c != id_col],
+        keep_unshingleable=True,
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[F.col(h) for h in hs[b * rows_per_band : (b + 1) * rows_per_band]],
-                ).alias("band_sig"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(
+    shingled = sigs.filter(F.col("h0").isNotNull())
+    band_structs = band_structs_expr(hs, bands)
+    banded = shingled.select(
         F.col("id").cast("string").alias("_ndd_id"),
         F.concat_ws("|", *hs).alias("_ndd_sig"),
         "_ndd_event_time",
@@ -373,7 +386,9 @@ def near_dedupe_stream(
         rows = pd.concat(chunks, ignore_index=True)
         times = pd.to_datetime(rows["_ndd_event_time"])
         if times.dt.tz is None:
-            times = times.dt.tz_localize(session_tz)
+            times = times.dt.tz_localize(
+                session_tz, ambiguous=True, nonexistent="shift_forward"
+            )
         times = times.dt.tz_convert("UTC")
         rows = rows.assign(_us=times.astype("int64") // 1000).sort_values(
             ["_us", "_ndd_id"]
@@ -422,15 +437,25 @@ def near_dedupe_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    # blank / timeless docs bypass the kernel: one band-0 row, never
-    # flagged (see the no-row-lost invariant in the docstring)
-    bypass = with_time.filter(~can_dedup).select(
-        F.col(id_col).cast("string").alias("_ndd_id"),
+    # bypass branches (no-row-lost invariant, see docstring): rows
+    # without a parseable event time never reach the kernel; rows the
+    # KERNEL judged unshingleable come back with NULL signatures
+    def as_bypass(df):
+        return df.select(
+            F.col(id_col).cast("string").alias("_ndd_id"),
+            F.lit(0).cast("int").alias("band"),
+            F.lit(None).cast("string").alias("dup_of"),
+            *[F.col(c) for c in other_cols],
+        )
+
+    timeless = as_bypass(with_time.filter(F.col("_ndd_event_time").isNull()))
+    unshingleable = sigs.filter(F.col("h0").isNull()).select(
+        F.col("id").cast("string").alias("_ndd_id"),
         F.lit(0).cast("int").alias("band"),
         F.lit(None).cast("string").alias("dup_of"),
         *[F.col(c) for c in other_cols],
     )
-    return flagged.unionByName(bypass)
+    return flagged.unionByName(timeless).unionByName(unshingleable)
 
 
 def resolve_stream_flags(batch_df: DataFrame, id_col: str = "_ndd_id") -> DataFrame:

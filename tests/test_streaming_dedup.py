@@ -269,7 +269,11 @@ def test_near_dedupe_stream_batch_parity(spark, tmp_path):
         (2, "the quick brown fox jumps over the lazy dog"),
         (3, "the quick brown fox jumps over the lazy cat"),
         (4, "completely different words describing unrelated observations"),
-        (5, ""),  # blank: bypasses the signature kernel, must survive
+        (5, ""),      # blank: unshingleable, must survive
+        (6, "\t \n"), # whitespace-but-not-space: the kernel (Python
+                      # unicode whitespace rules) judges shingleability,
+                      # not a Spark trim() — regression for the row-loss
+                      # bug a review probe confirmed
     ]
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -306,5 +310,7 @@ def test_near_dedupe_stream_batch_parity(spark, tmp_path):
         for r in minhash_bucket_dedupe(docs, ts_col="ts").collect()
     }
     assert resolved == batch
+    assert set(resolved) == {1, 2, 3, 4, 5, 6}  # no row lost
     assert resolved[1] is None and resolved[2] == "1"
     assert resolved[4] is None and resolved[5] is None
+    assert resolved[6] is None  # tab/newline-only doc survives
