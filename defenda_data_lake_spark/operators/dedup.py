@@ -596,10 +596,18 @@ def chunk_level_dedupe(
     # sortable first-occurrence key: doc id and position, zero-padded
     # to the full non-negative int64 width (lpad TRUNCATES longer
     # inputs, which would corrupt the ordering; 20 digits covers
-    # 2^63-1).  Ids must be non-negative — a '-' prefix does not
-    # string-sort numerically; same contract as the oracle replay.
+    # 2^63-1).  Ids must be non-negative AND non-null — a '-' prefix
+    # does not string-sort numerically and a NULL key silently drops
+    # out of min(); the CASE raises instead of corrupting the
+    # first-occurrence order.  Same contract as the oracle replay.
+    safe_id = F.expr(
+        "CASE WHEN id >= 0 THEN CAST(id AS STRING) ELSE raise_error(CONCAT("
+        "'chunk_level_dedupe: id must be a non-negative non-null integer "
+        "(zero-padded first-occurrence key); got ', "
+        "coalesce(CAST(id AS STRING), 'NULL'))) END"
+    )
     occ = F.concat(
-        F.lpad(F.col("id").cast("string"), 20, "0"),
+        F.lpad(safe_id, 20, "0"),
         F.lit(":"),
         F.lpad(F.col("start").cast("string"), 9, "0"),
     )

@@ -87,6 +87,11 @@ def hll_distinct(
     alpha = _hll_alpha(m)
     gcols = list(group_by)
 
+    # count(DISTINCT col) ignores NULLs; without this filter md5(NULL)
+    # yields a NULL register index whose rho degenerates to the 55 cap
+    # (least() skips NULL operands), inflating the estimate with a
+    # phantom max-rho register
+    df = df.filter(F.col(col).isNotNull())
     h = F.md5(F.col(col).cast("string"))
     # the register KEY can stay a hex string — it only ever groups,
     # never leaves the plan, and a string key means the oracle replay
@@ -112,5 +117,12 @@ def hll_distinct(
     isum = F.col("_hll_isum") + zeros * F.lit(1 << 55).cast("long")
     raw = F.lit(alpha * m * m) * F.lit(float(1 << 55)) / isum.cast("double")
     small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
-    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), small).otherwise(raw)
+    # the nonzero == 0 arm covers the ungrouped-empty-input row (global
+    # agg over zero rows): count(DISTINCT) of nothing is 0, and the
+    # integer register sum would overflow int64 at exactly m * 2^55
+    est = (
+        F.when(F.col("_hll_nonzero") == 0, F.lit(0.0))
+        .when((raw <= F.lit(2.5 * m)) & (zeros > 0), small)
+        .otherwise(raw)
+    )
     return per_group.select(*gcols, est.alias(out))

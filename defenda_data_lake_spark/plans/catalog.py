@@ -906,6 +906,11 @@ GROUP BY event_type
 """, ["events"])
 
 
+# Parity contract: props.k is a BARE JSON integer (the generator always
+# emits one).  On quoted ("7") or non-integer values the Spark side's
+# from_json('k INT') nulls out (Jackson does not coerce strings) while
+# this oracle's CAST(json_extract_string(...) AS INT) would parse
+# numeric strings — the two agree only under the bare-int contract.
 Q20_SQL = """
 SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, round(avg(value), 4) AS avg_value
 FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) t
@@ -1121,7 +1126,7 @@ def q78_chunk_dedupe(spark, sf_dir):
 
 Q78_SQL = r"""
 WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ')) AS t FROM documents
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
 ),
 w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
 ch AS (

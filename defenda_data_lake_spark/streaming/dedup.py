@@ -200,13 +200,18 @@ def lsh_candidates_stream(
 
         ids_parts, us_parts = [], []
         n_total = 0
+        batch_max_us = None
         keep = None if max_bucket_docs is None else max_bucket_docs + 1
         for chunk in batches:
             if len(chunk) == 0:
                 continue
             n_total += len(chunk)
+            chunk_us = chunk["_lsh_us"].to_numpy(dtype="int64")
+            chunk_max = int(chunk_us.max())
+            if batch_max_us is None or chunk_max > batch_max_us:
+                batch_max_us = chunk_max
             ids_parts.append(chunk["doc_id"].to_numpy(dtype="int64"))
-            us_parts.append(chunk["_lsh_us"].to_numpy(dtype="int64"))
+            us_parts.append(chunk_us)
             if keep is not None and sum(len(a) for a in ids_parts) > keep:
                 ids_all = np.concatenate(ids_parts)
                 us_all = np.concatenate(us_parts)
@@ -219,7 +224,12 @@ def lsh_candidates_stream(
         us = np.concatenate(us_parts)
         order = np.lexsort((ids, us))
         ids, us = ids[order], us[order]
-        last_us = int(us[-1])
+        # eviction anchor: the batch's TRUE max event time, recorded
+        # before the cap truncated the buffer to its earliest rows —
+        # a capped flood must keep pushing its timeout forward or the
+        # bucket evicts mid-flood and re-emits up to cap candidates on
+        # every re-claim
+        last_us = batch_max_us
         if state.exists:
             first_doc, first_us, n_seen = state.get
         else:

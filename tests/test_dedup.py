@@ -211,3 +211,26 @@ def test_chunk_level_dedupe(spark):
     assert out[2] == (2, 1, "x y z")
     assert out[3] == (1, 1, "")
     assert out[4] == (1, 0, "")
+
+
+def test_chunk_level_dedupe_rejects_negative_and_null_ids(spark):
+    from defenda_data_lake_spark.operators.dedup import chunk_level_dedupe
+
+    neg = spark.createDataFrame([(-1, "a b c"), (2, "x y z")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="non-negative"):
+        chunk_level_dedupe(neg, chunk_words=3).collect()
+
+    nulled = spark.createDataFrame(
+        [(None, "a b c"), (2, "x y z")],
+        "doc_id BIGINT, text STRING",
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        chunk_level_dedupe(nulled, chunk_words=3).collect()
+
+    # zero id is valid and sorts before every positive id
+    ok = spark.createDataFrame([(0, "a b c"), (5, "a b c")], ["doc_id", "text"])
+    out = {
+        r["id"]: r["n_dropped"]
+        for r in chunk_level_dedupe(ok, chunk_words=3).collect()
+    }
+    assert out == {0: 0, 5: 1}

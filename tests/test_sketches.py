@@ -30,3 +30,19 @@ def test_hll_rejects_unaligned_p(spark):
     df = spark.range(10).select(F.col("id").cast("string").alias("v"))
     with pytest.raises(ValueError):
         hll_distinct(df, "v", p=7)
+
+
+def test_hll_ignores_nulls(spark):
+    # count(DISTINCT) semantics: NULL values contribute nothing.  An
+    # all-NULL-plus-k-values column must estimate ~k, not pick up a
+    # phantom max-rho register from md5(NULL).
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 20).cast("string")).alias("v")
+    )
+    # even ids mod 20 -> the 10 even residues; odd rows are NULL
+    est = hll_distinct(df, "v").collect()[0]["hll_estimate"]
+    assert abs(est - 10) / 10 < 0.15, est
+
+    all_null = spark.range(100).select(F.lit(None).cast("string").alias("v"))
+    rows = hll_distinct(all_null, "v").collect()
+    assert len(rows) == 1 and rows[0]["hll_estimate"] == 0.0
