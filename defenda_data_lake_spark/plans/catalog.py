@@ -3273,76 +3273,20 @@ GROUP BY a3.cl
 # driver-verified first, then queries whose behavior/oracle changed in
 # the current round, then the stable remainder.  Rotate every round so
 # the 50-slot window always re-covers the stalest entries (VERDICT r4
-# item 1).  Round-6 ordering: the 22 entries outside the r5 window
-# (q50-q57, q59, q61, q64-q70, q21/q22/q27-q29 — last driver row r4,
-# judge-re-verified green during r5 grading) lead; then the queries
-# whose behavior/oracle changed or were added in round 6 (q31
-# max_bucket_docs cap, q73 oversized-cluster split, q77 claimant
-# near-dedup, q78 chunk-level dedup, q79 HLL sketch); then the 11
-# headline-bench queries (round-6 perf work touches their submission
-# paths); the window tail is filled with the freshest r5-verified
-# remainder.  Everything past slot 50 (from q26 onward) was
-# driver-green in CORRECTNESS_r05 (2-round cadence invariant
-# preserved) and full-catalog value-verified locally at sf0.001/0.01/
-# 0.1 this round.
+# item 1).  Round-7 ordering: the 25 entries outside the r6 window
+# (last driver row r5; judge-re-verified green during r6 grading) lead
+# — q24-q26, q33-q35, q37-q39, q42-q47, q62, q71, q72, q74, q63, q60,
+# q58, q49, q75, q76 — which also re-covers q49/q63 whose plans picked
+# up the shared band_structs_expr refactor in round 6 (ADVICE r6);
+# then the queries whose behavior/oracle changed in round 7 (q78
+# oracle 'g' flag, q79 HLL null-filter + empty-input arm); then the 11
+# headline-bench queries; the window tail is filled with the four
+# r6-changed entries (q73/q77/q41/q48, double-covered cheaply) and the
+# head of the relational block.  Everything past slot 50 (from q18
+# onward) was driver-green in CORRECTNESS_r06 (2-round cadence
+# invariant preserved).
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- 22 stale: last driver correctness row r4 (judge-green in r5)
-    "q50_tfidf": (q50_tfidf, Q50_SQL),
-    "q51_decontamination": (q51_decontamination, Q51_SQL),
-    "q52_stratified_sample": (q52_stratified_sample, Q52_SQL),
-    "q53_repetition_signals": (q53_repetition_signals, Q53_SQL),
-    "q54_unigram_logprob": (q54_unigram_logprob, Q54_SQL),
-    "q55_group_sample": (q55_group_sample, Q55_SQL),
-    "q56_contrastive_pairs": (q56_contrastive_pairs, Q56_SQL),
-    "q57_gopher_filter": (q57_gopher_filter, Q57_SQL),
-    "q59_temperature_mix": (q59_temperature_mix, Q59_SQL),
-    "q61_length_buckets": (q61_length_buckets, Q61_SQL),
-    "q64_bigram_logprob": (q64_bigram_logprob, Q64_SQL),
-    "q65_oov_rate": (q65_oov_rate, Q65_SQL),
-    "q66_funnel": (q66_funnel, Q66_SQL),
-    "q67_retention_cohorts": (q67_retention_cohorts, Q67_SQL),
-    "q68_doc_chunks": (q68_doc_chunks, Q68_SQL),
-    "q69_rolling_anomaly": (q69_rolling_anomaly, Q69_SQL),
-    "q70_pivot_daily": (q70_pivot_daily, Q70_SQL),
-    "q21_events_sessions": (q21_events_sessions, Q21_SQL),
-    "q22_events_hourly": (q22_events_hourly, Q22_SQL),
-    "q29_asof_join": (q29_asof_join, Q29_SQL),
-    "q28_exists_sql": (q28_exists_sql, Q28_SQL),
-    "q27_grouping_sets": (q27_grouping_sets, Q27_SQL),
-    # --- changed/new in round 6 (must be driver-verified this round)
-    "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
-    "q73_semdedup": (q73_semdedup, Q73_SQL),
-    "q77_bucket_dedupe": (q77_bucket_dedupe, Q77_SQL),
-    "q78_chunk_dedupe": (q78_chunk_dedupe, Q78_SQL),
-    "q79_hll_distinct": (q79_hll_distinct, Q79_SQL),
-    # q41/q48 plans changed in round 6 too (cosine/lsh kernels gained
-    # the bytes-proportional coalesce), so they rotate INTO the window
-    "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
-    "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),
-    # --- headline bench set
-    "q40_knn_brute": (q40_knn_brute, Q40_SQL),
-    "q20_events_json": (q20_events_json, Q20_SQL),
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
-    "q05_regional_revenue": (q05_regional_revenue, Q05_SQL),
-    "q10_window_rank": (q10_window_rank, Q10_SQL),
-    "q16_event_pairs": (q16_event_pairs, Q16_SQL),
-    "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
-    "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
-    "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
-    # --- window fill (r5-verified remainder)
-    "q07_top_customers": (q07_top_customers, Q07_SQL),
-    "q09_rollup_orders": (q09_rollup_orders, Q09_SQL),
-    "q11_window_running": (q11_window_running, Q11_SQL),
-    "q12_distinct_agg": (q12_distinct_agg, Q12_SQL),
-    "q13_semi_join": (q13_semi_join, Q13_SQL),
-    "q14_anti_join": (q14_anti_join, Q14_SQL),
-    "q15_setops": (q15_setops, Q15_SQL),
-    "q17_above_customer_avg": (q17_above_customer_avg, Q17_SQL),
-    "q18_full_outer": (q18_full_outer, Q18_SQL),
-    "q19_cube_customers": (q19_cube_customers, Q19_SQL),
-    "q23_string_funcs": (q23_string_funcs, Q23_SQL),
-    # --- tail: r5-driver-verified, rotates back next round
+    # --- 25 stale: last driver correctness row r5 (judge-green in r6)
     "q24_presto_text": (q24_presto_text, Q24_SQL),
     "q25_percentile_stats": (q25_percentile_stats, Q25_SQL),
     "q26_regexp_count": (q26_regexp_count, Q26_SQL),
@@ -3368,6 +3312,60 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q49_dup_clusters": (q49_dup_clusters, Q49_SQL),
     "q75_group_weighted_sample": (q75_group_weighted_sample, Q75_SQL),
     "q76_perplexity_buckets": (q76_perplexity_buckets, Q76_SQL),
+    # --- changed in round 7 (must be driver-verified this round)
+    "q78_chunk_dedupe": (q78_chunk_dedupe, Q78_SQL),
+    "q79_hll_distinct": (q79_hll_distinct, Q79_SQL),
+    # --- headline bench set
+    "q40_knn_brute": (q40_knn_brute, Q40_SQL),
+    "q20_events_json": (q20_events_json, Q20_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
+    "q05_regional_revenue": (q05_regional_revenue, Q05_SQL),
+    "q10_window_rank": (q10_window_rank, Q10_SQL),
+    "q16_event_pairs": (q16_event_pairs, Q16_SQL),
+    "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
+    "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
+    "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
+    "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
+    # --- window fill: the four r6-changed entries + relational head
+    "q73_semdedup": (q73_semdedup, Q73_SQL),
+    "q77_bucket_dedupe": (q77_bucket_dedupe, Q77_SQL),
+    "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
+    "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),
+    "q07_top_customers": (q07_top_customers, Q07_SQL),
+    "q09_rollup_orders": (q09_rollup_orders, Q09_SQL),
+    "q11_window_running": (q11_window_running, Q11_SQL),
+    "q12_distinct_agg": (q12_distinct_agg, Q12_SQL),
+    "q13_semi_join": (q13_semi_join, Q13_SQL),
+    "q14_anti_join": (q14_anti_join, Q14_SQL),
+    "q15_setops": (q15_setops, Q15_SQL),
+    "q17_above_customer_avg": (q17_above_customer_avg, Q17_SQL),
+    # --- tail: r6-driver-verified, rotates back next round
+    "q18_full_outer": (q18_full_outer, Q18_SQL),
+    "q19_cube_customers": (q19_cube_customers, Q19_SQL),
+    "q23_string_funcs": (q23_string_funcs, Q23_SQL),
+    "q50_tfidf": (q50_tfidf, Q50_SQL),
+    "q51_decontamination": (q51_decontamination, Q51_SQL),
+    "q52_stratified_sample": (q52_stratified_sample, Q52_SQL),
+    "q53_repetition_signals": (q53_repetition_signals, Q53_SQL),
+    "q54_unigram_logprob": (q54_unigram_logprob, Q54_SQL),
+    "q55_group_sample": (q55_group_sample, Q55_SQL),
+    "q56_contrastive_pairs": (q56_contrastive_pairs, Q56_SQL),
+    "q57_gopher_filter": (q57_gopher_filter, Q57_SQL),
+    "q59_temperature_mix": (q59_temperature_mix, Q59_SQL),
+    "q61_length_buckets": (q61_length_buckets, Q61_SQL),
+    "q64_bigram_logprob": (q64_bigram_logprob, Q64_SQL),
+    "q65_oov_rate": (q65_oov_rate, Q65_SQL),
+    "q66_funnel": (q66_funnel, Q66_SQL),
+    "q67_retention_cohorts": (q67_retention_cohorts, Q67_SQL),
+    "q68_doc_chunks": (q68_doc_chunks, Q68_SQL),
+    "q69_rolling_anomaly": (q69_rolling_anomaly, Q69_SQL),
+    "q70_pivot_daily": (q70_pivot_daily, Q70_SQL),
+    "q21_events_sessions": (q21_events_sessions, Q21_SQL),
+    "q22_events_hourly": (q22_events_hourly, Q22_SQL),
+    "q29_asof_join": (q29_asof_join, Q29_SQL),
+    "q28_exists_sql": (q28_exists_sql, Q28_SQL),
+    "q27_grouping_sets": (q27_grouping_sets, Q27_SQL),
 }
 
 
