@@ -79,9 +79,12 @@ LSH_CANDIDATE_SCHEMA = "doc_id long, first_doc long, band int, band_sig string"
 # v2 state (round 6): added n_seen for the bucket cap.  State-store
 # schemas are versioned by the CHECKPOINT, not the code — a query
 # checkpointed under the 2-field v1 state cannot resume on this code
-# (Spark's state schema check rejects the widening).  Restart such a
-# query with a fresh checkpoint; the watermark horizon bounds what the
-# new state misses.
+# (Spark's state schema check rejects the widening).  Migration path:
+# restart with a FRESH checkpoint and rebuild the state by replaying
+# the watermark horizon's already-landed rows through the same stateful
+# kernel — :func:`seed_near_dedup_state` composes the replay (seed rows
+# are marked so the sink suppresses their re-emitted verdicts); without
+# a seed, a bare fresh checkpoint misses up to one horizon of dedup.
 _LSH_STATE_SCHEMA = "first_doc long, first_us long, n_seen long"
 
 
@@ -280,6 +283,7 @@ def near_dedupe_stream(
     shingle_n: int = 3,
     min_hash_agreement: float = 0.5,
     max_bucket_docs: int | None = None,
+    timeout_mode: str = "processing",
 ) -> DataFrame:
     """End-to-end streaming near-dedup: candidates AND verification in
     one stateful pass — the streaming twin of
@@ -313,13 +317,40 @@ def near_dedupe_stream(
     out-of-order delivery can flip which member of a near-dup set
     survives — the SET of surviving contents is equivalent either way.
 
-    NO ROW IS EVER LOST — the invariant an ingest stage must hold.
-    Documents that cannot participate in dedup bypass the stateful
-    stage and survive unconditionally (one band-0 row, ``dup_of``
-    NULL): rows without a parseable event time (can neither claim a
-    bucket nor be judged against the watermark horizon — and a
-    quarantine-bound record with no timestamp must still reach the
-    quarantine), and rows whose text yields no shingles.  The
+    ``timeout_mode`` picks how bucket state is evicted, and with it
+    the late-row contract:
+
+    - ``"processing"`` (default): the watermark is registered on the
+      row's ARRIVAL time (the micro-batch timestamp) instead of the
+      event's own time, so no row can ever be behind it and the engine
+      never discards one — the only mode that upholds the no-row-lost
+      invariant below — while the same event-time-timeout machinery
+      still evicts a bucket one ``watermark_delay`` of arrival time
+      after its last activity (state stays bounded by
+      buckets-per-horizon).  The natural contract for ingest:
+      at-least-once transports redeliver within wall-clock minutes,
+      and an event that shows up a day late must still LAND (possibly
+      undeduplicated), never vanish.  The round-7 500k-event probe
+      measured the alternative: with an event-time watermark, 239k of
+      500k events whose timestamps wrapped behind the watermark were
+      silently dropped by the stateful operator.
+    - ``"event"``: the round-6 behavior — event-time watermark +
+      event-time timeout.  State and DEDUP COVERAGE are bounded in
+      event time (deterministic under replay of a historical corpus:
+      eviction depends only on the data, not on how fast the replay
+      runs), at the documented Spark cost that rows older than the
+      watermark are dropped before the stateful stage.  Use for
+      reprocessing jobs where event-time determinism matters and
+      late data is impossible by construction.
+
+    NO ROW IS EVER LOST (``timeout_mode="processing"``) — the
+    invariant an ingest stage must hold.  Documents that cannot
+    participate in dedup bypass the stateful stage and survive
+    unconditionally (one band-0 row, ``dup_of`` NULL): rows without a
+    parseable event time (can neither claim a bucket nor be judged
+    against the horizon — and a quarantine-bound record with no
+    timestamp must still reach the quarantine), and rows whose text
+    yields no shingles.  The
     no-shingle decision is made BY the signature kernel
     (``keep_unshingleable=True`` → NULL-signature rows routed around
     the stateful stage): Python's unicode whitespace rules decide
@@ -336,6 +367,9 @@ def near_dedupe_stream(
         minhash_signatures,
     )
 
+    if timeout_mode not in ("processing", "event"):
+        raise ValueError(f"timeout_mode must be 'processing' or 'event'; got {timeout_mode!r}")
+    timeout_event = timeout_mode == "event"
     horizon_ms = int(pd.Timedelta(watermark_delay).total_seconds() * 1000)
     payload_cols = docs.columns
     hs = [f"h{i}" for i in range(num_hashes)]
@@ -347,10 +381,31 @@ def near_dedupe_stream(
     # construction, and the kernel never touches pandas datetime — the
     # per-bucket to_datetime cost and the naive-wall-time/DST hazards
     # both disappear
-    timed = (
-        with_time.filter(F.col("_ndd_event_time").isNotNull())
-        .withWatermark("_ndd_event_time", watermark_delay)
-        .withColumn("_ndd_us", F.unix_micros(F.col("_ndd_event_time")))
+    timed = with_time.filter(F.col("_ndd_event_time").isNotNull()).withColumn(
+        "_ndd_us", F.unix_micros(F.col("_ndd_event_time"))
+    )
+    if timeout_event:
+        # event mode: the watermark rides the event's OWN time — the
+        # engine DROPS rows behind it at the stateful operator, the
+        # documented contract of this mode
+        timed = timed.withWatermark("_ndd_event_time", watermark_delay)
+        timed = timed.withColumn("_ndd_wm_us", F.col("_ndd_us"))
+    else:
+        # processing mode: the watermark rides the ARRIVAL time
+        # (current_timestamp() = the micro-batch timestamp, constant
+        # within a batch and monotone across batches), so no row can
+        # ever be behind it — nothing is dropped — while the SAME
+        # event-time-timeout machinery still evicts idle buckets one
+        # horizon of arrival time after their last activity.  A plain
+        # ProcessingTimeTimeout (no watermark) was tried first and
+        # rejected: it makes the engine trigger continuous empty
+        # micro-batches to service timers, burning a core per idle
+        # stream and never letting processAllAvailable return.
+        timed = timed.withColumn("_ndd_arrival", F.current_timestamp())
+        timed = timed.withWatermark("_ndd_arrival", watermark_delay)
+        timed = timed.withColumn("_ndd_wm_us", F.unix_micros(F.col("_ndd_arrival")))
+    wm_cols = ["_ndd_event_time", "_ndd_us", "_ndd_wm_us"] + (
+        [] if timeout_event else ["_ndd_arrival"]
     )
 
     sigs = minhash_signatures(
@@ -359,8 +414,7 @@ def near_dedupe_stream(
         id_col,
         num_hashes,
         shingle_n,
-        passthrough=["_ndd_event_time", "_ndd_us"]
-        + [c for c in payload_cols if c != id_col],
+        passthrough=wm_cols + [c for c in payload_cols if c != id_col],
         keep_unshingleable=True,
     )
     shingled = sigs.filter(F.col("h0").isNotNull())
@@ -368,12 +422,11 @@ def near_dedupe_stream(
     banded = shingled.select(
         F.col("id").cast("string").alias("_ndd_id"),
         F.concat_ws("|", *hs).alias("_ndd_sig"),
-        "_ndd_event_time",
-        "_ndd_us",
+        *wm_cols,
         *[c for c in payload_cols if c != id_col],
         F.explode(band_structs).alias("bs"),
     ).select(
-        "_ndd_id", "_ndd_sig", "_ndd_event_time", "_ndd_us",
+        "_ndd_id", "_ndd_sig", *wm_cols,
         *[c for c in payload_cols if c != id_col],
         "bs.band", "bs.band_sig",
     )
@@ -409,26 +462,29 @@ def near_dedupe_stream(
         ids = rows["_ndd_id"].to_list()
         sigs_l = rows["_ndd_sig"].to_list()
         us = rows["_ndd_us"].to_list()
+        # timeout anchor lives in the WATERMARK's domain (event time in
+        # event mode, arrival time in processing mode) — max over the
+        # batch, carried forward through state
+        wm_max = int(max(rows["_ndd_wm_us"].to_list()))
         if len(ids) > 1:
             order = sorted(range(len(ids)), key=lambda i: (us[i], ids[i]))
             ids = [ids[i] for i in order]
             sigs_l = [sigs_l[i] for i in order]
-            us = [us[i] for i in order]
         else:
             order = [0]
         if state.exists:
-            first_id, first_us, n_seen, first_sig = state.get
+            first_id, anchor_us, n_seen, first_sig = state.get
         else:
             first_id = str(ids[0])
-            first_us = int(us[0])
+            anchor_us = wm_max
             n_seen = 0
             first_sig = str(sigs_l[0])
         n_seen += len(ids)
-        last_us = max(int(us[-1]), first_us)
-        state.update((first_id, last_us, n_seen, first_sig))
+        anchor_us = max(wm_max, anchor_us)
+        state.update((first_id, anchor_us, n_seen, first_sig))
         watermark_ms = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(
-            max(last_us // 1000, watermark_ms + 1) + horizon_ms
+            max(anchor_us // 1000, watermark_ms + 1) + horizon_ms
         )
         capped = max_bucket_docs is not None and n_seen > max_bucket_docs
         c_parts = first_sig.split("|")
@@ -494,3 +550,48 @@ def resolve_stream_flags(batch_df: DataFrame, id_col: str = "_ndd_id") -> DataFr
         *[F.first(c).alias(c) for c in other],
         F.min("dup_of").alias("dup_of"),
     )
+
+
+def seed_near_dedup_state(
+    spark,
+    history: DataFrame,
+    seed_dir: str,
+    live: DataFrame,
+) -> DataFrame:
+    """Compose a near-dedup input stream whose stateful stage REBUILDS
+    its per-bucket state from already-landed rows — the documented
+    migration path when a checkpoint's state schema can no longer
+    resume on current code (``_LSH_STATE_SCHEMA`` v1 -> v2): start the
+    query on a FRESH checkpoint over this seeded stream instead of the
+    bare live stream, and the first micro-batches replay the last
+    watermark horizon's documents through the same kernel, re-claiming
+    every bucket a plain restart would have forgotten.
+
+    ``history`` is a BATCH DataFrame of the horizon's already-processed
+    documents (e.g. the events table filtered to ``utctimestamp >=
+    watermark - delay``) with the SAME columns as ``live``.  It is
+    written once to ``seed_dir`` as parquet (type-exact round-trip) and
+    read back as a file stream, because a batch frame cannot union with
+    a streaming one.  Every row gains an ``_ndd_seed`` boolean that
+    rides through :func:`near_dedupe_stream` as a payload column: seed
+    rows DO claim buckets and DO get verdicts re-emitted, so the sink
+    must drop ``_ndd_seed`` rows after :func:`resolve_stream_flags`
+    (they already landed before the migration) — state rebuild without
+    double-landing, and in-horizon duplicates arriving after the
+    migration still resolve against pre-migration claimants.
+
+    Scale: the seed is one horizon of data partitioned like any other
+    file-source micro-batch sequence; the rebuild costs exactly one
+    replay of the horizon, after which the seed directory is dead
+    weight and can be deleted."""
+    if "_ndd_seed" in history.columns or "_ndd_seed" in live.columns:
+        raise ValueError("_ndd_seed is reserved for the migration seed")
+    if set(history.columns) != set(live.columns):
+        raise ValueError(
+            "history and live must share columns; got "
+            f"{sorted(history.columns)} vs {sorted(live.columns)}"
+        )
+    seeded = history.withColumn("_ndd_seed", F.lit(True))
+    seeded.write.mode("overwrite").parquet(seed_dir)
+    seed_stream = spark.readStream.schema(seeded.schema).parquet(seed_dir)
+    return live.withColumn("_ndd_seed", F.lit(False)).unionByName(seed_stream)

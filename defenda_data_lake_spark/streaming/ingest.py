@@ -130,7 +130,13 @@ def start_deduped_ingest(
     Semantics note: ``Dropped`` in the reference envelope means "a
     plugin declined the event" (processor.py:59-76); here it also
     covers near-duplicate suppression — both are policy drops, kept
-    distinct from failures by the ``dup_of`` field."""
+    distinct from failures by the ``dup_of`` field.
+
+    The dedup stage runs in ``timeout_mode="processing"`` (wall-clock
+    state TTL, NO event-time watermark): an ingest pipeline must land
+    every event, and an event-time watermark makes the engine silently
+    discard rows that arrive behind it — the round-7 500k probe
+    measured 239k of 500k events lost that way before this default."""
     if checkpoint_path is None:
         raise ValueError("checkpoint_path is required")
     create_events_table(spark)

@@ -88,6 +88,16 @@ def run(mode: str, n: int) -> dict:
         quarantined = (
             spark.read.json(qdir).count() if os.path.isdir(qdir) else 0
         )
+        # no-row-lost invariant: every written event either lands or is
+        # quarantined (as a near-dup Drop or a ProcessingFailed) —
+        # round 7 caught the event-time watermark silently discarding
+        # 239k/500k "late" rows here before the arrival-time-watermark
+        # fix in streaming/dedup.py
+        written = (n // 32) * 32
+        assert landed + quarantined == written, (
+            f"{mode}: {landed} landed + {quarantined} quarantined "
+            f"!= {written} written — rows lost"
+        )
         return {
             "wall_s": round(wall, 2),
             "events_per_s": int(n / wall),

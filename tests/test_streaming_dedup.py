@@ -314,3 +314,187 @@ def test_near_dedupe_stream_batch_parity(spark, tmp_path):
     assert resolved[1] is None and resolved[2] == "1"
     assert resolved[4] is None and resolved[5] is None
     assert resolved[6] is None  # tab/newline-only doc survives
+
+def test_near_dedupe_stream_out_of_order_content_set(spark, tmp_path):
+    """Out-of-order delivery can flip WHICH member of a near-dup family
+    survives, but the surviving CONTENT set matches the batch twin's
+    (the docstring's claimant invariant, streaming/dedup.py): the
+    family's members arrive across micro-batches in REVERSE event-time
+    order, so the stream crowns the latest-timestamped member while
+    batch crowns the earliest — same content either way."""
+    from defenda_data_lake_spark.operators.dedup import minhash_bucket_dedupe
+    from defenda_data_lake_spark.streaming.dedup import (
+        near_dedupe_stream,
+        resolve_stream_flags,
+    )
+
+    fam = "the quick brown fox jumps over the lazy dog tonight"
+    other = "completely different words describing unrelated observations"
+    corpus = [
+        (1, "2026-01-01T00:01:00+00:00", fam),
+        (2, "2026-01-01T00:02:00+00:00", fam),
+        (3, "2026-01-01T00:03:00+00:00", fam),
+        (4, "2026-01-01T00:04:00+00:00", other),
+    ]
+    texts = dict((d, t) for d, ts, t in corpus)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    resolved = {}
+
+    def sink(batch_df, batch_id):
+        for r in resolve_stream_flags(batch_df).collect():
+            resolved[int(r["_ndd_id"])] = r["dup_of"]
+
+    query = (
+        near_dedupe_stream(_doc_stream(spark, landing), event_time_col="ts")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # one family member per micro-batch, latest event time FIRST
+        for i, (doc_id, ts, text) in enumerate(
+            [corpus[2], corpus[1], corpus[0]]
+        ):
+            with open(landing / f"b{i}.ndjson", "w") as f:
+                f.write(_doc(doc_id, ts, text) + "\n")
+                if i == 0:
+                    f.write(_doc(*corpus[3]) + "\n")
+            query.processAllAvailable()
+    finally:
+        query.stop()
+
+    docs = spark.createDataFrame(corpus, "doc_id long, ts string, text string")
+    batch = {
+        int(r["doc_id"]): r["dup_of"]
+        for r in minhash_bucket_dedupe(docs, ts_col="ts").collect()
+    }
+
+    assert set(resolved) == set(batch) == {1, 2, 3, 4}  # no row lost
+    # batch crowns 1 (earliest event time); the stream crowns 3
+    # (first arrival — verdicts already emitted can't be retracted)
+    assert batch[1] is None and batch[2] == "1" and batch[3] == "1"
+    assert resolved[3] is None and resolved[2] == "3" and resolved[1] == "3"
+    # the surviving CONTENT multiset is identical
+    stream_survivors = sorted(texts[d] for d, v in resolved.items() if v is None)
+    batch_survivors = sorted(texts[d] for d, v in batch.items() if v is None)
+    assert stream_survivors == batch_survivors == sorted([fam, other])
+
+def test_seed_near_dedup_state_migration_path(spark, tmp_path):
+    """The documented _LSH_STATE_SCHEMA v1->v2 migration: a query that
+    cannot resume its old checkpoint restarts on a FRESH checkpoint
+    over seed_near_dedup_state's seeded stream, and (a) runs, (b) loses
+    no live rows, (c) suppresses seed re-emission, and (d) still
+    resolves an in-horizon duplicate against a PRE-migration claimant
+    — the dedup coverage a bare fresh checkpoint would forfeit."""
+    from defenda_data_lake_spark.streaming.dedup import (
+        near_dedupe_stream,
+        resolve_stream_flags,
+        seed_near_dedup_state,
+    )
+
+    fam = "the quick brown fox jumps over the lazy dog tonight"
+    other = "completely different words describing unrelated observations"
+
+    # pre-migration era: docs 1 and 2 were processed and landed under
+    # the old (now-unresumable) checkpoint
+    history = spark.createDataFrame(
+        [
+            (1, "2026-01-01T00:01:00+00:00", fam),
+            (2, "2026-01-01T00:02:00+00:00", other),
+        ],
+        "doc_id long, ts string, text string",
+    )
+
+    landing = tmp_path / "landing_live"
+    landing.mkdir()
+    seeded = seed_near_dedup_state(
+        spark, history, str(tmp_path / "seed"), _doc_stream(spark, landing)
+    )
+
+    live_resolved, seed_landed = {}, []
+
+    def sink(batch_df, batch_id):
+        for r in resolve_stream_flags(batch_df).collect():
+            if r["_ndd_seed"]:
+                seed_landed.append(int(r["_ndd_id"]))  # must be dropped
+            else:
+                live_resolved[int(r["_ndd_id"])] = r["dup_of"]
+
+    query = (
+        near_dedupe_stream(seeded, event_time_col="ts")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fresh"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()  # seed replay rebuilds the state
+        # an in-horizon near-dup of PRE-migration doc 1 arrives
+        with open(landing / "b1.ndjson", "w") as f:
+            f.write(_doc(3, "2026-01-01T00:10:00+00:00", fam) + "\n")
+            f.write(_doc(4, "2026-01-01T00:11:00+00:00", "fresh novel text never seen") + "\n")
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    # seed rows are identified for suppression, live rows all arrive
+    assert sorted(seed_landed) == [1, 2]
+    assert set(live_resolved) == {3, 4}
+    assert live_resolved[3] == "1"   # pre-migration claimant remembered
+    assert live_resolved[4] is None  # novel doc survives
+
+def test_near_dedupe_stream_late_rows_not_lost_in_processing_mode(spark, tmp_path):
+    """timeout_mode contract: in the default 'processing' mode a row
+    arriving hours behind the stream's max event time still flows
+    through (judged against the live claimant); in 'event' mode the
+    engine's watermark silently drops it — the row loss the round-7
+    500k-event probe caught in the ingest composition."""
+    from defenda_data_lake_spark.streaming.dedup import (
+        near_dedupe_stream,
+        resolve_stream_flags,
+    )
+
+    fam = "the quick brown fox jumps over the lazy dog tonight"
+
+    for mode, expect_doc3 in (("processing", True), ("event", False)):
+        landing = tmp_path / f"landing_{mode}"
+        landing.mkdir()
+        resolved = {}
+
+        def sink(batch_df, batch_id):
+            for r in resolve_stream_flags(batch_df).collect():
+                resolved[int(r["_ndd_id"])] = r["dup_of"]
+
+        query = (
+            near_dedupe_stream(
+                _doc_stream(spark, landing),
+                event_time_col="ts",
+                timeout_mode=mode,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{mode}"))
+            .start()
+        )
+        try:
+            with open(landing / "b1.ndjson", "w") as f:
+                f.write(_doc(1, "2026-01-01T10:00:00+00:00", fam) + "\n")
+            query.processAllAvailable()
+            # doc 3's event time is 9.5 h behind the watermark horizon
+            with open(landing / "b2.ndjson", "w") as f:
+                f.write(_doc(3, "2026-01-01T00:30:00+00:00", fam) + "\n")
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+        assert resolved.get(1, "missing") is None, mode
+        if expect_doc3:
+            # late row LANDS, and is even deduped (claimant still live
+            # on the wall-clock TTL)
+            assert resolved[3] == "1", mode
+        else:
+            # event mode: engine dropped the late row before the kernel
+            assert 3 not in resolved, mode
