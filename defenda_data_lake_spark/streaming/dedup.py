@@ -284,6 +284,7 @@ def near_dedupe_stream(
     min_hash_agreement: float = 0.5,
     max_bucket_docs: int | None = None,
     timeout_mode: str = "processing",
+    shards: int | None = None,
 ) -> DataFrame:
     """End-to-end streaming near-dedup: candidates AND verification in
     one stateful pass — the streaming twin of
@@ -359,7 +360,29 @@ def near_dedupe_stream(
     dropped by the kernel yet miss the bypass, silently destroying
     the row.  ``max_bucket_docs``: once a bucket's cumulative
     membership exceeds the cap it stops flagging (rows still flow
-    through)."""
+    through).
+
+    ``shards``: the throughput knob.  ``applyInPandasWithState``
+    invokes the Python kernel once per GROUP per micro-batch, and with
+    per-bucket grouping a 125k-event batch means ~250k kernel calls at
+    ~0.19 ms each — the round-7 probe measured the stage
+    group-call-bound at 2.4k events/s while the state math itself is
+    microseconds.  With ``shards=N`` the stateful stage is keyed by
+    ``(band, hash(band_sig) % N)`` instead of ``(band, band_sig)``,
+    and each shard's state holds a TABLE of its buckets (parallel
+    arrays of (band_sig, claimant, anchor, n_seen, claimant_sig));
+    one kernel call then serves thousands of buckets.  Verdicts,
+    claimant order, the cap, and eviction timing are IDENTICAL to the
+    per-bucket kernel (a parity test pins them row-for-row): per-entry
+    expiry inside the shard mirrors the engine's end-of-batch timeout
+    semantics — an entry expired relative to the current watermark is
+    pruned only if this batch brought it no rows, exactly when the
+    engine would have fired the per-bucket timeout.  The trade is
+    state-serialization granularity: every touched shard rewrites its
+    whole table per batch, so pick N high enough that shard tables
+    stay small (buckets-per-horizon / N entries) and low enough that
+    calls stay amortized — 64-1024 is sensible; None keeps the
+    per-bucket reference kernel."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from defenda_data_lake_spark.operators.dedup import (
@@ -510,13 +533,131 @@ def near_dedupe_stream(
         )
         yield out
 
-    flagged = banded.groupBy("band", "band_sig").applyInPandasWithState(
-        claim,
-        outputStructType=out_schema,
-        stateStructType="first_id string, first_us long, n_seen long, first_sig string",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    def claim_sharded(key, batches, state):
+        # one call serves EVERY bucket hashed to this shard; state is
+        # the shard's bucket table as parallel arrays; entry layout:
+        # [first_id, anchor_us, n_seen, first_sig, expiry_ms] where
+        # expiry_ms is the EXACT timeout the per-bucket kernel would
+        # have registered at this entry's last data batch
+        if state.exists:
+            s_sigs, s_fids, s_anchors, s_nseens, s_fsigs, s_exps = state.get
+            table = {
+                s: [f, int(a), int(n), fs, int(e)]
+                for s, f, a, n, fs, e in zip(
+                    s_sigs, s_fids, s_anchors, s_nseens, s_fsigs, s_exps
+                )
+            }
+        else:
+            table = {}
+        wm_ms = state.getCurrentWatermarkMs()
+
+        def persist(touched=()):
+            # prune mirrors the engine's per-bucket timeout timing
+            # exactly: an entry goes when the watermark passes ITS
+            # stored timeout and the batch brought it no rows (the
+            # engine never times out a group WITH data)
+            for s in [
+                s
+                for s, v in table.items()
+                if s not in touched and v[4] < wm_ms
+            ]:
+                del table[s]
+            if not table:
+                state.remove()
+                return
+            items = list(table.items())
+            state.update(
+                (
+                    [s for s, _ in items],
+                    [v[0] for _, v in items],
+                    [v[1] for _, v in items],
+                    [v[2] for _, v in items],
+                    [v[3] for _, v in items],
+                    [v[4] for _, v in items],
+                )
+            )
+            # the shard's engine timeout = the earliest entry expiry,
+            # so expired entries are revisited (and pruned) on time
+            next_ms = min(v[4] for _, v in items)
+            state.setTimeoutTimestamp(max(next_ms, wm_ms + 1))
+
+        if state.hasTimedOut:
+            persist()
+            return
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+        ids = rows["_ndd_id"].to_list()
+        sigs_l = rows["_ndd_sig"].to_list()
+        us = rows["_ndd_us"].to_list()
+        wm_us_l = rows["_ndd_wm_us"].to_list()
+        bsigs = rows["band_sig"].to_list()
+        dup_of = [None] * len(ids)
+        by_sig: dict[str, list[int]] = {}
+        for i, s in enumerate(bsigs):
+            by_sig.setdefault(s, []).append(i)
+        for s, idxs in by_sig.items():
+            if len(idxs) > 1:
+                idxs.sort(key=lambda i: (us[i], ids[i]))
+            ent = table.get(s)
+            wm_max = max(wm_us_l[i] for i in idxs)
+            if ent is None:
+                ent = [str(ids[idxs[0]]), wm_max, 0, str(sigs_l[idxs[0]]), 0]
+                table[s] = ent
+            ent[1] = max(ent[1], wm_max)
+            ent[2] += len(idxs)
+            # same formula the per-bucket kernel feeds to
+            # setTimeoutTimestamp at each data batch
+            ent[4] = max(ent[1] // 1000, wm_ms + 1) + horizon_ms
+            if max_bucket_docs is not None and ent[2] > max_bucket_docs:
+                continue
+            first_id = ent[0]
+            c_parts = ent[3].split("|")
+            for i in idxs:
+                if ids[i] == first_id:
+                    continue
+                agree = sum(
+                    a == b for a, b in zip(sigs_l[i].split("|"), c_parts)
+                )
+                if agree >= min_agree_count:
+                    dup_of[i] = first_id
+        persist(touched=by_sig.keys())
+        yield pd.DataFrame(
+            {
+                "_ndd_id": ids,
+                "band": pd.Series([key[0]] * len(ids), dtype="int32"),
+                "dup_of": dup_of,
+                **{c: rows[c].to_numpy(dtype=object) for c in other_cols},
+            }
+        )
+
+    if shards is None:
+        flagged = banded.groupBy("band", "band_sig").applyInPandasWithState(
+            claim,
+            outputStructType=out_schema,
+            stateStructType="first_id string, first_us long, n_seen long, first_sig string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    else:
+        sharded = banded.withColumn(
+            "_ndd_shard",
+            F.pmod(F.xxhash64(F.col("band_sig")), F.lit(shards)).cast("int"),
+        )
+        flagged = sharded.groupBy("band", "_ndd_shard").applyInPandasWithState(
+            claim_sharded,
+            outputStructType=out_schema,
+            stateStructType=(
+                "sigs array<string>, first_ids array<string>, "
+                "anchors array<long>, n_seens array<long>, "
+                "first_sigs array<string>, expiries array<long>"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     # bypass branches (no-row-lost invariant, see docstring): rows
     # without a parseable event time never reach the kernel; rows the
     # KERNEL judged unshingleable come back with NULL signatures

@@ -107,6 +107,7 @@ def start_deduped_ingest(
     min_hash_agreement: float = 0.5,
     watermark_delay: str = "1 hour",
     max_bucket_docs: int | None = None,
+    dedup_shards: int | None = 256,
 ) -> StreamingQuery:
     """:func:`start_ingest` with an IN-STREAM near-dedup stage: after
     normalization, events whose ``text_col`` is a MinHash near-match of
@@ -136,7 +137,13 @@ def start_deduped_ingest(
     state TTL, NO event-time watermark): an ingest pipeline must land
     every event, and an event-time watermark makes the engine silently
     discard rows that arrive behind it — the round-7 500k probe
-    measured 239k of 500k events lost that way before this default."""
+    measured 239k of 500k events lost that way before this default.
+
+    ``dedup_shards=256`` by default: the sharded bucket-table kernel
+    (see ``near_dedupe_stream``) serves thousands of LSH buckets per
+    Python call instead of one, lifting the group-call-bound stage's
+    throughput ~10x at the 500k probe scale; ``None`` selects the
+    per-bucket reference kernel (verdict-identical, parity-pinned)."""
     if checkpoint_path is None:
         raise ValueError("checkpoint_path is required")
     create_events_table(spark)
@@ -167,6 +174,7 @@ def start_deduped_ingest(
         watermark_delay=watermark_delay,
         min_hash_agreement=min_hash_agreement,
         max_bucket_docs=max_bucket_docs,
+        shards=dedup_shards,
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -68,7 +68,14 @@ def run(mode: str, n: int) -> dict:
         spark.sql("DROP TABLE IF EXISTS defenda_data_lake.events")
         landing = os.path.join(tmp, "landing")
         _write_landing(landing, n, n_files=32, dup_every=5)
-        starter = start_deduped_ingest if mode == "dedup" else start_ingest
+        kwargs = {}
+        if mode == "plain":
+            starter = start_ingest
+        else:
+            starter = start_deduped_ingest
+            # "dedup" = the default sharded bucket-table kernel;
+            # "dedup_pergroup" = the per-bucket reference kernel
+            kwargs["dedup_shards"] = None if mode == "dedup_pergroup" else 256
         t0 = time.perf_counter()
         q = starter(
             spark,
@@ -77,6 +84,7 @@ def run(mode: str, n: int) -> dict:
             quarantine_path=os.path.join(tmp, "quarantine"),
             trigger_seconds=1,
             max_files_per_trigger=8,  # 4 micro-batches
+            **kwargs,
         )
         try:
             q.processAllAvailable()
@@ -111,8 +119,9 @@ def run(mode: str, n: int) -> dict:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    modes = sys.argv[2:] or ["plain", "dedup", "dedup_pergroup"]
     out = {"probe": "streaming_ingest", "n_events": n}
-    for mode in ("plain", "dedup"):
+    for mode in modes:
         out[mode] = run(mode, n)
     print(json.dumps(out))
 

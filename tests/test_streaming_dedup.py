@@ -498,3 +498,79 @@ def test_near_dedupe_stream_late_rows_not_lost_in_processing_mode(spark, tmp_pat
         else:
             # event mode: engine dropped the late row before the kernel
             assert 3 not in resolved, mode
+
+def test_near_dedupe_stream_sharded_parity(spark, tmp_path):
+    """shards=N (bucket-table kernel, one Python call per shard) must
+    produce verdicts IDENTICAL to the per-bucket reference kernel on
+    the same corpus delivered across the same micro-batches — near-dup
+    family, exact dups, a capped degenerate bucket, an unshingleable
+    doc, and a cross-batch claim all covered."""
+    from defenda_data_lake_spark.streaming.dedup import (
+        near_dedupe_stream,
+        resolve_stream_flags,
+    )
+
+    fam = "the quick brown fox jumps over the lazy dog tonight"
+    near = "the quick brown fox jumps over the lazy dog today instead"
+    xfam = "zebra quantum lattice harmonic oscillator drifts beyond the nebula rim"
+    boiler = "boilerplate legal footer text repeated verbatim every page"
+    batches = [
+        [
+            (1, "2026-01-01T00:01:00+00:00", fam),
+            (2, "2026-01-01T00:02:00+00:00", fam),
+            (3, "2026-01-01T00:03:00+00:00", near),
+            (4, "2026-01-01T00:04:00+00:00", "completely different words here"),
+            (5, "2026-01-01T00:05:00+00:00", ""),
+            (11, "2026-01-01T00:06:00+00:00", xfam),
+        ],
+        [
+            (6, "2026-01-01T00:10:00+00:00", xfam),  # cross-batch claim
+            (7, "2026-01-01T00:11:00+00:00", boiler),
+            (8, "2026-01-01T00:12:00+00:00", boiler),
+        ],
+        [
+            (9, "2026-01-01T00:20:00+00:00", boiler),   # batch pushes the
+            (10, "2026-01-01T00:21:00+00:00", boiler),  # bucket over cap=3
+        ],
+    ]
+
+    results = {}
+    for label, shard_arg in (("pergroup", None), ("sharded", 4)):
+        landing = tmp_path / f"landing_{label}"
+        landing.mkdir()
+        resolved = {}
+
+        def sink(batch_df, batch_id):
+            for r in resolve_stream_flags(batch_df).collect():
+                resolved[int(r["_ndd_id"])] = r["dup_of"]
+
+        query = (
+            near_dedupe_stream(
+                _doc_stream(spark, landing),
+                event_time_col="ts",
+                max_bucket_docs=3,
+                shards=shard_arg,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{label}"))
+            .start()
+        )
+        try:
+            for bi, docs in enumerate(batches):
+                with open(landing / f"b{bi}.ndjson", "w") as f:
+                    for d in docs:
+                        f.write(_doc(*d) + "\n")
+                query.processAllAvailable()
+        finally:
+            query.stop()
+        results[label] = resolved
+
+    assert results["sharded"] == results["pergroup"]
+    r = results["sharded"]
+    assert set(r) == set(range(1, 12))          # no row lost, either kernel
+    assert r[1] is None and r[2] == "1"
+    assert r[11] is None and r[6] == "11"       # cross-batch claim held
+    assert r[4] is None and r[5] is None
+    assert r[8] == "7"                          # under cap: flagged
+    assert r[9] is None and r[10] is None       # batch crosses cap: silent
