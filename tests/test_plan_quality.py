@@ -229,3 +229,21 @@ def test_cosine_topk_kernel_coalesced(spark):
     df = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Coalesce" in plan
+
+
+def test_q03_both_joins_broadcast(spark):
+    # the round-7 floor decomposition showed q03's cost is the
+    # 2-exchange agg floor BECAUSE both joins broadcast (the fact
+    # table never shuffles for a join); pin that plan shape
+    plan = plan_of(spark, "q03_shipping_priority")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q16_join_is_broadcast_hash(spark):
+    # same decomposition: the interval-bucketed range join resolves to
+    # ONE broadcast hash join (build = the non-exploded side) with the
+    # range predicate as residual — no shuffle of either side
+    plan = plan_of(spark, "q16_event_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
