@@ -33,23 +33,45 @@ def dedupe_stream(
     keys: Sequence[str] = ("eventid",),
     watermark_delay: str = "1 hour",
     event_time_col: str = "utctimestamp",
+    horizon_mode: str = "processing",
 ) -> DataFrame:
     """Drop re-deliveries of the same ``keys`` arriving within
     ``watermark_delay`` of each other.  Works on batch DataFrames too
     (plain ``dropDuplicates`` — batch has no horizon to bound).
 
-    The output schema is the input schema, unchanged — the event-time
-    column the watermark needs is internal (underscore-named so it
-    can't clobber a caller's column) and dropped before returning."""
-    df = events.withColumn(
-        "_dedup_event_time", F.to_timestamp(F.col(event_time_col))
-    )
-    if df.isStreaming:
-        df = df.withWatermark("_dedup_event_time", watermark_delay)
-        deduped = df.dropDuplicatesWithinWatermark(list(keys))
+    ``horizon_mode`` is the same contract knob as
+    ``near_dedupe_stream``'s ``timeout_mode``
+    (``dropDuplicatesWithinWatermark`` documents "too late data older
+    than watermark will be dropped" — the silent row loss the round-7
+    probe caught in the near-dedup stage applies here identically):
+
+    - ``"processing"`` (default): the watermark rides the ARRIVAL time
+      (micro-batch timestamp), so no row is ever behind it — a unique
+      event is NEVER silently discarded for having an old event
+      timestamp, and re-deliveries are suppressed within an arrival-
+      time horizon (the natural shape of at-least-once retries).
+    - ``"event"``: the watermark rides ``event_time_col`` — horizon
+      deterministic in event time under replay, late rows dropped by
+      the engine (documented Spark semantics).
+
+    The output schema is the input schema, unchanged — the time column
+    the watermark needs is internal (underscore-named so it can't
+    clobber a caller's column) and dropped before returning."""
+    if horizon_mode not in ("processing", "event"):
+        raise ValueError(
+            f"horizon_mode must be 'processing' or 'event'; got {horizon_mode!r}"
+        )
+    if not events.isStreaming:
+        return events.dropDuplicates(list(keys))
+    if horizon_mode == "event":
+        time_col = F.to_timestamp(F.col(event_time_col))
     else:
-        deduped = df.dropDuplicates(list(keys))
-    return deduped.drop("_dedup_event_time")
+        time_col = F.current_timestamp()
+    df = (
+        events.withColumn("_dedup_event_time", time_col)
+        .withWatermark("_dedup_event_time", watermark_delay)
+    )
+    return df.dropDuplicatesWithinWatermark(list(keys)).drop("_dedup_event_time")
 
 
 def content_dedupe_stream(
@@ -57,11 +79,13 @@ def content_dedupe_stream(
     text_col: str = "summary",
     watermark_delay: str = "1 hour",
     event_time_col: str = "utctimestamp",
+    horizon_mode: str = "processing",
 ) -> DataFrame:
     """Content-hash variant: dedup on a digest of the normalized text
     (the streaming twin of ``operators.dedup.exact_dedup``) rather than
     an id — catches re-sends that minted fresh event ids.  Schema is
-    the input schema, unchanged (the digest is internal)."""
+    the input schema, unchanged (the digest is internal);
+    ``horizon_mode`` as in :func:`dedupe_stream`."""
     from defenda_data_lake_spark.operators.dedup import normalized_text
 
     df = events.withColumn(
@@ -72,6 +96,7 @@ def content_dedupe_stream(
         keys=("_dedup_content_hash",),
         watermark_delay=watermark_delay,
         event_time_col=event_time_col,
+        horizon_mode=horizon_mode,
     ).drop("_dedup_content_hash")
 
 

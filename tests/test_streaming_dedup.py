@@ -574,3 +574,41 @@ def test_near_dedupe_stream_sharded_parity(spark, tmp_path):
     assert r[4] is None and r[5] is None
     assert r[8] == "7"                          # under cap: flagged
     assert r[9] is None and r[10] is None       # batch crosses cap: silent
+
+def test_dedupe_stream_late_unique_rows_not_lost(spark, tmp_path):
+    """Exact-dedup twin of the near-dedup late-row contract: a UNIQUE
+    event with an old event timestamp must land in 'processing' mode
+    (default) but is engine-dropped in 'event' mode; a late
+    RE-delivery is suppressed as a duplicate either way (processing
+    mode, within the arrival horizon)."""
+    from defenda_data_lake_spark.streaming.dedup import dedupe_stream
+
+    for mode, expect_late_unique in (("processing", True), ("event", False)):
+        landing = tmp_path / f"landing_{mode}"
+        landing.mkdir()
+        seen = []
+
+        def sink(batch_df, batch_id):
+            seen.extend(r["eventid"] for r in batch_df.collect())
+
+        query = (
+            dedupe_stream(_stream(spark, landing), horizon_mode=mode)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{mode}"))
+            .start()
+        )
+        try:
+            with open(landing / "b1.ndjson", "w") as f:
+                f.write(_event("e1", "2026-01-01T10:00:00+00:00") + "\n")
+            query.processAllAvailable()
+            with open(landing / "b2.ndjson", "w") as f:
+                # late redelivery of e1 + late UNIQUE e2
+                f.write(_event("e1", "2026-01-01T10:00:00+00:00") + "\n")
+                f.write(_event("e2", "2026-01-01T00:30:00+00:00") + "\n")
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+        assert seen.count("e1") == 1, mode  # redelivery suppressed
+        assert ("e2" in seen) == expect_late_unique, (mode, seen)
