@@ -151,9 +151,12 @@ def bloom_cardinality(
     counts DISTINCT set positions per group: at most ``m`` rows per
     group reach the final combine regardless of input size, the same
     register-table trade as HLL.  NULLs are ignored like
-    ``count(DISTINCT)``; a group with no values estimates exactly 0.0;
-    a SATURATED filter (every bit set) returns NULL — the estimator's
-    honest "beyond range" answer.
+    ``count(DISTINCT)``; a grouped key whose values are ALL NULL is
+    absent from the output (same as :func:`hll_distinct` — outer-join
+    the result if every key must appear), while the UNGROUPED
+    aggregate over no values estimates exactly 0.0; a SATURATED filter
+    (every bit set) returns NULL — the estimator's honest "beyond
+    range" answer.
 
     ``m_hex_digits=4`` (m=65536) with ``k=2`` keeps the fill below
     ~85% out to ~60k distinct values; scale m to the cardinality range

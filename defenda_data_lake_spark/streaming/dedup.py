@@ -712,8 +712,21 @@ def resolve_stream_flags(batch_df: DataFrame, id_col: str = "_ndd_id") -> DataFr
     stateful kernel processes both band rows in the batch that
     delivered them."""
     other = [c for c in batch_df.columns if c not in (id_col, "band", "dup_of")]
+
+    def agg_for(c):
+        # the migration-seed marker must resolve deterministically when
+        # a live redelivery shares its id with a seed row in the same
+        # micro-batch: ANY seed copy means the id already landed before
+        # the migration, so the whole doc resolves as seed and the
+        # sink's drop-seed-rows rule suppresses the redelivery —
+        # F.first() would pick a nondeterministic row and either
+        # double-land or silently split the verdict
+        if c == "_ndd_seed":
+            return F.max(c).alias(c)
+        return F.first(c).alias(c)
+
     return batch_df.groupBy(id_col).agg(
-        *[F.first(c).alias(c) for c in other],
+        *[agg_for(c) for c in other],
         F.min("dup_of").alias("dup_of"),
     )
 
@@ -744,7 +757,12 @@ def seed_near_dedup_state(
     must drop ``_ndd_seed`` rows after :func:`resolve_stream_flags`
     (they already landed before the migration) — state rebuild without
     double-landing, and in-horizon duplicates arriving after the
-    migration still resolve against pre-migration claimants.
+    migration still resolve against pre-migration claimants.  If a
+    LIVE redelivery of a seeded id arrives in the same micro-batch as
+    its seed copy, the id resolves as seed (``resolve_stream_flags``
+    aggregates ``_ndd_seed`` with ``max``: any seed copy wins) and the
+    redelivery is suppressed — the event already landed, which is the
+    exact outcome dedup exists to produce.
 
     Scale: the seed is one horizon of data partitioned like any other
     file-source micro-batch sequence; the rebuild costs exactly one

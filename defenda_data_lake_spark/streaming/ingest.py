@@ -141,9 +141,9 @@ def start_deduped_ingest(
 
     ``dedup_shards=256`` by default: the sharded bucket-table kernel
     (see ``near_dedupe_stream``) serves thousands of LSH buckets per
-    Python call instead of one, lifting the group-call-bound stage's
-    throughput ~10x at the 500k probe scale; ``None`` selects the
-    per-bucket reference kernel (verdict-identical, parity-pinned)."""
+    Python call instead of one — measured 5.8x throughput (2,152 ->
+    12,564 ev/s) at the 500k probe; ``None`` selects the per-bucket
+    reference kernel (verdict-identical, parity-pinned)."""
     if checkpoint_path is None:
         raise ValueError("checkpoint_path is required")
     create_events_table(spark)

@@ -431,7 +431,13 @@ def test_seed_near_dedup_state_migration_path(spark, tmp_path):
         .start()
     )
     try:
-        query.processAllAvailable()  # seed replay rebuilds the state
+        # FIRST batch: seed replay AND a live redelivery of seeded id 1
+        # arrive together (producers don't pause for migrations) — the
+        # id must resolve as seed deterministically (any-seed-wins) so
+        # the redelivery is suppressed, not double-landed
+        with open(landing / "b0.ndjson", "w") as f:
+            f.write(_doc(1, "2026-01-01T00:01:00+00:00", fam) + "\n")
+        query.processAllAvailable()
         # an in-horizon near-dup of PRE-migration doc 1 arrives
         with open(landing / "b1.ndjson", "w") as f:
             f.write(_doc(3, "2026-01-01T00:10:00+00:00", fam) + "\n")
@@ -440,7 +446,8 @@ def test_seed_near_dedup_state_migration_path(spark, tmp_path):
     finally:
         query.stop()
 
-    # seed rows are identified for suppression, live rows all arrive
+    # seed rows (incl. the same-batch redelivery of id 1) are
+    # identified for suppression; live rows all arrive
     assert sorted(seed_landed) == [1, 2]
     assert set(live_resolved) == {3, 4}
     assert live_resolved[3] == "1"   # pre-migration claimant remembered
