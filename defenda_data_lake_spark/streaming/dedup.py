@@ -406,8 +406,13 @@ def near_dedupe_stream(
     state-serialization granularity: every touched shard rewrites its
     whole table per batch, so pick N high enough that shard tables
     stay small (buckets-per-horizon / N entries) and low enough that
-    calls stay amortized — 64-1024 is sensible; None keeps the
-    per-bucket reference kernel."""
+    calls stay amortized.  Size it to the DEPLOYMENT, not a constant:
+    N ≈ buckets-per-horizon / 5k keeps tables in the KB-MB range, and
+    ``bands * N`` is the stateful stage's maximum parallelism, so N
+    must also comfortably exceed total executor cores — 64-1024 fits
+    a single node (the 500k probe uses 256); a 100 TB/day cluster
+    with billions of horizon buckets wants N in the 10^5-10^6 range.
+    None keeps the per-bucket reference kernel."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from defenda_data_lake_spark.operators.dedup import (
