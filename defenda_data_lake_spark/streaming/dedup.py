@@ -123,6 +123,7 @@ def lsh_candidates_stream(
     bands: int = 2,
     shingle_n: int = 3,
     max_bucket_docs: int | None = None,
+    timeout_mode: str = "processing",
 ) -> DataFrame:
     """Streaming NEAR-duplicate candidate generation — the streaming
     twin of ``operators.dedup.minhash_lsh_candidates``: as documents
@@ -134,11 +135,11 @@ def lsh_candidates_stream(
     crawl ingest discards near-re-posts without a nightly batch job.
 
     Statefulness: ONE ``applyInPandasWithState`` keyed by (band,
-    band_sig).  State per bucket is two longs (first doc id + its
-    event time); the event-time timeout evicts a bucket once the
-    watermark passes its last activity + horizon, so state is bounded
-    by buckets-per-horizon, not all buckets ever — same contract as
-    ``dedupe_stream``.  A doc with duplicate content in ``bands``
+    band_sig).  State per bucket is three longs (first doc id, the
+    timeout anchor in the watermark's domain, cumulative count); the
+    timeout evicts a bucket once the watermark passes its last
+    activity + horizon, so state is bounded by buckets-per-horizon,
+    not all buckets ever — same contract as ``dedupe_stream``.  A doc with duplicate content in ``bands``
     buckets emits up to ``bands`` candidate rows (band granularity is
     preserved deliberately; `.distinct()` downstream if pairs are all
     that matters).
@@ -153,6 +154,13 @@ def lsh_candidates_stream(
     rows without a parseable event time are filtered out before
     bucketing — a doc that can't be placed on the event timeline can
     neither claim a bucket nor be judged against the horizon.
+
+    ``timeout_mode`` is the same contract knob as
+    ``near_dedupe_stream``: ``"processing"`` (default) rides the
+    watermark on ARRIVAL time so a late-timestamped doc still flows
+    through and gets candidates; ``"event"`` keeps the event-time
+    watermark (deterministic horizon under replay, engine drops rows
+    behind the watermark).
 
     ``max_bucket_docs`` is the streaming twin of
     ``minhash_lsh_candidates``'s cap: once a bucket has seen more than
@@ -172,6 +180,10 @@ def lsh_candidates_stream(
 
     from defenda_data_lake_spark.operators.dedup import banded_minhash_signatures
 
+    if timeout_mode not in ("processing", "event"):
+        raise ValueError(
+            f"timeout_mode must be 'processing' or 'event'; got {timeout_mode!r}"
+        )
     horizon_ms = int(pd.Timedelta(watermark_delay).total_seconds() * 1000)
 
     with_time = (
@@ -179,7 +191,6 @@ def lsh_candidates_stream(
             "_lsh_event_time", F.try_to_timestamp(F.col(event_time_col))
         )
         .filter(F.col("_lsh_event_time").isNotNull())
-        .withWatermark("_lsh_event_time", watermark_delay)
         # epoch microseconds computed JVM-SIDE from the timestamp value
         # (timezone-exact by construction — supersedes the r5-advice
         # session-tz localization: the kernel never interprets a naive
@@ -189,7 +200,21 @@ def lsh_candidates_stream(
         # gone)
         .withColumn("_lsh_us", F.unix_micros(F.col("_lsh_event_time")))
     )
-    # the event-time column rides through the signature kernel as a
+    if timeout_mode == "event":
+        with_time = with_time.withWatermark("_lsh_event_time", watermark_delay)
+        with_time = with_time.withColumn("_lsh_wm_us", F.col("_lsh_us"))
+        wm_cols = ["_lsh_event_time", "_lsh_us", "_lsh_wm_us"]
+    else:
+        # arrival-time watermark: no row can be behind it (see
+        # near_dedupe_stream's timeout_mode docstring for the full
+        # rationale and the probe that motivated it)
+        with_time = with_time.withColumn("_lsh_arrival", F.current_timestamp())
+        with_time = with_time.withWatermark("_lsh_arrival", watermark_delay)
+        with_time = with_time.withColumn(
+            "_lsh_wm_us", F.unix_micros(F.col("_lsh_arrival"))
+        )
+        wm_cols = ["_lsh_event_time", "_lsh_us", "_lsh_arrival", "_lsh_wm_us"]
+    # the watermark column rides through the signature kernel as a
     # passthrough column, so the watermark survives to the stateful
     # operator without any stream-stream join-back
     banded = banded_minhash_signatures(
@@ -199,7 +224,7 @@ def lsh_candidates_stream(
         num_hashes=num_hashes,
         bands=bands,
         shingle_n=shingle_n,
-        passthrough=["_lsh_event_time", "_lsh_us"],
+        passthrough=wm_cols,
     ).withColumnRenamed("id", "doc_id")
 
     def claim(key, batches, state):
@@ -235,7 +260,9 @@ def lsh_candidates_stream(
                 continue
             n_total += len(chunk)
             chunk_us = chunk["_lsh_us"].to_numpy(dtype="int64")
-            chunk_max = int(chunk_us.max())
+            # eviction anchor lives in the WATERMARK's domain (event
+            # time in event mode, arrival time in processing mode)
+            chunk_max = int(chunk["_lsh_wm_us"].to_numpy(dtype="int64").max())
             if batch_max_us is None or chunk_max > batch_max_us:
                 batch_max_us = chunk_max
             ids_parts.append(chunk["doc_id"].to_numpy(dtype="int64"))
@@ -252,11 +279,10 @@ def lsh_candidates_stream(
         us = np.concatenate(us_parts)
         order = np.lexsort((ids, us))
         ids, us = ids[order], us[order]
-        # eviction anchor: the batch's TRUE max event time, recorded
-        # before the cap truncated the buffer to its earliest rows —
-        # a capped flood must keep pushing its timeout forward or the
-        # bucket evicts mid-flood and re-emits up to cap candidates on
-        # every re-claim
+        # anchor = the batch's TRUE max (recorded before the cap
+        # truncated the buffer to its earliest rows — a capped flood
+        # must keep pushing its timeout forward or the bucket evicts
+        # mid-flood and re-emits up to cap candidates per re-claim)
         last_us = batch_max_us
         if state.exists:
             first_doc, first_us, n_seen = state.get

@@ -619,3 +619,40 @@ def test_dedupe_stream_late_unique_rows_not_lost(spark, tmp_path):
 
         assert seen.count("e1") == 1, mode  # redelivery suppressed
         assert ("e2" in seen) == expect_late_unique, (mode, seen)
+
+def test_lsh_candidates_stream_late_rows(spark, tmp_path):
+    """Candidates twin of the late-row contract: default 'processing'
+    mode still emits a candidate for a doc whose event time is hours
+    behind the stream; 'event' mode engine-drops it."""
+    from defenda_data_lake_spark.streaming.dedup import lsh_candidates_stream
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    for mode, expect in (("processing", True), ("event", False)):
+        landing = tmp_path / f"landing_{mode}"
+        landing.mkdir()
+        query = (
+            lsh_candidates_stream(
+                _doc_stream(spark, landing),
+                event_time_col="ts",
+                timeout_mode=mode,
+            )
+            .writeStream.format("memory")
+            .queryName(f"lsh_late_{mode}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{mode}"))
+            .start()
+        )
+        try:
+            with open(landing / "b1.ndjson", "w") as f:
+                f.write(_doc(1, "2026-01-01T10:00:00+00:00", text) + "\n")
+            query.processAllAvailable()
+            with open(landing / "b2.ndjson", "w") as f:
+                f.write(_doc(2, "2026-01-01T00:30:00+00:00", text) + "\n")
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        pairs = {
+            (r["doc_id"], r["first_doc"])
+            for r in spark.sql(f"SELECT doc_id, first_doc FROM lsh_late_{mode}").collect()
+        }
+        assert ((2, 1) in pairs) == expect, (mode, pairs)
