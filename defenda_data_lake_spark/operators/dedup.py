@@ -1179,3 +1179,97 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_words: int = 5,
+) -> DataFrame:
+    """Per-document fraction of tokens covered by corpus-REPEATED word
+    n-grams — the span-granular duplication signal behind
+    suffix-array substring dedup (mark text that appears more than
+    once anywhere in the corpus), computed at word-gram resolution so
+    it stays a relational program: positional ``gram_words``-grams per
+    doc, gram occurrence count over the whole corpus, and for each doc
+    the UNION length of its repeated-gram intervals
+    ``[start, start + n)`` via gaps-and-islands (running max of
+    interval end; a new island starts where the next interval begins
+    past everything seen).  q78's chunk dedup DROPS 50-word
+    boilerplate chunks; this measures duplication at 5-word
+    resolution, the number a curation pipeline thresholds on before
+    paying for span REMOVAL.
+
+    Returns ``(id, n_words, covered_words, dup_coverage)`` for every
+    input document (docs too short for one gram: coverage 0.0).
+
+    Plan shape (scale): positional grams are pure JVM (split + slice
+    transform + explode); the occurrence count is ONE window over the
+    md5(gram)-keyed exchange (uniform, skew-free); the island union is
+    ONE window over the doc-keyed exchange, bounded per doc by its own
+    gram count.  No pair expansion anywhere — corpus-hot grams cost
+    their occurrence ROWS, never occurrence PAIRS."""
+    norm = normalized_text(F.col(text_col))
+    w = F.split(norm, " ")
+    t = df.select(
+        F.col(id_col).alias("id"), w.alias("_w"), F.size(w).alias("n_words")
+    )
+    n = gram_words
+    # q78's chunking pattern (explode a start sequence, slice per row —
+    # codegen, no interpreted HOF lambda), at stride 1; the greatest()
+    # guard keeps sequence() from going descending on short docs, and
+    # the n_words filter then drops those docs' bogus start
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n_words") - n + 1, F.lit(1))
+    )
+    occ = (
+        t.select("id", "n_words", F.explode(starts).alias("start"), "_w")
+        .filter(F.col("n_words") >= n)
+        .select(
+            "id",
+            "n_words",
+            "start",
+            F.md5(F.array_join(F.slice(F.col("_w"), F.col("start"), n), " ")).alias(
+                "h"
+            ),
+        )
+    )
+    # corpus-wide occurrence count per gram: one hash-keyed window
+    repeated = occ.withColumn(
+        "_cnt", F.count("*").over(Window.partitionBy("h"))
+    ).filter(F.col("_cnt") > 1)
+    # gaps-and-islands union of [start, start+n) per doc
+    wdoc = Window.partitionBy("id").orderBy("start")
+    prev_max_end = F.max(F.col("start") + n).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = repeated.withColumn(
+        "_new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("start") > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new_island").over(
+            wdoc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_island = islands.groupBy("id", "n_words", "_island").agg(
+        F.min("start").alias("_s"),
+        F.max(F.col("start") + n).alias("_e"),
+    )
+    covered = per_island.groupBy("id", "n_words").agg(
+        F.sum(F.col("_e") - F.col("_s")).alias("covered_words")
+    )
+    base = t.select("id", "n_words")
+    out = base.join(covered.drop("n_words"), "id", "left").select(
+        "id",
+        "n_words",
+        F.coalesce(F.col("covered_words"), F.lit(0)).alias("covered_words"),
+    )
+    cov = F.when(
+        F.col("n_words") > 0,
+        F.col("covered_words").cast("double") / F.col("n_words").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("dup_coverage", cov)

@@ -1260,6 +1260,74 @@ FROM ex JOIN fill USING (lang)
 """
 
 
+def q81_dup_span_coverage(spark, sf_dir):
+    """Per-document duplicate-span coverage
+    (``dedup.duplicate_span_coverage``): the fraction of each doc's
+    tokens covered by corpus-repeated 5-grams — the span-granular
+    duplication metric a curation pipeline thresholds on (the
+    word-gram relaxation of suffix-array substring dedup).  Two
+    uniform-keyed windows (gram hash, then doc), no pair expansion."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.duplicate_span_coverage(docs, gram_words=5)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("covered_words").cast("long").alias("covered_words"),
+        R("dup_coverage", 4).alias("dup_coverage"),
+    )
+
+
+Q81_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws, len(string_split(t, ' ')) AS n_words FROM norm),
+occ AS (
+  SELECT doc_id, n_words, s AS start,
+         md5(array_to_string(ws[s : s + 4], ' ')) AS h
+  FROM w, unnest(range(1, greatest(n_words - 4, 1) + 1)) AS u(s)
+  WHERE n_words >= 5
+),
+rep AS (
+  SELECT doc_id, n_words, start
+  FROM (SELECT *, count(*) OVER (PARTITION BY h) AS cnt FROM occ)
+  WHERE cnt > 1
+),
+isl AS (
+  SELECT doc_id, n_words, start,
+         CASE WHEN prev_max IS NULL OR start > prev_max THEN 1 ELSE 0 END AS new_island
+  FROM (
+    SELECT doc_id, n_words, start,
+           max(start + 5) OVER (PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM rep
+  )
+),
+isl2 AS (
+  SELECT doc_id, n_words, start,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+per_island AS (
+  SELECT doc_id, n_words, island, min(start) AS s, max(start + 5) AS e
+  FROM isl2 GROUP BY doc_id, n_words, island
+),
+cov AS (
+  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered_words
+  FROM per_island GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_words,
+       CAST(coalesce(cov.covered_words, 0) AS BIGINT) AS covered_words,
+       round(CASE WHEN w.n_words > 0
+                  THEN CAST(coalesce(cov.covered_words, 0) AS DOUBLE)
+                       / CAST(w.n_words AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END * 10000, 0) / 10000 AS dup_coverage
+FROM w LEFT JOIN cov USING (doc_id)
+"""
+
+
 def q49_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: MinHash+LSH near-dup pairs →
     connected components (iterated min-label propagation with pointer
@@ -3361,6 +3429,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q78_chunk_dedupe": (q78_chunk_dedupe, Q78_SQL),
     "q79_hll_distinct": (q79_hll_distinct, Q79_SQL),
     "q80_bloom_distinct": (q80_bloom_distinct, Q80_SQL),
+    "q81_dup_span_coverage": (q81_dup_span_coverage, Q81_SQL),
     # --- headline bench set
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
@@ -3384,9 +3453,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q12_distinct_agg": (q12_distinct_agg, Q12_SQL),
     "q13_semi_join": (q13_semi_join, Q13_SQL),
     "q14_anti_join": (q14_anti_join, Q14_SQL),
+    # --- tail: r6-driver-verified, rotates back next round (q15/q17
+    # displaced past slot 50 by the new q80/q81)
     "q15_setops": (q15_setops, Q15_SQL),
-    # --- tail: r6-driver-verified, rotates back next round (q17
-    # displaced past slot 50 by the new q80)
     "q17_above_customer_avg": (q17_above_customer_avg, Q17_SQL),
     "q18_full_outer": (q18_full_outer, Q18_SQL),
     "q19_cube_customers": (q19_cube_customers, Q19_SQL),

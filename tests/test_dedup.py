@@ -234,3 +234,31 @@ def test_chunk_level_dedupe_rejects_negative_and_null_ids(spark):
         for r in chunk_level_dedupe(ok, chunk_words=3).collect()
     }
     assert out == {0: 0, 5: 1}
+
+
+def test_duplicate_span_coverage(spark):
+    from defenda_data_lake_spark.operators.dedup import duplicate_span_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),           # all 4 grams shared with doc 5
+            (2, "a b c x y z"),           # head + tail repeated, adjacent islands merge
+            (3, "x y z"),                 # single gram, repeated via doc 2
+            (4, "q r"),                   # too short for a gram
+            (5, "a b c d e f"),           # exact dup of doc 1
+            (6, "m m m z1 z2 m m m"),     # INTRA-doc repeat: two disjoint islands
+            (7, "u1 u2 u3 u4 u5"),        # all grams unique -> zero coverage
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: (r["n_words"], r["covered_words"], round(r["dup_coverage"], 4))
+        for r in duplicate_span_coverage(docs, gram_words=3).collect()
+    }
+    assert out[1] == (6, 6, 1.0)
+    assert out[2] == (6, 6, 1.0)   # [1,4) and [4,7) merge into one island
+    assert out[3] == (3, 3, 1.0)
+    assert out[4] == (2, 0, 0.0)   # short doc still present, coverage 0
+    assert out[5] == (6, 6, 1.0)
+    assert out[6] == (8, 6, 0.75)  # [1,4) + [6,9): disjoint islands sum
+    assert out[7] == (5, 0, 0.0)
