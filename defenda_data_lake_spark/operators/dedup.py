@@ -55,6 +55,28 @@ def normalized_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def first_occurrence_key(op_name: str) -> Column:
+    """Sortable corpus-first-occurrence key over ``(id, start)``
+    columns: both zero-padded to full non-negative int64 width (lpad
+    TRUNCATES longer inputs, which would corrupt the ordering; 20
+    digits covers 2^63-1), so any engine's plain ``min`` replays the
+    first-occurrence choice.  Ids must be non-negative AND non-null —
+    a '-' prefix does not string-sort numerically and a NULL key
+    silently drops out of ``min()``; the CASE raises instead of
+    corrupting the order.  Same contract as the oracle replays."""
+    safe_id = F.expr(
+        f"CASE WHEN id >= 0 THEN CAST(id AS STRING) ELSE raise_error(CONCAT("
+        f"'{op_name}: id must be a non-negative non-null integer "
+        "(zero-padded first-occurrence key); got ', "
+        "coalesce(CAST(id AS STRING), 'NULL'))) END"
+    )
+    return F.concat(
+        F.lpad(safe_id, 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col("start").cast("string"), 9, "0"),
+    )
+
+
 def word_shingle_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -593,24 +615,7 @@ def chunk_level_dedupe(
             "chunk"
         ),
     )
-    # sortable first-occurrence key: doc id and position, zero-padded
-    # to the full non-negative int64 width (lpad TRUNCATES longer
-    # inputs, which would corrupt the ordering; 20 digits covers
-    # 2^63-1).  Ids must be non-negative AND non-null — a '-' prefix
-    # does not string-sort numerically and a NULL key silently drops
-    # out of min(); the CASE raises instead of corrupting the
-    # first-occurrence order.  Same contract as the oracle replay.
-    safe_id = F.expr(
-        "CASE WHEN id >= 0 THEN CAST(id AS STRING) ELSE raise_error(CONCAT("
-        "'chunk_level_dedupe: id must be a non-negative non-null integer "
-        "(zero-padded first-occurrence key); got ', "
-        "coalesce(CAST(id AS STRING), 'NULL'))) END"
-    )
-    occ = F.concat(
-        F.lpad(safe_id, 20, "0"),
-        F.lit(":"),
-        F.lpad(F.col("start").cast("string"), 9, "0"),
-    )
+    occ = first_occurrence_key("chunk_level_dedupe")
     hashed = ex.select("id", "start", "chunk", occ.alias("occ"), F.md5("chunk").alias("h"))
     first_occ = F.min("occ").over(Window.partitionBy("h"))
     flagged = hashed.select(
@@ -1273,3 +1278,88 @@ def duplicate_span_coverage(
         F.col("covered_words").cast("double") / F.col("n_words").cast("double"),
     ).otherwise(F.lit(0.0))
     return out.withColumn("dup_coverage", cov)
+
+
+def duplicate_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_words: int = 5,
+) -> DataFrame:
+    """REMOVE corpus-repeated spans instead of just measuring them
+    (:func:`duplicate_span_coverage`): every token covered by a
+    NON-FIRST occurrence of a corpus-repeated ``gram_words``-gram is
+    dropped; the corpus-first occurrence (zero-padded (doc, start)
+    min, the q78 scheme) keeps its text.  The word-gram relaxation of
+    Lee et al.'s suffix-array exact-substring dedup, as a relational
+    program: a verbatim re-post loses everything, a doc quoting a
+    paragraph loses just the quote, and the quoted original keeps it.
+
+    Returns ``(id, n_words, n_removed, clean_text)`` for every input
+    document.
+
+    Plan shape (scale): positional grams explode+slice (codegen);
+    corpus occurrence count AND first-occurrence choice share ONE
+    md5(gram)-keyed window exchange; removed spans explode to covered
+    positions (bounded by each doc's own length, never pair-expanded)
+    and anti-join the token stream on (id, pos); reassembly is one
+    doc-keyed sorted collect bounded by the doc's own token count."""
+    norm = normalized_text(F.col(text_col))
+    w = F.split(norm, " ")
+    t = df.select(
+        F.col(id_col).alias("id"), w.alias("_w"), F.size(w).alias("n_words")
+    )
+    n = gram_words
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n_words") - n + 1, F.lit(1))
+    )
+    occ = (
+        t.select("id", "n_words", F.explode(starts).alias("start"), "_w")
+        .filter(F.col("n_words") >= n)
+        .select(
+            "id",
+            "n_words",
+            "start",
+            F.md5(F.array_join(F.slice(F.col("_w"), F.col("start"), n), " ")).alias(
+                "h"
+            ),
+            first_occurrence_key("duplicate_span_removal").alias("occ"),
+        )
+    )
+    wh = Window.partitionBy("h")
+    flagged = occ.select(
+        "id",
+        "start",
+        (F.count("*").over(wh) > 1).alias("_rep"),
+        (F.col("occ") == F.min("occ").over(wh)).alias("_first"),
+    )
+    removed = flagged.filter(F.col("_rep") & ~F.col("_first"))
+    covered = removed.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + n - 1)
+        ).alias("pos"),
+    ).distinct()
+    tokens = t.select(
+        "id", "n_words", F.posexplode("_w").alias("_p0", "word")
+    ).select("id", "n_words", (F.col("_p0") + 1).alias("pos"), "word")
+    kept = tokens.join(covered, ["id", "pos"], "anti")
+    rebuilt = kept.groupBy("id", "n_words").agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = t.select("id", "n_words")
+    return base.join(rebuilt.drop("n_words"), "id", "left").select(
+        "id",
+        "n_words",
+        (F.col("n_words") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

@@ -1328,6 +1328,68 @@ FROM w LEFT JOIN cov USING (doc_id)
 """
 
 
+def q82_dup_span_removal(spark, sf_dir):
+    """Repeated-span REMOVAL (``dedup.duplicate_span_removal``):
+    tokens covered by non-first occurrences of corpus-repeated
+    5-grams are dropped, the corpus-first occurrence keeps its text —
+    q81's metric turned into the Lee-et-al substring-dedup transform
+    at word-gram resolution.  One gram-keyed window (count + first
+    choice share the exchange), covered-position anti-join, bounded
+    per-doc reassembly."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.duplicate_span_removal(docs, gram_words=5)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        "clean_text",
+    )
+
+
+Q82_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws, len(string_split(t, ' ')) AS n_words FROM norm),
+occ AS (
+  SELECT doc_id, n_words, s AS start,
+         md5(array_to_string(ws[s : s + 4], ' ')) AS h,
+         lpad(CAST(doc_id AS VARCHAR), 20, '0') || ':' ||
+         lpad(CAST(s AS VARCHAR), 9, '0') AS occ
+  FROM w, unnest(range(1, greatest(n_words - 4, 1) + 1)) AS u(s)
+  WHERE n_words >= 5
+),
+fl AS (
+  SELECT doc_id, start,
+         (count(*) OVER (PARTITION BY h) > 1) AS rep,
+         (occ = min(occ) OVER (PARTITION BY h)) AS fst
+  FROM occ
+),
+cov AS (
+  SELECT DISTINCT doc_id, p AS pos
+  FROM fl, unnest(range(start, start + 5)) AS u(p)
+  WHERE rep AND NOT fst
+),
+tok AS (SELECT doc_id, n_words, s AS pos, ws[s] AS word
+        FROM w, unnest(range(1, len(ws) + 1)) AS u(s)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.word
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(w.n_words AS BIGINT) AS n_words,
+       CAST(w.n_words - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(reb.clean_text, '') AS clean_text
+FROM w LEFT JOIN reb USING (doc_id)
+"""
+
+
 def q49_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: MinHash+LSH near-dup pairs →
     connected components (iterated min-label propagation with pointer
@@ -3430,6 +3492,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q79_hll_distinct": (q79_hll_distinct, Q79_SQL),
     "q80_bloom_distinct": (q80_bloom_distinct, Q80_SQL),
     "q81_dup_span_coverage": (q81_dup_span_coverage, Q81_SQL),
+    "q82_dup_span_removal": (q82_dup_span_removal, Q82_SQL),
     # --- headline bench set
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
@@ -3452,9 +3515,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q11_window_running": (q11_window_running, Q11_SQL),
     "q12_distinct_agg": (q12_distinct_agg, Q12_SQL),
     "q13_semi_join": (q13_semi_join, Q13_SQL),
+    # --- tail: r6-driver-verified, rotates back next round (q14/q15/
+    # q17 displaced past slot 50 by the new q80/q81/q82)
     "q14_anti_join": (q14_anti_join, Q14_SQL),
-    # --- tail: r6-driver-verified, rotates back next round (q15/q17
-    # displaced past slot 50 by the new q80/q81)
     "q15_setops": (q15_setops, Q15_SQL),
     "q17_above_customer_avg": (q17_above_customer_avg, Q17_SQL),
     "q18_full_outer": (q18_full_outer, Q18_SQL),

@@ -262,3 +262,40 @@ def test_duplicate_span_coverage(spark):
     assert out[5] == (6, 6, 1.0)
     assert out[6] == (8, 6, 0.75)  # [1,4) + [6,9): disjoint islands sum
     assert out[7] == (5, 0, 0.0)
+
+
+def test_duplicate_span_removal(spark):
+    from defenda_data_lake_spark.operators.dedup import duplicate_span_removal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # corpus-first everywhere: keeps all
+            (2, "a b c d e f"),        # verbatim re-post: loses everything
+            (3, "p q a b c d e f r"),  # quotes doc 1's span: loses the quote
+            (4, "u1 u2 u3 u4 u5"),     # unique: untouched
+            (5, "s t"),                # too short for a gram: untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: (r["n_words"], r["n_removed"], r["clean_text"])
+        for r in duplicate_span_removal(docs, gram_words=3).collect()
+    }
+    assert out[1] == (6, 0, "a b c d e f")
+    assert out[2] == (6, 6, "")
+    # doc 3's repeated grams: every 3-gram inside "a b c d e f" also
+    # occurs in docs 1/2 (non-first there? doc1 is first for those
+    # grams) -> the span [3,9) is removed, p q and r survive
+    assert out[3] == (9, 6, "p q r")
+    assert out[4] == (5, 0, "u1 u2 u3 u4 u5")
+    assert out[5] == (2, 0, "s t")
+
+
+def test_duplicate_span_removal_rejects_negative_ids(spark):
+    from defenda_data_lake_spark.operators.dedup import duplicate_span_removal
+
+    neg = spark.createDataFrame(
+        [(-1, "a b c d e"), (2, "a b c d e")], ["doc_id", "text"]
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        duplicate_span_removal(neg, gram_words=3).collect()
