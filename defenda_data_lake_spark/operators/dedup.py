@@ -1240,10 +1240,14 @@ def duplicate_span_coverage(
             ),
         )
     )
-    # corpus-wide occurrence count per gram: one hash-keyed window
-    repeated = occ.withColumn(
-        "_cnt", F.count("*").over(Window.partitionBy("h"))
-    ).filter(F.col("_cnt") > 1)
+    # corpus-wide occurrence count per gram: hash-agg + join back, NOT
+    # count() OVER (PARTITION BY h) — a window sorts every occurrence
+    # of one gram inside a single task, so a degenerate hot gram (a
+    # stopword run shared by millions of docs) becomes an unsplittable
+    # straggler; the agg gets map-side partial combine and the join
+    # gets AQE skew splitting, same one exchange on h (reused)
+    counts = occ.groupBy("h").agg(F.count("*").alias("_cnt"))
+    repeated = occ.join(counts.filter(F.col("_cnt") > 1), "h")
     # gaps-and-islands union of [start, start+n) per doc
     wdoc = Window.partitionBy("id").orderBy("start")
     prev_max_end = F.max(F.col("start") + n).over(
@@ -1326,14 +1330,19 @@ def duplicate_span_removal(
             first_occurrence_key("duplicate_span_removal").alias("occ"),
         )
     )
-    wh = Window.partitionBy("h")
-    flagged = occ.select(
-        "id",
-        "start",
-        (F.count("*").over(wh) > 1).alias("_rep"),
-        (F.col("occ") == F.min("occ").over(wh)).alias("_first"),
+    # occurrence count AND first-occurrence choice in ONE hash-agg
+    # (map-side combine), joined back — not windows over h, which would
+    # sort a hot gram's millions of occurrences in one unsplittable
+    # task (see duplicate_span_coverage); the join reuses the same
+    # h-keyed exchange and AQE splits skewed grams
+    aggd = occ.groupBy("h").agg(
+        F.count("*").alias("_cnt"), F.min("occ").alias("_first_occ")
     )
-    removed = flagged.filter(F.col("_rep") & ~F.col("_first"))
+    removed = (
+        occ.join(aggd.filter(F.col("_cnt") > 1), "h")
+        .filter(F.col("occ") != F.col("_first_occ"))
+        .select("id", "start")
+    )
     covered = removed.select(
         "id",
         F.explode(
