@@ -128,6 +128,106 @@ def hll_distinct(
     return per_group.select(*gcols, est.alias(out))
 
 
+def _cm_probe(col: Column, d: int, w_hex_digits: int) -> Column:
+    """Array of ``d`` (row, position) structs for a count-min probe:
+    row ``i`` hashes into a disjoint ``w_hex_digits``-character
+    substring of one ``md5`` — the position IS a hex string, so any
+    engine replays it with ``substr(md5(x), ...)`` (same construction
+    as :func:`bloom_cardinality`'s positions)."""
+    h = F.md5(col.cast("string"))
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("_cm_row"),
+                F.substring(h, 1 + i * w_hex_digits, w_hex_digits).alias(
+                    "_cm_pos"
+                ),
+            )
+            for i in range(d)
+        ]
+    )
+
+
+def _cm_check(d: int, w_hex_digits: int) -> None:
+    if not 1 <= w_hex_digits <= 8:
+        raise ValueError(f"w_hex_digits must be 1..8; got {w_hex_digits}")
+    if d < 1 or d * w_hex_digits > 32:
+        raise ValueError(
+            f"need d >= 1 and d * w_hex_digits <= 32; got d={d}"
+        )
+
+
+def count_min_table(
+    df: DataFrame,
+    col: str,
+    group_by: Sequence[str] = (),
+    d: int = 3,
+    w_hex_digits: int = 3,
+) -> DataFrame:
+    """Count-min sketch CELL TABLE of ``col`` occurrences per
+    ``group_by`` group: ``d`` rows of ``w = 16^w_hex_digits`` counters,
+    cell value = total occurrences of every value hashing there.  The
+    frequency complement to the cardinality sketches above — the
+    classic heavy-hitter / frequency-estimation structure (Cormode &
+    Muthukrishnan 2005), one-sided error (estimate >= truth, over by
+    at most ~N/w per row, min over rows).
+
+    Returns ``group_by + [_cm_row, _cm_pos, _cm_count]`` — at most
+    ``d * w`` rows per group reach the final combine regardless of
+    input size, with map-side partial ``sum``: the same bounded-state
+    trade as the HLL register table, for COUNTS instead of
+    cardinality.  Entirely integer — no float anywhere — so the
+    replay is bit-exact in any engine.  NULLs are ignored (a NULL is
+    not a value with a frequency)."""
+    _cm_check(d, w_hex_digits)
+    gcols = list(group_by)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            *gcols,
+            F.explode(_cm_probe(F.col(col), d, w_hex_digits)).alias("_cm"),
+        )
+        .select(*gcols, "_cm._cm_row", "_cm._cm_pos")
+        .groupBy(*gcols, "_cm_row", "_cm_pos")
+        .agg(F.count("*").alias("_cm_count"))
+    )
+
+
+def count_min_lookup(
+    cells: DataFrame,
+    items: DataFrame,
+    col: str,
+    group_by: Sequence[str] = (),
+    d: int = 3,
+    w_hex_digits: int = 3,
+    out: str = "cm_estimate",
+) -> DataFrame:
+    """Estimated frequency of each row of ``items`` (unique per
+    ``group_by + [col]``) from a :func:`count_min_table` built with the
+    SAME ``(d, w_hex_digits)``: probe the ``d`` cells a value hashes
+    to, take the minimum count (absent cell = 0).
+
+    Scale: the cell table is bounded (``d * 16^w_hex_digits`` rows per
+    group) so it is explicitly broadcast — the probe join is map-side,
+    ``items`` is never shuffled for the join; the closing min-agg
+    shuffles only the candidate set."""
+    _cm_check(d, w_hex_digits)
+    gcols = list(group_by)
+    item_cols = items.columns
+    probes = items.select(
+        *item_cols,
+        F.explode(_cm_probe(F.col(col), d, w_hex_digits)).alias("_cm"),
+    ).select(*item_cols, "_cm._cm_row", "_cm._cm_pos")
+    joined = probes.join(
+        F.broadcast(cells), [*gcols, "_cm_row", "_cm_pos"], "left"
+    )
+    return joined.groupBy(*item_cols).agg(
+        F.min(F.coalesce(F.col("_cm_count"), F.lit(0).cast("long"))).alias(
+            out
+        )
+    )
+
+
 def bloom_cardinality(
     df: DataFrame,
     col: str,

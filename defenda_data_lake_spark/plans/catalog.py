@@ -17,6 +17,7 @@ and why the plan shape survives 100 TB.
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1387,6 +1388,244 @@ SELECT w.doc_id, CAST(w.n_words AS BIGINT) AS n_words,
        CAST(w.n_words - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
        coalesce(reb.clean_text, '') AS clean_text
 FROM w LEFT JOIN reb USING (doc_id)
+"""
+
+
+def q83_count_min_words(spark, sf_dir):
+    """Count-min sketch frequency estimation
+    (``operators/sketches.py::count_min_table/count_min_lookup``):
+    per-language heavy-hitter words with their exact count next to
+    the sketch's estimate — the FREQUENCY complement to q79's HLL and
+    q80's Bloom cardinality sketches, same md5-substring determinism
+    so DuckDB replays the sketch cell-for-cell, and entirely integer
+    (no float anywhere).  Scale: the cell table is bounded at
+    ``d·w = 3·4096`` rows per language with map-side partial sum —
+    frequency estimation without shuffling every distinct word — and
+    the probe join broadcasts the bounded cells.  The exact branch
+    exists only as the accuracy yardstick (CMS error is one-sided:
+    estimate >= truth)."""
+    from defenda_data_lake_spark.operators.sketches import (
+        count_min_lookup,
+        count_min_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    cells = count_min_table(words, "word", ["lang"], d=3, w_hex_digits=3)
+    exact = words.groupBy("lang", "word").agg(
+        F.count("*").alias("exact_cnt")
+    )
+    top = (
+        exact.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.desc("exact_cnt"), F.asc("word")
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= 10)
+        .drop("_rk")
+    )
+    est = count_min_lookup(cells, top, "word", ["lang"], d=3, w_hex_digits=3)
+    return est.select("lang", "word", "exact_cnt", "cm_estimate")
+
+
+Q83_SQL = r"""
+WITH wds AS (
+  SELECT lang, unnest(string_split(trim(text), ' ')) AS word FROM documents
+),
+ww AS (SELECT lang, word FROM wds WHERE len(word) > 0),
+cells AS (
+  SELECT lang, i, substr(md5(word), 1 + 3 * (i - 1), 3) AS pos,
+         count(*) AS c
+  FROM ww, unnest(range(1, 4)) AS u(i)
+  GROUP BY lang, i, pos
+),
+exact AS (SELECT lang, word, count(*) AS exact_cnt FROM ww GROUP BY lang, word),
+top AS (
+  SELECT lang, word, exact_cnt FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY lang ORDER BY exact_cnt DESC, word ASC) AS rk
+    FROM exact)
+  WHERE rk <= 10
+),
+probe AS (
+  SELECT lang, word, exact_cnt, i,
+         substr(md5(word), 1 + 3 * (i - 1), 3) AS pos
+  FROM top, unnest(range(1, 4)) AS u(i)
+)
+SELECT p.lang, p.word, p.exact_cnt,
+       min(coalesce(cells.c, 0)) AS cm_estimate
+FROM probe p LEFT JOIN cells ON cells.lang = p.lang AND cells.i = p.i
+                             AND cells.pos = p.pos
+GROUP BY p.lang, p.word, p.exact_cnt
+"""
+
+
+def q84_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy (bits/char) — the
+    classic gibberish / boilerplate / encoding-garbage detector in
+    LLM-corpus quality filtering (low entropy = repeated padding, high
+    entropy = binary-in-text or key-dumps).  Identity
+    ``H = (ln n - Σ cnt·ln cnt / n) / ln 2`` over per-doc character
+    counts keeps everything in counts until two logs at the end.
+
+    Scale notes (100 TB): the first aggregation map-side-combines to
+    DISTINCT (doc, char) pairs — ~70 rows per document cross the
+    exchange instead of every character — and the second agg reuses
+    that tiny output.  No UDF, no corpus-width shuffle.  Cross-engine
+    float: the Σ cnt·ln cnt summation order differs between engines;
+    round-4 at the boundary absorbs it (same discipline as q54's
+    summed logs).  Empty/whitespace-only docs have no countable chars
+    and are absent on BOTH sides (Spark ``split('','')`` = [] vs
+    DuckDB [''] is designed out by the length filter)."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    ent = per_char.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars_counted"),
+        F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double"))).alias("_s"),
+        F.count("*").alias("distinct_chars"),
+    )
+    h = (
+        F.log(F.col("n_chars_counted").cast("double"))
+        - F.col("_s") / F.col("n_chars_counted").cast("double")
+    ) / F.lit(math.log(2.0))
+    return ent.select(
+        "doc_id",
+        "n_chars_counted",
+        "distinct_chars",
+        R(h, 4).alias("char_entropy"),
+    )
+
+
+Q84_SQL = r"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+cc AS (
+  SELECT doc_id, c, count(*) AS cnt FROM ch WHERE len(c) > 0
+  GROUP BY doc_id, c
+),
+agg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_counted,
+         sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS s,
+         count(*) AS distinct_chars
+  FROM cc GROUP BY doc_id
+)
+SELECT doc_id, n_chars_counted, distinct_chars,
+       round((ln(CAST(n_chars_counted AS DOUBLE))
+              - s / CAST(n_chars_counted AS DOUBLE)) / ln(CAST(2 AS DOUBLE))
+             * 10000, 0) / 10000 AS char_entropy
+FROM agg
+"""
+
+
+# (column, canonical min/max string form) — value goes through printf
+# %.4f on BOTH engines (C-style, identical rounding on the generator's
+# 2-decimal values; Spark's plain double->string cast would diverge on
+# sub-1e-3 magnitudes: '1.0E-4' vs DuckDB '0.0001'), ts through an
+# explicit 6-digit-microsecond format on both (the ANSI cast trap)
+_Q85_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def q85_profile_events(spark, sf_dir):
+    """Dataset column profiler — the engine-staple ``ANALYZE`` /
+    data-quality summary: per column of ``events``, row count, NULL
+    count, exact distinct count, and canonical min/max strings, as one
+    row per column.
+
+    Scale notes (100 TB): ONE pass over the table — a single global
+    aggregation with map-side partials; the multi-column DISTINCT
+    plans as Spark's Expand (×6 rows map-side, each stream partially
+    aggregated to its distinct values before the exchange), which is
+    the exact-answer cost.  At profiler-over-everything scale swap the
+    distinct branch for ``operators/sketches.hll_distinct`` per column
+    — bounded register state instead of distinct-value shuffle; exact
+    is kept here because the profile IS the accuracy contract.  The
+    closing unpivot (``stack``) runs on one row.  Min/max for doubles
+    go through C-style ``%.4f`` on both engines and timestamps through
+    an explicit microsecond format, so the value-hash is
+    format-stable."""
+    ev = _t(spark, sf_dir, "events")
+    canon = {
+        "ts": lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        "value": lambda c: F.format_string("%.4f", c),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _Q85_COLS:
+        col = F.col(c)
+        to_s = canon.get(c, lambda x: x.cast("string"))
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"null_{c}"),
+            F.countDistinct(col).alias(f"dist_{c}"),
+            to_s(F.min(col)).alias(f"min_{c}"),
+            to_s(F.max(col)).alias(f"max_{c}"),
+        ]
+    one = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c in _Q85_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_Q85_COLS)}, {stack_args})"
+        " as (col_name, n_null, n_distinct, min_val, max_val)",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+Q85_SQL = r"""
+WITH base AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+         count(DISTINCT event_id) AS dist_event_id,
+         CAST(min(event_id) AS VARCHAR) AS min_event_id,
+         CAST(max(event_id) AS VARCHAR) AS max_event_id,
+         CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+         count(DISTINCT ts) AS dist_ts,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+         count(DISTINCT user_id) AS dist_user_id,
+         CAST(min(user_id) AS VARCHAR) AS min_user_id,
+         CAST(max(user_id) AS VARCHAR) AS max_user_id,
+         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+         count(DISTINCT event_type) AS dist_event_type,
+         min(event_type) AS min_event_type,
+         max(event_type) AS max_event_type,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+         count(DISTINCT value) AS dist_value,
+         printf('%.4f', min(value)) AS min_value,
+         printf('%.4f', max(value)) AS max_value,
+         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+         count(DISTINCT props) AS dist_props,
+         min(props) AS min_props,
+         max(props) AS max_props
+  FROM events
+)
+SELECT 'event_id' AS col_name, n_rows, null_event_id AS n_null,
+       dist_event_id AS n_distinct, min_event_id AS min_val,
+       max_event_id AS max_val FROM base
+UNION ALL
+SELECT 'ts', n_rows, null_ts, dist_ts, min_ts, max_ts FROM base
+UNION ALL
+SELECT 'user_id', n_rows, null_user_id, dist_user_id, min_user_id,
+       max_user_id FROM base
+UNION ALL
+SELECT 'event_type', n_rows, null_event_type, dist_event_type,
+       min_event_type, max_event_type FROM base
+UNION ALL
+SELECT 'value', n_rows, null_value, dist_value, min_value, max_value
+FROM base
+UNION ALL
+SELECT 'props', n_rows, null_props, dist_props, min_props, max_props
+FROM base
 """
 
 
@@ -3493,6 +3732,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q80_bloom_distinct": (q80_bloom_distinct, Q80_SQL),
     "q81_dup_span_coverage": (q81_dup_span_coverage, Q81_SQL),
     "q82_dup_span_removal": (q82_dup_span_removal, Q82_SQL),
+    "q83_count_min_words": (q83_count_min_words, Q83_SQL),
+    "q84_char_entropy": (q84_char_entropy, Q84_SQL),
+    "q85_profile_events": (q85_profile_events, Q85_SQL),
     # --- headline bench set
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),

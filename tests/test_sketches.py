@@ -88,6 +88,61 @@ def test_bloom_nulls_empty_and_validation(spark):
         bloom_cardinality(g, "v", m_hex_digits=8, k=5)  # 40 hex > 32
 
 
+def test_count_min_one_sided_and_bounded(spark):
+    from defenda_data_lake_spark.operators.sketches import (
+        count_min_lookup,
+        count_min_table,
+    )
+
+    # Zipf-ish frequencies: value v appears (2000 // (v+1)) times
+    rows = [(str(v),) for v in range(500) for _ in range(2000 // (v + 1))]
+    df = spark.createDataFrame(rows, ["v"])
+    n = len(rows)
+    cells = count_min_table(df, "v", d=3, w_hex_digits=3)
+    exact = df.groupBy("v").agg(F.count("*").alias("cnt"))
+    est = count_min_lookup(cells, exact, "v", d=3, w_hex_digits=3)
+    w = 16 ** 3
+    for r in est.collect():
+        # CMS error is one-sided: estimate >= truth, over by at most
+        # ~e*N/w with overwhelming probability (loose 10x slack here)
+        assert r["cm_estimate"] >= r["cnt"], r
+        assert r["cm_estimate"] - r["cnt"] <= 10 * n / w + 5, r
+
+
+def test_count_min_grouped_nulls_absent_and_validation(spark):
+    import pytest as _pytest
+
+    from defenda_data_lake_spark.operators.sketches import (
+        count_min_lookup,
+        count_min_table,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") % 2).alias("g"),
+        F.when(F.col("id") % 5 != 0, (F.col("id") % 7).cast("string")).alias("v"),
+    )
+    cells = count_min_table(df, "v", ["g"])
+    # NULLs contribute to no cell: total mass = non-null count
+    total = cells.agg(F.sum("_cm_count")).collect()[0][0]
+    nn = df.filter(F.col("v").isNotNull()).count()
+    assert total == 3 * nn  # d=3 probes per value
+
+    # absent candidate estimates small (0 unless it collides in all rows)
+    probe = spark.createDataFrame([(0, "no-such-value"),], ["g", "v"])
+    est = count_min_lookup(cells, probe, "v", ["g"]).collect()[0]["cm_estimate"]
+    assert est <= nn  # sanity: bounded by the stream mass
+    # exact per-group estimate for a present value
+    present = spark.createDataFrame([(1, "3")], ["g", "v"])
+    true_cnt = df.filter((F.col("g") == 1) & (F.col("v") == "3")).count()
+    est2 = count_min_lookup(cells, present, "v", ["g"]).collect()[0]["cm_estimate"]
+    assert est2 >= true_cnt
+
+    with _pytest.raises(ValueError):
+        count_min_table(df, "v", d=0)
+    with _pytest.raises(ValueError):
+        count_min_table(df, "v", d=5, w_hex_digits=7)  # 35 hex > 32
+
+
 def test_bloom_saturation_returns_null(spark):
     from defenda_data_lake_spark.operators.sketches import bloom_cardinality
 
