@@ -124,6 +124,7 @@ def lsh_candidates_stream(
     shingle_n: int = 3,
     max_bucket_docs: int | None = None,
     timeout_mode: str = "processing",
+    shards: int | None = None,
 ) -> DataFrame:
     """Streaming NEAR-duplicate candidate generation — the streaming
     twin of ``operators.dedup.minhash_lsh_candidates``: as documents
@@ -171,6 +172,23 @@ def lsh_candidates_stream(
     chunk-by-chunk from Arrow and the in-memory buffer is bounded by
     ``max_bucket_docs + chunk`` rows — a million-member bucket never
     lives in one pandas frame.
+
+    ``shards``: the same throughput knob as ``near_dedupe_stream`` —
+    ``applyInPandasWithState`` calls the Python kernel once per GROUP
+    per micro-batch, and per-bucket grouping makes high-volume batches
+    group-call-bound (~0.19 ms/call measured, SCALING.md "Round 7").
+    With ``shards=N`` the stateful stage is keyed by
+    ``(band, hash(band_sig) % N)`` and each shard's state is a TABLE
+    of its buckets; one call serves thousands of buckets.  Candidate
+    rows, first-claimant choice, the cap, and eviction timing are
+    IDENTICAL to the per-bucket kernel (parity test pins them); sizing
+    guidance is in ``near_dedupe_stream``'s docstring.  The memory
+    contract differs in one documented way: the per-bucket kernel
+    bounds a capped degenerate bucket's buffer at O(cap + chunk) rows,
+    while a shard's kernel holds its partition of the micro-batch in
+    one frame (the engine already materialized it per-group either
+    way; per-SHARD the frame is bounded by the batch rows hashing to
+    the shard, which is what N controls).
 
     Scale: the signature kernel is stateless and shuffle-free; the one
     exchange is the state-store partitioning on (band, band_sig) —
@@ -314,10 +332,125 @@ def lsh_candidates_stream(
             }
         )
 
-    return banded.groupBy("band", "band_sig").applyInPandasWithState(
-        claim,
+    def claim_sharded(key, batches, state):
+        # one call serves EVERY bucket hashed to this shard (same
+        # shard-table pattern as near_dedupe_stream.claim_sharded);
+        # entry layout per band_sig: [first_doc, anchor_us, n_seen,
+        # expiry_ms] where expiry_ms is the exact timeout the
+        # per-bucket kernel would have registered at this entry's last
+        # data batch
+        import numpy as np
+
+        if state.exists:
+            s_sigs, s_fds, s_anchors, s_nseens, s_exps = state.get
+            table = {
+                s: [int(f), int(a), int(n), int(e)]
+                for s, f, a, n, e in zip(
+                    s_sigs, s_fds, s_anchors, s_nseens, s_exps
+                )
+            }
+        else:
+            table = {}
+        wm_ms = state.getCurrentWatermarkMs()
+
+        def persist(touched=()):
+            # prune mirrors the engine's per-bucket timeout timing:
+            # an entry goes when the watermark passes ITS stored
+            # timeout and this batch brought it no rows (the engine
+            # never times out a group WITH data)
+            for s in [
+                s
+                for s, v in table.items()
+                if s not in touched and v[3] < wm_ms
+            ]:
+                del table[s]
+            if not table:
+                state.remove()
+                return
+            items = list(table.items())
+            state.update(
+                (
+                    [s for s, _ in items],
+                    [v[0] for _, v in items],
+                    [v[1] for _, v in items],
+                    [v[2] for _, v in items],
+                    [v[3] for _, v in items],
+                )
+            )
+            next_ms = min(v[3] for _, v in items)
+            state.setTimeoutTimestamp(max(next_ms, wm_ms + 1))
+
+        if state.hasTimedOut:
+            persist()
+            return
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+        ids = rows["doc_id"].to_numpy(dtype="int64")
+        us = rows["_lsh_us"].to_numpy(dtype="int64")
+        wm_us = rows["_lsh_wm_us"].to_numpy(dtype="int64")
+        bsigs = rows["band_sig"].to_list()
+        by_sig: dict[str, list[int]] = {}
+        for i, s in enumerate(bsigs):
+            by_sig.setdefault(s, []).append(i)
+        out_ids: list[int] = []
+        out_firsts: list[int] = []
+        out_sigs: list[str] = []
+        for s, idxs in by_sig.items():
+            if len(idxs) > 1:
+                idxs.sort(key=lambda i: (us[i], ids[i]))
+            ent = table.get(s)
+            wm_max = int(max(wm_us[i] for i in idxs))
+            if ent is None:
+                # per-bucket kernel seeds the anchor from the earliest
+                # EVENT time, then maxes with the watermark-domain max
+                ent = [int(ids[idxs[0]]), int(us[idxs[0]]), 0, 0]
+                table[s] = ent
+            ent[1] = max(ent[1], wm_max)
+            ent[2] += len(idxs)
+            ent[3] = max(ent[1] // 1000, wm_ms + 1) + horizon_ms
+            if max_bucket_docs is not None and ent[2] > max_bucket_docs:
+                continue
+            first_doc = ent[0]
+            for i in idxs:
+                if int(ids[i]) != first_doc:
+                    out_ids.append(int(ids[i]))
+                    out_firsts.append(first_doc)
+                    out_sigs.append(s)
+        persist(touched=by_sig.keys())
+        if not out_ids:
+            return
+        yield pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_ids, dtype="int64"),
+                "first_doc": np.asarray(out_firsts, dtype="int64"),
+                "band": np.full(len(out_ids), key[0], dtype="int32"),
+                "band_sig": pd.Series(out_sigs, dtype="str"),
+            }
+        )
+
+    if shards is None:
+        return banded.groupBy("band", "band_sig").applyInPandasWithState(
+            claim,
+            outputStructType=LSH_CANDIDATE_SCHEMA,
+            stateStructType=_LSH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    sharded = banded.withColumn(
+        "_lsh_shard",
+        F.pmod(F.xxhash64(F.col("band_sig")), F.lit(shards)).cast("int"),
+    )
+    return sharded.groupBy("band", "_lsh_shard").applyInPandasWithState(
+        claim_sharded,
         outputStructType=LSH_CANDIDATE_SCHEMA,
-        stateStructType=_LSH_STATE_SCHEMA,
+        stateStructType=(
+            "sigs array<string>, first_docs array<long>, "
+            "anchors array<long>, n_seens array<long>, expiries array<long>"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

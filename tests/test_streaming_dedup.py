@@ -656,3 +656,79 @@ def test_lsh_candidates_stream_late_rows(spark, tmp_path):
             for r in spark.sql(f"SELECT doc_id, first_doc FROM lsh_late_{mode}").collect()
         }
         assert ((2, 1) in pairs) == expect, (mode, pairs)
+
+
+def test_lsh_candidates_stream_sharded_parity(spark, tmp_path):
+    """shards=N (bucket-table kernel) must emit candidate rows
+    IDENTICAL to the per-bucket reference kernel on the same corpus
+    delivered across the same micro-batches — near-dup family, exact
+    re-posts, a capped degenerate bucket, and a cross-batch claim all
+    covered."""
+    from defenda_data_lake_spark.streaming.dedup import lsh_candidates_stream
+
+    fam = "the quick brown fox jumps over the lazy dog tonight"
+    near = "the quick brown fox jumps over the lazy dog today instead"
+    xfam = "zebra quantum lattice harmonic oscillator drifts beyond the nebula rim"
+    boiler = "boilerplate legal footer text repeated verbatim every page"
+    batches = [
+        [
+            (1, "2026-01-01T00:01:00+00:00", fam),
+            (2, "2026-01-01T00:02:00+00:00", fam),
+            (3, "2026-01-01T00:03:00+00:00", near),
+            (4, "2026-01-01T00:04:00+00:00", "completely different words here"),
+            (11, "2026-01-01T00:06:00+00:00", xfam),
+        ],
+        [
+            (6, "2026-01-01T00:10:00+00:00", xfam),  # cross-batch claim
+            (7, "2026-01-01T00:11:00+00:00", boiler),
+            (8, "2026-01-01T00:12:00+00:00", boiler),
+        ],
+        [
+            (9, "2026-01-01T00:20:00+00:00", boiler),   # batch pushes the
+            (10, "2026-01-01T00:21:00+00:00", boiler),  # bucket over cap=3
+        ],
+    ]
+
+    results = {}
+    for label, shard_arg in (("pergroup", None), ("sharded", 4)):
+        landing = tmp_path / f"lsh_landing_{label}"
+        landing.mkdir()
+        query = (
+            lsh_candidates_stream(
+                _doc_stream(spark, landing),
+                event_time_col="ts",
+                max_bucket_docs=3,
+                shards=shard_arg,
+            )
+            .writeStream.format("memory")
+            .queryName(f"lsh_shard_{label}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"lsh_ckpt_{label}"))
+            .start()
+        )
+        try:
+            for bi, docs in enumerate(batches):
+                with open(landing / f"b{bi}.ndjson", "w") as f:
+                    for d in docs:
+                        f.write(_doc(*d) + "\n")
+                query.processAllAvailable()
+        finally:
+            query.stop()
+        results[label] = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    f"SELECT doc_id, first_doc, band, band_sig"
+                    f" FROM lsh_shard_{label}"
+                ).collect(),
+            )
+        )
+
+    assert results["sharded"] == results["pergroup"]
+    pairs = {(d, f) for d, f, _, _ in results["sharded"]}
+    assert (2, 1) in pairs            # exact re-post maps to claimant
+    assert (6, 11) in pairs           # cross-batch claim held
+    assert (8, 7) in pairs            # under cap: flagged
+    flagged_ids = {d for d, _ in pairs}
+    assert 9 not in flagged_ids and 10 not in flagged_ids  # capped batch silent
+    assert 4 not in flagged_ids
