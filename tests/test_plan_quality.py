@@ -247,3 +247,25 @@ def test_q16_join_is_broadcast_hash(spark):
     plan = plan_of(spark, "q16_event_pairs")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q83_count_min_cells_broadcast(spark):
+    """The count-min probe join must broadcast the bounded cell table
+    (≤ d·w rows per group by construction) — the candidate side never
+    shuffles for the join — and the whole sketch is JVM expression
+    work with no Python stage."""
+    plan = plan_of(spark, "q83_count_min_words")
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q84_q85_jvm_only_no_join(spark):
+    """Char entropy and the column profiler are pure aggregation
+    shapes: no join, no Python stage, no window."""
+    for name in ("q84_char_entropy", "q85_profile_events"):
+        plan = plan_of(spark, name)
+        assert "Join" not in plan, name
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+        assert "Window" not in plan, name
