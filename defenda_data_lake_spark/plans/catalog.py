@@ -1629,6 +1629,233 @@ FROM base
 """
 
 
+# FK graph of the TPC-H-ish schema: (child, fk col, parent, key col)
+_Q86_RELS = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def q86_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit — the data-lake QA staple: for every
+    foreign-key edge of the schema, how many child rows, how many NULL
+    FKs, and how many ORPHANS (non-NULL FK with no parent row).  A
+    healthy lake reports zeros; the query is the mechanism that proves
+    it (and the audit a real pipeline runs after every backfill).
+
+    Scale notes (100 TB): orphan counting never anti-joins RAW child
+    rows — each child is first aggregated to DISTINCT FK values with
+    per-key row counts (map-side combine collapses the fact table to
+    its key cardinality), and the anti-join against the parent's key
+    column runs on that reduced set; small parents broadcast
+    (Catalyst's size estimate decides — nation always, customer at
+    sf<~10).  Each relationship is two tiny aggregates + one anti
+    join; all-integer output, so the value hash is
+    arithmetic-free."""
+    out = None
+    for child, fk, parent, pk in _Q86_RELS:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent)
+        base = c.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_fk"),
+        )
+        fks = (
+            c.filter(F.col(fk).isNotNull())
+            .groupBy(F.col(fk).alias("_fk"))
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        orphans = (
+            fks.join(
+                p.select(F.col(pk).alias("_fk")), "_fk", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias("n_orphans"))
+        )
+        rel = base.crossJoin(orphans).select(
+            F.lit(f"{child}.{fk}->{parent}.{pk}").alias("rel"),
+            "n_rows",
+            "n_null_fk",
+            "n_orphans",
+        )
+        out = rel if out is None else out.unionByName(rel)
+    return out
+
+
+Q86_SQL = r"""
+SELECT 'orders.o_custkey->customer.c_custkey' AS rel,
+       (SELECT count(*) FROM orders) AS n_rows,
+       (SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders) AS n_null_fk,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+         WHERE o_custkey IS NOT NULL
+           AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+       (SELECT count(*) FROM lineitem),
+       (SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+         WHERE l_orderkey IS NOT NULL
+           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+UNION ALL
+SELECT 'lineitem.l_partkey->part.p_partkey',
+       (SELECT count(*) FROM lineitem),
+       (SELECT CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+         WHERE l_partkey IS NOT NULL
+           AND l_partkey NOT IN (SELECT p_partkey FROM part))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+       (SELECT count(*) FROM lineitem),
+       (SELECT CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+         WHERE l_suppkey IS NOT NULL
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+UNION ALL
+SELECT 'customer.c_nationkey->nation.n_nationkey',
+       (SELECT count(*) FROM customer),
+       (SELECT CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer),
+       (SELECT CAST(count(*) AS BIGINT) FROM customer
+         WHERE c_nationkey IS NOT NULL
+           AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+UNION ALL
+SELECT 'supplier.s_nationkey->nation.n_nationkey',
+       (SELECT count(*) FROM supplier),
+       (SELECT CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM supplier),
+       (SELECT CAST(count(*) AS BIGINT) FROM supplier
+         WHERE s_nationkey IS NOT NULL
+           AND s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+"""
+
+
+def q87_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (Robertson/Sparck-Jones, the Okapi
+    formula with k1=1.2, b=0.75): top-20 documents for a fixed
+    3-term query — the lexical-retrieval complement to the ANN family
+    (q40/q41/q46/q48), and the scorer behind decontamination-style
+    corpus search.
+
+    Scale notes (100 TB): ONE explode pass feeds both aggregates (doc
+    length and per-term tf); the tf branch filters to the query's
+    terms BEFORE its aggregation, so only matching (doc, term) pairs
+    shuffle; document-frequency and corpus stats are one-row/tiny
+    broadcasts; the final ranking is a TakeOrderedAndProject over
+    per-doc scores.  At index scale the tf table IS the inverted
+    index — this query is the read path.  Cross-engine float: scoring
+    expressions are written with IDENTICAL association on both sides,
+    terms summed per doc (order differs → round-4 absorbs, q54
+    discipline); ranking uses the ROUNDED score with a doc_id
+    tie-break so the top-20 cut is engine-stable."""
+    terms = ["spark", "merge", "window"]
+    docs = _t(spark, sf_dir, "documents")
+    # dl and the per-term tfs are HIGHER-ORDER ARRAY expressions over
+    # one split — a pure per-row projection: the corpus is never
+    # exploded and never shuffled (an explode+groupBy formulation
+    # measured 10.5x wall at 32x data; this shape is 100 TB-shaped:
+    # scan -> project -> tiny broadcast stitches -> top-k)
+    arr = F.filter(
+        F.split(F.trim(F.col("text")), " "), lambda w: F.length(w) > 0
+    )
+    def term_count(t: str):
+        # a 2-arg lambda would be read by F.filter as (element, index)
+        return F.size(F.filter(arr, lambda w: w == F.lit(t)))
+
+    base = docs.select(
+        "doc_id",
+        F.size(arr).alias("dl"),
+        *[term_count(t).alias(f"tf{i}") for i, t in enumerate(terms, 1)],
+    ).filter(F.col("dl") > 0)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(1, len(terms) + 1)
+        ],
+    ).select(
+        "n_docs",
+        (F.col("total_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+        *[f"df{i}" for i in range(1, len(terms) + 1)],
+    )
+    j = base.filter(
+        (F.col("tf1") > 0) | (F.col("tf2") > 0) | (F.col("tf3") > 0)
+    ).crossJoin(F.broadcast(stats))
+    norm = F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * (
+        F.col("dl").cast("double") / F.col("avgdl")
+    )
+
+    def term_score(i: int):
+        idf = F.log(
+            (F.col("n_docs").cast("double") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf_d = F.col(f"tf{i}").cast("double")
+        s = idf * (tf_d * F.lit(2.2)) / (tf_d + F.lit(1.2) * norm)
+        return F.when(F.col(f"tf{i}") > 0, s).otherwise(F.lit(0.0))
+
+    # fixed-order 3-term sum: identical association on both engines,
+    # so unlike a grouped SUM there is no order-dependent rounding
+    score = term_score(1) + term_score(2) + term_score(3)
+    return (
+        j.select("doc_id", R(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+Q87_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(trim(text), ' '), w -> len(w) > 0)) AS dl,
+         len(list_filter(string_split(trim(text), ' '), w -> w = 'spark')) AS tf1,
+         len(list_filter(string_split(trim(text), ' '), w -> w = 'merge')) AS tf2,
+         len(list_filter(string_split(trim(text), ' '), w -> w = 'window')) AS tf3
+  FROM documents
+),
+b AS (SELECT * FROM base WHERE dl > 0),
+st AS (
+  SELECT count(*) AS n_docs,
+         CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+  FROM b
+),
+sc AS (
+  SELECT doc_id,
+         (CASE WHEN tf1 > 0 THEN
+            ln((CAST(n_docs AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) + 1.0)
+            * (CAST(tf1 AS DOUBLE) * 2.2)
+            / (CAST(tf1 AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+          ELSE 0.0 END)
+         + (CASE WHEN tf2 > 0 THEN
+            ln((CAST(n_docs AS DOUBLE) - df2 + 0.5) / (df2 + 0.5) + 1.0)
+            * (CAST(tf2 AS DOUBLE) * 2.2)
+            / (CAST(tf2 AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+          ELSE 0.0 END)
+         + (CASE WHEN tf3 > 0 THEN
+            ln((CAST(n_docs AS DOUBLE) - df3 + 0.5) / (df3 + 0.5) + 1.0)
+            * (CAST(tf3 AS DOUBLE) * 2.2)
+            / (CAST(tf3 AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+          ELSE 0.0 END) AS score
+  FROM b, st
+  WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0
+)
+SELECT doc_id, round(score * 10000, 0) / 10000 AS bm25
+FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q49_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: MinHash+LSH near-dup pairs →
     connected components (iterated min-label propagation with pointer
@@ -3735,6 +3962,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q83_count_min_words": (q83_count_min_words, Q83_SQL),
     "q84_char_entropy": (q84_char_entropy, Q84_SQL),
     "q85_profile_events": (q85_profile_events, Q85_SQL),
+    "q86_referential_integrity": (q86_referential_integrity, Q86_SQL),
+    "q87_bm25_topk": (q87_bm25_topk, Q87_SQL),
     # --- headline bench set
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),

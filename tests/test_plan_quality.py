@@ -269,3 +269,38 @@ def test_q84_q85_jvm_only_no_join(spark):
         assert "Join" not in plan, name
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
         assert "Window" not in plan, name
+
+
+def test_q86_orphan_check_no_raw_anti_join(spark):
+    """The FK audit anti-joins DISTINCT fk values (aggregated first),
+    never raw child rows, and forms no cartesian or Python stage; the
+    only nested-loop joins are the documented one-row broadcast
+    stitches of the per-relationship scalar aggregates."""
+    from defenda_data_lake_spark.plans.catalog import CATALOG
+
+    fn, _ = CATALOG["q86_referential_integrity"]
+    df = fn(spark, SF)
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    final = full.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "ArrowEvalPython" not in final and "BatchEvalPython" not in final
+    # one anti-join per FK relationship (AQE materializes them behind
+    # query stages in the final plan, so count in the full string)
+    assert full.count("LeftAnti") >= 6
+    # each anti-join's streamed side is the DISTINCT-fk aggregate, not
+    # the raw child scan: the aggregate with the per-key counts sits
+    # under the anti-join in the initial plan
+    assert "HashAggregate" in full
+
+
+def test_q87_bm25_topk_plan(spark):
+    """BM25: the corpus is never exploded or shuffled — per-doc dl/tf
+    are higher-order array projections, corpus stats stitch in as a
+    one-row broadcast, and the final ranking is TakeOrderedAndProject
+    (no global sort), no Python stage, no exchange of the scan."""
+    plan = plan_of(spark, "q87_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # no explode anywhere
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
