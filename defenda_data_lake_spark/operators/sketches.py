@@ -218,10 +218,20 @@ def count_min_lookup(
         *item_cols,
         F.explode(_cm_probe(F.col(col), d, w_hex_digits)).alias("_cm"),
     ).select(*item_cols, "_cm._cm_row", "_cm._cm_pos")
-    joined = probes.join(
-        F.broadcast(cells), [*gcols, "_cm_row", "_cm_pos"], "left"
+    # group keys join NULL-SAFE: count_min_table keeps a NULL group
+    # (groupBy retains it), and a plain equi-join would never match it
+    # — the NULL group's estimates would come back 0, violating the
+    # one-sided (estimate >= truth) guarantee
+    c = F.broadcast(cells)
+    cond = (probes["_cm_row"] == c["_cm_row"]) & (
+        probes["_cm_pos"] == c["_cm_pos"]
     )
-    return joined.groupBy(*item_cols).agg(
+    for g in gcols:
+        cond = cond & probes[g].eqNullSafe(c[g])
+    joined = probes.join(c, cond, "left").select(
+        *[probes[x] for x in item_cols], c["_cm_count"]
+    )
+    return joined.groupBy(*[F.col(x) for x in item_cols]).agg(
         F.min(F.coalesce(F.col("_cm_count"), F.lit(0).cast("long"))).alias(
             out
         )

@@ -1479,9 +1479,12 @@ def q84_char_entropy(spark, sf_dir):
     that tiny output.  No UDF, no corpus-width shuffle.  Cross-engine
     float: the Σ cnt·ln cnt summation order differs between engines;
     round-4 at the boundary absorbs it (same discipline as q54's
-    summed logs).  Empty/whitespace-only docs have no countable chars
-    and are absent on BOTH sides (Spark ``split('','')`` = [] vs
-    DuckDB [''] is designed out by the length filter)."""
+    summed logs).  Whitespace characters COUNT (a whitespace-only doc
+    appears with entropy 0.0 — the strongest padding signal the metric
+    can give); only EMPTY docs have no countable chars and are absent
+    on both sides (Spark ``split('','')`` = [] vs DuckDB [''] is
+    designed out by the length filter, which rejects the zero-length
+    element, not whitespace)."""
     docs = _t(spark, sf_dir, "documents")
     chars = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
@@ -1647,15 +1650,15 @@ def q86_referential_integrity(spark, sf_dir):
     healthy lake reports zeros; the query is the mechanism that proves
     it (and the audit a real pipeline runs after every backfill).
 
-    Scale notes (100 TB): orphan counting never anti-joins RAW child
-    rows — each child is first aggregated to DISTINCT FK values with
-    per-key row counts (map-side combine collapses the fact table to
-    its key cardinality), and the anti-join against the parent's key
-    column runs on that reduced set; small parents broadcast
-    (Catalyst's size estimate decides — nation always, customer at
-    sf<~10).  Each relationship is two tiny aggregates + one anti
-    join; all-integer output, so the value hash is
-    arithmetic-free."""
+    Scale notes (100 TB): the query DECLARES aggregate-to-distinct-FKs
+    then anti-join, giving Catalyst both shapes to choose from: with a
+    broadcastable parent it pushes the anti-join BELOW the aggregate
+    (PushDownLeftSemiAntiJoin — map-side orphan filtering on the raw
+    scan, zero exchanges, the plan test pins every anti-join broadcast
+    at test SF), and with a too-big parent the declared order stands —
+    the anti-join runs on the distinct-FK aggregate, shuffling key
+    cardinality instead of fact rows.  All-integer output, so the
+    value hash is arithmetic-free."""
     out = None
     for child, fk, parent, pk in _Q86_RELS:
         c = _t(spark, sf_dir, child)
@@ -1687,48 +1690,52 @@ def q86_referential_integrity(spark, sf_dir):
     return out
 
 
+# orphans use NOT EXISTS, not NOT IN: a NULL parent key would turn
+# NOT IN into UNKNOWN for every probe (three-valued logic) and report
+# zero orphans on exactly the dirty data the audit exists to catch —
+# NOT EXISTS matches Spark's left_anti semantics row-for-row
 Q86_SQL = r"""
 SELECT 'orders.o_custkey->customer.c_custkey' AS rel,
        (SELECT count(*) FROM orders) AS n_rows,
        (SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders) AS n_null_fk,
        (SELECT CAST(count(*) AS BIGINT) FROM orders
          WHERE o_custkey IS NOT NULL
-           AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+           AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS n_orphans
 UNION ALL
 SELECT 'lineitem.l_orderkey->orders.o_orderkey',
        (SELECT count(*) FROM lineitem),
        (SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem),
        (SELECT CAST(count(*) AS BIGINT) FROM lineitem
          WHERE l_orderkey IS NOT NULL
-           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
 UNION ALL
 SELECT 'lineitem.l_partkey->part.p_partkey',
        (SELECT count(*) FROM lineitem),
        (SELECT CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem),
        (SELECT CAST(count(*) AS BIGINT) FROM lineitem
          WHERE l_partkey IS NOT NULL
-           AND l_partkey NOT IN (SELECT p_partkey FROM part))
+           AND NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey))
 UNION ALL
 SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
        (SELECT count(*) FROM lineitem),
        (SELECT CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem),
        (SELECT CAST(count(*) AS BIGINT) FROM lineitem
          WHERE l_suppkey IS NOT NULL
-           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+           AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey))
 UNION ALL
 SELECT 'customer.c_nationkey->nation.n_nationkey',
        (SELECT count(*) FROM customer),
        (SELECT CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer),
        (SELECT CAST(count(*) AS BIGINT) FROM customer
          WHERE c_nationkey IS NOT NULL
-           AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+           AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))
 UNION ALL
 SELECT 'supplier.s_nationkey->nation.n_nationkey',
        (SELECT count(*) FROM supplier),
        (SELECT CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM supplier),
        (SELECT CAST(count(*) AS BIGINT) FROM supplier
          WHERE s_nationkey IS NOT NULL
-           AND s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+           AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey))
 """
 
 

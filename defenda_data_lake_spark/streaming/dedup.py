@@ -100,6 +100,62 @@ def content_dedupe_stream(
     ).drop("_dedup_content_hash")
 
 
+class _ShardTable:
+    """Shared scaffolding for the sharded (``shards=N``) stateful dedup
+    kernels: load a shard's bucket table from the column-major state
+    arrays, and persist it back with the prune-and-reschedule contract
+    both kernels must share (``lsh_candidates_stream`` and
+    ``near_dedupe_stream`` desynchronizing on eviction timing is
+    exactly the bug class this helper exists to prevent).
+
+    Entry layout is positional; ``field_types`` is one char per entry
+    field ('i' int, 's' str) and the LAST field must be the entry's
+    expiry in epoch millis — the exact timeout the per-bucket kernel
+    would have registered at this entry's last data batch.
+
+    Prune contract (mirrors the engine's per-bucket timeout timing):
+    an entry is dropped when the watermark has passed ITS stored
+    expiry and the current batch brought it no rows (the engine never
+    times out a group WITH data); the shard's engine timeout is then
+    re-registered at the earliest surviving expiry so expired entries
+    are revisited (and pruned) on time."""
+
+    def __init__(self, state, field_types: str):
+        self.state = state
+        self._types = field_types
+        self.wm_ms = state.getCurrentWatermarkMs()
+        self.table: dict[str, list] = {}
+        if state.exists:
+            got = state.get
+            sigs, cols = got[0], got[1:]
+            for j, s in enumerate(sigs):
+                self.table[s] = [
+                    int(c[j]) if t == "i" else str(c[j])
+                    for c, t in zip(cols, field_types)
+                ]
+
+    def persist(self, touched=()) -> None:
+        exp = len(self._types) - 1
+        for s in [
+            s
+            for s, v in self.table.items()
+            if s not in touched and v[exp] < self.wm_ms
+        ]:
+            del self.table[s]
+        if not self.table:
+            self.state.remove()
+            return
+        items = list(self.table.items())
+        self.state.update(
+            (
+                [s for s, _ in items],
+                *([v[k] for _, v in items] for k in range(len(self._types))),
+            )
+        )
+        next_ms = min(v[exp] for _, v in items)
+        self.state.setTimeoutTimestamp(max(next_ms, self.wm_ms + 1))
+
+
 LSH_CANDIDATE_SCHEMA = "doc_id long, first_doc long, band int, band_sig string"
 # v2 state (round 6): added n_seen for the bucket cap.  State-store
 # schemas are versioned by the CHECKPOINT, not the code — a query
@@ -333,55 +389,17 @@ def lsh_candidates_stream(
         )
 
     def claim_sharded(key, batches, state):
-        # one call serves EVERY bucket hashed to this shard (same
-        # shard-table pattern as near_dedupe_stream.claim_sharded);
-        # entry layout per band_sig: [first_doc, anchor_us, n_seen,
-        # expiry_ms] where expiry_ms is the exact timeout the
-        # per-bucket kernel would have registered at this entry's last
-        # data batch
+        # one call serves EVERY bucket hashed to this shard; the state
+        # load / prune / persist contract lives in _ShardTable (shared
+        # with near_dedupe_stream so the two sharded kernels cannot
+        # desynchronize on eviction timing); entry layout per band_sig:
+        # [first_doc, anchor_us, n_seen, expiry_ms]
         import numpy as np
 
-        if state.exists:
-            s_sigs, s_fds, s_anchors, s_nseens, s_exps = state.get
-            table = {
-                s: [int(f), int(a), int(n), int(e)]
-                for s, f, a, n, e in zip(
-                    s_sigs, s_fds, s_anchors, s_nseens, s_exps
-                )
-            }
-        else:
-            table = {}
-        wm_ms = state.getCurrentWatermarkMs()
-
-        def persist(touched=()):
-            # prune mirrors the engine's per-bucket timeout timing:
-            # an entry goes when the watermark passes ITS stored
-            # timeout and this batch brought it no rows (the engine
-            # never times out a group WITH data)
-            for s in [
-                s
-                for s, v in table.items()
-                if s not in touched and v[3] < wm_ms
-            ]:
-                del table[s]
-            if not table:
-                state.remove()
-                return
-            items = list(table.items())
-            state.update(
-                (
-                    [s for s, _ in items],
-                    [v[0] for _, v in items],
-                    [v[1] for _, v in items],
-                    [v[2] for _, v in items],
-                    [v[3] for _, v in items],
-                )
-            )
-            next_ms = min(v[3] for _, v in items)
-            state.setTimeoutTimestamp(max(next_ms, wm_ms + 1))
-
+        tbl = _ShardTable(state, "iiii")
+        table, wm_ms = tbl.table, tbl.wm_ms
         if state.hasTimedOut:
-            persist()
+            tbl.persist()
             return
         chunks = [c for c in batches if len(c)]
         if not chunks:
@@ -411,6 +429,8 @@ def lsh_candidates_stream(
                 table[s] = ent
             ent[1] = max(ent[1], wm_max)
             ent[2] += len(idxs)
+            # same formula the per-bucket kernel feeds to
+            # setTimeoutTimestamp at each data batch
             ent[3] = max(ent[1] // 1000, wm_ms + 1) + horizon_ms
             if max_bucket_docs is not None and ent[2] > max_bucket_docs:
                 continue
@@ -420,7 +440,7 @@ def lsh_candidates_stream(
                     out_ids.append(int(ids[i]))
                     out_firsts.append(first_doc)
                     out_sigs.append(s)
-        persist(touched=by_sig.keys())
+        tbl.persist(touched=by_sig.keys())
         if not out_ids:
             return
         yield pd.DataFrame(
@@ -723,55 +743,14 @@ def near_dedupe_stream(
         yield out
 
     def claim_sharded(key, batches, state):
-        # one call serves EVERY bucket hashed to this shard; state is
-        # the shard's bucket table as parallel arrays; entry layout:
-        # [first_id, anchor_us, n_seen, first_sig, expiry_ms] where
-        # expiry_ms is the EXACT timeout the per-bucket kernel would
-        # have registered at this entry's last data batch
-        if state.exists:
-            s_sigs, s_fids, s_anchors, s_nseens, s_fsigs, s_exps = state.get
-            table = {
-                s: [f, int(a), int(n), fs, int(e)]
-                for s, f, a, n, fs, e in zip(
-                    s_sigs, s_fids, s_anchors, s_nseens, s_fsigs, s_exps
-                )
-            }
-        else:
-            table = {}
-        wm_ms = state.getCurrentWatermarkMs()
-
-        def persist(touched=()):
-            # prune mirrors the engine's per-bucket timeout timing
-            # exactly: an entry goes when the watermark passes ITS
-            # stored timeout and the batch brought it no rows (the
-            # engine never times out a group WITH data)
-            for s in [
-                s
-                for s, v in table.items()
-                if s not in touched and v[4] < wm_ms
-            ]:
-                del table[s]
-            if not table:
-                state.remove()
-                return
-            items = list(table.items())
-            state.update(
-                (
-                    [s for s, _ in items],
-                    [v[0] for _, v in items],
-                    [v[1] for _, v in items],
-                    [v[2] for _, v in items],
-                    [v[3] for _, v in items],
-                    [v[4] for _, v in items],
-                )
-            )
-            # the shard's engine timeout = the earliest entry expiry,
-            # so expired entries are revisited (and pruned) on time
-            next_ms = min(v[4] for _, v in items)
-            state.setTimeoutTimestamp(max(next_ms, wm_ms + 1))
-
+        # one call serves EVERY bucket hashed to this shard; the state
+        # load / prune / persist contract lives in _ShardTable (shared
+        # with lsh_candidates_stream); entry layout per band_sig:
+        # [first_id, anchor_us, n_seen, first_sig, expiry_ms]
+        tbl = _ShardTable(state, "siisi")
+        table, wm_ms = tbl.table, tbl.wm_ms
         if state.hasTimedOut:
-            persist()
+            tbl.persist()
             return
         chunks = [c for c in batches if len(c)]
         if not chunks:
@@ -813,7 +792,7 @@ def near_dedupe_stream(
                 )
                 if agree >= min_agree_count:
                     dup_of[i] = first_id
-        persist(touched=by_sig.keys())
+        tbl.persist(touched=by_sig.keys())
         yield pd.DataFrame(
             {
                 "_ndd_id": ids,

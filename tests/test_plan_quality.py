@@ -271,11 +271,16 @@ def test_q84_q85_jvm_only_no_join(spark):
         assert "Window" not in plan, name
 
 
-def test_q86_orphan_check_no_raw_anti_join(spark):
-    """The FK audit anti-joins DISTINCT fk values (aggregated first),
-    never raw child rows, and forms no cartesian or Python stage; the
-    only nested-loop joins are the documented one-row broadcast
-    stitches of the per-relationship scalar aggregates."""
+def test_q86_orphan_anti_joins_broadcast(spark):
+    """The FK audit's six orphan checks must stay BROADCAST anti-joins
+    (the fact table never shuffles for the join) with no cartesian or
+    Python stage.  The query DECLARES aggregate-then-anti-join;
+    Catalyst's PushDownLeftSemiAntiJoin pushes the anti-join below the
+    aggregate when the build side broadcasts — map-side orphan
+    filtering, then the count aggregates run over (usually zero)
+    orphans.  This test pins that every anti-join is the broadcast
+    form: a regression to a shuffled (sort-merge) anti-join of the
+    fact table is the 100 TB hazard."""
     from defenda_data_lake_spark.plans.catalog import CATALOG
 
     fn, _ = CATALOG["q86_referential_integrity"]
@@ -285,13 +290,13 @@ def test_q86_orphan_check_no_raw_anti_join(spark):
     final = full.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in final
     assert "ArrowEvalPython" not in final and "BatchEvalPython" not in final
-    # one anti-join per FK relationship (AQE materializes them behind
-    # query stages in the final plan, so count in the full string)
-    assert full.count("LeftAnti") >= 6
-    # each anti-join's streamed side is the DISTINCT-fk aggregate, not
-    # the raw child scan: the aggregate with the per-key counts sits
-    # under the anti-join in the initial plan
-    assert "HashAggregate" in full
+    # physical anti-join lines carry the build side ("LeftAnti,
+    # Build..."); a bare "Join LeftAnti" is a logical fragment the
+    # plan string also renders
+    anti_lines = [l for l in full.splitlines() if "LeftAnti, Build" in l]
+    assert len(anti_lines) >= 6
+    assert all("BroadcastHashJoin" in l for l in anti_lines), anti_lines
+    assert "SortMergeJoin" not in full
 
 
 def test_q87_bm25_topk_plan(spark):

@@ -143,6 +143,28 @@ def test_count_min_grouped_nulls_absent_and_validation(spark):
         count_min_table(df, "v", d=5, w_hex_digits=7)  # 35 hex > 32
 
 
+def test_count_min_null_group_key_matches(spark):
+    # a NULL GROUP key is a real group (groupBy keeps it); the lookup
+    # join must be null-safe or its estimates come back 0, breaking
+    # the one-sided guarantee
+    from defenda_data_lake_spark.operators.sketches import (
+        count_min_lookup,
+        count_min_table,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "x")] * 7 + [("en", "x")] * 3,
+        "g string, v string",
+    )
+    cells = count_min_table(df, "v", ["g"])
+    probe = spark.createDataFrame([(None, "x"), ("en", "x")], "g string, v string")
+    got = {
+        r["g"]: r["cm_estimate"]
+        for r in count_min_lookup(cells, probe, "v", ["g"]).collect()
+    }
+    assert got[None] >= 7 and got["en"] >= 3, got
+
+
 def test_bloom_saturation_returns_null(spark):
     from defenda_data_lake_spark.operators.sketches import bloom_cardinality
 

@@ -732,3 +732,127 @@ def test_lsh_candidates_stream_sharded_parity(spark, tmp_path):
     flagged_ids = {d for d, _ in pairs}
     assert 9 not in flagged_ids and 10 not in flagged_ids  # capped batch silent
     assert 4 not in flagged_ids
+
+
+def test_lsh_candidates_sharded_eviction_parity(spark, tmp_path):
+    """Drive the EVICTION path of the sharded kernel (hasTimedOut +
+    persist's prune) and pin it to the per-bucket kernel: after the
+    event-time watermark passes a bucket's horizon, the bucket must be
+    forgotten — a re-post of its text re-CLAIMS instead of emitting a
+    candidate — and post-eviction dups map to the NEW claimant.  Uses
+    timeout_mode='event' (deterministic watermark from the data) with
+    strictly increasing event times so no row is engine-dropped."""
+    from defenda_data_lake_spark.streaming.dedup import lsh_candidates_stream
+
+    fam = "the quick brown fox jumps over the lazy dog tonight"
+    other = "zebra quantum lattice harmonic oscillator drifts beyond the nebula rim"
+    batches = [
+        [(1, "2026-01-01T00:00:00+00:00", fam),
+         (2, "2026-01-01T00:05:00+00:00", fam)],      # candidate (2,1)
+        # advances the watermark hours past bucket expiry -> eviction
+        [(3, "2026-01-01T06:00:00+00:00", other)],
+        [(4, "2026-01-01T06:30:00+00:00", fam)],      # re-claims, no cand
+        [(5, "2026-01-01T06:40:00+00:00", fam)],      # candidate (5,4)
+    ]
+
+    results = {}
+    for label, shard_arg in (("pergroup", None), ("sharded", 4)):
+        landing = tmp_path / f"ev_landing_{label}"
+        landing.mkdir()
+        query = (
+            lsh_candidates_stream(
+                _doc_stream(spark, landing),
+                event_time_col="ts",
+                watermark_delay="1 hour",
+                timeout_mode="event",
+                shards=shard_arg,
+            )
+            .writeStream.format("memory")
+            .queryName(f"lsh_ev_{label}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ev_ckpt_{label}"))
+            .start()
+        )
+        try:
+            for bi, docs in enumerate(batches):
+                with open(landing / f"b{bi}.ndjson", "w") as f:
+                    for d in docs:
+                        f.write(_doc(*d) + "\n")
+                query.processAllAvailable()
+        finally:
+            query.stop()
+        results[label] = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    f"SELECT doc_id, first_doc, band, band_sig FROM lsh_ev_{label}"
+                ).collect(),
+            )
+        )
+
+    assert results["sharded"] == results["pergroup"]
+    pairs = {(d, f) for d, f, _, _ in results["sharded"]}
+    assert (2, 1) in pairs
+    assert (5, 4) in pairs            # post-eviction claimant is doc 4
+    assert (4, 1) not in pairs        # bucket was evicted, not remembered
+    assert (5, 1) not in pairs
+
+
+def test_near_dedupe_sharded_eviction_parity(spark, tmp_path):
+    """Same eviction-path pin for near_dedupe_stream's sharded kernel:
+    verdicts across an eviction boundary must match the per-bucket
+    kernel (re-claim after eviction, dup_of points at the NEW
+    claimant)."""
+    from defenda_data_lake_spark.streaming.dedup import (
+        near_dedupe_stream,
+        resolve_stream_flags,
+    )
+
+    fam = "the quick brown fox jumps over the lazy dog tonight"
+    other = "zebra quantum lattice harmonic oscillator drifts beyond the nebula rim"
+    batches = [
+        [(1, "2026-01-01T00:00:00+00:00", fam),
+         (2, "2026-01-01T00:05:00+00:00", fam)],
+        [(3, "2026-01-01T06:00:00+00:00", other)],
+        [(4, "2026-01-01T06:30:00+00:00", fam)],
+        [(5, "2026-01-01T06:40:00+00:00", fam)],
+    ]
+
+    results = {}
+    for label, shard_arg in (("pergroup", None), ("sharded", 4)):
+        landing = tmp_path / f"nev_landing_{label}"
+        landing.mkdir()
+        resolved = {}
+
+        def sink(batch_df, batch_id):
+            for r in resolve_stream_flags(batch_df).collect():
+                resolved[int(r["_ndd_id"])] = r["dup_of"]
+
+        query = (
+            near_dedupe_stream(
+                _doc_stream(spark, landing),
+                event_time_col="ts",
+                watermark_delay="1 hour",
+                timeout_mode="event",
+                shards=shard_arg,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"nev_ckpt_{label}"))
+            .start()
+        )
+        try:
+            for bi, docs in enumerate(batches):
+                with open(landing / f"b{bi}.ndjson", "w") as f:
+                    for d in docs:
+                        f.write(_doc(*d) + "\n")
+                query.processAllAvailable()
+        finally:
+            query.stop()
+        results[label] = dict(resolved)
+
+    assert results["sharded"] == results["pergroup"]
+    r = results["sharded"]
+    assert r[1] is None and r[2] == "1"
+    assert r[4] is None                  # bucket evicted: doc 4 re-claims
+    assert r[5] == "4"                   # post-eviction dup -> new claimant
