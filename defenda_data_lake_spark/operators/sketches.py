@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,6 +126,113 @@ def hll_distinct(
         .otherwise(raw)
     )
     return per_group.select(*gcols, est.alias(out))
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    group_by: Sequence[str] = (),
+    width: float = 1.0,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    lo: float | None = None,
+    hi: float | None = None,
+    out: str = "quantile_estimate",
+) -> DataFrame:
+    """Equi-width histogram quantile sketch of ``col`` per ``group_by``
+    group — the QUANTILE member of this module's sketch family (HLL =
+    cardinality, Bloom = membership/cardinality, count-min = frequency).
+    ``approx_percentile`` exists in both engines but each uses its own
+    internal sketch (Spark: KLL-ish GK; DuckDB: t-digest), so they never
+    agree under a value-hash gate; this one is reproducible from its
+    definition in any SQL engine.
+
+    Construction: bin = ``floor(value / width)`` (clamped to
+    ``[lo, hi]`` first when given), per-(group, bin) counts — the
+    bounded "register table", at most ``(hi-lo)/width + 2`` rows per
+    group regardless of input size, with map-side partial ``sum`` —
+    then a cumulative sum over the tiny bin table and, for each
+    requested quantile ``q``, the nearest-rank pick ``t = ceil(q·N)``
+    located in the unique bin whose cumulative range contains ``t``,
+    linearly interpolated inside the bin::
+
+        estimate = width · (bin + (t - cum_below) / bin_count)
+
+    Error is bounded by one bin width (plus clamp distortion outside
+    ``[lo, hi]`` — edge mass is CLAMPED into the boundary bins, the
+    standard bounded-state trade; quantiles that land strictly inside
+    the range are unaffected).
+
+    Determinism notes (same discipline as :func:`hll_distinct`):
+    counts and ranks stay integer; ``t = ceil(q·N)`` is a correctly-
+    rounded double multiply of identical literals on both engines
+    (the oracle must CAST the fraction to DOUBLE — DuckDB parses bare
+    ``0.9`` as DECIMAL); the final interpolation divides two exact
+    integers.  Scale-round (``R``) at the query boundary as usual.
+
+    NULLs are ignored (``percentile_cont`` semantics); a group with no
+    non-NULL values is absent from the output.  Returns ``group_by +
+    ["quantile", out]`` — one row per group per requested quantile,
+    ``quantile`` as DOUBLE.
+
+    Scale (100 TB): two exchanges, BOTH over the bounded bin table
+    (never the raw rows — the first groupBy map-side-combines to bins
+    inside the scan stage); the quantile probe is an exploded literal
+    array, no join.  The bin table is mergeable across partitions,
+    files, and days — the same property that makes the other sketches
+    in this module incremental."""
+    if width <= 0:
+        raise ValueError(f"width must be > 0; got {width}")
+    if (lo is None) != (hi is None):
+        raise ValueError("lo and hi must be given together")
+    if lo is not None and hi is not None and lo >= hi:
+        raise ValueError(f"need lo < hi; got [{lo}, {hi}]")
+    qs = sorted(set(float(q) for q in quantiles))
+    if not qs or qs[0] <= 0 or qs[-1] > 1:
+        raise ValueError(f"quantiles must be in (0, 1]; got {quantiles}")
+    gcols = list(group_by)
+
+    v = F.col(col).cast("double")
+    if lo is not None:
+        v = F.greatest(F.lit(float(lo)), F.least(F.lit(float(hi)), v))
+    bins = (
+        df.filter(F.col(col).isNotNull())
+        .select(*gcols, F.floor(v / F.lit(float(width))).alias("_hq_bin"))
+        .groupBy(*gcols, "_hq_bin")
+        .agg(F.count("*").alias("_hq_cnt"))
+    )
+    w_cum = Window.partitionBy(*gcols).orderBy("_hq_bin")
+    w_all = Window.partitionBy(*gcols)
+    cum = bins.select(
+        *gcols,
+        "_hq_bin",
+        "_hq_cnt",
+        F.sum("_hq_cnt").over(w_cum).alias("_hq_cum"),
+        F.sum("_hq_cnt").over(w_all).alias("_hq_n"),
+    )
+    probed = cum.select(
+        *gcols,
+        "_hq_bin",
+        "_hq_cnt",
+        "_hq_cum",
+        F.explode(
+            F.array(*[F.lit(q).cast("double") for q in qs])
+        ).alias("quantile"),
+        F.greatest(
+            F.ceil(F.col("quantile") * F.col("_hq_n").cast("double")),
+            F.lit(1).cast("long"),
+        ).alias("_hq_t"),
+    ).filter(
+        (F.col("_hq_cum") >= F.col("_hq_t"))
+        & (F.col("_hq_cum") - F.col("_hq_cnt") < F.col("_hq_t"))
+    )
+    est = F.lit(float(width)) * (
+        F.col("_hq_bin").cast("double")
+        + (F.col("_hq_t") - (F.col("_hq_cum") - F.col("_hq_cnt"))).cast(
+            "double"
+        )
+        / F.col("_hq_cnt").cast("double")
+    )
+    return probed.select(*gcols, "quantile", est.alias(out))
 
 
 def _cm_probe(col: Column, d: int, w_hex_digits: int) -> Column:

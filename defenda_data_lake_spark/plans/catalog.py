@@ -1863,6 +1863,157 @@ FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q88_quantile_sketch(spark, sf_dir):
+    """Histogram quantile sketch
+    (``operators/sketches.py::histogram_quantiles``): per-event-type
+    p50/p90/p99 of ``value`` from an equi-width bin table — the
+    QUANTILE member of the sketch family (q79 HLL = cardinality, q80
+    Bloom = membership, q83 count-min = frequency), and the
+    reproducible alternative to ``approx_percentile`` (whose internal
+    sketch differs per engine and can never value-match).  Scale: the
+    raw rows never cross an exchange — the first groupBy map-side-
+    combines to ≤ ~500 bins per type inside the scan stage; everything
+    downstream (cumsum window, quantile probe) runs on the bounded bin
+    table.  Error ≤ one bin width (width=1.0 over value ∈ [0, ~490])."""
+    from defenda_data_lake_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = histogram_quantiles(
+        ev, "value", ["event_type"], width=1.0, quantiles=(0.5, 0.9, 0.99)
+    )
+    return est.select(
+        "event_type",
+        "quantile",
+        R("quantile_estimate", 4).alias("value_estimate"),
+    )
+
+
+Q88_SQL = """
+WITH bins AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) / 1.0) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM bins
+),
+probe AS (
+  SELECT c.*, q.quantile,
+         greatest(CAST(ceil(q.quantile * CAST(n AS DOUBLE)) AS BIGINT),
+                  CAST(1 AS BIGINT)) AS t
+  FROM cum c, (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                              CAST(0.99 AS DOUBLE)]) AS quantile) q
+)
+SELECT event_type, quantile,
+       round(CAST(1.0 AS DOUBLE)
+             * (CAST(bin AS DOUBLE)
+                + CAST(t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))
+             * 10000, 0) / 10000 AS value_estimate
+FROM probe
+WHERE cum >= t AND cum - cnt < t
+"""
+
+
+def q89_ann_recall(spark, sf_dir):
+    """ANN quality harness: recall@10 of the LSH-bucketed approximate
+    top-k (q41's kernel) against the brute-force ground truth (q40's
+    kernel), per query vector — the evaluation loop every ANN
+    deployment needs before trading exactness for the scale path.
+    Both kernels are the existing deterministic operators, so even
+    this meta-query is value-checked end-to-end (the oracle replays
+    the md5-derived hyperplanes AND the exact ranking).
+
+    Scale: the expensive legs are the two ANN kernels themselves
+    (corpus never shuffled, query block broadcast — q40/q41 plan
+    tests); the recall join touches only ``n_queries × k`` rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = S.cosine_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = S.lsh_cosine_topk(emb, queries, k=10, num_planes=6).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    marked = truth.join(approx, ["query_id", "neighbor_id"], "left")
+    rec = marked.groupBy("query_id").agg(
+        F.count("*").alias("n_truth"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_hits"),
+    )
+    recall = F.col("n_hits").cast("double") / F.col("n_truth").cast(
+        "double"
+    )
+    return rec.select(
+        "query_id",
+        "n_truth",
+        "n_hits",
+        R(recall, 4).alias("recall_at_10"),
+    )
+
+
+def _ann_recall_sql() -> str:
+    """q89 oracle: q40's brute CTE + q41's hyperplane-replay CTE, then
+    the same left-join recall aggregation."""
+    planes = S._hyperplanes(64, 6)
+    bits = ",\n         ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{}]) >= 0 "
+        "THEN '1' ELSE '0' END".format(", ".join(repr(v) for v in plane))
+        for plane in planes
+    )
+    return f"""
+WITH brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id) AS rank
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+  ) t WHERE rank <= 10
+),
+hashed AS (
+  SELECT vec_id, embedding,
+         concat({bits}) AS bucket
+  FROM embeddings
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id) AS rank
+    FROM hashed q JOIN hashed c ON q.bucket = c.bucket
+    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+  ) t WHERE rank <= 10
+)
+SELECT b.query_id, count(*) AS n_truth,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 10000, 0) / 10000 AS recall_at_10
+FROM brute b
+LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+Q89_SQL = _ann_recall_sql()
+
+
 def q49_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: MinHash+LSH near-dup pairs →
     connected components (iterated min-label propagation with pointer
@@ -3927,12 +4078,13 @@ GROUP BY a3.cl
 # q58, q49, q75, q76 — which also re-covers q49/q63 whose plans picked
 # up the shared band_structs_expr refactor in round 6 (ADVICE r6);
 # then the queries whose behavior/oracle changed in round 7 (q78
-# oracle 'g' flag, q79 HLL null-filter + empty-input arm); then the 11
-# headline-bench queries; the window tail is filled with the four
-# r6-changed entries (q73/q77/q41/q48, double-covered cheaply) and the
-# head of the relational block.  Everything past slot 50 (from q18
-# onward) was driver-green in CORRECTNESS_r06 (2-round cadence
-# invariant preserved).
+# oracle 'g' flag, q79 HLL null-filter + empty-input arm) and the
+# round-7-NEW q80-q89; then the 11 headline-bench queries; the window
+# tail is filled with two r6-changed entries (q73/q77, double-covered
+# cheaply).  Everything past slot 50 (from q41 onward) was
+# driver-green in CORRECTNESS_r06 (2-round cadence invariant
+# preserved; q41/q48 changed in r6 but were driver-green in the r6
+# window and are unchanged since).
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- 25 stale: last driver correctness row r5 (judge-green in r6)
     "q24_presto_text": (q24_presto_text, Q24_SQL),
@@ -3971,6 +4123,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q85_profile_events": (q85_profile_events, Q85_SQL),
     "q86_referential_integrity": (q86_referential_integrity, Q86_SQL),
     "q87_bm25_topk": (q87_bm25_topk, Q87_SQL),
+    "q88_quantile_sketch": (q88_quantile_sketch, Q88_SQL),
+    "q89_ann_recall": (q89_ann_recall, Q89_SQL),
     # --- headline bench set
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
@@ -3983,9 +4137,13 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
     "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
     "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
-    # --- window fill: the four r6-changed entries + relational head
+    # --- window fill: two of the r6-changed entries (q73/q77,
+    # double-covered cheaply; q41/q48 displaced past slot 50 by the
+    # new q88/q89 — both r6-driver-green and unchanged since)
     "q73_semdedup": (q73_semdedup, Q73_SQL),
     "q77_bucket_dedupe": (q77_bucket_dedupe, Q77_SQL),
+    # --- tail: r6-driver-verified, rotates back next round (q07-q17
+    # and q41/q48 displaced past slot 50 by the new q80-q89)
     "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
     "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),
     "q07_top_customers": (q07_top_customers, Q07_SQL),
@@ -3993,8 +4151,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q11_window_running": (q11_window_running, Q11_SQL),
     "q12_distinct_agg": (q12_distinct_agg, Q12_SQL),
     "q13_semi_join": (q13_semi_join, Q13_SQL),
-    # --- tail: r6-driver-verified, rotates back next round (q14/q15/
-    # q17 displaced past slot 50 by the new q80/q81/q82)
     "q14_anti_join": (q14_anti_join, Q14_SQL),
     "q15_setops": (q15_setops, Q15_SQL),
     "q17_above_customer_avg": (q17_above_customer_avg, Q17_SQL),

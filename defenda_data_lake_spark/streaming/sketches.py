@@ -1,0 +1,131 @@
+"""Streaming sketches: the bounded-state aggregates of
+``operators.sketches`` maintained incrementally over a stream.
+
+A sketch is the one aggregation shape that needs NO watermark to stay
+bounded on a stream: its state is bounded by CONSTRUCTION (d·w cells
+for count-min, 2^p registers for HLL), not by a time horizon — the
+whole point of the structure survives the move to streaming unchanged.
+The kernel here keeps the same cell layout as the batch operator, so
+downstream consumers (``count_min_lookup``, dashboards, the oracle
+replays) read the streaming table and the batch table identically,
+and a streaming sketch can be seeded FROM a batch one (state is just
+the cell table).
+
+Scale: state is keyed by a bounded shard id (default 8), never by the
+cell — ``applyInPandasWithState`` pays a per-GROUP Python call floor
+(~1 ms/group/batch), so keying by cell would pay d·w calls per batch;
+one call per shard serves thousands of cells (the same group-call
+amortization as ``streaming.dedup``'s ``shards=N`` kernels).  The
+shard count bounds per-call state size: d·16^w/shards cells each.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from defenda_data_lake_spark.operators.sketches import (
+    _cm_check,
+    _cm_probe,
+    count_min_table,
+)
+
+CM_CELL_SCHEMA = "_cm_row int, _cm_pos string, _cm_count long"
+_CM_STATE_SCHEMA = (
+    "rows array<int>, poss array<string>, counts array<long>"
+)
+
+
+def count_min_stream(
+    df: DataFrame,
+    col: str,
+    d: int = 3,
+    w_hex_digits: int = 3,
+    shards: int = 8,
+) -> DataFrame:
+    """Maintain a count-min sketch of ``col`` occurrences over a
+    stream: same cells, same md5-substring probes, same one-sided
+    guarantee as :func:`operators.sketches.count_min_table` — each
+    micro-batch emits the cells it TOUCHED with their new cumulative
+    counts (``outputMode("update")`` semantics: latest row per
+    (row, pos) is the live sketch; read with a max-by or last-by).
+
+    On a batch DataFrame this is exactly ``count_min_table`` (no
+    grouping column — one global sketch), so batch/streaming parity is
+    definitional; the parity test pins the streamed cumulative cells
+    to the batch cell table anyway.
+
+    No watermark, no timeout: state is bounded at ``d·16^w_hex_digits``
+    cells by construction and only ever grows toward that cap —
+    nothing to evict.  NULLs are ignored (a NULL is not a value with a
+    frequency), matching the batch operator."""
+    _cm_check(d, w_hex_digits)
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1; got {shards}")
+    if not df.isStreaming:
+        return count_min_table(df, col, d=d, w_hex_digits=w_hex_digits)
+
+    probes = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(_cm_probe(F.col(col), d, w_hex_digits)).alias("_cm"))
+        .select("_cm._cm_row", "_cm._cm_pos")
+        .withColumn(
+            "_cm_shard",
+            F.pmod(
+                F.xxhash64(F.col("_cm_row"), F.col("_cm_pos")),
+                F.lit(shards),
+            ).cast("int"),
+        )
+    )
+
+    def update(key, batches, state):
+        table: dict[tuple[int, str], int] = {}
+        if state.exists:
+            rows_, poss, counts = state.get
+            table = {
+                (int(r), str(p)): int(c)
+                for r, p, c in zip(rows_, poss, counts)
+            }
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        rows = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        agg = rows.groupby(["_cm_row", "_cm_pos"], sort=False).size()
+        out_r: list[int] = []
+        out_p: list[str] = []
+        out_c: list[int] = []
+        for (r, p), n in agg.items():
+            k = (int(r), str(p))
+            table[k] = table.get(k, 0) + int(n)
+            out_r.append(k[0])
+            out_p.append(k[1])
+            out_c.append(table[k])
+        items = sorted(table.items())
+        state.update(
+            (
+                [k[0] for k, _ in items],
+                [k[1] for k, _ in items],
+                [c for _, c in items],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "_cm_row": pd.Series(out_r, dtype="int32"),
+                "_cm_pos": pd.Series(out_p, dtype="str"),
+                "_cm_count": pd.Series(out_c, dtype="int64"),
+            }
+        )
+
+    return probes.groupBy("_cm_shard").applyInPandasWithState(
+        update,
+        outputStructType=CM_CELL_SCHEMA,
+        stateStructType=_CM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

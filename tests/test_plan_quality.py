@@ -309,3 +309,30 @@ def test_q87_bm25_topk_plan(spark):
     assert "Generate" not in plan  # no explode anywhere
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q88_quantile_sketch_plan(spark):
+    """The histogram quantile sketch must (a) map-side-combine the raw
+    rows to the bounded bin table before ANY exchange — the partial_
+    count aggregate sits in the same codegen stage as the scan — and
+    (b) stay pure-JVM with no join (the quantile probe is an exploded
+    literal array, not a join)."""
+    plan = plan_of(spark, "q88_quantile_sketch")
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # partial aggregation before the shuffle: a HashAggregate appears
+    # below (after, in print order) the first Exchange
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_exchange:]
+
+
+def test_q89_ann_recall_plan(spark):
+    """The recall harness composes the two ANN kernels: the corpus
+    must never be shuffled for a join (both kernels broadcast their
+    query block / bucket side) and no cartesian product may appear —
+    the brute kernel is a broadcast nested loop over the 5-row query
+    block by design, never over the corpus pair space."""
+    plan = plan_of(spark, "q89_ann_recall")
+    assert "CartesianProduct" not in plan
+    # the closing recall join over n_queries x k rows must broadcast
+    assert "BroadcastHashJoin" in plan

@@ -172,3 +172,83 @@ def test_bloom_saturation_returns_null(spark):
     df = spark.range(200).select(F.col("id").cast("string").alias("v"))
     rows = bloom_cardinality(df, "v", m_hex_digits=1, k=2).collect()
     assert len(rows) == 1 and rows[0]["bloom_estimate"] is None
+
+
+def test_histogram_quantiles_error_bound(spark):
+    from defenda_data_lake_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    # uniform-ish values in [0, 100): every estimate must land within
+    # one bin width of the exact quantile
+    df = spark.range(10000).select(
+        ((F.col("id") * 37) % 1000 / 10.0).alias("v")
+    )
+    est = {
+        r["quantile"]: r["quantile_estimate"]
+        for r in histogram_quantiles(
+            df, "v", width=1.0, quantiles=(0.25, 0.5, 0.9, 0.99, 1.0)
+        ).collect()
+    }
+    exact = df.selectExpr(
+        "percentile(v, array(0.25D, 0.5D, 0.9D, 0.99D, 1.0D)) AS p"
+    ).collect()[0]["p"]
+    for q, ex in zip((0.25, 0.5, 0.9, 0.99, 1.0), exact):
+        assert abs(est[q] - ex) <= 1.0 + 1e-9, (q, est[q], ex)
+
+
+def test_histogram_quantiles_grouped_nulls_and_clamp(spark):
+    from defenda_data_lake_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 2).alias("g"),
+        F.when(F.col("id") % 10 != 0, (F.col("id") % 500).cast("double")).alias("v"),
+    )
+    rows = histogram_quantiles(df, "v", ["g"], width=5.0).collect()
+    # 2 groups x 3 default quantiles; NULL v rows ignored
+    assert len(rows) == 6
+    # clamped run: mass outside [100, 200] lands in the boundary bins,
+    # so every estimate stays inside [100, 200 + width]
+    clamped = histogram_quantiles(
+        df, "v", ["g"], width=5.0, lo=100.0, hi=200.0
+    ).collect()
+    for r in clamped:
+        assert 100.0 <= r["quantile_estimate"] <= 205.0, r
+
+    # all-NULL group absent entirely
+    nn = spark.range(100).select(
+        F.lit(0).alias("g"), F.lit(None).cast("double").alias("v")
+    )
+    assert histogram_quantiles(nn, "v", ["g"]).collect() == []
+
+
+def test_histogram_quantiles_validation(spark):
+    from defenda_data_lake_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "v", width=0.0)
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "v", lo=1.0)
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "v", lo=5.0, hi=1.0)
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "v", quantiles=(0.0, 0.5))
+
+
+def test_ann_recall_self_is_one(spark, sf_dir):
+    # recall of the brute-force kernel against itself is exactly 1.0
+    # for every query; and q89 (LSH vs brute) stays within [0, 1] with
+    # n_truth = 10
+    from defenda_data_lake_spark.plans.catalog import q89_ann_recall
+
+    rows = q89_ann_recall(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_truth"] == 10
+        assert 0 <= r["n_hits"] <= 10
+        assert abs(r["recall_at_10"] - r["n_hits"] / 10.0) < 1e-9
