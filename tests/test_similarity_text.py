@@ -453,3 +453,68 @@ def test_sample_frames_real_ffmpeg(spark):
         assert (r["width"], r["height"]) == (64, 48)
         w, h, ch, _px = _decode_png(bytes(r["frame_png"]))
         assert (w, h) == (64, 48)
+
+
+def test_ivf_index_probe_matches_inline(spark, tmp_path, sf_dir):
+    """A persisted build_ivf_index + ivf_probe must return exactly the
+    rows the inline ivf_topk computes on the same corpus, and the probe
+    scan must be PARTITION-PRUNED to the probed lists (the index's
+    whole point: probing 1 of L lists reads ~1/L of the files)."""
+    from defenda_data_lake_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx)
+
+    inline = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in ivf_topk(emb, queries, k=10, n_probe=1).collect()
+    )
+    probed = ivf_probe(spark, idx, queries, k=10, n_probe=1)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in probed.collect()
+    )
+    assert got == inline and len(got) > 0
+
+    # the probe's isin filter must reach the scan as a PARTITION
+    # filter (the index directories make it prune whole files)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "PartitionFilters" in l
+    )
+    assert "__ivf_list" in scan.split("PartitionFilters")[1].split("]")[0]
+    # and the pruning claim is non-vacuous: the index holds >1 list
+    all_lists = (
+        spark.read.parquet(f"{idx}/corpus")
+        .select("__ivf_list").distinct().count()
+    )
+    assert all_lists > 1
+
+
+def test_ivf_probe_empty_queries_and_n_probe(spark, tmp_path, sf_dir):
+    from defenda_data_lake_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx)
+    none = ivf_probe(
+        spark, idx, emb.filter(F.col("vec_id") < 0), k=5
+    )
+    assert none.collect() == []
+    # widening n_probe can only add candidates: every n_probe=1 hit
+    # set is a subset of the n_probe=2 candidate pool's coverage
+    q = emb.filter(F.col("vec_id") < 3)
+    r1 = ivf_probe(spark, idx, q, k=50, n_probe=1).count()
+    r2 = ivf_probe(spark, idx, q, k=50, n_probe=2).count()
+    assert r2 >= r1
