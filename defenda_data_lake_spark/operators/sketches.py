@@ -64,29 +64,35 @@ def hll_rho(whex: Column) -> Column:
     return F.least(zeros_hex * 4 + extra + 1, F.lit(55))
 
 
-def hll_distinct(
+def _hll_check(p: int) -> None:
+    if not 4 <= p <= 12 or p % 4 != 0:
+        raise ValueError(f"p must be 4, 8, or 12 (hex-aligned); got {p}")
+
+
+def hll_register_table(
     df: DataFrame,
     col: str,
     group_by: Sequence[str] = (),
     p: int = 8,
-    out: str = "hll_estimate",
 ) -> DataFrame:
-    """HyperLogLog distinct estimate of ``col`` per ``group_by`` group.
+    """The HLL REGISTER TABLE of ``col`` per ``group_by`` group:
+    register index = first ``p`` bits of ``md5(col)`` (hex prefix),
+    rho = first-1-bit position of the next 56 bits, one row per
+    (group, index) holding ``max(rho)`` — at most ``2^p`` rows per
+    group regardless of input, map-side partial max combine.
 
-    Register index = first ``p`` bits of ``md5(col)`` (taken as hex
-    prefix), rho = first-1-bit position of the next 56 bits, registers
-    = ``max(rho)`` per (group, index) — one hash aggregation whose
-    output is at most ``2^p`` rows per group — then the standard
-    estimator with linear-counting small-range correction.
+    This is the sketch's MERGEABLE form — the property that makes it
+    an incremental structure, not just a cheaper aggregate: register
+    tables built per partition / per day / per stream are combined
+    with :func:`hll_merge` (elementwise max is associative,
+    commutative, idempotent) and the merged table estimates EXACTLY
+    what a direct build over the union would — register-identical,
+    not approximately.  Persist per-day tables once; any date-range
+    distinct count is then a merge of tiny tables instead of a rescan.
 
-    Returns ``group_by + [out]`` with the estimate as DOUBLE (round it
-    at the query boundary; q79 uses the house ``R``)."""
-    if not 4 <= p <= 12 or p % 4 != 0:
-        raise ValueError(f"p must be 4, 8, or 12 (hex-aligned); got {p}")
-    m = 1 << p
-    alpha = _hll_alpha(m)
+    Returns ``group_by + [_hll_idx string, _hll_max int]``."""
+    _hll_check(p)
     gcols = list(group_by)
-
     # count(DISTINCT col) ignores NULLs; without this filter md5(NULL)
     # yields a NULL register index whose rho degenerates to the 55 cap
     # (least() skips NULL operands), inflating the estimate with a
@@ -98,12 +104,40 @@ def hll_distinct(
     # needs no engine-specific hex->int conversion at all
     idx = F.substring(h, 1, p // 4)
     whex = F.substring(h, p // 4 + 1, 14)
-
-    regs = (
+    return (
         df.select(*gcols, idx.alias("_hll_idx"), hll_rho(whex).alias("_hll_rho"))
         .groupBy(*gcols, "_hll_idx")
         .agg(F.max("_hll_rho").alias("_hll_max"))
     )
+
+
+def hll_merge(
+    regs: DataFrame,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Merge HLL register tables (the union of any number of
+    :func:`hll_register_table` outputs over the same ``p``): per
+    (group, index) elementwise max.  The merged table is register-
+    identical to a direct build over the concatenated inputs."""
+    return regs.groupBy(*group_by, "_hll_idx").agg(
+        F.max("_hll_max").alias("_hll_max")
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_by: Sequence[str] = (),
+    p: int = 8,
+    out: str = "hll_estimate",
+) -> DataFrame:
+    """The standard HLL estimator (with linear-counting small-range
+    correction) over a register table — see :func:`hll_distinct` for
+    the determinism discipline (integer-exact register sum, one final
+    correctly-rounded division)."""
+    _hll_check(p)
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    gcols = list(group_by)
     # integer-exact register sum: sum(2^-rho) scaled by 2^55; absent
     # registers (rho = 0) contribute 2^55 each
     # python API shiftleft() only takes a literal bit count; the SQL
@@ -126,6 +160,24 @@ def hll_distinct(
         .otherwise(raw)
     )
     return per_group.select(*gcols, est.alias(out))
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    group_by: Sequence[str] = (),
+    p: int = 8,
+    out: str = "hll_estimate",
+) -> DataFrame:
+    """HyperLogLog distinct estimate of ``col`` per ``group_by`` group:
+    :func:`hll_register_table` (one hash aggregation, ≤ ``2^p`` rows
+    per group) composed with :func:`hll_estimate_from_registers` (the
+    standard estimator with linear-counting small-range correction).
+
+    Returns ``group_by + [out]`` with the estimate as DOUBLE (round it
+    at the query boundary; q79 uses the house ``R``)."""
+    regs = hll_register_table(df, col, group_by=group_by, p=p)
+    return hll_estimate_from_registers(regs, group_by=group_by, p=p, out=out)
 
 
 def histogram_quantiles(

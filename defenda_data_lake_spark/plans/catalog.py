@@ -2014,6 +2014,69 @@ GROUP BY b.query_id
 Q89_SQL = _ann_recall_sql()
 
 
+def q90_hll_rollup(spark, sf_dir):
+    """Sketch ROLLUP — the property that makes the HLL family an
+    incremental lake structure rather than a cheaper one-shot
+    aggregate: per-(event_type, day) register tables (the shape a
+    pipeline would persist per partition) max-MERGED across days, then
+    estimated — distinct users per event type over the whole range
+    without rescanning any day.  Merge (elementwise max) is
+    associative/commutative/idempotent, so the merged table is
+    REGISTER-IDENTICAL to a direct build over the union; the oracle
+    replays the DIRECT sketch, so any merge defect value-mismatches.
+    Scale: per-day tables are ≤2^p rows each; a 1000-day range merges
+    1000 tiny tables instead of re-reading 1000 days of events."""
+    from defenda_data_lake_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_register_table,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = hll_register_table(ev, "user_id", ["event_type", "day"], p=8)
+    merged = hll_merge(daily.drop("day"), ["event_type"])
+    est = hll_estimate_from_registers(merged, ["event_type"], p=8)
+    return est.select(
+        "event_type", R("hll_estimate", 4).alias("distinct_users_est")
+    )
+
+
+Q90_SQL = r"""
+WITH hx AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+rr AS (
+  SELECT event_type, substr(h, 1, 2) AS idx,
+         max(least(4 * length(regexp_extract(substr(h, 3, 14), '^(0*)', 1))
+             + CASE substr(regexp_replace(substr(h, 3, 14), '^0*', ''), 1, 1)
+                 WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                 WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                 ELSE 0 END + 1, 55)) AS maxrho
+  FROM hx GROUP BY event_type, idx
+),
+agg AS (
+  SELECT event_type,
+         sum(CAST(1 AS BIGINT) << (55 - maxrho)) AS isum0,
+         count(*) AS nonzero
+  FROM rr GROUP BY event_type
+),
+fin AS (
+  SELECT event_type, (256 - nonzero) AS zeros,
+         CAST(0.7182725932495458 AS DOUBLE) * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)
+           * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+           / CAST(isum0 + (256 - nonzero) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)
+           AS raw
+  FROM agg
+)
+SELECT event_type,
+       round(CASE WHEN raw <= CAST(640 AS DOUBLE) AND zeros > 0
+                  THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / zeros) ELSE raw END * 10000, 0) / 10000
+         AS distinct_users_est
+FROM fin
+"""
+
+
 def q49_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: MinHash+LSH near-dup pairs →
     connected components (iterated min-label propagation with pointer
@@ -4125,6 +4188,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q87_bm25_topk": (q87_bm25_topk, Q87_SQL),
     "q88_quantile_sketch": (q88_quantile_sketch, Q88_SQL),
     "q89_ann_recall": (q89_ann_recall, Q89_SQL),
+    "q90_hll_rollup": (q90_hll_rollup, Q90_SQL),
     # --- headline bench set
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
@@ -4137,13 +4201,13 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
     "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
     "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
-    # --- window fill: two of the r6-changed entries (q73/q77,
-    # double-covered cheaply; q41/q48 displaced past slot 50 by the
-    # new q88/q89 — both r6-driver-green and unchanged since)
+    # --- window fill: one r6-changed entry (q73, double-covered
+    # cheaply; q77/q41/q48 displaced past slot 50 by the new
+    # q88-q90 — all three r6-driver-green and unchanged since)
     "q73_semdedup": (q73_semdedup, Q73_SQL),
-    "q77_bucket_dedupe": (q77_bucket_dedupe, Q77_SQL),
     # --- tail: r6-driver-verified, rotates back next round (q07-q17
-    # and q41/q48 displaced past slot 50 by the new q80-q89)
+    # and q77/q41/q48 displaced past slot 50 by the new q80-q90)
+    "q77_bucket_dedupe": (q77_bucket_dedupe, Q77_SQL),
     "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
     "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),
     "q07_top_customers": (q07_top_customers, Q07_SQL),

@@ -29,13 +29,18 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 from defenda_data_lake_spark.operators.sketches import (
     _cm_check,
     _cm_probe,
+    _hll_check,
     count_min_table,
+    hll_register_table,
+    hll_rho,
 )
 
 CM_CELL_SCHEMA = "_cm_row int, _cm_pos string, _cm_count long"
 _CM_STATE_SCHEMA = (
     "rows array<int>, poss array<string>, counts array<long>"
 )
+HLL_REGISTER_SCHEMA = "_hll_idx string, _hll_max int"
+_HLL_STATE_SCHEMA = "idxs array<string>, maxs array<int>"
 
 
 def count_min_stream(
@@ -126,6 +131,87 @@ def count_min_stream(
         update,
         outputStructType=CM_CELL_SCHEMA,
         stateStructType=_CM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def hll_stream(
+    df: DataFrame,
+    col: str,
+    p: int = 8,
+    shards: int = 8,
+) -> DataFrame:
+    """Maintain an HLL register table of ``col`` over a stream: same
+    md5-derived registers as
+    :func:`operators.sketches.hll_register_table`, each micro-batch
+    emitting the registers whose max-rho CHANGED (update semantics:
+    latest row per ``_hll_idx`` is the live register; feed the
+    max-reduced table to ``hll_estimate_from_registers`` — or
+    ``hll_merge`` it with batch-built tables, registers are registers).
+
+    On a batch DataFrame this is exactly ``hll_register_table``.
+    State is ≤ ``2^p`` registers by construction and only ever
+    ratchets upward — no watermark, nothing to evict; NULLs ignored.
+    Registers are monotone (max), so the changed-only emission loses
+    nothing and keeps update batches tiny once the sketch saturates."""
+    _hll_check(p)
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1; got {shards}")
+    if not df.isStreaming:
+        return hll_register_table(df, col, p=p)
+
+    h = F.md5(F.col(col).cast("string"))
+    probes = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.substring(h, 1, p // 4).alias("_hll_idx"),
+            hll_rho(F.substring(h, p // 4 + 1, 14)).alias("_hll_rho"),
+        )
+        .withColumn(
+            "_hll_shard",
+            F.pmod(F.xxhash64(F.col("_hll_idx")), F.lit(shards)).cast("int"),
+        )
+    )
+
+    def update(key, batches, state):
+        table: dict[str, int] = {}
+        if state.exists:
+            idxs, maxs = state.get
+            table = {str(i): int(x) for i, x in zip(idxs, maxs)}
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        rows = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        agg = rows.groupby("_hll_idx", sort=False)["_hll_rho"].max()
+        out_i: list[str] = []
+        out_m: list[int] = []
+        for idx, rho in agg.items():
+            idx, rho = str(idx), int(rho)
+            if rho > table.get(idx, 0):
+                table[idx] = rho
+                out_i.append(idx)
+                out_m.append(rho)
+        if out_i:
+            items = sorted(table.items())
+            state.update(
+                ([i for i, _ in items], [m for _, m in items])
+            )
+            yield pd.DataFrame(
+                {
+                    "_hll_idx": pd.Series(out_i, dtype="str"),
+                    "_hll_max": pd.Series(out_m, dtype="int32"),
+                }
+            )
+
+    return probes.groupBy("_hll_shard").applyInPandasWithState(
+        update,
+        outputStructType=HLL_REGISTER_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

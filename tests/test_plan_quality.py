@@ -336,3 +336,15 @@ def test_q89_ann_recall_plan(spark):
     assert "CartesianProduct" not in plan
     # the closing recall join over n_queries x k rows must broadcast
     assert "BroadcastHashJoin" in plan
+
+
+def test_q90_hll_rollup_plan(spark):
+    """The sketch rollup must stay pure-JVM aggregation: no join, no
+    Python stage — and the raw events must map-side-combine to the
+    per-day register tables before any exchange (partial max in the
+    scan stage)."""
+    plan = plan_of(spark, "q90_hll_rollup")
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_exchange:]

@@ -252,3 +252,31 @@ def test_ann_recall_self_is_one(spark, sf_dir):
         assert r["n_truth"] == 10
         assert 0 <= r["n_hits"] <= 10
         assert abs(r["recall_at_10"] - r["n_hits"] / 10.0) < 1e-9
+
+
+def test_hll_merge_register_identical(spark):
+    # the mergeability law: register tables built on disjoint (or
+    # overlapping) slices, max-merged, must equal a direct build over
+    # the union REGISTER-FOR-REGISTER — not approximately
+    from defenda_data_lake_spark.operators.sketches import (
+        hll_merge,
+        hll_register_table,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 700).cast("string").alias("v"),
+    )
+    a = df.filter(F.col("id") < 1000)
+    b = df.filter(F.col("id") >= 800)  # overlap on purpose
+    merged = hll_merge(
+        hll_register_table(a, "v", ["g"]).unionAll(
+            hll_register_table(b, "v", ["g"])
+        ),
+        ["g"],
+    )
+    direct = hll_register_table(df, "v", ["g"])
+    key = lambda r: (r["g"], r["_hll_idx"], r["_hll_max"])
+    assert sorted(map(key, merged.collect())) == sorted(
+        map(key, direct.collect())
+    )

@@ -125,3 +125,67 @@ def test_count_min_stream_state_survives_restart(spark, tmp_path):
             counts.get(r["_cm_pos"], 0), r["_cm_count"]
         )
     assert set(counts.values()) == {12}
+
+
+def test_hll_stream_matches_batch_registers(spark, tmp_path):
+    from defenda_data_lake_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_register_table,
+    )
+    from defenda_data_lake_spark.streaming.sketches import hll_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    b1 = [f"user{i}" for i in range(200)]
+    b2 = [f"user{i}" for i in range(150, 400)]  # overlap re-sends
+    _write_words(landing / "b1.txt", b1)
+
+    query = (
+        hll_stream(_stream(spark, landing), "word", p=8)
+        .writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        _write_words(landing / "b2.txt", b2)
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    # live register = max per idx (rhos only ratchet upward)
+    live = spark.sql(
+        "SELECT _hll_idx, max(_hll_max) AS _hll_max "
+        "FROM hll_out GROUP BY 1"
+    )
+    batch_df = spark.createDataFrame(
+        [(w,) for w in b1 + b2], "word string"
+    )
+    batch = {
+        (r["_hll_idx"], r["_hll_max"])
+        for r in hll_register_table(batch_df, "word", p=8).collect()
+    }
+    streamed = {(r["_hll_idx"], r["_hll_max"]) for r in live.collect()}
+    assert streamed == batch
+    # and the estimator over the streamed registers equals the batch
+    # estimate exactly (registers are the whole sketch)
+    est_s = hll_estimate_from_registers(live, p=8).collect()[0][0]
+    from defenda_data_lake_spark.operators.sketches import hll_distinct
+
+    est_b = hll_distinct(batch_df, "word", p=8).collect()[0][0]
+    assert est_s == est_b
+    assert abs(est_s - 400) / 400 < 0.15  # sanity: near true 400
+
+
+def test_hll_stream_batch_passthrough(spark):
+    from defenda_data_lake_spark.streaming.sketches import hll_stream
+
+    batch_df = spark.createDataFrame(
+        [("a",), ("b",), (None,), ("a",)], "word string"
+    )
+    rows = hll_stream(batch_df, "word", p=8).collect()
+    assert 1 <= len(rows) <= 2  # 2 distinct values, possible idx share
+    with pytest.raises(ValueError):
+        hll_stream(batch_df, "word", p=7)
