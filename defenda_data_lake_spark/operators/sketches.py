@@ -232,26 +232,66 @@ def histogram_quantiles(
     array, no join.  The bin table is mergeable across partitions,
     files, and days — the same property that makes the other sketches
     in this module incremental."""
+    bins = histogram_bin_table(
+        df, col, group_by=group_by, width=width, lo=lo, hi=hi
+    )
+    return histogram_quantiles_from_bins(
+        bins, group_by=group_by, width=width, quantiles=quantiles, out=out
+    )
+
+
+def _hq_check(width: float, lo: float | None, hi: float | None) -> None:
     if width <= 0:
         raise ValueError(f"width must be > 0; got {width}")
     if (lo is None) != (hi is None):
         raise ValueError("lo and hi must be given together")
     if lo is not None and hi is not None and lo >= hi:
         raise ValueError(f"need lo < hi; got [{lo}, {hi}]")
-    qs = sorted(set(float(q) for q in quantiles))
-    if not qs or qs[0] <= 0 or qs[-1] > 1:
-        raise ValueError(f"quantiles must be in (0, 1]; got {quantiles}")
-    gcols = list(group_by)
 
+
+def histogram_bin_table(
+    df: DataFrame,
+    col: str,
+    group_by: Sequence[str] = (),
+    width: float = 1.0,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """The quantile sketch's MERGEABLE form (same move as
+    :func:`hll_register_table`): per-(group, bin) counts, bin =
+    ``floor(clamped value / width)``.  Bin tables built per partition /
+    day / stream merge by summing counts per bin and estimate exactly
+    what a direct build over the union would.  Returns ``group_by +
+    [_hq_bin long, _hq_cnt long]``."""
+    _hq_check(width, lo, hi)
+    gcols = list(group_by)
     v = F.col(col).cast("double")
     if lo is not None:
         v = F.greatest(F.lit(float(lo)), F.least(F.lit(float(hi)), v))
-    bins = (
+    return (
         df.filter(F.col(col).isNotNull())
         .select(*gcols, F.floor(v / F.lit(float(width))).alias("_hq_bin"))
         .groupBy(*gcols, "_hq_bin")
         .agg(F.count("*").alias("_hq_cnt"))
     )
+
+
+def histogram_quantiles_from_bins(
+    bins: DataFrame,
+    group_by: Sequence[str] = (),
+    width: float = 1.0,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    out: str = "quantile_estimate",
+) -> DataFrame:
+    """The estimator tail of :func:`histogram_quantiles`, over any
+    :func:`histogram_bin_table`-shaped input (merged or direct — sum
+    bin tables per ``(group, _hq_bin)`` before calling if combining
+    several)."""
+    _hq_check(width, None, None)
+    qs = sorted(set(float(q) for q in quantiles))
+    if not qs or qs[0] <= 0 or qs[-1] > 1:
+        raise ValueError(f"quantiles must be in (0, 1]; got {quantiles}")
+    gcols = list(group_by)
     w_cum = Window.partitionBy(*gcols).orderBy("_hq_bin")
     w_all = Window.partitionBy(*gcols)
     cum = bins.select(

@@ -30,7 +30,9 @@ from defenda_data_lake_spark.operators.sketches import (
     _cm_check,
     _cm_probe,
     _hll_check,
+    _hq_check,
     count_min_table,
+    histogram_bin_table,
     hll_register_table,
     hll_rho,
 )
@@ -41,6 +43,8 @@ _CM_STATE_SCHEMA = (
 )
 HLL_REGISTER_SCHEMA = "_hll_idx string, _hll_max int"
 _HLL_STATE_SCHEMA = "idxs array<string>, maxs array<int>"
+HQ_BIN_SCHEMA = "_hq_bin long, _hq_cnt long"
+_HQ_STATE_SCHEMA = "bins array<long>, counts array<long>"
 
 
 def count_min_stream(
@@ -212,6 +216,90 @@ def hll_stream(
         update,
         outputStructType=HLL_REGISTER_SCHEMA,
         stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def histogram_bins_stream(
+    df: DataFrame,
+    col: str,
+    width: float = 1.0,
+    lo: float | None = None,
+    hi: float | None = None,
+    shards: int = 8,
+) -> DataFrame:
+    """Maintain a histogram quantile sketch's bin table over a stream
+    (same bins as :func:`operators.sketches.histogram_bin_table`),
+    each micro-batch emitting the TOUCHED bins with their cumulative
+    counts — feed the latest row per bin to
+    ``histogram_quantiles_from_bins`` for live p50/p90/p99.
+
+    STREAMS REQUIRE the ``[lo, hi]`` clamp: it is what bounds the
+    state at ``(hi-lo)/width + 2`` bins — on an unbounded stream an
+    unclamped bin table could grow with the value range forever (the
+    batch operator can afford optional clamping; a stateful operator
+    cannot).  Batch DataFrames fall through to the batch operator,
+    clamp optional as there."""
+    if not df.isStreaming:
+        return histogram_bin_table(df, col, width=width, lo=lo, hi=hi)
+    if lo is None or hi is None:
+        raise ValueError(
+            "histogram_bins_stream requires lo and hi on a stream: the "
+            "clamp is what bounds the state"
+        )
+    _hq_check(width, lo, hi)
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1; got {shards}")
+
+    v = F.greatest(
+        F.lit(float(lo)), F.least(F.lit(float(hi)), F.col(col).cast("double"))
+    )
+    probes = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.floor(v / F.lit(float(width))).alias("_hq_bin"))
+        .withColumn(
+            "_hq_shard",
+            F.pmod(F.xxhash64(F.col("_hq_bin")), F.lit(shards)).cast("int"),
+        )
+    )
+
+    def update(key, batches, state):
+        table: dict[int, int] = {}
+        if state.exists:
+            bins_, counts = state.get
+            table = {int(b): int(c) for b, c in zip(bins_, counts)}
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        rows = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        agg = rows.groupby("_hq_bin", sort=False).size()
+        out_b: list[int] = []
+        out_c: list[int] = []
+        for b, n in agg.items():
+            b = int(b)
+            table[b] = table.get(b, 0) + int(n)
+            out_b.append(b)
+            out_c.append(table[b])
+        items = sorted(table.items())
+        state.update(
+            ([b for b, _ in items], [c for _, c in items])
+        )
+        yield pd.DataFrame(
+            {
+                "_hq_bin": pd.Series(out_b, dtype="int64"),
+                "_hq_cnt": pd.Series(out_c, dtype="int64"),
+            }
+        )
+
+    return probes.groupBy("_hq_shard").applyInPandasWithState(
+        update,
+        outputStructType=HQ_BIN_SCHEMA,
+        stateStructType=_HQ_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

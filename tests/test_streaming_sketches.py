@@ -189,3 +189,92 @@ def test_hll_stream_batch_passthrough(spark):
     assert 1 <= len(rows) <= 2  # 2 distinct values, possible idx share
     with pytest.raises(ValueError):
         hll_stream(batch_df, "word", p=7)
+
+
+def test_histogram_bins_stream_matches_batch(spark, tmp_path):
+    from defenda_data_lake_spark.operators.sketches import (
+        histogram_bin_table,
+        histogram_quantiles,
+        histogram_quantiles_from_bins,
+    )
+    from defenda_data_lake_spark.streaming.sketches import (
+        histogram_bins_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    b1 = [str(v) for v in range(0, 300, 3)]
+    b2 = [str(v) for v in range(150, 450, 2)]
+    _write_words(landing / "b1.txt", b1)
+
+    src = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .load(str(landing))
+        .select(F.col("value").cast("double").alias("v"))
+    )
+    query = (
+        histogram_bins_stream(src, "v", width=10.0, lo=0.0, hi=500.0)
+        .writeStream.format("memory")
+        .queryName("hq_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        _write_words(landing / "b2.txt", b2)
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    live = spark.sql(
+        "SELECT _hq_bin, max(_hq_cnt) AS _hq_cnt FROM hq_out GROUP BY 1"
+    )
+    batch_df = spark.createDataFrame(
+        [(float(v),) for v in b1 + b2], "v double"
+    )
+    batch = {
+        (r["_hq_bin"], r["_hq_cnt"])
+        for r in histogram_bin_table(
+            batch_df, "v", width=10.0, lo=0.0, hi=500.0
+        ).collect()
+    }
+    streamed = {(r["_hq_bin"], r["_hq_cnt"]) for r in live.collect()}
+    assert streamed == batch
+    # estimator over live bins == the one-shot batch sketch
+    est_s = sorted(
+        map(
+            tuple,
+            histogram_quantiles_from_bins(live, width=10.0).collect(),
+        )
+    )
+    est_b = sorted(
+        map(
+            tuple,
+            histogram_quantiles(
+                batch_df, "v", width=10.0, lo=0.0, hi=500.0
+            ).collect(),
+        )
+    )
+    assert est_s == est_b
+
+
+def test_histogram_bins_stream_requires_clamp(spark, tmp_path):
+    from defenda_data_lake_spark.streaming.sketches import (
+        histogram_bins_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    src = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .load(str(landing))
+        .select(F.col("value").cast("double").alias("v"))
+    )
+    with pytest.raises(ValueError):
+        histogram_bins_stream(src, "v", width=1.0)
+    # batch passthrough keeps the clamp optional
+    batch_df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    assert histogram_bins_stream(batch_df, "v", width=1.0).count() == 2
