@@ -127,7 +127,18 @@ def incremental_near_dedup(
     new_rows = _banded_rows(
         new_docs, text_col, id_col, num_hashes, bands, shingle_n
     )
-    idx = spark.read.parquet(f"{index_dir}/signatures")
+    # only buckets the increment TOUCHES matter: an index row in an
+    # untouched bucket cannot affect any new document, so semi-join
+    # the index down to the increment's bucket keys before the window
+    # — without this the claimant window re-processes the ENTIRE
+    # index every increment (measured: the 32x probe's full-corpus
+    # window; with it the probe touches O(increment x bucket size)
+    # rows).  The increment's distinct keys are the broadcast side by
+    # definition of "increment".
+    keys = new_rows.select("band", "band_sig").distinct()
+    idx = spark.read.parquet(f"{index_dir}/signatures").join(
+        F.broadcast(keys), ["band", "band_sig"], "left_semi"
+    )
     both = idx.withColumn("_is_new", F.lit(False)).unionByName(
         new_rows.withColumn("_is_new", F.lit(True))
     )
