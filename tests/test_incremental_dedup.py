@@ -90,3 +90,22 @@ def test_params_round_trip_and_probe_uses_them(spark, tmp_path):
     assert {"h0", "h1", "h2", "h3"}.issubset(set(rows.columns))
     assert "h4" not in rows.columns
     assert _dup_map(marked)[1] is None
+
+
+def test_incremental_probe_plan_shape(spark, tmp_path, sf_dir):
+    """The index must be filtered by a BROADCAST semi-join on the
+    increment's bucket keys (the increment is the small side by
+    definition) — a shuffled semi-join of the index, or any cartesian,
+    is the 100 TB regression this pins against."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_dedup_index(docs.filter(F.col("doc_id") < 400), idx)
+    marked, _ = incremental_near_dedup(
+        docs.filter(F.col("doc_id") >= 400), idx
+    )
+    marked.collect()
+    plan = marked._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
