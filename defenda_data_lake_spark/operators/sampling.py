@@ -15,6 +15,8 @@ assignment (the standard way to get independent folds).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -251,3 +253,119 @@ def group_weighted_sample(
     return keyed.withColumn("sample_rank", F.row_number().over(w)).filter(
         F.col("sample_rank") <= k
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    token_col: str,
+    key_col: str,
+    tie_cols: Sequence[str] = (),
+    descending: bool = True,
+    budget_tokens: int | None = None,
+    budget_ratio: tuple[int, int] | None = None,
+    buckets: int = 64,
+    materialize: bool = True,
+    out: str = "cum_tokens",
+) -> DataFrame:
+    """Greedy token-budget selection: order rows by ``key_col``
+    (``descending`` = best-first), take the maximal prefix whose
+    cumulative ``token_col`` stays within the budget — "fill a 10B-token
+    training mix with the highest-quality documents first", the standard
+    curation closing step.  The budget is either an absolute
+    ``budget_tokens`` or ``budget_ratio=(num, den)`` of the total token
+    count (kept while ``den·cum <= num·total`` — exact integer
+    arithmetic, no float threshold).
+
+    The naive formulation — ``SUM(tokens) OVER (ORDER BY key)`` with no
+    PARTITION BY — is a scale killer: Spark plans an unpartitioned
+    window as ONE task holding the whole corpus.  This operator computes
+    the same global prefix sum as a two-level cumsum:
+
+    1. one pass (pruned to ``key_col``) estimates quantile boundaries
+       (``approxQuantile``) and buckets rows by key — boundary precision
+       affects only load balance, never the result;
+    2. per-bucket token totals aggregate map-side (the shuffle carries
+       ~``buckets`` rows per task); a window over that tiny table yields
+       each bucket's exclusive prefix offset and the grand total;
+    3. ONE full exchange partitions rows by bucket; the within-bucket
+       cumulative sum plus the broadcast offset is the exact global
+       cumulative sum, and the budget filter runs where the rows are.
+
+    Determinism contract: ``key_col ++ tie_cols`` must be a TOTAL order
+    (pass the primary key as the last tie) — the selected set is then
+    unique and engine-independent, replayable as the naive window in any
+    SQL engine (the q92 oracle).  Rows with a NULL key or NULL token
+    count are excluded (they have no defined position/cost).  Skew
+    caveat: all rows sharing one key value land in one bucket — a
+    degenerate key (one value everywhere) degrades to the single-task
+    window this exists to avoid.
+
+    ``materialize`` (default on): the operator consumes its input
+    THREE times — the quantile probe, the bucket totals, and the cumsum
+    itself — so an expensive upstream (e.g. a tokenizing projection
+    over raw text) would otherwise evaluate three times.
+    ``localCheckpoint`` pins the input once; pass a NARROW projection
+    (key, tokens, id) and join wide payloads back by id afterwards if
+    the row is heavy, or ``materialize=False`` if the input is already
+    a cached/cheap scan.
+
+    Returns the selected rows (original columns) + ``out`` = the global
+    cumulative token count, BIGINT."""
+    if (budget_tokens is None) == (budget_ratio is None):
+        raise ValueError("pass exactly one of budget_tokens / budget_ratio")
+    if budget_tokens is not None and budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0; got {budget_tokens}")
+    if budget_ratio is not None:
+        num, den = budget_ratio
+        if num < 0 or den <= 0:
+            raise ValueError(f"need num >= 0 and den > 0; got {budget_ratio}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1; got {buckets}")
+    cols = df.columns
+    t = df.filter(
+        F.col(token_col).isNotNull() & F.col(key_col).isNotNull()
+    )
+    if materialize:
+        t = t.localCheckpoint(eager=True)
+    # quantile boundaries: load balance only — the cumulative sum below
+    # is exact regardless of where the bucket cuts land
+    probes = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(t.stat.approxQuantile(key_col, probes, 0.01)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(key_col) > F.lit(b)).cast("int")
+    tb = t.withColumn("_tb_bucket", bucket)
+    tok = F.col(token_col).cast("long")
+
+    key_order = F.col(key_col).desc() if descending else F.col(key_col).asc()
+    row_order = [key_order, *[F.col(c) for c in tie_cols]]
+    bucket_order = (
+        F.col("_tb_bucket").desc() if descending else F.col("_tb_bucket").asc()
+    )
+
+    # tiny side: per-bucket totals (map-side combined), exclusive prefix
+    # offsets in global order, grand total — <= buckets rows end to end
+    bsums = tb.groupBy("_tb_bucket").agg(F.sum(tok).alias("_tb_bsum"))
+    w_off = Window.orderBy(bucket_order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = bsums.select(
+        "_tb_bucket",
+        F.coalesce(F.sum("_tb_bsum").over(w_off), F.lit(0).cast("long")).alias(
+            "_tb_off"
+        ),
+        F.sum("_tb_bsum").over(Window.partitionBy()).alias("_tb_total"),
+    )
+
+    w_cum = Window.partitionBy("_tb_bucket").orderBy(*row_order)
+    cum = (F.col("_tb_off") + F.sum(tok).over(w_cum)).alias(out)
+    sel = tb.join(F.broadcast(offs), "_tb_bucket").select(
+        *cols, F.col("_tb_total"), cum
+    )
+    if budget_tokens is not None:
+        keep = F.col(out) <= F.lit(int(budget_tokens)).cast("long")
+    else:
+        keep = F.col(out) * F.lit(int(den)) <= F.col("_tb_total") * F.lit(
+            int(num)
+        )
+    return sel.filter(keep).select(*cols, out)

@@ -437,6 +437,146 @@ def count_min_lookup(
     )
 
 
+def _hs_check(prefix_hex: int) -> None:
+    if not 1 <= prefix_hex <= 8:
+        raise ValueError(f"prefix_hex must be 1..8; got {prefix_hex}")
+
+
+def hash_sample_sketch(
+    df: DataFrame,
+    col: str,
+    group_by: Sequence[str] = (),
+    prefix_hex: int = 1,
+) -> DataFrame:
+    """Distinct hash-sample sketch of ``col`` per ``group_by`` group —
+    the SET-OPERATIONS member of this module's family (HLL/Bloom =
+    cardinality, count-min = frequency, histogram = quantiles; this one
+    adds union AND intersection).  Keep the distinct ``md5`` digests
+    whose first ``prefix_hex`` hex digits are all ``'0'`` — a
+    fixed-threshold bottom sketch (a theta sketch with theta pinned at
+    ``16^-prefix_hex``, the pure-SQL form of KMV): every distinct value
+    is retained with probability ``16^-prefix_hex`` decided by its own
+    hash, so sketches of different datasets are COORDINATED samples of
+    the same hash space and set algebra works directly on them:
+
+    * union      = distinct union of the samples (:func:`hash_sample_merge`)
+    * intersect  = hashes present in both samples
+    * |S| ≈ ``16^prefix_hex · |sample|``  (unbiased; relative stderr
+      ≈ ``sqrt(16^prefix_hex / |S|)`` — pick ``prefix_hex`` so the
+      expected sample is ≥ a few hundred rows)
+
+    This is the scale path for overlap/contamination measurement: HLL
+    merges give union only — intersection via inclusion-exclusion
+    compounds three estimates' errors — while here the intersection is
+    itself a direct coordinated sample (q91 measures train/holdout
+    vocabulary-style overlap with it).
+
+    Deterministic and engine-replayable by construction: the oracle is
+    ``WHERE substr(md5(x), 1, prefix_hex) = '00..'`` + ``DISTINCT`` —
+    no private hash, no float.  NULLs are ignored like
+    ``count(DISTINCT)``.
+
+    Scale (100 TB): the prefix filter is evaluated map-side inside the
+    scan stage, so only ``~n/16^prefix_hex`` rows ever reach the
+    distinct's exchange — the sketch never shuffles the full input,
+    unlike exact ``count(DISTINCT)``.  The sample itself is the
+    mergeable persistable form (like the HLL register table): distinct
+    union of per-day samples == the sample of the union, exactly.
+
+    Returns ``group_by + [_hs_hash string]`` (one row per retained
+    distinct value per group)."""
+    _hs_check(prefix_hex)
+    gcols = list(group_by)
+    h = F.md5(F.col(col).cast("string"))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*gcols, h.alias("_hs_hash"))
+        .filter(
+            F.substring("_hs_hash", 1, prefix_hex) == F.lit("0" * prefix_hex)
+        )
+        .distinct()
+    )
+
+
+def hash_sample_merge(
+    a: DataFrame,
+    b: DataFrame,
+) -> DataFrame:
+    """Union of hash-sample sketches built with the SAME ``prefix_hex``
+    (and group columns): distinct union of the samples.  Exactly equal
+    — row-for-row, not approximately — to a direct
+    :func:`hash_sample_sketch` over the concatenated inputs, the same
+    merge law as :func:`hll_merge`."""
+    return a.unionByName(b).distinct()
+
+
+def hash_sample_estimate(
+    sketch: DataFrame,
+    group_by: Sequence[str] = (),
+    prefix_hex: int = 1,
+    out: str = "distinct_estimate",
+) -> DataFrame:
+    """Distinct-count estimate from a :func:`hash_sample_sketch`:
+    ``16^prefix_hex · count(*)`` per group — exact integer arithmetic,
+    BIGINT out (no float anywhere)."""
+    _hs_check(prefix_hex)
+    scale = 16 ** prefix_hex
+    return sketch.groupBy(*group_by).agg(
+        (F.count("*") * F.lit(scale)).cast("long").alias(out)
+    )
+
+
+def hash_sample_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    group_by: Sequence[str] = (),
+    prefix_hex: int = 1,
+) -> DataFrame:
+    """Set-overlap estimates from two coordinated
+    :func:`hash_sample_sketch` outputs (same ``col`` domain, same
+    ``prefix_hex``): per group, BIGINT estimates of |A|, |B|, |A∪B|,
+    |A∩B| plus a Jaccard estimate (the one double: a single division of
+    two exact sample counts; NULL when both samples are empty).
+
+    The intersection estimate is the direct one — hashes retained by
+    BOTH sketches, scaled — not inclusion-exclusion over three noisy
+    cardinalities; because the samples are coordinated (one hash
+    function, one threshold), ``16^prefix_hex · |sample_A ∩ sample_B|``
+    is itself an unbiased estimator of ``|A ∩ B|``.
+
+    Scale: both inputs are already ``16^prefix_hex``-fold samples of
+    DISTINCT values, so the full-outer join here exchanges only sketch
+    rows (a full-outer join cannot broadcast in Spark — but the shuffle
+    is over the tiny samples, never the raw data).  Group keys match
+    NULL-safely, mirroring groupBy's NULL-key retention."""
+    _hs_check(prefix_hex)
+    scale = 16 ** prefix_hex
+    gcols = list(group_by)
+    fa = a.select(*gcols, "_hs_hash", F.lit(1).alias("_hs_a"))
+    fb = b.select(*gcols, "_hs_hash", F.lit(1).alias("_hs_b"))
+    cond = fa["_hs_hash"] == fb["_hs_hash"]
+    for g in gcols:
+        cond = cond & fa[g].eqNullSafe(fb[g])
+    j = fa.join(fb, cond, "full").select(
+        *[F.coalesce(fa[g], fb[g]).alias(g) for g in gcols],
+        fa["_hs_a"],
+        fb["_hs_b"],
+    )
+    n_a = F.count("_hs_a")
+    n_b = F.count("_hs_b")
+    n_i = F.count(F.when(F.col("_hs_a").isNotNull() & F.col("_hs_b").isNotNull(), 1))
+    n_u = F.count("*")
+    return j.groupBy(*gcols).agg(
+        (n_a * scale).cast("long").alias("est_a"),
+        (n_b * scale).cast("long").alias("est_b"),
+        (n_u * scale).cast("long").alias("est_union"),
+        (n_i * scale).cast("long").alias("est_intersection"),
+        F.when(n_u > 0, n_i.cast("double") / n_u.cast("double")).alias(
+            "jaccard_estimate"
+        ),
+    )
+
+
 def bloom_cardinality(
     df: DataFrame,
     col: str,

@@ -2077,6 +2077,171 @@ FROM fin
 """
 
 
+def q91_overlap_sketch(spark, sf_dir):
+    """Set-overlap estimation via coordinated hash-sample (theta/KMV-
+    style) sketches (``operators/sketches.hash_sample_sketch``): which
+    distinct parts shipped BOTH before and after 1997-01-01 — the
+    audience/contamination-overlap shape (train∩holdout at corpus
+    scale).  HLL merges answer union only; here the intersection is a
+    DIRECT coordinated sample (one hash, one threshold), not
+    inclusion-exclusion over three noisy estimates.  Exact counts ride
+    along as the accuracy yardstick (q79/q80 pattern).  The oracle
+    replays the sketch hash-for-hash (``substr(md5(x),1,1)='0'`` +
+    DISTINCT), so the sampling itself is value-checked, not just the
+    estimates.  Scale: the prefix filter runs map-side in the scan, so
+    only ~1/16 of DISTINCT keys ever reach an exchange; the full-outer
+    join exchanges sketch rows only."""
+    from defenda_data_lake_spark.operators.sketches import (
+        hash_sample_overlap,
+        hash_sample_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.to_timestamp(F.lit("1997-01-01"))
+    base = li.select("l_partkey", "l_shipdate").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_shipdate").isNotNull()
+    )
+    before = base.filter(F.col("l_shipdate") < cut)
+    after = base.filter(F.col("l_shipdate") >= cut)
+    est = hash_sample_overlap(
+        hash_sample_sketch(before, "l_partkey", prefix_hex=1),
+        hash_sample_sketch(after, "l_partkey", prefix_hex=1),
+        prefix_hex=1,
+    )
+    flags = base.groupBy("l_partkey").agg(
+        F.max(F.when(F.col("l_shipdate") < cut, 1).otherwise(0)).alias("_ia"),
+        F.max(F.when(F.col("l_shipdate") >= cut, 1).otherwise(0)).alias("_ib"),
+    )
+    exact = flags.agg(
+        F.sum("_ia").cast("long").alias("exact_a"),
+        F.sum("_ib").cast("long").alias("exact_b"),
+        F.sum(
+            F.when((F.col("_ia") == 1) & (F.col("_ib") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("exact_intersection"),
+    )
+    # two one-row aggregates: the acknowledged broadcast one-row crossJoin
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_a",
+        "exact_b",
+        "exact_intersection",
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_intersection",
+        R("jaccard_estimate", 6).alias("jaccard_estimate"),
+    )
+
+
+Q91_SQL = r"""
+WITH base AS (
+  SELECT l_partkey, l_shipdate FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+),
+sa AS (
+  SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h FROM base
+  WHERE l_shipdate < TIMESTAMP '1997-01-01'
+    AND substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) = '0'
+),
+sb AS (
+  SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h FROM base
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) = '0'
+),
+j AS (
+  SELECT sa.h AS ha, sb.h AS hb FROM sa FULL OUTER JOIN sb ON sa.h = sb.h
+),
+est AS (
+  SELECT CAST(16 * count(ha) AS BIGINT) AS est_a,
+         CAST(16 * count(hb) AS BIGINT) AS est_b,
+         CAST(16 * count(*) AS BIGINT) AS est_union,
+         CAST(16 * count(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL THEN 1 END) AS BIGINT)
+           AS est_intersection,
+         CASE WHEN count(*) > 0 THEN
+           CAST(count(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE)
+         END AS jac
+  FROM j
+),
+fl AS (
+  SELECT l_partkey,
+         max(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS ib
+  FROM base GROUP BY l_partkey
+),
+ex AS (
+  SELECT CAST(sum(ia) AS BIGINT) AS exact_a,
+         CAST(sum(ib) AS BIGINT) AS exact_b,
+         CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_intersection
+  FROM fl
+)
+SELECT exact_a, exact_b, exact_intersection,
+       est_a, est_b, est_union, est_intersection,
+       round(jac * 1000000, 0) / 1000000 AS jaccard_estimate
+FROM ex, est
+"""
+
+
+def q92_token_budget(spark, sf_dir):
+    """Token-budget greedy selection
+    (``operators/sampling.token_budget_select``): fill 25% of the
+    corpus's total tokens with the most lexically diverse documents
+    first (score = distinct words / tokens, doc_id tiebreak) — the
+    curation closing step that turns ranked documents into a training
+    mix of a target size.  The oracle is the naive global-window
+    cumulative sum; the operator computes the SAME prefix sum as a
+    two-level (bucket offset + within-bucket) cumsum so no task ever
+    holds the corpus — q92's plan-quality test pins the absence of a
+    single-partition window.  Budget math is exact-integer
+    (``4·cum <= total``); the one double (the score) is a single
+    division, identical IEEE on both engines."""
+    from defenda_data_lake_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), " "))
+    uniq = F.size(F.array_distinct(F.split(F.trim(F.col("text")), " ")))
+    t = docs.select(
+        "doc_id",
+        toks.cast("long").alias("n_tok"),
+        (uniq.cast("double") / toks.cast("double")).alias("score"),
+    )
+    sel = token_budget_select(
+        t,
+        token_col="n_tok",
+        key_col="score",
+        tie_cols=["doc_id"],
+        descending=True,
+        budget_ratio=(1, 4),
+        buckets=32,
+    )
+    return sel.select(
+        "doc_id", R("score", 6).alias("score"), "n_tok", "cum_tokens"
+    )
+
+
+Q92_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+           / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS score
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok, score,
+         CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens,
+         CAST(sum(n_tok) OVER () AS BIGINT) AS total
+  FROM t
+)
+SELECT doc_id, round(score * 1000000, 0) / 1000000 AS score, n_tok, cum_tokens
+FROM c WHERE 4 * cum_tokens <= total
+"""
+
+
 def q49_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: MinHash+LSH near-dup pairs →
     connected components (iterated min-label propagation with pointer
@@ -4142,12 +4307,13 @@ GROUP BY a3.cl
 # up the shared band_structs_expr refactor in round 6 (ADVICE r6);
 # then the queries whose behavior/oracle changed in round 7 (q78
 # oracle 'g' flag, q79 HLL null-filter + empty-input arm) and the
-# round-7-NEW q80-q89; then the 11 headline-bench queries; the window
-# tail is filled with two r6-changed entries (q73/q77, double-covered
-# cheaply).  Everything past slot 50 (from q41 onward) was
-# driver-green in CORRECTNESS_r06 (2-round cadence invariant
-# preserved; q41/q48 changed in r6 but were driver-green in the r6
-# window and are unchanged since).
+# round-7-NEW q80-q92; then the headline-bench queries (q36 spills
+# past slot 50 this round — r6-driver-green twice over, unchanged,
+# and bench exercises it every round regardless).  Everything past
+# slot 50 (from q36 onward) was driver-green in CORRECTNESS_r06
+# (2-round cadence invariant preserved; q41/q48/q73/q77 changed in
+# r6 but were driver-green in the r6 window and are unchanged
+# since).
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- 25 stale: last driver correctness row r5 (judge-green in r6)
     "q24_presto_text": (q24_presto_text, Q24_SQL),
@@ -4189,6 +4355,8 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q88_quantile_sketch": (q88_quantile_sketch, Q88_SQL),
     "q89_ann_recall": (q89_ann_recall, Q89_SQL),
     "q90_hll_rollup": (q90_hll_rollup, Q90_SQL),
+    "q91_overlap_sketch": (q91_overlap_sketch, Q91_SQL),
+    "q92_token_budget": (q92_token_budget, Q92_SQL),
     # --- headline bench set
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
@@ -4200,13 +4368,12 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
     "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
     "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
-    "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
-    # --- window fill: one r6-changed entry (q73, double-covered
-    # cheaply; q77/q41/q48 displaced past slot 50 by the new
-    # q88-q90 — all three r6-driver-green and unchanged since)
-    "q73_semdedup": (q73_semdedup, Q73_SQL),
     # --- tail: r6-driver-verified, rotates back next round (q07-q17
-    # and q77/q41/q48 displaced past slot 50 by the new q80-q90)
+    # and q36/q73/q77/q41/q48 displaced past slot 50 by the new
+    # q80-q92; q36 is headline but r6-driver-green twice over and
+    # unchanged this round — bench still runs it every round)
+    "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
+    "q73_semdedup": (q73_semdedup, Q73_SQL),
     "q77_bucket_dedupe": (q77_bucket_dedupe, Q77_SQL),
     "q41_knn_lsh": (q41_knn_lsh, Q41_SQL),
     "q48_knn_quantized": (q48_knn_quantized, Q48_SQL),

@@ -348,3 +348,40 @@ def test_q90_hll_rollup_plan(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     first_exchange = plan.index("Exchange")
     assert "HashAggregate" in plan[first_exchange:]
+
+
+def test_q91_overlap_sketch_plan(spark):
+    """The hash-sample overlap must push the '0'-prefix sample filter
+    into the map side (it appears as a Filter in the scan stage, so
+    only ~1/16 of rows reach the distinct's exchange — visible as the
+    substring predicate BELOW the first exchange in print order), keep
+    everything JVM-side, and never plan a cartesian: the only
+    full-outer join is over the two tiny samples."""
+    plan = plan_of(spark, "q91_overlap_sketch")
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FullOuter" in plan
+    # the sample filter (md5-prefix '0') is evaluated pre-exchange:
+    # the substring predicate must appear after the LAST exchange in
+    # print order (= in the leaf/scan stage of that branch)
+    last_exchange = plan.rindex("Exchange")
+    assert "substring" in plan[last_exchange:].lower()
+
+
+def test_q92_token_budget_plan(spark):
+    """The global cumulative sum must NOT plan as a single-partition
+    window over the corpus: the data-bearing window is partitioned by
+    the quantile bucket (exactly one full-data exchange), the offsets
+    join broadcasts, and the only SinglePartition window is over the
+    <= buckets-row offsets table."""
+    plan = plan_of(spark, "q92_token_budget")
+    assert "hashpartitioning(_tb_bucket" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every SinglePartition exchange must sit above an aggregate of the
+    # bucket sums (the tiny table), never directly above the scan of
+    # the documents corpus
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        head = seg[:600]
+        assert "HashAggregate" in head or "FileScan" not in head

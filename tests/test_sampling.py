@@ -159,3 +159,124 @@ def test_group_weighted_sample_topk_and_plan(spark):
     # determinism
     again = sorted((r["grp"], r["id"]) for r in group_weighted_sample(df, "grp", "id", "w", k=7).collect())
     assert again == sorted((r["grp"], r["id"]) for r in rows)
+
+
+# --- token_budget_select -------------------------------------------------
+
+
+def _naive_budget(rows, budget):
+    """Reference greedy selection: rows = [(id, key, tok)], best-first
+    by (key desc, id), keep while cumulative tok <= budget."""
+    out, cum = [], 0
+    for rid, key, tok in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += tok
+        if cum > budget:
+            break
+        out.append((rid, cum))
+    return out
+
+
+def _mk_budget_df(spark, n=500, seed_mod=97):
+    return spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 37) % seed_mod).cast("double").alias("key"),
+        ((F.col("id") * 13) % 50 + 1).cast("long").alias("tok"),
+    )
+
+
+def test_token_budget_absolute_matches_naive(spark):
+    from defenda_data_lake_spark.operators.sampling import token_budget_select
+
+    df = _mk_budget_df(spark)
+    rows = [(r["id"], r["key"], r["tok"]) for r in df.collect()]
+    expect = _naive_budget(rows, 3000)
+    got = token_budget_select(
+        df, "tok", "key", tie_cols=["id"], budget_tokens=3000, buckets=8
+    )
+    assert sorted((r["id"], r["cum_tokens"]) for r in got.collect()) == sorted(
+        expect
+    )
+
+
+def test_token_budget_ratio_matches_naive(spark):
+    from defenda_data_lake_spark.operators.sampling import token_budget_select
+
+    df = _mk_budget_df(spark)
+    rows = [(r["id"], r["key"], r["tok"]) for r in df.collect()]
+    total = sum(t for _, _, t in rows)
+    expect = _naive_budget(rows, total // 4)  # 4*cum <= total <=> cum <= total//4
+    got = token_budget_select(
+        df, "tok", "key", tie_cols=["id"], budget_ratio=(1, 4), buckets=8
+    )
+    assert sorted((r["id"], r["cum_tokens"]) for r in got.collect()) == sorted(
+        expect
+    )
+
+
+def test_token_budget_partitioning_invariant(spark):
+    from defenda_data_lake_spark.operators.sampling import token_budget_select
+
+    df = _mk_budget_df(spark, n=800)
+    a = token_budget_select(
+        df, "tok", "key", tie_cols=["id"], budget_tokens=5000, buckets=16
+    )
+    b = token_budget_select(
+        df.repartition(13), "tok", "key", tie_cols=["id"],
+        budget_tokens=5000, buckets=3,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_token_budget_ascending_and_null_rows(spark):
+    from defenda_data_lake_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 10), (2, 1.0, 10), (3, None, 10), (4, 2.0, None), (5, 3.0, 10)],
+        "id long, key double, tok long",
+    )
+    got = token_budget_select(
+        df, "tok", "key", tie_cols=["id"], descending=False,
+        budget_tokens=20, buckets=4,
+    )
+    # ascending: key 1.0 (id 2) then 3.0 (id 5); NULL key/tok excluded
+    assert [(r["id"], r["cum_tokens"]) for r in
+            sorted(got.collect(), key=lambda r: r["cum_tokens"])] == [
+        (2, 10), (5, 20)
+    ]
+
+
+def test_token_budget_rejects_bad_args(spark):
+    import pytest
+
+    from defenda_data_lake_spark.operators.sampling import token_budget_select
+
+    df = _mk_budget_df(spark, n=10)
+    with pytest.raises(ValueError):
+        token_budget_select(df, "tok", "key")  # neither budget
+    with pytest.raises(ValueError):
+        token_budget_select(
+            df, "tok", "key", budget_tokens=5, budget_ratio=(1, 4)
+        )
+    with pytest.raises(ValueError):
+        token_budget_select(df, "tok", "key", budget_ratio=(1, 0))
+    with pytest.raises(ValueError):
+        token_budget_select(df, "tok", "key", budget_tokens=10, buckets=0)
+
+
+def test_token_budget_plan_no_global_window_on_data(spark):
+    from defenda_data_lake_spark.operators.sampling import token_budget_select
+
+    df = _mk_budget_df(spark, n=2000)
+    got = token_budget_select(
+        df, "tok", "key", tie_cols=["id"], budget_tokens=10_000, buckets=16
+    )
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # the corpus-bearing cumsum must be partitioned by bucket (exactly
+    # one full-data exchange); the offsets join must be broadcast; the
+    # only SinglePartition traffic is the <= buckets-row offsets table
+    assert plan.count("hashpartitioning(_tb_bucket") >= 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -280,3 +280,116 @@ def test_hll_merge_register_identical(spark):
     assert sorted(map(key, merged.collect())) == sorted(
         map(key, direct.collect())
     )
+
+
+def test_hash_sample_estimate_accuracy(spark):
+    from defenda_data_lake_spark.operators.sketches import (
+        hash_sample_estimate,
+        hash_sample_sketch,
+    )
+
+    # 20k distinct at p=1/16 -> ~1250 sampled, stderr ~3%; assert 10%
+    df = spark.range(60000).select((F.col("id") % 20000).cast("string").alias("v"))
+    sk = hash_sample_sketch(df, "v", prefix_hex=1)
+    est = hash_sample_estimate(sk, prefix_hex=1).collect()[0]["distinct_estimate"]
+    assert abs(est - 20000) / 20000 < 0.10, est
+
+
+def test_hash_sample_merge_law_exact(spark):
+    from defenda_data_lake_spark.operators.sketches import (
+        hash_sample_merge,
+        hash_sample_sketch,
+    )
+
+    # merged per-part sketches must equal the direct sketch of the
+    # union ROW-FOR-ROW (not approximately) — the property that makes
+    # the sample a persistable incremental structure
+    a = spark.range(0, 8000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(4000, 12000).select(F.col("id").cast("string").alias("v"))
+    direct = hash_sample_sketch(a.unionByName(b), "v", prefix_hex=1)
+    merged = hash_sample_merge(
+        hash_sample_sketch(a, "v", prefix_hex=1),
+        hash_sample_sketch(b, "v", prefix_hex=1),
+    )
+    assert sorted(r["_hs_hash"] for r in direct.collect()) == sorted(
+        r["_hs_hash"] for r in merged.collect()
+    )
+
+
+def test_hash_sample_overlap_estimates(spark):
+    from defenda_data_lake_spark.operators.sketches import (
+        hash_sample_overlap,
+        hash_sample_sketch,
+    )
+
+    # |A| = 12000 (0..12000), |B| = 12000 (6000..18000), |A∩B| = 6000
+    a = spark.range(0, 12000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(6000, 18000).select(F.col("id").cast("string").alias("v"))
+    row = hash_sample_overlap(
+        hash_sample_sketch(a, "v", prefix_hex=1),
+        hash_sample_sketch(b, "v", prefix_hex=1),
+        prefix_hex=1,
+    ).collect()[0]
+    assert abs(row["est_a"] - 12000) / 12000 < 0.15
+    assert abs(row["est_b"] - 12000) / 12000 < 0.15
+    assert abs(row["est_union"] - 18000) / 18000 < 0.15
+    assert abs(row["est_intersection"] - 6000) / 6000 < 0.25
+    assert abs(row["jaccard_estimate"] - 6000 / 18000) < 0.1
+    # internal consistency: inclusion-exclusion holds EXACTLY on the
+    # coordinated samples (union = a + b - intersection)
+    assert row["est_union"] == row["est_a"] + row["est_b"] - row["est_intersection"]
+
+
+def test_hash_sample_empty_and_nulls(spark):
+    from defenda_data_lake_spark.operators.sketches import (
+        hash_sample_estimate,
+        hash_sample_overlap,
+        hash_sample_sketch,
+    )
+
+    empty = spark.range(0).select(F.col("id").cast("string").alias("v"))
+    nulls = spark.range(100).select(F.lit(None).cast("string").alias("v"))
+    for df in (empty, nulls):
+        sk = hash_sample_sketch(df, "v", prefix_hex=1)
+        assert (
+            hash_sample_estimate(sk, prefix_hex=1).collect()[0]["distinct_estimate"]
+            == 0
+        )
+    row = hash_sample_overlap(
+        hash_sample_sketch(empty, "v", prefix_hex=1),
+        hash_sample_sketch(nulls, "v", prefix_hex=1),
+        prefix_hex=1,
+    ).collect()[0]
+    assert row["est_union"] == 0 and row["jaccard_estimate"] is None
+
+
+def test_hash_sample_grouped_overlap_null_group(spark):
+    from defenda_data_lake_spark.operators.sketches import (
+        hash_sample_overlap,
+        hash_sample_sketch,
+    )
+
+    # groupBy keeps a NULL group key; the overlap join must match it
+    # NULL-safely so the NULL group's sketches still pair up
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.when(F.col("id") % 2 == 0, "g").alias("g"),
+        F.col("id").cast("string").alias("v"),
+    )
+    out = hash_sample_overlap(
+        hash_sample_sketch(mk(0, 12000), "v", ["g"], prefix_hex=1),
+        hash_sample_sketch(mk(6000, 18000), "v", ["g"], prefix_hex=1),
+        ["g"],
+        prefix_hex=1,
+    ).collect()
+    by_g = {r["g"]: r for r in out}
+    assert set(by_g) == {"g", None}
+    for r in by_g.values():
+        assert r["est_intersection"] > 0
+
+
+def test_hash_sample_rejects_bad_prefix(spark):
+    from defenda_data_lake_spark.operators.sketches import hash_sample_sketch
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError):
+        hash_sample_sketch(df, "v", prefix_hex=0)
