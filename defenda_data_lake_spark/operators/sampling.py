@@ -369,3 +369,80 @@ def token_budget_select(
             int(num)
         )
     return sel.filter(keep).select(*cols, out)
+
+
+def group_token_budget_select(
+    df: DataFrame,
+    token_col: str,
+    key_col: str,
+    group_col: str,
+    tie_cols: Sequence[str] = (),
+    descending: bool = True,
+    budgets: dict[str, int] | None = None,
+    budget_ratio: tuple[int, int] | None = None,
+    out: str = "cum_tokens",
+) -> DataFrame:
+    """Per-group token-budget selection — the MIX-SPEC operator: fill
+    each group (language, source, domain) to its own token target with
+    that group's best rows first.  ``budgets`` is an explicit spec
+    ``{group: max_tokens}`` (groups absent from the spec contribute
+    NOTHING — a strict mix); ``budget_ratio=(num, den)`` instead keeps
+    each group's best prefix while ``den·cum <= num·group_total``
+    (exact integer arithmetic).  This is how a curation pipeline turns
+    "30% code, 20% multilingual, cap forum data at 1B tokens" into a
+    concrete training set; :func:`token_budget_select` is the
+    ungrouped twin for one global budget.
+
+    Scale: ONE hash exchange on ``group_col``; the cumulative window
+    is bounded by the group (no unpartitioned window anywhere).  Skew
+    caveat: one giant group serializes within its partition — if a
+    single group dominates the corpus, select it with the bucketed
+    global operator instead.  Rows with NULL key/token/group are
+    excluded; ``key_col ++ tie_cols`` must totally order rows WITHIN a
+    group for a deterministic, engine-replayable selection.
+
+    Returns the selected rows + ``out`` = within-group cumulative
+    token count, BIGINT."""
+    if (budgets is None) == (budget_ratio is None):
+        raise ValueError("pass exactly one of budgets / budget_ratio")
+    if budgets is not None and any(v < 0 for v in budgets.values()):
+        raise ValueError("budgets must be >= 0")
+    if budget_ratio is not None:
+        num, den = budget_ratio
+        if num < 0 or den <= 0:
+            raise ValueError(f"need num >= 0 and den > 0; got {budget_ratio}")
+    cols = df.columns
+    t = df.filter(
+        F.col(token_col).isNotNull()
+        & F.col(key_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    )
+    tok = F.col(token_col).cast("long")
+    key_order = F.col(key_col).desc() if descending else F.col(key_col).asc()
+    w_cum = Window.partitionBy(group_col).orderBy(
+        key_order, *[F.col(c) for c in tie_cols]
+    )
+    cum = F.sum(tok).over(w_cum).alias(out)
+    if budgets is not None:
+        # literal spec map: element_at yields NULL for unlisted groups,
+        # and NULL <= n is NULL -> filtered out (strict mix)
+        entries = [
+            x
+            for kv in sorted(budgets.items())
+            for x in (F.lit(kv[0]), F.lit(int(kv[1])).cast("long"))
+        ]
+        budget = F.element_at(
+            F.create_map(*entries), F.col(group_col).cast("string")
+        )
+        sel = t.select(*cols, cum)
+        keep = F.col(out) <= budget
+    else:
+        # the group total rides the SAME exchange as the cumsum window
+        # (both partition by group_col); filter on the materialized
+        # column — a window expression can't sit in a WHERE
+        w_all = Window.partitionBy(group_col)
+        sel = t.select(*cols, cum, F.sum(tok).over(w_all).alias("_gtb_total"))
+        keep = F.col(out) * F.lit(int(den)) <= F.col("_gtb_total") * F.lit(
+            int(num)
+        )
+    return sel.filter(keep).select(*cols, out)

@@ -2242,6 +2242,63 @@ FROM c WHERE 4 * cum_tokens <= total
 """
 
 
+def q93_group_token_budget(spark, sf_dir):
+    """Mix-spec selection
+    (``operators/sampling.group_token_budget_select``): fill each
+    LANGUAGE to 25% of its own token total, best (most lexically
+    diverse) documents first — the per-group twin of q92, i.e. how
+    "30% code / 20% multilingual"-style mix specs become a concrete
+    training set with per-domain quality ranking.  Scale: one hash
+    exchange on ``lang``; every window is group-bounded (no
+    unpartitioned window — the q93 plan test pins it); budget math
+    exact-integer per group."""
+    from defenda_data_lake_spark.operators.sampling import (
+        group_token_budget_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), " "))
+    uniq = F.size(F.array_distinct(F.split(F.trim(F.col("text")), " ")))
+    t = docs.select(
+        "doc_id",
+        "lang",
+        toks.cast("long").alias("n_tok"),
+        (uniq.cast("double") / toks.cast("double")).alias("score"),
+    )
+    sel = group_token_budget_select(
+        t,
+        token_col="n_tok",
+        key_col="score",
+        group_col="lang",
+        tie_cols=["doc_id"],
+        descending=True,
+        budget_ratio=(1, 4),
+    )
+    return sel.select(
+        "doc_id", "lang", R("score", 6).alias("score"), "n_tok", "cum_tokens"
+    )
+
+
+Q93_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+           / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS score
+  FROM documents WHERE lang IS NOT NULL
+),
+c AS (
+  SELECT doc_id, lang, n_tok, score,
+         CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT)
+           AS cum_tokens,
+         CAST(sum(n_tok) OVER (PARTITION BY lang) AS BIGINT) AS total
+  FROM t
+)
+SELECT doc_id, lang, round(score * 1000000, 0) / 1000000 AS score, n_tok, cum_tokens
+FROM c WHERE 4 * cum_tokens <= total
+"""
+
+
 def q49_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: MinHash+LSH near-dup pairs →
     connected components (iterated min-label propagation with pointer
@@ -4307,10 +4364,10 @@ GROUP BY a3.cl
 # up the shared band_structs_expr refactor in round 6 (ADVICE r6);
 # then the queries whose behavior/oracle changed in round 7 (q78
 # oracle 'g' flag, q79 HLL null-filter + empty-input arm) and the
-# round-7-NEW q80-q92; then the headline-bench queries (q36 spills
+# round-7-NEW q80-q93; then the headline-bench queries (q32/q36 spill
 # past slot 50 this round — r6-driver-green twice over, unchanged,
-# and bench exercises it every round regardless).  Everything past
-# slot 50 (from q36 onward) was driver-green in CORRECTNESS_r06
+# and bench exercises them every round regardless).  Everything past
+# slot 50 (from q32 onward) was driver-green in CORRECTNESS_r06
 # (2-round cadence invariant preserved; q41/q48/q73/q77 changed in
 # r6 but were driver-green in the r6 window and are unchanged
 # since).
@@ -4357,6 +4414,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q90_hll_rollup": (q90_hll_rollup, Q90_SQL),
     "q91_overlap_sketch": (q91_overlap_sketch, Q91_SQL),
     "q92_token_budget": (q92_token_budget, Q92_SQL),
+    "q93_group_token_budget": (q93_group_token_budget, Q93_SQL),
     # --- headline bench set
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
@@ -4367,11 +4425,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q16_event_pairs": (q16_event_pairs, Q16_SQL),
     "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
     "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
-    "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
     # --- tail: r6-driver-verified, rotates back next round (q07-q17
-    # and q36/q73/q77/q41/q48 displaced past slot 50 by the new
-    # q80-q92; q36 is headline but r6-driver-green twice over and
-    # unchanged this round — bench still runs it every round)
+    # and q32/q36/q73/q77/q41/q48 displaced past slot 50 by the new
+    # q80-q93; q32/q36 are headline but r6-driver-green twice over and
+    # unchanged this round — bench still runs them every round)
+    "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
     "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
     "q73_semdedup": (q73_semdedup, Q73_SQL),
     "q77_bucket_dedupe": (q77_bucket_dedupe, Q77_SQL),

@@ -385,3 +385,15 @@ def test_q92_token_budget_plan(spark):
     for seg in plan.split("Exchange SinglePartition")[1:]:
         head = seg[:600]
         assert "HashAggregate" in head or "FileScan" not in head
+
+
+def test_q93_group_token_budget_plan(spark):
+    """The mix-spec selection must do all its window work behind ONE
+    hash exchange on the group column — the cumsum and the group-total
+    windows share it — with no single-partition exchange anywhere (no
+    global window, no global sort) and no join at all."""
+    plan = plan_of(spark, "q93_group_token_budget")
+    assert "hashpartitioning(lang" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan

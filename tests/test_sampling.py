@@ -280,3 +280,86 @@ def test_token_budget_plan_no_global_window_on_data(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _naive_group_budget(rows, frac_num, frac_den):
+    """rows = [(id, grp, key, tok)] -> [(id, cum)] kept per group."""
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for rid, g, key, tok in rows:
+        by_g[g].append((rid, key, tok))
+    out = []
+    for g, rs in by_g.items():
+        total = sum(t for _, _, t in rs)
+        cum = 0
+        for rid, key, tok in sorted(rs, key=lambda r: (-r[1], r[0])):
+            cum += tok
+            if cum * frac_den > total * frac_num:
+                break
+            out.append((rid, cum))
+    return out
+
+
+def test_group_token_budget_ratio_matches_naive(spark):
+    from defenda_data_lake_spark.operators.sampling import (
+        group_token_budget_select,
+    )
+
+    df = spark.range(400).select(
+        F.col("id"),
+        (F.col("id") % 5).cast("string").alias("g"),
+        ((F.col("id") * 37) % 97).cast("double").alias("key"),
+        ((F.col("id") * 13) % 50 + 1).cast("long").alias("tok"),
+    )
+    rows = [(r["id"], r["g"], r["key"], r["tok"]) for r in df.collect()]
+    expect = _naive_group_budget(rows, 1, 3)
+    got = group_token_budget_select(
+        df, "tok", "key", "g", tie_cols=["id"], budget_ratio=(1, 3)
+    )
+    assert sorted((r["id"], r["cum_tokens"]) for r in got.collect()) == sorted(
+        expect
+    )
+
+
+def test_group_token_budget_spec_dict(spark):
+    from defenda_data_lake_spark.operators.sampling import (
+        group_token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 9.0, 10),
+            (2, "en", 8.0, 10),
+            (3, "en", 7.0, 10),
+            (4, "fr", 9.0, 10),
+            (5, "fr", 8.0, 10),
+            (6, "zz", 9.0, 10),  # not in spec -> contributes nothing
+        ],
+        "id long, g string, key double, tok long",
+    )
+    got = group_token_budget_select(
+        df, "tok", "key", "g", tie_cols=["id"],
+        budgets={"en": 20, "fr": 100},
+    )
+    kept = sorted((r["id"], r["cum_tokens"]) for r in got.collect())
+    # en: best two fit the 20-token cap; fr: both fit; zz: dropped
+    assert kept == [(1, 10), (2, 20), (4, 10), (5, 20)]
+
+
+def test_group_token_budget_rejects_bad_args(spark):
+    import pytest
+
+    from defenda_data_lake_spark.operators.sampling import (
+        group_token_budget_select,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1.0, 1)], "id long, g string, key double, tok long")
+    with pytest.raises(ValueError):
+        group_token_budget_select(df, "tok", "key", "g")
+    with pytest.raises(ValueError):
+        group_token_budget_select(
+            df, "tok", "key", "g", budgets={"a": 1}, budget_ratio=(1, 2)
+        )
+    with pytest.raises(ValueError):
+        group_token_budget_select(df, "tok", "key", "g", budgets={"a": -1})
