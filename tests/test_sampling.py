@@ -363,3 +363,24 @@ def test_group_token_budget_rejects_bad_args(spark):
         )
     with pytest.raises(ValueError):
         group_token_budget_select(df, "tok", "key", "g", budgets={"a": -1})
+
+
+def test_token_budget_monotone_in_budget(spark):
+    """A larger budget must select a SUPERSET of a smaller one (the
+    greedy prefix property — if this breaks, the selection is not a
+    prefix of one global order and re-runs with a grown budget would
+    drop previously-selected docs)."""
+    from defenda_data_lake_spark.operators.sampling import token_budget_select
+
+    df = _mk_budget_df(spark, n=600)
+    prev: set = set()
+    for budget in (1000, 4000, 9000):
+        ids = {
+            r["id"]
+            for r in token_budget_select(
+                df, "tok", "key", tie_cols=["id"],
+                budget_tokens=budget, buckets=8,
+            ).collect()
+        }
+        assert prev <= ids, (budget, prev - ids)
+        prev = ids
