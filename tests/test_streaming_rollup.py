@@ -1,0 +1,162 @@
+"""Streaming rollup maintenance (streaming/rollup.py): the maintained
+table must equal a batch build over everything delivered, survive a
+checkpoint restart, and skip a redelivered batch instead of
+double-folding it."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from defenda_data_lake_spark.operators.rollup import build_rollup
+from defenda_data_lake_spark.streaming.rollup import (
+    _read_last_batch_id,
+    _write_last_batch_id,
+    start_rollup_maintenance,
+)
+
+SPEC = {
+    "n_events": ("count", "event_id"),
+    "total_value": ("sum", "value"),
+    "users_hll": ("hll", "user_id"),
+}
+KEYS = ["event_type", "day"]
+SCHEMA = "event_id long, day string, user_id long, event_type string, value double"
+
+
+def _write_batch(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _rows(lo, hi, day_mod=3):
+    return [
+        {
+            "event_id": i,
+            "day": f"d{i % day_mod}",
+            "user_id": i % 41,
+            "event_type": ["click", "view", "error"][i % 3],
+            "value": float((i * 7) % 100),
+        }
+        for i in range(lo, hi)
+    ]
+
+
+def _stream(spark, landing):
+    return (
+        spark.readStream.format("json").schema(SCHEMA).load(str(landing))
+    )
+
+
+def _frame(df):
+    return sorted(
+        tuple(sorted(v.items()) if isinstance(v, dict) else v for v in row)
+        for row in df.select(*sorted(df.columns)).collect()
+    )
+
+
+def _start(spark, landing, table, ckpt):
+    return start_rollup_maintenance(
+        _stream(spark, landing),
+        str(table),
+        KEYS,
+        "day",
+        SPEC,
+        checkpoint_path=str(ckpt),
+        trigger_seconds=None,  # availableNow in tests
+    )
+
+
+def test_stream_matches_batch_build(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table, ckpt = tmp_path / "rollup", tmp_path / "ckpt"
+    b1, b2 = _rows(0, 400), _rows(400, 700)
+
+    _write_batch(landing / "b1.json", b1)
+    q = _start(spark, landing, table, ckpt)
+    q.awaitTermination()
+    _write_batch(landing / "b2.json", b2)
+    q = _start(spark, landing, table, ckpt)
+    q.awaitTermination()
+
+    want_path = str(tmp_path / "direct")
+    build_rollup(
+        spark.createDataFrame(
+            [tuple(r.values()) for r in b1 + b2], SCHEMA
+        ),
+        KEYS,
+        "day",
+        SPEC,
+        want_path,
+    )
+    assert _frame(spark.read.parquet(str(table))) == _frame(
+        spark.read.parquet(want_path)
+    )
+    # two batches committed: batch ids 0 and 1
+    assert _read_last_batch_id(spark, str(table)) == 1
+
+
+def test_redelivered_batch_is_skipped(spark, tmp_path):
+    """Crash-after-fold-before-checkpoint replay: foreachBatch calls
+    the fold again with the SAME batchId — the marker must make it a
+    no-op (sums would double otherwise)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table, ckpt = tmp_path / "rollup", tmp_path / "ckpt"
+    _write_batch(landing / "b1.json", _rows(0, 300))
+    q = _start(spark, landing, table, ckpt)
+    q.awaitTermination()
+    before = _frame(spark.read.parquet(str(table)))
+
+    # simulate the redelivery: wipe the checkpoint so the SAME file is
+    # re-read as batch 0 again; the table marker must suppress the fold
+    import shutil
+
+    shutil.rmtree(str(ckpt))
+    q = _start(spark, landing, table, ckpt)
+    q.awaitTermination()
+    assert _frame(spark.read.parquet(str(table))) == before
+
+
+def test_uncommitted_first_attempt_is_rebuilt_not_folded(spark, tmp_path):
+    """Crash DURING the first fold (table written, marker not): the
+    restart must overwrite the partial content, not fold onto it."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table, ckpt = tmp_path / "rollup", tmp_path / "ckpt"
+    rows = _rows(0, 300)
+    # fake the crashed first attempt: table content exists, no marker
+    build_rollup(
+        spark.createDataFrame([tuple(r.values()) for r in rows], SCHEMA),
+        KEYS,
+        "day",
+        SPEC,
+        str(table),
+    )
+    _write_batch(landing / "b1.json", rows)
+    q = _start(spark, landing, table, ckpt)
+    q.awaitTermination()
+
+    want = str(tmp_path / "direct")
+    build_rollup(
+        spark.createDataFrame([tuple(r.values()) for r in rows], SCHEMA),
+        KEYS,
+        "day",
+        SPEC,
+        want,
+    )
+    assert _frame(spark.read.parquet(str(table))) == _frame(
+        spark.read.parquet(want)
+    )
+    assert _read_last_batch_id(spark, str(table)) == 0
+
+
+def test_marker_round_trip(spark, tmp_path):
+    table = tmp_path / "t"
+    table.mkdir()
+    assert _read_last_batch_id(spark, str(table)) == -1
+    _write_last_batch_id(spark, str(table), 7)
+    assert _read_last_batch_id(spark, str(table)) == 7
+    _write_last_batch_id(spark, str(table), 8)
+    assert _read_last_batch_id(spark, str(table)) == 8
