@@ -77,6 +77,26 @@ def main() -> None:
     )
     counts["rebalanced"] = kept.count()
 
+    # 5b. token-budget mix spec: cap each source at 90% of its post-
+    # rebalance tokens, most lexically diverse documents first — the
+    # step that turns a ranked corpus into a mix of a target size
+    # (group_token_budget_select; its ungrouped twin takes one global
+    # budget)
+    toks = X.token_count_col("text")
+    uniq = F.size(F.array_distinct(F.split(F.trim(F.col("text")), " ")))
+    scored = kept.withColumn("_n_tok", toks.cast("long")).withColumn(
+        "_mix_score", uniq.cast("double") / toks.cast("double")
+    )
+    kept = SA.group_token_budget_select(
+        scored,
+        token_col="_n_tok",
+        key_col="_mix_score",
+        group_col="source",
+        tie_cols=["doc_id"],
+        budget_ratio=(9, 10),
+    ).drop("_n_tok", "_mix_score", "cum_tokens")
+    counts["mix_budget"] = kept.count()
+
     # 6. PII redaction (projection — rows unchanged by construction, so
     # no separate count action)
     kept = X.redact(kept, "text")
