@@ -205,6 +205,12 @@ def update_rollup(
     (register-for-register for sketches) — parity is pinned in
     ``test_rollup.py``.
 
+    Partition-value contract: ``partition_col`` values must round-trip
+    through the directory-name encoding (read-back infers the
+    partition column's type from the path) — use STRING partition
+    values (``'2024-01-30'``), not types whose inferred read-back type
+    could drift from the delta's column type and fail the merge union.
+
     Returns the touched partition values (driver-side list — one entry
     per touched PARTITION, never per row)."""
     _check_spec(agg_spec)

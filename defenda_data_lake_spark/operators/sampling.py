@@ -328,9 +328,15 @@ def token_budget_select(
     if materialize:
         t = t.localCheckpoint(eager=True)
     # quantile boundaries: load balance only — the cumulative sum below
-    # is exact regardless of where the bucket cuts land
+    # is exact regardless of where the bucket cuts land.  buckets=1 is
+    # the degenerate single-bucket (single-task) form: no probe pass
+    # (approxQuantile rejects an empty probability list)
     probes = [i / buckets for i in range(1, buckets)]
-    bounds = sorted(set(t.stat.approxQuantile(key_col, probes, 0.01)))
+    bounds = (
+        sorted(set(t.stat.approxQuantile(key_col, probes, 0.01)))
+        if probes
+        else []
+    )
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + (F.col(key_col) > F.lit(b)).cast("int")

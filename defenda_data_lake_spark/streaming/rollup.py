@@ -66,7 +66,19 @@ def _read_last_batch_id(spark: SparkSession, path: str) -> int:
         reader = jvm.java.io.BufferedReader(
             jvm.java.io.InputStreamReader(stream, "UTF-8")
         )
-        return int(reader.readLine().strip())
+        line = reader.readLine()
+        return int(line.strip())
+    except (TypeError, ValueError, AttributeError) as exc:
+        # a truncated/corrupt marker (crash mid-write) is AMBIGUOUS:
+        # treating it as "no marker" would make the next batch REBUILD
+        # the table from one micro-batch — silent history loss.  Fail
+        # loudly with the remediation instead.
+        raise RuntimeError(
+            f"corrupt rollup batch marker at {_marker_path(path)}: "
+            "restore it to the last applied batchId (or delete BOTH the "
+            "marker and the table to rebuild from the stream's "
+            "retained history) before restarting the query"
+        ) from exc
     finally:
         stream.close()
 

@@ -384,3 +384,19 @@ def test_token_budget_monotone_in_budget(spark):
         }
         assert prev <= ids, (budget, prev - ids)
         prev = ids
+
+
+def test_token_budget_single_bucket_degenerate(spark):
+    """buckets=1 (no quantile probe at all) must still be exact — the
+    documented degenerate single-task form."""
+    from defenda_data_lake_spark.operators.sampling import token_budget_select
+
+    df = _mk_budget_df(spark, n=200)
+    rows = [(r["id"], r["key"], r["tok"]) for r in df.collect()]
+    expect = _naive_budget(rows, 1500)
+    got = token_budget_select(
+        df, "tok", "key", tie_cols=["id"], budget_tokens=1500, buckets=1
+    )
+    assert sorted((r["id"], r["cum_tokens"]) for r in got.collect()) == sorted(
+        expect
+    )

@@ -160,3 +160,16 @@ def test_marker_round_trip(spark, tmp_path):
     assert _read_last_batch_id(spark, str(table)) == 7
     _write_last_batch_id(spark, str(table), 8)
     assert _read_last_batch_id(spark, str(table)) == 8
+
+
+def test_corrupt_marker_fails_loudly(spark, tmp_path):
+    """A truncated marker must raise with remediation — NOT read as
+    'no marker', which would rebuild the table from one batch and
+    silently lose history."""
+    import pytest
+
+    table = tmp_path / "t"
+    table.mkdir()
+    (table / "_last_batch_id").write_text("")  # crash mid-write
+    with pytest.raises(RuntimeError, match="corrupt rollup batch marker"):
+        _read_last_batch_id(spark, str(table))
