@@ -1,0 +1,93 @@
+"""Snapshot diff (operators/diff.py): row-level reconciliation
+semantics, NULL handling, and the key-only degenerate form."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from defenda_data_lake_spark.operators.diff import (
+    snapshot_diff,
+    snapshot_diff_summary,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, w double")
+
+
+def test_all_four_types(spark):
+    old = _snap(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)])
+    new = _snap(spark, [(2, "b", 2.0), (3, "C", 3.0), (4, "d", 4.0)])
+    got = {
+        r["k"]: r["diff_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "modified", 4: "added"}
+
+
+def test_null_values_compare_null_safely(spark):
+    """NULL -> NULL is unchanged; NULL -> value is modified — a plain
+    equality would misread both as modified/unknown."""
+    old = _snap(spark, [(1, None, 1.0), (2, None, 2.0)])
+    new = _snap(spark, [(1, None, 1.0), (2, "x", 2.0)])
+    got = {
+        r["k"]: r["diff_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "modified"}
+
+
+def test_null_key_component_matches_null_safely(spark):
+    """A NULL-keyed row must pair with its NULL-keyed counterpart, not
+    explode into one 'added' plus one 'removed'."""
+    old = spark.createDataFrame([(None, "a")], "k string, v string")
+    new = spark.createDataFrame([(None, "b")], "k string, v string")
+    rows = snapshot_diff(old, new, ["k"]).collect()
+    assert len(rows) == 1 and rows[0]["diff_type"] == "modified"
+
+
+def test_compare_cols_subset(spark):
+    """Columns outside compare_cols must not trigger 'modified'."""
+    old = _snap(spark, [(1, "a", 1.0)])
+    new = _snap(spark, [(1, "a", 99.0)])
+    rows = snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()
+    assert rows[0]["diff_type"] == "unchanged"
+    # and the full default (v AND w) sees the w change
+    rows = snapshot_diff(old, new, ["k"]).collect()
+    assert rows[0]["diff_type"] == "modified"
+
+
+def test_key_only_diff(spark):
+    """No shared non-key columns: presence diff only (modified can
+    never occur)."""
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {
+        r["k"]: r["diff_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "added"}
+
+
+def test_summary_counts(spark):
+    old = _snap(spark, [(i, "a", float(i)) for i in range(100)])
+    new = _snap(
+        spark,
+        [(i, "a", float(i) + (1.0 if i % 10 == 0 else 0.0)) for i in range(5, 105)],
+    )
+    got = {
+        r["diff_type"]: (r["n_rows"], r["min_key"], r["max_key"])
+        for r in snapshot_diff_summary(old, new, ["k"]).collect()
+    }
+    # 0-4 removed; 100-104 added; of 5..99: every 10th modified (10 of
+    # them: 10,20,...,90 -> 9 values... plus none at 5..9), rest unchanged
+    mods = [i for i in range(5, 100) if i % 10 == 0]
+    assert got["removed"] == (5, 0, 4)
+    assert got["added"] == (5, 100, 104)
+    assert got["modified"] == (len(mods), min(mods), max(mods))
+    assert got["unchanged"][0] == 95 - len(mods)
+
+
+def test_rejects_empty_keys(spark):
+    old = _snap(spark, [(1, "a", 1.0)])
+    with pytest.raises(ValueError):
+        snapshot_diff(old, old, [])

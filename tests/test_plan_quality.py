@@ -397,3 +397,15 @@ def test_q93_group_token_budget_plan(spark):
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+def test_q94_snapshot_diff_plan(spark):
+    """The reconciliation must be ONE full-outer join on the key (a
+    sort-merge or shuffled-hash equi-join — never a nested loop: the
+    null-safe key match compiles to an equi-join key, not a residual
+    predicate) followed by a map-side-combined four-row count."""
+    plan = plan_of(spark, "q94_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
