@@ -91,3 +91,40 @@ def test_rejects_empty_keys(spark):
     old = _snap(spark, [(1, "a", 1.0)])
     with pytest.raises(ValueError):
         snapshot_diff(old, old, [])
+
+
+def test_diff_audits_upsert_exactly(spark, tmp_path):
+    """Maintenance-loop integration: diffing the corpus before/after an
+    upsert must report exactly the upserted keys — modified for
+    replaced keys, added for new ones, unchanged for everything else
+    (and never a removed row: upsert deletes nothing)."""
+    from defenda_data_lake_spark.lake_maintenance import (
+        upsert_corpus_snapshot,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    before = spark.createDataFrame(
+        [(i, f"text-{i}", "src") for i in range(50)],
+        "doc_id long, text string, source string",
+    )
+    before.write.parquet(corpus)
+    updates = spark.createDataFrame(
+        [(7, "text-7-v2", "src"), (13, "text-13-v2", "src"),
+         (99, "text-99", "src")],
+        "doc_id long, text string, source string",
+    )
+    old = spark.read.parquet(corpus).localCheckpoint(eager=True)  # pin pre-upsert rows
+    upsert_corpus_snapshot(spark, corpus, updates)
+    new = spark.read.parquet(corpus)
+
+    got = {
+        r["doc_id"]: r["diff_type"]
+        for r in snapshot_diff(old, new, ["doc_id"]).collect()
+        if r["diff_type"] != "unchanged"
+    }
+    assert got == {7: "modified", 13: "modified", 99: "added"}
+    summary = {
+        r["diff_type"]: r["n_rows"]
+        for r in snapshot_diff_summary(old, new, ["doc_id"]).collect()
+    }
+    assert summary.get("removed") is None and summary["unchanged"] == 48
