@@ -109,6 +109,47 @@ def _diff_tail(
     )
 
 
+def sampled_snapshot_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    prefix_hex: int = 1,
+) -> DataFrame:
+    """Reconciliation ESTIMATE from a coordinated key sample — "how
+    much drifted?" before paying for the full join: both snapshots are
+    filtered MAP-SIDE to keys whose ``md5`` starts with
+    ``prefix_hex`` zeros (the same fixed-threshold coordinated
+    sampling as ``sketches.hash_sample_sketch``, keyed on the key
+    VALUES so both sides keep exactly the same keys), the sample is
+    diffed, and counts scale by ``16^prefix_hex``.  Unbiased per key;
+    relative stderr per type ≈ ``sqrt(16^prefix_hex / n_type)``.
+
+    Scale: the sample filter is evaluated in each scan stage, so the
+    full-outer join exchanges ``~1/16^prefix_hex`` of the keys — the
+    estimate costs a fraction of the reconciliation it previews.
+
+    Returns per observed diff type: ``sample_rows`` (exact, on the
+    sample) and ``est_rows = 16^prefix_hex · sample_rows`` (BIGINT,
+    integer-exact).  A type with no sampled rows is absent — with a
+    deterministic sample, identically absent in any replay."""
+    if not 1 <= prefix_hex <= 8:
+        raise ValueError(f"prefix_hex must be 1..8; got {prefix_hex}")
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must not be empty")
+    scale = 16 ** prefix_hex
+    khash = F.md5(
+        F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    )
+    keep = F.substring(khash, 1, prefix_hex) == F.lit("0" * prefix_hex)
+    d = snapshot_diff(old.filter(keep), new.filter(keep), keys, compare_cols)
+    return d.groupBy("diff_type").agg(
+        F.count("*").alias("sample_rows"),
+        (F.count("*") * F.lit(scale)).cast("long").alias("est_rows"),
+    )
+
+
 def snapshot_diff_summary(
     old: DataFrame,
     new: DataFrame,

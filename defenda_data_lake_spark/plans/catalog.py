@@ -2357,6 +2357,66 @@ FROM d GROUP BY diff_type
 """
 
 
+def q95_sampled_diff(spark, sf_dir):
+    """Sampled reconciliation (``operators/diff.py``): estimate q94's
+    drift report from a 1/16 coordinated key sample — the "how much
+    drifted?" preview that costs a fraction of the full join at 100 TB
+    (the md5-prefix key filter runs map-side in both scans, so the
+    full-outer join exchanges ~1/16 of the keys).  Same synthetic
+    drift as q94; the oracle replays the SAMPLE hash-for-hash, so the
+    sampling itself is value-checked.  Accuracy vs the exact report is
+    asserted in test_diff.py; a drift type with no sampled keys is
+    absent — identically absent in the replay (deterministic
+    sample)."""
+    from defenda_data_lake_spark.operators.diff import (
+        sampled_snapshot_diff_summary,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    old = base.filter(F.col("o_orderkey") % 97 != 5)
+    new = base.filter(F.col("o_orderkey") % 89 != 7).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 3, F.col("o_totalprice") + F.lit(0.5)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return sampled_snapshot_diff_summary(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"],
+        prefix_hex=1,
+    )
+
+
+Q95_SQL = r"""
+WITH oldsnap AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % 97 <> 5
+    AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+),
+newsnap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 3 THEN o_totalprice + 0.5
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders
+  WHERE o_orderkey % 89 <> 7
+    AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+),
+d AS (
+  SELECT CASE WHEN oldsnap.o_orderkey IS NULL THEN 'added'
+              WHEN newsnap.o_orderkey IS NULL THEN 'removed'
+              WHEN oldsnap.o_totalprice IS NOT DISTINCT FROM newsnap.o_totalprice
+               AND oldsnap.o_orderstatus IS NOT DISTINCT FROM newsnap.o_orderstatus
+                THEN 'unchanged'
+              ELSE 'modified' END AS diff_type
+  FROM oldsnap FULL OUTER JOIN newsnap ON oldsnap.o_orderkey = newsnap.o_orderkey
+)
+SELECT diff_type, CAST(count(*) AS BIGINT) AS sample_rows,
+       CAST(16 * count(*) AS BIGINT) AS est_rows
+FROM d GROUP BY diff_type
+"""
+
+
 def q49_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: MinHash+LSH near-dup pairs →
     connected components (iterated min-label propagation with pointer
@@ -4422,10 +4482,11 @@ GROUP BY a3.cl
 # up the shared band_structs_expr refactor in round 6 (ADVICE r6);
 # then the queries whose behavior/oracle changed in round 7 (q78
 # oracle 'g' flag, q79 HLL null-filter + empty-input arm) and the
-# round-7-NEW q80-q94; then the headline-bench queries (q31/q32/q36 spill
+# round-7-NEW q80-q95; then the headline-bench queries (q30/q31/q32/q36
+# spill
 # past slot 50 this round — r6-driver-green twice over, unchanged,
 # and bench exercises them every round regardless).  Everything past
-# slot 50 (from q31 onward) was driver-green in CORRECTNESS_r06
+# slot 50 (from q30 onward) was driver-green in CORRECTNESS_r06
 # (2-round cadence invariant preserved; q41/q48/q73/q77 changed in
 # r6 but were driver-green in the r6 window and are unchanged
 # since).
@@ -4474,6 +4535,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q92_token_budget": (q92_token_budget, Q92_SQL),
     "q93_group_token_budget": (q93_group_token_budget, Q93_SQL),
     "q94_snapshot_diff": (q94_snapshot_diff, Q94_SQL),
+    "q95_sampled_diff": (q95_sampled_diff, Q95_SQL),
     # --- headline bench set
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
@@ -4482,12 +4544,12 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q05_regional_revenue": (q05_regional_revenue, Q05_SQL),
     "q10_window_rank": (q10_window_rank, Q10_SQL),
     "q16_event_pairs": (q16_event_pairs, Q16_SQL),
-    "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
     # --- tail: r6-driver-verified, rotates back next round (q07-q17
-    # and q31/q32/q36/q73/q77/q41/q48 displaced past slot 50 by the
-    # new q80-q94; q31/q32/q36 are headline but r6-driver-green twice
-    # over and unchanged this round — bench still runs them every
-    # round)
+    # and q30/q31/q32/q36/q73/q77/q41/q48 displaced past slot 50 by
+    # the new q80-q95; q30/q31/q32/q36 are headline but r6-driver-
+    # green twice over and unchanged this round — bench still runs
+    # them every round)
+    "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
     "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
     "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),
     "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),

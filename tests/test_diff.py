@@ -128,3 +128,37 @@ def test_diff_audits_upsert_exactly(spark, tmp_path):
         for r in snapshot_diff_summary(old, new, ["doc_id"]).collect()
     }
     assert summary.get("removed") is None and summary["unchanged"] == 48
+
+
+def test_sampled_diff_estimates_full_report(spark):
+    """The 1/16 coordinated-sample estimate must land near the exact
+    reconciliation counts on a drift big enough to sample well (5000
+    keys, ~25% per type)."""
+    from defenda_data_lake_spark.operators.diff import (
+        sampled_snapshot_diff_summary,
+    )
+
+    n = 5000
+    old = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("string").alias("v"),
+        F.lit(0.0).alias("w"),
+    ).filter(F.col("k") % 4 != 0)       # %4==0 keys -> 'added'
+    new = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("string").alias("v"),
+        # %4==2 keys -> 'modified'
+        F.when(F.col("id") % 4 == 2, 1.0).otherwise(0.0).alias("w"),
+    ).filter(F.col("k") % 4 != 1)       # %4==1 keys -> 'removed'
+    est = {
+        r["diff_type"]: r["est_rows"]
+        for r in sampled_snapshot_diff_summary(
+            old, new, ["k"], prefix_hex=1
+        ).collect()
+    }
+    exact = {
+        r["diff_type"]: r["n_rows"]
+        for r in snapshot_diff_summary(old, new, ["k"]).collect()
+    }
+    for t, truth in exact.items():
+        assert abs(est[t] - truth) / truth < 0.25, (t, est[t], truth)
