@@ -35,6 +35,7 @@ def snapshot_diff(
     key_cols: Sequence[str],
     compare_cols: Sequence[str] | None = None,
     out: str = "diff_type",
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """Per-key diff of two snapshots: returns one row per key present
     in either side with ``out`` ∈ ``added`` (new only) / ``removed``
@@ -45,7 +46,16 @@ def snapshot_diff(
     ``compare_cols`` defaults to every shared non-key column.  Keys are
     assumed unique per snapshot (it is a keyed-table diff; duplicate
     keys join-multiply exactly like any reconciliation query would).
-    """
+
+    ``null_safe_keys`` (default on) pairs NULL key components with
+    each other.  The trade, measured: Spark compiles a null-safe
+    equi-join key to the ``(coalesce(k), isnull(k))`` composite, which
+    no bucketing layout matches — BUCKETED snapshots then shuffle
+    anyway ("Bucketed: false (disabled by query planner)" in the
+    scan).  For real primary keys (non-nullable), pass ``False``:
+    plain equality is semantically identical and keeps the full-outer
+    sort-merge join bucket-local with ZERO exchange
+    (``test_bucketed_diff_is_shuffle_free`` pins this)."""
     keys = list(key_cols)
     if not keys:
         raise ValueError("key_cols must not be empty")
@@ -68,7 +78,7 @@ def snapshot_diff(
             *[F.col(k).alias(f"_dn_{k}") for k in keys],
             F.struct(F.lit(1).alias("_present")).alias("_dn_vals"),
         )
-        return _diff_tail(o, n, keys, [], out)
+        return _diff_tail(o, n, keys, [], out, null_safe_keys)
     o = old.select(
         *[F.col(k).alias(f"_do_{k}") for k in keys],
         F.struct(*[F.col(c) for c in cmps]).alias("_do_vals"),
@@ -77,15 +87,21 @@ def snapshot_diff(
         *[F.col(k).alias(f"_dn_{k}") for k in keys],
         F.struct(*[F.col(c) for c in cmps]).alias("_dn_vals"),
     )
-    return _diff_tail(o, n, keys, cmps, out)
+    return _diff_tail(o, n, keys, cmps, out, null_safe_keys)
 
 
 def _diff_tail(
-    o: DataFrame, n: DataFrame, keys: list, cmps: list, out: str
+    o: DataFrame,
+    n: DataFrame,
+    keys: list,
+    cmps: list,
+    out: str,
+    null_safe_keys: bool,
 ) -> DataFrame:
     cond = None
     for k in keys:
-        c = F.col(f"_do_{k}").eqNullSafe(F.col(f"_dn_{k}"))
+        a, b = F.col(f"_do_{k}"), F.col(f"_dn_{k}")
+        c = a.eqNullSafe(b) if null_safe_keys else (a == b)
         cond = c if cond is None else cond & c
     j = o.join(n, cond, "full")
     # presence = the side's struct row existed (a struct whose FIELDS
