@@ -173,3 +173,85 @@ def test_corrupt_marker_fails_loudly(spark, tmp_path):
     (table / "_last_batch_id").write_text("")  # crash mid-write
     with pytest.raises(RuntimeError, match="corrupt rollup batch marker"):
         _read_last_batch_id(spark, str(table))
+
+
+def test_live_rollup_over_ingested_events_table(spark, tmp_path):
+    """Lake composition: ingest lands events into the partitioned
+    events table; a SECOND stream reads the table's files and
+    maintains a per-(source, hour) rollup — the live dashboard view.
+    The maintained rollup must equal a batch build over the table."""
+    import json as _json
+
+    from defenda_data_lake_spark.lake import EVENTS_TABLE
+    from defenda_data_lake_spark.streaming.ingest import start_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    spark.sql("DROP TABLE IF EXISTS defenda_data_lake.events")
+    q = start_ingest(
+        spark,
+        landing_path=str(landing),
+        checkpoint_path=str(tmp_path / "ingest_ckpt"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        trigger_seconds=1,
+    )
+    try:
+        with open(landing / "b1.ndjson", "w") as f:
+            for i in range(40):
+                f.write(
+                    _json.dumps(
+                        {
+                            "eventid": f"e{i}",
+                            "source": ["alpha", "beta"][i % 2],
+                            "details": {"n": i},
+                        }
+                    )
+                    + "\n"
+                )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    table_dir = next(
+        r["data_type"]
+        for r in spark.sql(f"DESC FORMATTED {EVENTS_TABLE}").collect()
+        if r["col_name"] == "Location"
+    )
+    spec = {"n_events": ("count", "eventid"), "hll_ids": ("hll", "eventid")}
+    keys = ["source", "hour"]
+    # the events table's partition dirs are reference-verbatim (not
+    # hive-style key=value), so a file stream can't infer the hour
+    # partition column — derive the rollup's hour key from the DATA
+    # (utctimestamp), which works identically for stream and batch
+    hour_of = F.substring(F.col("utctimestamp"), 12, 2)
+    schema = spark.table(EVENTS_TABLE).drop("year", "month", "day", "hour").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(table_dir)
+        .select("source", hour_of.alias("hour"), "eventid")
+    )
+    rq = start_rollup_maintenance(
+        stream,
+        str(tmp_path / "live_rollup"),
+        keys,
+        "hour",
+        spec,
+        checkpoint_path=str(tmp_path / "rollup_ckpt"),
+        trigger_seconds=None,
+    )
+    rq.awaitTermination()
+
+    build_rollup(
+        spark.table(EVENTS_TABLE).select(
+            "source", hour_of.alias("hour"), "eventid"
+        ),
+        keys,
+        "hour",
+        spec,
+        str(tmp_path / "direct"),
+    )
+    assert _frame(spark.read.parquet(str(tmp_path / "live_rollup"))) == _frame(
+        spark.read.parquet(str(tmp_path / "direct"))
+    )
+    spark.sql("DROP TABLE IF EXISTS defenda_data_lake.events")
