@@ -211,3 +211,18 @@ def test_bucketed_diff_is_shuffle_free(spark, tmp_path):
         assert got == {"added", "removed", "modified"}
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_diff_empty_sides(spark):
+    """Empty old = everything added; empty new = everything removed;
+    both empty = empty report."""
+    some = _snap(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    none = some.filter(F.lit(False))
+    assert {
+        r["diff_type"] for r in snapshot_diff(none, some, ["k"]).collect()
+    } == {"added"}
+    assert {
+        r["diff_type"] for r in snapshot_diff(some, none, ["k"]).collect()
+    } == {"removed"}
+    assert snapshot_diff(none, none, ["k"]).count() == 0
+    assert snapshot_diff_summary(none, none, ["k"]).count() == 0

@@ -400,3 +400,25 @@ def test_token_budget_single_bucket_degenerate(spark):
     assert sorted((r["id"], r["cum_tokens"]) for r in got.collect()) == sorted(
         expect
     )
+
+
+def test_token_budget_empty_input(spark):
+    from defenda_data_lake_spark.operators.sampling import (
+        group_token_budget_select,
+        token_budget_select,
+    )
+
+    df = _mk_budget_df(spark, n=10).filter(F.lit(False))
+    assert (
+        token_budget_select(
+            df, "tok", "key", tie_cols=["id"], budget_tokens=100, buckets=4
+        ).count()
+        == 0
+    )
+    gdf = spark.createDataFrame([], "id long, g string, key double, tok long")
+    assert (
+        group_token_budget_select(
+            gdf, "tok", "key", "g", budget_ratio=(1, 2)
+        ).count()
+        == 0
+    )
