@@ -177,3 +177,59 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_interval_enrich(
+    facts: DataFrame,
+    context: DataFrame,
+    key: str,
+    fact_ts: str = "ts",
+    ctx_ts: str = "ts",
+    max_lag_seconds: int = 300,
+    watermark_seconds: int = 60,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-STREAM interval enrichment: join each fact event to the
+    context events of the same ``key`` that happened in the preceding
+    ``max_lag_seconds`` — "attach the login that preceded this API
+    call", the streaming twin of the batch as-of/range join family
+    (``operators/asof.py``, q16/q29).
+
+    Both sides carry a ``watermark_seconds`` event-time watermark, and
+    the join condition bounds context time into
+    ``[fact_ts - max_lag, fact_ts]`` — the time bound is what lets
+    Spark EXPIRE buffered state: without it a stream-stream join
+    buffers both sides forever (state grows with the stream; the time
+    bound caps it at watermark + lag horizons per side).
+
+    ``how='leftOuter'`` emits unmatched facts too — but only after the
+    watermark passes (the engine must be sure no match can still
+    arrive), so outer results trail by the watermark delay; ``inner``
+    emits as soon as both sides are present.
+
+    Scale: state is hash-partitioned by the join key like any
+    stream-stream join; per-key state is bounded by the lag horizon,
+    so total state is O(rate x (lag + watermark)), independent of
+    stream length.  Returns fact columns (prefixed ``f_``) + matched
+    context columns (prefixed ``c_``)."""
+    if max_lag_seconds <= 0 or watermark_seconds < 0:
+        raise ValueError(
+            f"need max_lag_seconds > 0 and watermark_seconds >= 0; got "
+            f"{max_lag_seconds}/{watermark_seconds}"
+        )
+    f = facts.select(
+        [F.col(c).alias(f"f_{c}") for c in facts.columns]
+    ).withWatermark(f"f_{fact_ts}", f"{watermark_seconds} seconds")
+    c = context.select(
+        [F.col(col).alias(f"c_{col}") for col in context.columns]
+    ).withWatermark(f"c_{ctx_ts}", f"{watermark_seconds} seconds")
+    cond = (
+        (F.col(f"f_{key}") == F.col(f"c_{key}"))
+        & (F.col(f"c_{ctx_ts}") <= F.col(f"f_{fact_ts}"))
+        & (
+            F.col(f"c_{ctx_ts}")
+            >= F.col(f"f_{fact_ts}")
+            - F.expr(f"INTERVAL {int(max_lag_seconds)} SECONDS")
+        )
+    )
+    return f.join(c, cond, how)

@@ -120,3 +120,92 @@ def test_sessionize_stateful(spark, tmp_path):
         assert str(first["session_end"]).startswith("2026-01-01 00:10:00")
     finally:
         query.stop()
+
+
+def test_stream_interval_enrich_matches_batch(spark, tmp_path):
+    """Stream-stream interval join = the batch interval join over the
+    same rows (inner form; outer trails the watermark by design)."""
+    import json as _json
+
+    from defenda_data_lake_spark.streaming.windows import (
+        stream_interval_enrich,
+    )
+
+    facts_dir, ctx_dir = tmp_path / "facts", tmp_path / "ctx"
+    facts_dir.mkdir(), ctx_dir.mkdir()
+    base = 1_700_000_000
+    facts = [
+        {"user": f"u{i % 3}", "ts": base + 60 * i, "action": f"a{i}"}
+        for i in range(12)
+    ]
+    ctx = [
+        {"user": f"u{i % 3}", "ts": base + 60 * i - lag, "origin": f"o{i}_{lag}"}
+        for i in range(12)
+        for lag in (30, 400)  # one inside the 300 s horizon, one outside
+    ]
+    with open(facts_dir / "f.json", "w") as fh:
+        for r in facts:
+            fh.write(_json.dumps(r) + "\n")
+    with open(ctx_dir / "c.json", "w") as fh:
+        for r in ctx:
+            fh.write(_json.dumps(r) + "\n")
+
+    def load(d, schema):
+        return (
+            spark.readStream.format("json")
+            .schema(schema)
+            .load(str(d))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    fs = load(facts_dir, "user string, ts long, action string")
+    cs = load(ctx_dir, "user string, ts long, origin string")
+    joined = stream_interval_enrich(
+        fs, cs, "user", max_lag_seconds=300, watermark_seconds=60
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["f_action"], r["c_origin"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+
+    bf = spark.createDataFrame(
+        [(r["user"], r["ts"], r["action"]) for r in facts],
+        "user string, ts long, action string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bc = spark.createDataFrame(
+        [(r["user"], r["ts"], r["origin"]) for r in ctx],
+        "user string, ts long, origin string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        (r["action"], r["origin"])
+        for r in bf.alias("f")
+        .join(
+            bc.alias("c"),
+            (F.col("f.user") == F.col("c.user"))
+            & (F.col("c.ts") <= F.col("f.ts"))
+            & (F.col("c.ts") >= F.col("f.ts") - F.expr("INTERVAL 300 SECONDS")),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_interval_enrich_rejects_bad_args(spark, tmp_path):
+    import pytest
+
+    from defenda_data_lake_spark.streaming.windows import (
+        stream_interval_enrich,
+    )
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError):
+        stream_interval_enrich(df, df, "value", max_lag_seconds=0)
