@@ -131,6 +131,7 @@ def sampled_snapshot_diff_summary(
     key_cols: Sequence[str],
     compare_cols: Sequence[str] | None = None,
     prefix_hex: int = 1,
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """Reconciliation ESTIMATE from a coordinated key sample — "how
     much drifted?" before paying for the full join: both snapshots are
@@ -159,7 +160,13 @@ def sampled_snapshot_diff_summary(
         F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
     )
     keep = F.substring(khash, 1, prefix_hex) == F.lit("0" * prefix_hex)
-    d = snapshot_diff(old.filter(keep), new.filter(keep), keys, compare_cols)
+    d = snapshot_diff(
+        old.filter(keep),
+        new.filter(keep),
+        keys,
+        compare_cols,
+        null_safe_keys=null_safe_keys,
+    )
     return d.groupBy("diff_type").agg(
         F.count("*").alias("sample_rows"),
         (F.count("*") * F.lit(scale)).cast("long").alias("est_rows"),
@@ -171,12 +178,13 @@ def snapshot_diff_summary(
     new: DataFrame,
     key_cols: Sequence[str],
     compare_cols: Sequence[str] | None = None,
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """The four-row reconciliation report: per diff type, row count and
     the min/max key (the first/last affected row — where to start
     looking).  Counts aggregate map-side; only four rows survive."""
     keys = list(key_cols)
-    d = snapshot_diff(old, new, keys, compare_cols)
+    d = snapshot_diff(old, new, keys, compare_cols, null_safe_keys=null_safe_keys)
     return d.groupBy("diff_type").agg(
         F.count("*").alias("n_rows"),
         F.min(keys[0]).alias("min_key"),
