@@ -51,6 +51,87 @@ def _sq_dist(vec_col, centroid_literal):
     )
 
 
+def _assignment_plan(base: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(id, vec, cluster, sq_dist) for fixed centroids: argmin over
+    squared distance, ties to the lowest centroid id."""
+    dist_cols = [
+        _sq_dist(F.col("vec"), F.array(*[F.lit(v) for v in c])).alias(f"d{i}")
+        for i, c in enumerate(cents)
+    ]
+    with_d = base.select("id", "vec", *dist_cols)
+    best = F.least(*[F.col(f"d{i}") for i in range(len(cents))])
+    cluster = F.lit(None).cast("int")
+    # first centroid achieving the min wins (tie-break by id)
+    for i in reversed(range(len(cents))):
+        cluster = F.when(F.col(f"d{i}") == best, F.lit(i)).otherwise(cluster)
+    return with_d.select(
+        "id", "vec", cluster.alias("cluster"), best.alias("sq_dist")
+    )
+
+
+def _lloyd(
+    base: DataFrame, k: int, iterations: int, quantize: int | None
+) -> list[list[float]]:
+    """The Lloyd loop over a cached (id, vec) plan: deterministic init
+    (k lowest-id vectors), ``iterations`` mean updates with the 1e-q
+    centroid quantization, empty clusters keep their position.
+    Returns the final centroids (driver-side plain lists)."""
+    init_rows = base.orderBy("id").limit(k).collect()
+    centroids: list[list[float]] = [
+        [float(x) for x in r["vec"]] for r in init_rows
+    ]
+    scale = 10 ** quantize if quantize is not None else None
+    for _ in range(iterations):
+        assigned = _assignment_plan(base, centroids)
+        mean_col = F.avg(F.col("c").cast("double"))
+        if scale is not None:
+            # same scheme as plans.catalog.R: round in the scaled
+            # domain so DuckDB's round(x, n) lands on the same double
+            mean_col = F.round(mean_col * scale, 0) / scale
+        means = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "c"))
+            .groupBy("cluster", "pos")
+            .agg(mean_col.alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                "cluster",
+                F.transform("pm", lambda s: s["m"]).alias("centroid"),
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)  # empty clusters keep position
+        for row in means:
+            new_centroids[row["cluster"]] = [float(x) for x in row["centroid"]]
+        centroids = new_centroids
+    return centroids
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int | None = 9,
+) -> list[list[float]]:
+    """Train-only entry: the final centroids after ``iterations`` Lloyd
+    updates (the deterministic loop :func:`kmeans_assign` uses),
+    returned as plain driver-side lists — the building block for
+    consumers that need the CODEBOOK rather than the assignment
+    (``operators/pq.py`` trains one per subspace)."""
+    base = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        kernel_parallelism(df),
+    ).cache()
+    try:
+        return _lloyd(base, k, iterations, quantize)
+    finally:
+        base.unpersist()
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = 8,
@@ -69,60 +150,9 @@ def kmeans_assign(
         kernel_parallelism(df),
     ).cache()
     try:
-        # deterministic init: the k lowest-id vectors
-        init_rows = base.orderBy("id").limit(k).collect()
-        centroids: list[list[float]] = [
-            [float(x) for x in r["vec"]] for r in init_rows
-        ]
-
-        def assignment(cents: list[list[float]]):
-            dist_cols = [
-                _sq_dist(F.col("vec"), F.array(*[F.lit(v) for v in c])).alias(
-                    f"d{i}"
-                )
-                for i, c in enumerate(cents)
-            ]
-            with_d = base.select("id", "vec", *dist_cols)
-            best = F.least(*[F.col(f"d{i}") for i in range(len(cents))])
-            cluster = F.lit(None).cast("int")
-            # first centroid achieving the min wins (tie-break by id)
-            for i in reversed(range(len(cents))):
-                cluster = F.when(F.col(f"d{i}") == best, F.lit(i)).otherwise(
-                    cluster
-                )
-            return with_d.select(
-                "id", "vec", cluster.alias("cluster"), best.alias("sq_dist")
-            )
-
-        scale = 10 ** quantize if quantize is not None else None
-        for _ in range(iterations):
-            assigned = assignment(centroids)
-            mean_col = F.avg(F.col("c").cast("double"))
-            if scale is not None:
-                # same scheme as plans.catalog.R: round in the scaled
-                # domain so DuckDB's round(x, n) lands on the same double
-                mean_col = F.round(mean_col * scale, 0) / scale
-            means = (
-                assigned.select("cluster", F.posexplode("vec").alias("pos", "c"))
-                .groupBy("cluster", "pos")
-                .agg(mean_col.alias("m"))
-                .groupBy("cluster")
-                .agg(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
-                )
-                .select(
-                    "cluster",
-                    F.transform("pm", lambda s: s["m"]).alias("centroid"),
-                )
-                .collect()
-            )
-            new_centroids = list(centroids)  # empty clusters keep position
-            for row in means:
-                new_centroids[row["cluster"]] = [float(x) for x in row["centroid"]]
-            centroids = new_centroids
-
+        centroids = _lloyd(base, k, iterations, quantize)
         cols = ["id", "cluster", "sq_dist"] + (["vec"] if keep_vec else [])
-        return assignment(centroids).select(*cols)
+        return _assignment_plan(base, centroids).select(*cols)
     finally:
         base.unpersist()
 

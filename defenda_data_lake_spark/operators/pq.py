@@ -1,0 +1,208 @@
+"""Product quantization (PQ) ANN: compressed-domain nearest-neighbor
+search — the memory-bound scale path of the ANN family (brute = exact,
+LSH = bucketed, IVF = partition-pruned, int8 = 4x compression; PQ gets
+~``dim·4 / m`` x compression, e.g. 64 floats -> 4 bytes at m=4).
+
+Construction (Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011):
+
+* TRAIN: split the vector into ``m`` contiguous subvectors; per
+  subspace, a ``k``-centroid codebook via the house deterministic
+  Lloyd loop (``clustering.kmeans_train`` — k lowest-id init, 1e-9
+  centroid quantization, fixed iterations), so the codebooks — and
+  therefore every code and every ADC distance — replay in any SQL
+  engine (the q96 oracle does, subspace by subspace).
+* ENCODE: per subspace, the nearest centroid id (ties to the lowest
+  id, the kmeans convention) — a pure-JVM argmin over literal
+  centroids; the corpus never shuffles and each row carries ``m``
+  small ints instead of ``dim`` floats.
+* SEARCH (ADC — asymmetric distance): a query's distance to a coded
+  vector is the sum over subspaces of the distance from the query's
+  subvector to the centroid named by the code.  The per-(query,
+  subspace, centroid) lookup table is ``m·k`` LITERAL doubles —
+  Catalyst constant-folds them at plan time — so the scan reads only
+  the code column: the classic compressed-domain trade (approximate
+  distances, ~quantization-error bias, at a fraction of the bytes).
+
+Scale (100 TB): training touches the raw vectors (``m·(iters+1)``
+bounded jobs); the search scan reads ``m`` bytes-ish per row instead
+of ``4·dim``, the per-query top-k plans as WindowGroupLimit (each map
+task keeps its own top-k BEFORE the exchange, so the shuffle carries
+O(queries × k_top) rows per task), and the corpus is never joined or
+shuffled in full.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from defenda_data_lake_spark.operators.clustering import kmeans_train
+
+Codebooks = list[list[list[float]]]  #: [subspace][centroid][component]
+
+
+def _check_pq(dim: int, m: int) -> None:
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"m must divide the dimension; got dim={dim}, m={m}")
+
+
+def _dlit(v: float) -> str:
+    """Shortest-roundtrip SQL double literal (both engines parse the
+    identical IEEE value — the house convention for float constants)."""
+    return f"CAST({float(v)!r} AS DOUBLE)"
+
+
+def _sq_dist_sql(sub_sql: str, centroid: Sequence[float]) -> str:
+    """SQL text of the squared distance of a subvector expression to a
+    literal centroid — the same zip_with/aggregate shape (and therefore
+    the same left-to-right summation order) as the kmeans assignment
+    and the DuckDB ``list_sum(list_transform(...))`` replay.  SQL TEXT
+    rather than py4j-composed Columns: building m·k of these through
+    py4j cost seconds of driver round trips; one parsed string is
+    ~free."""
+    arr = ", ".join(_dlit(c) for c in centroid)
+    return (
+        f"aggregate(zip_with({sub_sql}, array({arr}), "
+        "(x, y) -> (x - y) * (x - y)), "
+        f"{_dlit(0.0)}, (acc, v) -> acc + v)"
+    )
+
+
+def _argmin_code_sql(sub_sql: str, cents: list[list[float]]) -> str:
+    """SQL text of the nearest-centroid id with ties to the LOWEST id:
+    ``array_position`` returns the FIRST index holding the minimum —
+    exactly the kmeans tie rule the oracle's row_number replay uses."""
+    dists = ", ".join(_sq_dist_sql(sub_sql, c) for c in cents)
+    return (
+        f"CAST(array_position(array({dists}), "
+        f"array_min(array({dists}))) - 1 AS INT)"
+    )
+
+
+def _py_sq_dist(q: Sequence[float], c: Sequence[float]) -> float:
+    """Driver-side squared distance with the SAME sequential
+    left-to-right accumulation as the SQL aggregate (IEEE ops in the
+    same order → the identical double)."""
+    acc = 0.0
+    for x, y in zip(q, c):
+        acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+    return acc
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    quantize: int | None = 9,
+) -> Codebooks:
+    """Train ``m`` per-subspace codebooks of ``k`` centroids each over
+    contiguous subvector slices — one deterministic Lloyd run per
+    subspace.  Returns driver-side plain lists (the whole codebook is
+    ``m·k·dim/m`` floats — broadcast-literal sized by construction)."""
+    if dim is None:
+        dim = len(
+            df.select(F.col(vec_col).alias("v")).first()["v"]
+        )
+    _check_pq(dim, m)
+    dsub = dim // m
+    books: Codebooks = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col).alias(id_col),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col),
+        )
+        books.append(
+            kmeans_train(
+                sliced,
+                k=k,
+                iterations=iterations,
+                id_col=id_col,
+                vec_col=vec_col,
+                quantize=quantize,
+            )
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "pq_code",
+) -> DataFrame:
+    """Encode every vector as ``m`` nearest-centroid ids (array<int>) —
+    a shuffle-free pure-JVM projection over literal codebooks."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        sub = (
+            f"transform(slice(`{vec_col}`, {s * dsub + 1}, {dsub}), "
+            "v -> CAST(v AS DOUBLE))"
+        )
+        codes.append(_argmin_code_sql(sub, codebooks[s]))
+    return df.select(
+        F.col(id_col), F.expr(f"array({', '.join(codes)})").alias(out)
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: Sequence[tuple],
+    codebooks: Codebooks,
+    k_top: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC top-``k_top`` per query over a :func:`pq_encode` output.
+    ``queries`` = [(query_id, vector)] — a small driver-side block,
+    like every ANN kernel here.  The per-query distance is a sum of
+    ``element_at`` lookups into LITERAL per-subspace tables (constant-
+    folded), so the scan reads only (id, code); the rank<=k filter
+    plans as WindowGroupLimit — map-side top-k before the one tiny
+    exchange.  Ties break on the vector id.  Returns (query_id,
+    vec_id, adc_dist, rank)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    per_query = []
+    for qid, qvec in queries:
+        qvec = [float(x) for x in qvec]
+        terms = [_dlit(0.0)]
+        for s in range(m):
+            qsub = qvec[s * dsub : (s + 1) * dsub]
+            # the m·k lookup values are computed DRIVER-side with the
+            # same sequential accumulation the SQL aggregate would use
+            # (identical IEEE doubles, none of the py4j/codegen cost of
+            # m·k folded aggregate expressions)
+            lut = ", ".join(
+                _dlit(_py_sq_dist(qsub, cent)) for cent in codebooks[s]
+            )
+            terms.append(
+                f"element_at(array({lut}), "
+                f"element_at(`{code_col}`, {s + 1}) + 1)"
+            )
+        dist_sql = " + ".join(terms)
+        per_query.append(
+            f"struct(CAST({int(qid)} AS INT) AS query_id, "
+            f"({dist_sql}) AS adc_dist)"
+        )
+    exploded = codes.select(
+        F.col(id_col),
+        F.expr(f"explode(array({', '.join(per_query)}))").alias("q"),
+    ).select(id_col, "q.query_id", "q.adc_dist")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", id_col, "adc_dist", "rank")
+    )

@@ -3400,6 +3400,148 @@ def _kmeans_cte(k: int = 8, iterations: int = 3) -> str:
 Q47_SQL = _kmeans_sql()
 
 
+def q96_knn_pq(spark, sf_dir):
+    """Product-quantization ANN (``operators/pq.py``): train m=4
+    per-subspace codebooks (k=16, 2 Lloyd iterations — the house
+    deterministic kmeans per 16-dim slice), encode the corpus to 4
+    small ints per vector (~64x compression), and answer the 5-query
+    block via ADC — distances summed from constant-folded literal
+    lookup tables, so the search scan reads only (id, code).  The
+    missing FAISS-family member next to brute/LSH/IVF/int8
+    (q40/q41/q46/q48).  The oracle replays EVERYTHING — four Lloyd
+    chains, the encode argmin, the LUTs, the ADC sum in the same
+    left-to-right order — so even the trained codebooks are
+    value-checked.  Scale: training is m·(iters+1) bounded jobs over
+    the raw vectors; search never shuffles or joins the corpus, and
+    the per-query top-k plans as WindowGroupLimit (map-side top-k,
+    the exchange carries O(queries x k) rows per task)."""
+    from defenda_data_lake_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=4, k=16, iterations=2, dim=64)
+    codes = pq_encode(emb, books)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(5)
+        .collect()
+    ]
+    top = pq_topk(codes, queries, books, k_top=10)
+    return top.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "vec_id",
+        R("adc_dist", 6).alias("adc_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _pq_sql(
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+    quantize: int = 9,
+    k_top: int = 10,
+    n_queries: int = 5,
+) -> str:
+    """Generated replay of the whole PQ pipeline in DuckDB: one
+    ``_kmeans_sql``-style Lloyd chain PER SUBSPACE over the vector
+    slice, encode = the final assignment (argmin, ties to the lowest
+    centroid id), per-(query, centroid) LUTs, ADC = the same
+    left-to-right sum of LUT lookups, nearest-rank top-k."""
+    dsub = dim // m
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    ]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        p = f"s{s}"
+        parts.append(
+            f"{p}_emb AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM emb)"
+        )
+        parts.append(
+            f"{p}_c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cent "
+            f"FROM (SELECT vec_id, v FROM {p}_emb ORDER BY vec_id LIMIT {k}) t)"
+        )
+        sq = (
+            f"list_sum(list_transform(range(1, {dsub} + 1), "
+            "i -> (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])))"
+        )
+        for it in range(iterations + 1):
+            parts.append(
+                f"""{p}_a{it} AS (
+  SELECT vec_id, v, cl, sq FROM (
+    SELECT vec_id, v, cl, sq,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sq ASC, cl ASC) AS rn
+    FROM (
+      SELECT e.vec_id, e.v, c.cl, {sq} AS sq
+      FROM {p}_emb e CROSS JOIN {p}_c{it} c
+    ) s
+  ) t WHERE rn = 1
+)"""
+            )
+            if it < iterations:
+                parts.append(
+                    f"{p}_m{it} AS (SELECT cl, pos, round(avg(v[pos]), {quantize}) AS m "
+                    f"FROM {p}_a{it}, range(1, {dsub} + 1) t(pos) GROUP BY cl, pos)"
+                )
+                parts.append(
+                    f"{p}_c{it + 1} AS (SELECT {p}_c{it}.cl, coalesce(mm.cent, {p}_c{it}.cent) AS cent "
+                    f"FROM {p}_c{it} LEFT JOIN (SELECT cl, list(m ORDER BY pos) AS cent "
+                    f"FROM {p}_m{it} GROUP BY cl) mm ON {p}_c{it}.cl = mm.cl)"
+                )
+    code_cols = ", ".join(f"s{s}_a{iterations}.cl AS code{s}" for s in range(m))
+    code_joins = " ".join(
+        f"JOIN s{s}_a{iterations} USING (vec_id)" for s in range(1, m)
+    )
+    parts.append(
+        f"codes AS (SELECT vec_id, {code_cols} FROM s0_a{iterations} {code_joins})"
+    )
+    parts.append(
+        f"q AS (SELECT vec_id AS query_id, v FROM emb ORDER BY vec_id LIMIT {n_queries})"
+    )
+    for s in range(m):
+        lo = s * dsub
+        parts.append(
+            f"lut{s} AS (SELECT q.query_id, c.cl, "
+            f"list_sum(list_transform(range(1, {dsub} + 1), "
+            f"i -> (q.v[{lo} + i] - c.cent[i]) * (q.v[{lo} + i] - c.cent[i]))) AS d "
+            f"FROM q CROSS JOIN s{s}_c{iterations} c)"
+        )
+    dist_sum = " + ".join(f"l{s}.d" for s in range(m))
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cl = codes.code{s} AND l{s}.query_id = l0.query_id"
+        for s in range(1, m)
+    )
+    parts.append(
+        f"adc AS (SELECT l0.query_id, codes.vec_id, ({dist_sum}) AS adc_dist "
+        f"FROM codes JOIN lut0 l0 ON l0.cl = codes.code0 {lut_joins})"
+    )
+    parts.append(
+        "ranked AS (SELECT query_id, vec_id, adc_dist, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rank "
+        "FROM adc)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, vec_id,
+       round(adc_dist * 1000000, 0) / 1000000 AS adc_dist,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k_top}
+"""
+    )
+
+
+Q96_SQL = _pq_sql()
+
+
 def q42_simhash_pairs(spark, sf_dir):
     """SimHash near-duplicate candidate pairs at Hamming ≤ 3 — the
     largest radius the 4-block pigeonhole covers completely (a pair
@@ -4482,11 +4624,11 @@ GROUP BY a3.cl
 # up the shared band_structs_expr refactor in round 6 (ADVICE r6);
 # then the queries whose behavior/oracle changed in round 7 (q78
 # oracle 'g' flag, q79 HLL null-filter + empty-input arm) and the
-# round-7-NEW q80-q95; then the headline-bench queries (q30/q31/q32/q36
-# spill
+# round-7-NEW q80-q96; then the headline-bench queries (q16/q30/q31/
+# q32/q36 spill
 # past slot 50 this round — r6-driver-green twice over, unchanged,
 # and bench exercises them every round regardless).  Everything past
-# slot 50 (from q30 onward) was driver-green in CORRECTNESS_r06
+# slot 50 (from q16 onward) was driver-green in CORRECTNESS_r06
 # (2-round cadence invariant preserved; q41/q48/q73/q77 changed in
 # r6 but were driver-green in the r6 window and are unchanged
 # since).
@@ -4536,6 +4678,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q93_group_token_budget": (q93_group_token_budget, Q93_SQL),
     "q94_snapshot_diff": (q94_snapshot_diff, Q94_SQL),
     "q95_sampled_diff": (q95_sampled_diff, Q95_SQL),
+    "q96_knn_pq": (q96_knn_pq, Q96_SQL),
     # --- headline bench set
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
@@ -4543,12 +4686,12 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
     "q05_regional_revenue": (q05_regional_revenue, Q05_SQL),
     "q10_window_rank": (q10_window_rank, Q10_SQL),
-    "q16_event_pairs": (q16_event_pairs, Q16_SQL),
     # --- tail: r6-driver-verified, rotates back next round (q07-q17
-    # and q30/q31/q32/q36/q73/q77/q41/q48 displaced past slot 50 by
-    # the new q80-q95; q30/q31/q32/q36 are headline but r6-driver-
-    # green twice over and unchanged this round — bench still runs
-    # them every round)
+    # and q16/q30/q31/q32/q36/q73/q77/q41/q48 displaced past slot 50
+    # by the new q80-q96; the displaced five are headline but
+    # r6-driver-green twice over and unchanged this round — bench
+    # still runs them every round)
+    "q16_event_pairs": (q16_event_pairs, Q16_SQL),
     "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
     "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
     "q32_dedup_jaccard": (q32_dedup_jaccard, Q32_SQL),

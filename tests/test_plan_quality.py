@@ -409,3 +409,15 @@ def test_q94_snapshot_diff_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q96_knn_pq_plan(spark):
+    """The ADC search must never join or shuffle the corpus: the plan
+    has NO join at all (lookup tables are literal arrays), and the
+    per-query top-k plans as WindowGroupLimit — map-side top-k before
+    the one O(queries x k)-row exchange."""
+    plan = plan_of(spark, "q96_knn_pq")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
