@@ -66,6 +66,24 @@ def snapshot_diff(
             if c in set(old.columns) and c not in set(keys)
         ]
     cmps = list(compare_cols)
+
+    # Spark cannot equality-compare MAP columns (not orderable), so a
+    # map-typed compare column (e.g. a rollup's HLL register map) is
+    # canonicalized to its SORTED entry array inside the comparison
+    # struct — equatable, and order-insensitive for semantically-equal
+    # maps.  The OUTPUT still carries the original map (carried beside
+    # the struct), so callers see their own types.
+    from pyspark.sql.types import MapType
+
+    map_cols = {
+        f.name for f in new.schema.fields if isinstance(f.dataType, MapType)
+    }
+
+    def cmp_field(c: str):
+        if c in map_cols:
+            return F.sort_array(F.map_entries(F.col(c))).alias(c)
+        return F.col(c)
+
     if not cmps:
         # key-only diff: presence is the only comparable thing — a
         # zero-field struct is invalid, so carry a constant marker
@@ -78,16 +96,17 @@ def snapshot_diff(
             *[F.col(k).alias(f"_dn_{k}") for k in keys],
             F.struct(F.lit(1).alias("_present")).alias("_dn_vals"),
         )
-        return _diff_tail(o, n, keys, [], out, null_safe_keys)
+        return _diff_tail(o, n, keys, [], out, null_safe_keys, set())
     o = old.select(
         *[F.col(k).alias(f"_do_{k}") for k in keys],
-        F.struct(*[F.col(c) for c in cmps]).alias("_do_vals"),
+        F.struct(*[cmp_field(c) for c in cmps]).alias("_do_vals"),
     )
     n = new.select(
         *[F.col(k).alias(f"_dn_{k}") for k in keys],
-        F.struct(*[F.col(c) for c in cmps]).alias("_dn_vals"),
+        F.struct(*[cmp_field(c) for c in cmps]).alias("_dn_vals"),
+        *[F.col(c).alias(f"_dnv_{c}") for c in cmps if c in map_cols],
     )
-    return _diff_tail(o, n, keys, cmps, out, null_safe_keys)
+    return _diff_tail(o, n, keys, cmps, out, null_safe_keys, map_cols)
 
 
 def _diff_tail(
@@ -97,6 +116,7 @@ def _diff_tail(
     cmps: list,
     out: str,
     null_safe_keys: bool,
+    map_cols: set,
 ) -> DataFrame:
     cond = None
     for k in keys:
@@ -121,7 +141,14 @@ def _diff_tail(
             for k in keys
         ],
         diff_type.alias(out),
-        *[F.col("_dn_vals").getField(c).alias(c) for c in cmps],
+        *[
+            (
+                F.col(f"_dnv_{c}")
+                if c in map_cols
+                else F.col("_dn_vals").getField(c)
+            ).alias(c)
+            for c in cmps
+        ],
     )
 
 

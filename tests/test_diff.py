@@ -226,3 +226,25 @@ def test_diff_empty_sides(spark):
     } == {"removed"}
     assert snapshot_diff(none, none, ["k"]).count() == 0
     assert snapshot_diff_summary(none, none, ["k"]).count() == 0
+
+
+def test_diff_with_map_column(spark):
+    """Map-typed compare columns (a rollup's HLL register map) must
+    diff correctly: Spark can't equality-compare maps, so the operator
+    canonicalizes them to sorted entry arrays internally — and
+    semantically-equal maps with different entry ORDER read as
+    unchanged.  Output keeps the original map type."""
+    old = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}, 5), (2, {"x": 1}, 5), (3, {"y": 9}, 5)],
+        "k long, m map<string,int>, n long",
+    )
+    new = spark.createDataFrame(
+        [(1, {"b": 2, "a": 1}, 5), (2, {"x": 2}, 5), (4, {"z": 1}, 5)],
+        "k long, m map<string,int>, n long",
+    )
+    got = {r["k"]: r["diff_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "modified", 3: "removed", 4: "added"}
+    row = {
+        r["k"]: r["m"] for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert row[2] == {"x": 2}  # output carries the original map type
