@@ -3542,6 +3542,103 @@ FROM ranked WHERE rank <= {k_top}
 Q96_SQL = _pq_sql()
 
 
+def q97_corpus_datasheet(spark, sf_dir):
+    """Corpus DATASHEET — the one-row report a curator publishes with
+    a dataset release: scale (docs/tokens), composition (languages),
+    hygiene (exact-duplicate docs, short-doc count), and vocabulary
+    richness (the q79 HLL sketch, global).  Composes the engine's
+    counting, hashing, and sketch primitives into the reporting
+    surface.  Scale: ONE pass over the corpus for the row-level stats
+    (every aggregate map-side combines); the vocabulary sketch's word
+    explosion reduces to ≤256 registers inside the scan stage; two
+    one-row broadcast crossJoins stitch the card together."""
+    from defenda_data_lake_spark.operators.sketches import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    base = docs.select(
+        "doc_id", "lang", F.col("text"), toks.alias("n_tok")
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tok").alias("total_tokens"),
+        R(F.avg("n_tok"), 4).alias("mean_tokens"),
+        F.sum(F.when(F.col("n_tok") < 50, 1).otherwise(0))
+        .cast("long")
+        .alias("short_docs"),
+        (F.count("*") - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("exact_dup_docs"),
+    )
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    vocab = hll_distinct(words, "word", p=8)
+    return stats.crossJoin(F.broadcast(vocab)).select(
+        "n_docs",
+        "n_langs",
+        "total_tokens",
+        "mean_tokens",
+        "short_docs",
+        "exact_dup_docs",
+        R("hll_estimate", 4).alias("vocab_est"),
+    )
+
+
+Q97_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         count(DISTINCT lang) AS n_langs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         round(avg(n_tok), 4) AS mean_tokens,
+         CAST(sum(CASE WHEN n_tok < 50 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+         CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS exact_dup_docs
+  FROM base
+),
+wds AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+),
+ww AS (SELECT word FROM wds WHERE len(word) > 0),
+hx AS (SELECT md5(word) AS h FROM ww),
+rr AS (
+  SELECT substr(h, 1, 2) AS idx,
+         max(least(4 * length(regexp_extract(substr(h, 3, 14), '^(0*)', 1))
+             + CASE substr(regexp_replace(substr(h, 3, 14), '^0*', ''), 1, 1)
+                 WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                 WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                 ELSE 0 END + 1, 55)) AS maxrho
+  FROM hx GROUP BY idx
+),
+agg AS (
+  SELECT sum(CAST(1 AS BIGINT) << (55 - maxrho)) AS isum0,
+         count(*) AS nonzero
+  FROM rr
+),
+fin AS (
+  SELECT (256 - nonzero) AS zeros,
+         CAST(0.7182725932495458 AS DOUBLE) * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)
+           * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+           / CAST(isum0 + (256 - nonzero) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)
+           AS raw
+  FROM agg
+),
+vocab AS (
+  SELECT round(CASE WHEN raw <= CAST(640 AS DOUBLE) AND zeros > 0
+               THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / zeros) ELSE raw END * 10000, 0) / 10000
+           AS vocab_est
+  FROM fin
+)
+SELECT n_docs, n_langs, total_tokens, mean_tokens, short_docs, exact_dup_docs, vocab_est
+FROM stats, vocab
+"""
+
+
 def q42_simhash_pairs(spark, sf_dir):
     """SimHash near-duplicate candidate pairs at Hamming ≤ 3 — the
     largest radius the 4-block pigeonhole covers completely (a pair
@@ -4624,11 +4721,11 @@ GROUP BY a3.cl
 # up the shared band_structs_expr refactor in round 6 (ADVICE r6);
 # then the queries whose behavior/oracle changed in round 7 (q78
 # oracle 'g' flag, q79 HLL null-filter + empty-input arm) and the
-# round-7-NEW q80-q96; then the headline-bench queries (q16/q30/q31/
-# q32/q36 spill
+# round-7-NEW q80-q97; then the headline-bench queries (q10/q16/q30/
+# q31/q32/q36 spill
 # past slot 50 this round — r6-driver-green twice over, unchanged,
 # and bench exercises them every round regardless).  Everything past
-# slot 50 (from q16 onward) was driver-green in CORRECTNESS_r06
+# slot 50 (from q10 onward) was driver-green in CORRECTNESS_r06
 # (2-round cadence invariant preserved; q41/q48/q73/q77 changed in
 # r6 but were driver-green in the r6 window and are unchanged
 # since).
@@ -4679,18 +4776,19 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q94_snapshot_diff": (q94_snapshot_diff, Q94_SQL),
     "q95_sampled_diff": (q95_sampled_diff, Q95_SQL),
     "q96_knn_pq": (q96_knn_pq, Q96_SQL),
+    "q97_corpus_datasheet": (q97_corpus_datasheet, Q97_SQL),
     # --- headline bench set
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
     "q05_regional_revenue": (q05_regional_revenue, Q05_SQL),
-    "q10_window_rank": (q10_window_rank, Q10_SQL),
     # --- tail: r6-driver-verified, rotates back next round (q07-q17
-    # and q16/q30/q31/q32/q36/q73/q77/q41/q48 displaced past slot 50
-    # by the new q80-q96; the displaced five are headline but
+    # and q10/q16/q30/q31/q32/q36/q73/q77/q41/q48 displaced past slot
+    # 50 by the new q80-q97; the displaced six are headline but
     # r6-driver-green twice over and unchanged this round — bench
     # still runs them every round)
+    "q10_window_rank": (q10_window_rank, Q10_SQL),
     "q16_event_pairs": (q16_event_pairs, Q16_SQL),
     "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
     "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
