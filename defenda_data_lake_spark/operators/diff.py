@@ -46,6 +46,10 @@ def snapshot_diff(
     ``compare_cols`` defaults to every shared non-key column.  Keys are
     assumed unique per snapshot (it is a keyed-table diff; duplicate
     keys join-multiply exactly like any reconciliation query would).
+    TOP-LEVEL map columns are supported (canonicalized to sorted entry
+    arrays for the comparison — Spark cannot equality-compare maps); a
+    map nested deeper inside a struct/array compare column is not —
+    pre-flatten such columns before diffing.
 
     ``null_safe_keys`` (default on) pairs NULL key components with
     each other.  The trade, measured: Spark compiles a null-safe
