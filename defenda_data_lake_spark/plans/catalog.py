@@ -3639,6 +3639,228 @@ FROM stats, vocab
 """
 
 
+def q98_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/test split: assign the split by hash of the
+    near-duplicate CLUSTER id, not the document id, so a near-dup
+    family can never straddle train and test (the eval-contamination
+    failure mode q51 *detects*, prevented at split time).  Composition
+    of three first-class operators — MinHash+LSH candidates →
+    connected components → deterministic hash split — with the split
+    keyed on the component's canonical min-id representative.
+
+    Scale: identical shape to q49 (judged sound: keyed joins per
+    pointer-jumping round, scalar-only driver traffic) plus one
+    shuffle-free codegen projection for the split.  The no-straddle
+    invariant is pinned in test_graph_scd.py."""
+    from defenda_data_lake_spark.operators.sampling import with_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs, num_hashes=8, bands=2, shingle_n=3)
+    clusters = D.duplicate_clusters(docs, pairs)
+    return with_split(clusters, "cluster_id", test_fraction=0.1, salt="clsplit")
+
+
+Q98_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES_SQL},
+pairs AS ({_MINHASH_PAIRS_SELECT}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+),
+lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical,
+       CASE WHEN CAST('0x' || substr(md5('clsplit' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 10000 < 1000
+            THEN 'test' ELSE 'train' END AS split
+FROM lab
+"""
+
+
+def q99_scd2_history(spark, sf_dir):
+    """SCD-2 dimension history build (``operators/scd.py``): compact
+    the per-user event-type observation log into versioned validity
+    intervals ``[valid_from_s, valid_to_s)`` — the table shape a
+    point-in-time dimension join (or the q29 as-of join) consumes.
+
+    Scale: ONE hash exchange on user_id; the change-flag lag, running
+    version sum, per-version count, and interval-closing lead all run
+    as sorts over that same key-clustered layout (pinned in
+    test_graph_scd.py's single-exchange plan test)."""
+    from defenda_data_lake_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(
+        ev, ["user_id"], ["event_type"], "ts", order_cols=["event_id"]
+    )
+
+
+Q99_SQL = """
+WITH obs AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS obs_s,
+         CASE WHEN row_number() OVER w = 1
+                OR lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ver AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS version
+  FROM obs
+),
+cnt AS (
+  SELECT *, count(*) OVER (PARTITION BY user_id, version) AS n_obs FROM ver
+),
+starts AS (
+  SELECT user_id, event_type, version, obs_s AS valid_from_s, n_obs
+  FROM cnt WHERE chg = 1
+)
+SELECT user_id, event_type, CAST(version AS BIGINT) AS version, valid_from_s,
+       lead(valid_from_s) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to_s,
+       CAST(n_obs AS BIGINT) AS n_obs
+FROM starts
+"""
+
+
+def q100_pagerank(spark, sf_dir):
+    """PageRank centrality over the customer–supplier order-flow graph
+    (``operators/graph.py``): nodes are customers and suppliers, an
+    undirected edge links a customer to every supplier that fulfilled
+    one of its orders; 5 damped rounds rank entities by flow
+    centrality — the corpus-weighting / entity-importance primitive.
+
+    Fully value-checked DESPITE being iterative float-free math: ranks
+    are BIGINT fixed-point (1e-12 units) so every engine computes the
+    identical integers regardless of summation order — the oracle
+    replays all 5 rounds as unrolled CTEs.  Scale: each round is one
+    edge⋈rank equi-join + keyed agg (Pregel-as-join); the rank table
+    is |V|-sized and broadcasts under AQE, the edge list never
+    shuffles."""
+    from defenda_data_lake_spark.operators.graph import pagerank, symmetrize
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    raw = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(symmetrize(raw), iterations=5)
+
+
+def _pagerank_sql(iterations: int = 5, damping_pct: int = 85) -> str:
+    """Unrolled fixed-point PageRank in DuckDB: BIGINT ranks in 1e-12
+    units, ``//`` floor division mirroring Spark's ``div`` (all values
+    non-negative, so floor == truncate), per-round CAST back to BIGINT
+    because DuckDB widens ``sum`` to HUGEINT."""
+    scale = 10**12
+    rounds = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        rounds.append(f"""
+r{i} AS (
+  SELECT e.dst AS node_id,
+         CAST(p.b + ({damping_pct} * sum(r.rank_e12 // d.outdeg)) // 100
+              AS BIGINT) AS rank_e12
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node_id
+  JOIN deg d ON e.src = d.src
+  CROSS JOIN params p
+  GROUP BY e.dst, p.b
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+params AS (
+  SELECT CAST({scale} // count(*) AS BIGINT) AS r_init,
+         CAST(({100 - damping_pct} * {scale}) // (100 * count(*)) AS BIGINT) AS b
+  FROM nodes
+),
+r0 AS (SELECT node_id, r_init AS rank_e12 FROM nodes CROSS JOIN params),
+{",".join(rounds)}
+SELECT node_id, rank_e12,
+       round(rank_e12 / {scale}.0 * 1000000, 0) / 1000000 AS rank
+FROM {prev}
+"""
+
+
+Q100_SQL = _pagerank_sql()
+
+
+def q101_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient over the
+    MinHash near-duplicate graph: how *transitively* duplicated each
+    document's neighborhood is (a clique-y neighborhood means template
+    families; a low coefficient at high degree means a hub doc spuriously
+    bridging unrelated families — exactly what an LSH-bucket audit
+    looks for).  Nodes are documents that appear in ≥1 candidate pair.
+
+    Scale: the operator's degree-ordered orientation bounds the wedge
+    join by O(m^1.5) regardless of hub skew (``graph.triangle_counts``
+    docstring); every join is an equi-join (no OR-condition nested
+    loop — pinned in test_graph_scd.py)."""
+    from defenda_data_lake_spark.operators.graph import symmetrize, triangle_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs, num_hashes=8, bands=2, shingle_n=3)
+    return triangle_counts(symmetrize(pairs, src="id_a", dst="id_b"))
+
+
+Q101_SQL = f"""
+WITH {_MINHASH_CTES_SQL},
+pairs AS ({_MINHASH_PAIRS_SELECT}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+deg AS (SELECT src AS node_id, count(*) AS degree FROM edges GROUP BY src),
+oriented AS (
+  SELECT e.src, e.dst FROM edges e
+  JOIN deg da ON e.src = da.node_id
+  JOIN deg db ON e.dst = db.node_id
+  WHERE da.degree < db.degree OR (da.degree = db.degree AND e.src < e.dst)
+),
+wedges AS (
+  SELECT a.src AS apex, a.dst AS b, c.dst AS c
+  FROM oriented a JOIN oriented c ON a.src = c.src AND a.dst < c.dst
+),
+closing AS (SELECT least(src, dst) AS b, greatest(src, dst) AS c FROM oriented),
+tri AS (SELECT apex, b, c FROM wedges JOIN closing USING (b, c)),
+pern AS (
+  SELECT node_id, count(*) AS triangles FROM (
+    SELECT apex AS node_id FROM tri
+    UNION ALL SELECT b AS node_id FROM tri
+    UNION ALL SELECT c AS node_id FROM tri
+  ) t GROUP BY node_id
+)
+SELECT d.node_id, d.degree,
+       CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(coalesce(p.triangles, 0) * 2.0
+                       / (d.degree * (d.degree - 1)) * 1000000, 0) / 1000000
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN pern p ON d.node_id = p.node_id
+"""
+
+
 def q42_simhash_pairs(spark, sf_dir):
     """SimHash near-duplicate candidate pairs at Hamming ≤ 3 — the
     largest radius the 4-block pigeonhole covers completely (a pair
@@ -4777,17 +4999,21 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q95_sampled_diff": (q95_sampled_diff, Q95_SQL),
     "q96_knn_pq": (q96_knn_pq, Q96_SQL),
     "q97_corpus_datasheet": (q97_corpus_datasheet, Q97_SQL),
-    # --- headline bench set
+    "q98_leakage_safe_split": (q98_leakage_safe_split, Q98_SQL),
+    "q99_scd2_history": (q99_scd2_history, Q99_SQL),
+    "q100_pagerank": (q100_pagerank, Q100_SQL),
+    "q101_triangle_counts": (q101_triangle_counts, Q101_SQL),
+    # --- headline bench fill (one slot left after q98-q101 landed)
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
+    # --- tail: r6-driver-verified, rotates back next round (q07-q17
+    # and q01/q03/q05/q10/q16/q20/q30/q31/q32/q36/q73/q77/q41/q48
+    # displaced past slot 50 by the new q80-q101; the displaced ten
+    # are headline but r6-driver-green twice over and unchanged this
+    # round — bench still runs them every round)
     "q20_events_json": (q20_events_json, Q20_SQL),
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
     "q05_regional_revenue": (q05_regional_revenue, Q05_SQL),
-    # --- tail: r6-driver-verified, rotates back next round (q07-q17
-    # and q10/q16/q30/q31/q32/q36/q73/q77/q41/q48 displaced past slot
-    # 50 by the new q80-q97; the displaced six are headline but
-    # r6-driver-green twice over and unchanged this round — bench
-    # still runs them every round)
     "q10_window_rank": (q10_window_rank, Q10_SQL),
     "q16_event_pairs": (q16_event_pairs, Q16_SQL),
     "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),

@@ -50,7 +50,10 @@ def test_window_covers_round7_changed_and_new():
     window = list(CATALOG)[:50]
     changed = [
         "q78_chunk_dedupe", "q79_hll_distinct",
-        *[n for n in CATALOG if n[1:3].isdigit() and 80 <= int(n[1:3]) <= 97],
+        *[
+            n for n in CATALOG
+            if 80 <= int(n[1:].split("_", 1)[0]) <= 101
+        ],
     ]
     missing = [n for n in changed if n not in window]
     assert not missing, missing
