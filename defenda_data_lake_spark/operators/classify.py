@@ -1,0 +1,157 @@
+"""Trained document-quality classification: multinomial Naive Bayes
+over unigram features, trained and applied entirely as DataFrame
+aggregations (no MLlib, no Python in the hot path — every step is a
+join/agg Catalyst can optimize, and every step is replayable as ANSI
+SQL for the correctness oracle).
+
+This is the "train a fastText-style quality classifier on a labeled
+seed set, score the whole corpus" stage of an LLM data pipeline
+(GPT-3/CCNet-style quality filtering), expressed engine-native.  The
+reference repo has no ML surface; this extends the training-data
+operator family.
+
+Model: multinomial NB with Laplace (+1) smoothing.
+
+    log_odds(w) = ln((c_pos(w)+1)/(T_pos+V)) - ln((c_neg(w)+1)/(T_neg+V))
+    score(doc)  = ln((N_pos+1)/(N_neg+1)) + sum_w log_odds(w)
+
+where c_cls(w) counts occurrences of w in train docs of that class,
+T_cls the total train occurrences for the class, V the train vocabulary
+size, N_cls the train doc counts.  Words unseen in training contribute
+the smoothed c=0 odds.  All inputs are exact integers, so the ratios
+(and hence the scores, up to ulp-level ln/summation noise absorbed by
+4-decimal rounding — the q54 unigram-LM precedent) are engine-stable.
+
+Scale notes (100 TB):
+
+* **Training is two aggregations.**  Word counts shuffle once on the
+  word (Zipf-bounded vocabulary, skew absorbed by map-side partial
+  aggregation); the 6 scalar totals reduce to one broadcastable row.
+* **Scoring never shuffles the corpus.**  The model table is
+  vocabulary-sized (Zipf-bounded, same argument as the q54 unigram
+  model) and BROADCAST into the per-doc word stream; the only
+  corpus-sized exchange is the final per-doc aggregation on the id.
+* The train/score split is a narrow md5 expression (the ``q38``
+  deterministic-split pattern) — no sampling nondeterminism, any
+  engine reproduces the same split forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from defenda_data_lake_spark.operators.dedup import normalized_text
+
+
+def _doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, word) stream: normalized text split on single spaces (the
+    canonical form emitted by ``normalized_text``)."""
+    return df.select(
+        F.col(id_col).alias("_nb_id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+
+
+def nb_train(
+    train_df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the NB model on ``train_df`` (``label_col`` must be 0/1 int).
+
+    Returns ``(model, totals)``: ``model`` is one row per train word
+    with integer class counts; ``totals`` is ONE row of scalar
+    aggregates (class word totals, vocab size, class doc counts).
+    Both are integer-exact — the float log-odds are derived at scoring
+    time so the model tables stay mergeable/inspectable.
+    """
+    labeled = train_df.select(
+        F.col(id_col).alias("_nb_id"),
+        F.col(label_col).cast("long").alias("_nb_y"),
+    )
+    words = _doc_words(train_df, id_col, text_col).join(labeled, "_nb_id")
+    model = words.groupBy("word").agg(
+        F.sum("_nb_y").alias("c_pos"),
+        F.sum(F.lit(1) - F.col("_nb_y")).alias("c_neg"),
+    )
+    totals = model.agg(
+        F.sum("c_pos").alias("t_pos"),
+        F.sum("c_neg").alias("t_neg"),
+        F.count("*").alias("vocab"),
+    ).crossJoin(
+        F.broadcast(
+            labeled.agg(
+                F.sum("_nb_y").alias("n_pos"),
+                F.sum(F.lit(1) - F.col("_nb_y")).alias("n_neg"),
+            )
+        )
+    )
+    return model, totals
+
+
+def nb_score(
+    df: DataFrame,
+    model: DataFrame,
+    totals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every row of ``df`` under a trained model: returns
+    ``(id_col, n_words, score)`` where ``score`` is the NB log-odds
+    (positive => classified positive).  Unseen words take the smoothed
+    zero-count odds.  ``model`` is broadcast (vocabulary-sized);
+    ``totals`` is a broadcast single row."""
+    words = _doc_words(df, id_col, text_col)
+    scored = (
+        words.join(F.broadcast(model), "word", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_nb_id",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_pos"), F.lit(0)) + 1)
+                    / (F.col("t_pos") + F.col("vocab"))
+                )
+                - F.log(
+                    (F.coalesce(F.col("c_neg"), F.lit(0)) + 1)
+                    / (F.col("t_neg") + F.col("vocab"))
+                )
+            ).alias("_nb_lo"),
+            (F.log((F.col("n_pos") + 1) / (F.col("n_neg") + 1))).alias("_nb_prior"),
+        )
+    )
+    return scored.groupBy("_nb_id").agg(
+        F.count("*").alias("n_words"),
+        (F.first("_nb_prior") + F.sum("_nb_lo")).alias("score"),
+    ).select(F.col("_nb_id").alias(id_col), "n_words", "score")
+
+
+def train_split_expr(id_col: str, salt: str = "nbsplit", train_pct: int = 8000) -> Column:
+    """Deterministic md5 train-membership predicate (the q38 split
+    pattern, reusing ``sampling.hash_bucket``): True for
+    ~``train_pct``/10000 of rows, same rows on any engine."""
+    from defenda_data_lake_spark.operators.sampling import hash_bucket
+
+    return hash_bucket(id_col, salt) < train_pct
+
+
+def nb_quality_scores(
+    df: DataFrame,
+    label_expr: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "nbsplit",
+    train_pct: int = 8000,
+) -> DataFrame:
+    """End-to-end pipeline: deterministic train split -> NB fit on the
+    train rows under ``label_expr`` -> score EVERY row.  Returns
+    ``(id, n_words, score, predicted)``."""
+    labeled = df.withColumn("_nb_label", label_expr.cast("long"))
+    train = labeled.filter(train_split_expr(id_col, salt, train_pct))
+    model, totals = nb_train(train, "_nb_label", id_col, text_col)
+    scored = nb_score(df, model, totals, id_col, text_col)
+    return scored.withColumn(
+        "predicted", (F.col("score") > 0).cast("int")
+    )

@@ -4931,6 +4931,235 @@ GROUP BY a3.cl
 """
 
 
+def q102_edit_distance_pairs(spark, sf_dir):
+    """Character-level fuzzy linkage (operators/linkage.py
+    ``edit_distance_pairs``): record pairs whose normalized 64-char
+    text prefixes are within 8 edits, candidates blocked on the first
+    3 tokens — the record-linkage / OCR-noise dedup family that
+    token-set similarity (q31/q32/q42) under-detects.
+
+    Scale notes (100 TB): candidates come from the SORTED-NEIGHBORHOOD
+    window (each row vs its 10 predecessors in the per-block
+    (prefix, id) sort — lag columns, NO self-join in the plan at all),
+    so total candidates are O(rows x 10), linear in corpus size:
+    2.2x wall at the 32x probe vs 8.2x for the all-pairs-in-block form
+    (and all-pairs stays bounded only by dropping capped blocks —
+    SCALING.md round-7 "edit-distance linkage").  One
+    exchange on the blocking key shared by the cap window and the
+    neighborhood window; per-pair cost is the JVM *thresholded*
+    Levenshtein DP (O(prefix x max_distance), early-exit).  Recall is
+    bounded by blocking + neighborhood by design — the standard
+    linkage trade, documented on the operator."""
+    from defenda_data_lake_spark.operators import linkage as LK
+
+    docs = _t(spark, sf_dir, "documents")
+    return LK.edit_distance_pairs(
+        docs, "doc_id", "text",
+        block_tokens=3, prefix_len=64, max_distance=8, max_block_rows=1000,
+        neighbor_window=10,
+    )
+
+
+Q102_SQL = r"""
+WITH side AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 64) AS pfx,
+         array_to_string(
+           list_slice(
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             1, 3),
+           ' ') AS blk
+  FROM documents
+  WHERE length(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 64)) > 0
+),
+capped AS (
+  SELECT doc_id, pfx, blk
+  FROM (SELECT *, count(*) OVER (PARTITION BY blk) AS blk_n FROM side)
+  WHERE blk_n <= 1000
+),
+ranked AS (
+  SELECT doc_id, pfx, blk,
+         row_number() OVER (PARTITION BY blk ORDER BY pfx, doc_id) AS pos
+  FROM capped
+)
+SELECT least(a.doc_id, b.doc_id) AS id_a,
+       greatest(a.doc_id, b.doc_id) AS id_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS INT) AS distance
+FROM ranked a JOIN ranked b
+  ON a.blk = b.blk AND b.pos > a.pos AND b.pos <= a.pos + 10
+WHERE levenshtein(a.pfx, b.pfx) <= 8
+"""
+
+
+def q103_nb_quality_classifier(spark, sf_dir):
+    """Trained document-quality classifier (operators/classify.py):
+    multinomial Naive Bayes with Laplace smoothing, fit on a
+    deterministic 80% md5 train split with a length-proxy label
+    (n_chars >= 300), then scoring EVERY document — the
+    "train a quality classifier on a seed set, score the corpus"
+    stage of an LLM data pipeline, expressed entirely as joins/aggs.
+
+    Scale notes (100 TB): training shuffles once on the word
+    (Zipf-bounded vocab, map-side partials absorb stopword skew);
+    scoring BROADCASTS the vocabulary-sized model into the corpus
+    word stream (plan-asserted) and the only corpus-sized exchange is
+    the final per-doc aggregation.  Scores are integer-ratio ln sums
+    rounded at 4dp on both engines (the q54 determinism pattern)."""
+    from defenda_data_lake_spark.operators import classify as CL
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = CL.nb_quality_scores(docs, F.col("n_chars") >= 300)
+    return scored.select(
+        "doc_id",
+        "n_words",
+        R("score", 4).alias("score"),
+        "predicted",
+    )
+
+
+Q103_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, n_chars,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ntext
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(string_split(ntext, ' ')) AS word
+  FROM norm
+),
+words_nz AS (SELECT doc_id, word FROM words WHERE length(word) > 0),
+labels AS (
+  SELECT doc_id,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y,
+         (CAST('0x' || substr(md5('nbsplit' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 10000) < 8000 AS is_train
+  FROM documents
+),
+model AS (
+  SELECT word, sum(y) AS c_pos, sum(1 - y) AS c_neg
+  FROM words_nz JOIN labels USING (doc_id)
+  WHERE is_train
+  GROUP BY word
+),
+tot AS (
+  SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg, count(*) AS vocab
+  FROM model
+),
+prior AS (
+  SELECT sum(y) AS n_pos, sum(1 - y) AS n_neg FROM labels WHERE is_train
+),
+scored AS (
+  SELECT w.doc_id,
+         count(*) AS n_words,
+         ln(CAST(n_pos + 1 AS DOUBLE) / (n_neg + 1))
+           + sum(ln((coalesce(c_pos, 0) + 1.0) / (t_pos + vocab))
+                 - ln((coalesce(c_neg, 0) + 1.0) / (t_neg + vocab))) AS raw
+  FROM words_nz w LEFT JOIN model USING (word), tot, prior
+  GROUP BY w.doc_id, n_pos, n_neg
+)
+SELECT doc_id, n_words,
+       round(raw * 10000, 0) / 10000 AS score,
+       CAST(CASE WHEN raw > 0 THEN 1 ELSE 0 END AS INT) AS predicted
+FROM scored
+"""
+
+
+def q104_source_overlap(spark, sf_dir):
+    """Cross-source near-duplicate overlap matrix: for every unordered
+    pair of corpus sources, how many LSH candidate near-dup pairs
+    straddle them — the "which crawl snapshots / dumps duplicate each
+    other" report a release datasheet (q97) summarizes one level up,
+    and the evidence behind per-source dedup priorities.
+
+    Scale notes (100 TB): candidate pairs come from the capped LSH
+    banding (q31's operator, degenerate buckets skipped), so the pair
+    set is near-dup-bounded, far smaller than the corpus; attaching
+    sources is two hash joins of that small pair set against the
+    2-column (doc_id, source) projection (column-pruned scan); the
+    final aggregation's key space is |sources|^2 — map-side partials
+    collapse it before the one tiny exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs, max_bucket_docs=_Q31_MAX_BUCKET_DOCS)
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")),
+            "id_a",
+        ).join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")),
+            "id_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+Q104_SQL = f"""
+WITH {_MINHASH_CTES_SQL},
+ok_buckets AS (
+  SELECT band, band_sig FROM bands
+  GROUP BY band, band_sig HAVING count(*) <= {_Q31_MAX_BUCKET_DOCS}
+),
+capped AS (SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_sig)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs
+FROM pairs p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q105_prototypicality(spark, sf_dir):
+    """Prototypicality pruning scores (SSL-prototypes / "Beyond neural
+    scaling laws" data pruning): cluster the embedding space with the
+    q47 deterministic Lloyd k-means, then rank every vector within its
+    cluster by distance to the centroid — rank 1 is the most
+    prototypical (nearest, most redundant under pruning), the tail is
+    the hardest/most informative.  Downstream pruning is a filter on
+    ``proto_rank`` (or its per-cluster quantile).
+
+    Scale notes (100 TB): clustering cost is the fixed Lloyd job count
+    (centroids broadcast as literals — the corpus never shuffles during
+    assignment); the ranking is ONE exchange on the cluster id.  The
+    within-cluster sort is the k-means-partitioned twin of a global
+    sort — k partitions bound the skew, and rank (not collect) keeps it
+    streaming-aggregable.  Cross-engine determinism: quantized
+    centroids make per-vector sq distances bit-identical (the q47/q73
+    argument), ties break on vec_id."""
+    from defenda_data_lake_spark.operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=8, iterations=3)
+    w = Window.partitionBy("cluster").orderBy(F.col("sq_dist").asc(), F.col("id").asc())
+    return assigned.select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        R("sq_dist", 4).alias("sq_dist"),
+        F.row_number().over(w).cast("long").alias("proto_rank"),
+    )
+
+
+Q105_SQL = f"""{_kmeans_cte()}
+SELECT vec_id, cl AS cluster,
+       round(sq * 10000, 0) / 10000 AS sq_dist,
+       row_number() OVER (PARTITION BY cl ORDER BY sq ASC, vec_id ASC) AS proto_rank
+FROM a3
+"""
+
+
 # CATALOG ordering policy: the correctness driver checks only the FIRST
 # 50 entries each round, so entries are ordered least-recently-
 # driver-verified first, then queries whose behavior/oracle changed in
@@ -5003,13 +5232,24 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q99_scd2_history": (q99_scd2_history, Q99_SQL),
     "q100_pagerank": (q100_pagerank, Q100_SQL),
     "q101_triangle_counts": (q101_triangle_counts, Q101_SQL),
-    # --- headline bench fill (one slot left after q98-q101 landed)
-    "q40_knn_brute": (q40_knn_brute, Q40_SQL),
+    # --- last window slot: q102 (new this round) takes it; q40 moves
+    # to the tail (unchanged since its r6 kernel coalesce, r6-driver-
+    # green, and bench value-exercises it every round)
+    "q102_edit_distance_pairs": (q102_edit_distance_pairs, Q102_SQL),
     # --- tail: r6-driver-verified, rotates back next round (q07-q17
-    # and q01/q03/q05/q10/q16/q20/q30/q31/q32/q36/q73/q77/q41/q48
-    # displaced past slot 50 by the new q80-q101; the displaced ten
-    # are headline but r6-driver-green twice over and unchanged this
-    # round — bench still runs them every round)
+    # and q01/q03/q05/q10/q16/q20/q30/q31/q32/q36/q73/q77/q40/q41/q48
+    # displaced past slot 50 by the new q80-q102; the displaced
+    # headline ones are r6-driver-green twice over and unchanged this
+    # round — bench still runs them every round).  q103 is NEW this
+    # round but the window is full (25 r5-stale + 24 r7-new/changed +
+    # q102): it ships tail-first with the full local gate run instead
+    # (pytest DuckDB value-parity test + check_oracle value-hash green
+    # at sf0.001/0.01/0.1, recorded in TODO.md) and LEADS the round-8
+    # window.  q104/q105 (also new-in-r7) ship the same way, behind it.
+    "q103_nb_quality_classifier": (q103_nb_quality_classifier, Q103_SQL),
+    "q104_source_overlap": (q104_source_overlap, Q104_SQL),
+    "q105_prototypicality": (q105_prototypicality, Q105_SQL),
+    "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
