@@ -146,9 +146,19 @@ def nb_quality_scores(
     train_pct: int = 8000,
 ) -> DataFrame:
     """End-to-end pipeline: deterministic train split -> NB fit on the
-    train rows under ``label_expr`` -> score EVERY row.  Returns
-    ``(id, n_words, score, predicted)``."""
-    labeled = df.withColumn("_nb_label", label_expr.cast("long"))
+    train rows under ``label_expr`` -> score the corpus.  Returns
+    ``(id, n_words, score, predicted)``.
+
+    Contract edges: a NULL ``label_expr`` (e.g. a NULL feature column)
+    labels the row NEGATIVE — the same coalesce the SQL oracle's
+    ``CASE WHEN .. THEN 1 ELSE 0 END`` applies — rather than silently
+    excluding it from the counts while its words still widen the
+    vocabulary.  Rows whose text normalizes to EMPTY contribute no
+    word rows and are absent from the output (there is nothing to
+    score); callers joining scores back 1:1 should left-join."""
+    labeled = df.withColumn(
+        "_nb_label", F.coalesce(label_expr.cast("long"), F.lit(0))
+    )
     train = labeled.filter(train_split_expr(id_col, salt, train_pct))
     model, totals = nb_train(train, "_nb_label", id_col, text_col)
     scored = nb_score(df, model, totals, id_col, text_col)

@@ -5181,10 +5181,14 @@ FROM a3
 # r6 but were driver-green in the r6 window and are unchanged
 # since).
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- 25 stale: last driver correctness row r5 (judge-green in r6)
-    "q24_presto_text": (q24_presto_text, Q24_SQL),
-    "q25_percentile_stats": (q25_percentile_stats, Q25_SQL),
-    "q26_regexp_count": (q26_regexp_count, Q26_SQL),
+    # --- 22 stale: last driver correctness row r5 (judge-green in r6).
+    # q24/q25/q26 were displaced to the tail to make room for the
+    # round-7-new q103/q104/q105 (changed/new ALWAYS outranks stale —
+    # the ADVICE-r6 q49/q63 precedent): they are pure compat-function
+    # queries, r5-driver-green AND judge-re-verified in r6, their
+    # kernels are unit-tested (functions/compat.py goldens), and they
+    # are unchanged since r4 — the lowest-risk 3 of the 25.  They MUST
+    # lead the round-8 window.
     "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),
@@ -5232,23 +5236,23 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q99_scd2_history": (q99_scd2_history, Q99_SQL),
     "q100_pagerank": (q100_pagerank, Q100_SQL),
     "q101_triangle_counts": (q101_triangle_counts, Q101_SQL),
-    # --- last window slot: q102 (new this round) takes it; q40 moves
-    # to the tail (unchanged since its r6 kernel coalesce, r6-driver-
+    # --- last 4 window slots: the round-7-new q102-q105 (q40 moves to
+    # the tail: unchanged since its r6 kernel coalesce, r6-driver-
     # green, and bench value-exercises it every round)
     "q102_edit_distance_pairs": (q102_edit_distance_pairs, Q102_SQL),
-    # --- tail: r6-driver-verified, rotates back next round (q07-q17
-    # and q01/q03/q05/q10/q16/q20/q30/q31/q32/q36/q73/q77/q40/q41/q48
-    # displaced past slot 50 by the new q80-q102; the displaced
-    # headline ones are r6-driver-green twice over and unchanged this
-    # round — bench still runs them every round).  q103 is NEW this
-    # round but the window is full (25 r5-stale + 24 r7-new/changed +
-    # q102): it ships tail-first with the full local gate run instead
-    # (pytest DuckDB value-parity test + check_oracle value-hash green
-    # at sf0.001/0.01/0.1, recorded in TODO.md) and LEADS the round-8
-    # window.  q104/q105 (also new-in-r7) ship the same way, behind it.
     "q103_nb_quality_classifier": (q103_nb_quality_classifier, Q103_SQL),
     "q104_source_overlap": (q104_source_overlap, Q104_SQL),
     "q105_prototypicality": (q105_prototypicality, Q105_SQL),
+    # --- tail: driver-verified in r5/r6, rotates back next round.
+    # q24/q25/q26 lead the tail (displaced THIS round by q103-q105 —
+    # see the head comment — so they MUST lead the round-8 window);
+    # then q07-q17 and q01/q03/q05/q10/q16/q20/q30/q31/q32/q36/q73/
+    # q77/q40/q41/q48, displaced past slot 50 by the new q80-q105 (the
+    # displaced headline ones are r6-driver-green twice over and
+    # unchanged this round — bench still runs them every round).
+    "q24_presto_text": (q24_presto_text, Q24_SQL),
+    "q25_percentile_stats": (q25_percentile_stats, Q25_SQL),
+    "q26_regexp_count": (q26_regexp_count, Q26_SQL),
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),

@@ -48,47 +48,17 @@ def build_replica(spark, base: str, tmp: str, factor: int) -> None:
 
 def unguarded_neighborhood_pairs(df, neighbor_window: int = 10, **kw):
     """The q102 sorted-neighborhood plan with the distance guards
-    stripped: raw thresholded levenshtein on every candidate pair."""
+    stripped: raw thresholded levenshtein on every candidate pair.
+    Candidate generation is the operator's own ``candidate_pairs``, so
+    this strawman can never desynchronize from the real plan — only
+    the distance expression differs."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
-    from defenda_data_lake_spark.operators.linkage import blocking_key
-    from defenda_data_lake_spark.operators.dedup import normalized_text
+    from defenda_data_lake_spark.operators.linkage import candidate_pairs
 
-    block_tokens = kw.get("block_tokens", 3)
-    prefix_len = kw.get("prefix_len", 64)
-    max_distance = kw.get("max_distance", 8)
-    max_block_rows = kw.get("max_block_rows", 1000)
-
-    norm = normalized_text(F.col("text"))
-    side = df.select(
-        F.col("doc_id").alias("_lk_id"),
-        F.substring(norm, 1, prefix_len).alias("_lk_prefix"),
-        blocking_key(F.col("text"), block_tokens).alias("_lk_block"),
-    ).filter(F.col("_lk_prefix").isNotNull() & (F.length("_lk_prefix") > 0))
-    side = side.withColumn(
-        "_lk_block_n", F.count("*").over(Window.partitionBy("_lk_block"))
-    ).filter(F.col("_lk_block_n") <= F.lit(max_block_rows))
-    w_spec = Window.partitionBy("_lk_block").orderBy("_lk_prefix", "_lk_id")
-    cands = F.array(
-        *[
-            F.struct(
-                F.lag("_lk_id", j).over(w_spec).alias("nid"),
-                F.lag("_lk_prefix", j).over(w_spec).alias("npfx"),
-            )
-            for j in range(1, neighbor_window + 1)
-        ]
-    )
-    pairs = (
-        side.withColumn("_lk_cands", cands)
-        .withColumn("_lk_c", F.explode("_lk_cands"))
-        .filter(F.col("_lk_c.nid").isNotNull())
-        .select(
-            F.least("_lk_id", F.col("_lk_c.nid")).alias("id_a"),
-            F.greatest("_lk_id", F.col("_lk_c.nid")).alias("id_b"),
-            F.col("_lk_prefix").alias("_pa"),
-            F.col("_lk_c.npfx").alias("_pb"),
-        )
+    max_distance = kw.pop("max_distance", 8)
+    pairs = candidate_pairs(
+        df, "doc_id", "text", neighbor_window=neighbor_window, **kw
     )
     return (
         pairs.withColumn(
@@ -132,8 +102,7 @@ def main() -> None:
                 lambda: edit_distance_pairs(docs, "doc_id", "text", neighbor_window=10, **kw).count()
             )
             result[f"q102_allpairs_{label}"] = best_of(
-                lambda: edit_distance_pairs(docs, "doc_id", "text", neighbor_window=None, **kw).count(),
-                n=1 if label != "1x" else 3,
+                lambda: edit_distance_pairs(docs, "doc_id", "text", neighbor_window=None, **kw).count()
             )
             result[f"q102_unguarded_{label}"] = best_of(
                 lambda: unguarded_neighborhood_pairs(docs, 10, **kw).count()

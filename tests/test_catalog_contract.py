@@ -52,15 +52,15 @@ def test_window_covers_round7_changed_and_new():
         "q78_chunk_dedupe", "q79_hll_distinct",
         *[
             n for n in CATALOG
-            if 80 <= int(n[1:].split("_", 1)[0]) <= 102
+            if 80 <= int(n[1:].split("_", 1)[0]) <= 105
         ],
     ]
     missing = [n for n in changed if n not in window]
     assert not missing, missing
-    # q103 is new-in-r7 but the window is FULL (25 r5-stale + 24
-    # r7-new/changed + q102): it ships tail-first with the local gate
-    # instead (test_q103_value_parity_vs_duckdb + check_oracle green at
-    # 3 SFs) and must LEAD the round-8 window — see the CATALOG
-    # ordering comment.
-    # ...tail-first = the first entry PAST the 50-slot window
-    assert list(CATALOG).index("q103_nb_quality_classifier") == 50
+    # changed/new ALWAYS outranks stale: fitting q103-q105 displaced
+    # q24/q25/q26 (r5-driver-green + r6-judge-re-verified, unchanged
+    # since r4, kernel unit-tested) to the tail head — they MUST lead
+    # the round-8 window.
+    assert list(CATALOG)[50:53] == [
+        "q24_presto_text", "q25_percentile_stats", "q26_regexp_count",
+    ]

@@ -3,7 +3,6 @@ quality classifier (operators/classify.py): semantics, guards, plan
 shape, and DuckDB value parity for the catalog entries (q102/q103)."""
 
 import duckdb
-import pytest
 from pyspark.sql import functions as F
 
 from defenda_data_lake_spark.operators.classify import (
@@ -88,12 +87,15 @@ def test_fuzzy_dedupe_min_id_survivors(spark):
     assert survivors == [1, 9]
 
 
-def test_q102_plan_no_cartesian(spark):
+def test_q102_plan_no_cartesian_one_exchange(spark):
     from tests.test_plan_quality import plan_of
 
     plan = plan_of(spark, "q102_edit_distance_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the cap window and the neighborhood window share the blocking-key
+    # hash partitioning: ONE exchange in the whole plan (docstring claim)
+    assert plan.count("Exchange") == 1
 
 
 # ---------------------------------------------------------- classifier
@@ -124,6 +126,26 @@ def test_nb_unseen_words_get_smoothed_odds(spark):
     assert len(rows) == 1 and rows[0].n_words == 2
     # balanced classes + unseen words => log-odds exactly prior (0)
     assert abs(rows[0].score) < 1e-9
+
+
+def test_nb_null_label_treated_negative(spark):
+    # a NULL label_expr row must count toward the NEGATIVE class (the
+    # oracle's CASE ... ELSE 0), not silently vanish from the counts:
+    # 'nullword' appears only in the NULL-labeled doc, so a doc made of
+    # it must score negative
+    rows = [
+        (1, "goodword goodword", 10),
+        (2, "nullword nullword", None),
+        (3, "goodword nullword", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, flag long")
+    scored = {
+        r.doc_id: r.score
+        for r in nb_quality_scores(
+            df, F.col("flag") > 0, train_pct=10000
+        ).collect()
+    }
+    assert scored[2] < 0 < scored[1]
 
 
 def test_train_split_shares_hash_with_sampling_split(spark):

@@ -4,7 +4,6 @@ pruning scores: semantics, plan shape, and pinned DuckDB value parity
 local gate here is their driver-equivalent check)."""
 
 import duckdb
-import pytest
 from pyspark.sql import functions as F
 
 from defenda_data_lake_spark.plans.catalog import CATALOG
