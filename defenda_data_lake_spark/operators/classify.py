@@ -165,3 +165,52 @@ def nb_quality_scores(
     return scored.withColumn(
         "predicted", (F.col("score") > 0).cast("int")
     )
+
+
+def nb_evaluate(
+    df: DataFrame,
+    label_expr: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "nbsplit",
+    train_pct: int = 8000,
+) -> DataFrame:
+    """Held-out evaluation of the :func:`nb_quality_scores` pipeline:
+    fit on the train split, score the corpus, and reduce the TEST
+    split's predictions against the labels to ONE row of confusion
+    counts and derived metrics (accuracy / precision / recall / F1).
+
+    Determinism: the counts are exact integers; each metric is a
+    SINGLE division of integer counts (F1 as 2tp/(2tp+fp+fn), never
+    composed from pre-divided floats), so the doubles are IEEE-
+    identical on any engine.  Zero denominators yield NULL.
+
+    Scale: evaluation adds one broadcast-sized join (scores vs the
+    2-column label projection on the id) and one global 1-row
+    aggregation — negligible next to scoring itself.
+    """
+    scored = nb_quality_scores(df, label_expr, id_col, text_col, salt, train_pct)
+    test = df.select(
+        F.col(id_col),
+        F.coalesce(label_expr.cast("long"), F.lit(0)).alias("_nb_y"),
+    ).filter(~train_split_expr(id_col, salt, train_pct))
+    j = scored.join(test, id_col)
+    c = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
+    p, y = F.col("predicted") == 1, F.col("_nb_y") == 1
+    counts = j.agg(
+        F.count("*").alias("n_test"),
+        c(p & y).alias("tp"),
+        c(p & ~y).alias("fp"),
+        c(~p & y).alias("fn"),
+        c(~p & ~y).alias("tn"),
+    )
+    div = lambda num, den: F.when(den > 0, num / den)  # noqa: E731
+    return counts.select(
+        "n_test", "tp", "fp", "fn", "tn",
+        div(F.col("tp") + F.col("tn"), F.col("n_test")).alias("accuracy"),
+        div(F.col("tp"), F.col("tp") + F.col("fp")).alias("prec"),
+        div(F.col("tp"), F.col("tp") + F.col("fn")).alias("rec"),
+        div(
+            2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")
+        ).alias("f1"),
+    )

@@ -5017,8 +5017,11 @@ def q103_nb_quality_classifier(spark, sf_dir):
     )
 
 
-Q103_SQL = r"""
-WITH norm AS (
+# shared CTE chain replaying the q103 NB pipeline (normalize -> word
+# stream -> deterministic split + length-proxy labels -> integer-exact
+# model/totals/prior -> per-doc raw log-odds); q106 builds its eval on
+# the identical `scored`/`labels` tables
+_NB_CTES_SQL = r"""norm AS (
   SELECT doc_id, n_chars,
          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ntext
   FROM documents
@@ -5056,7 +5059,10 @@ scored AS (
                  - ln((coalesce(c_neg, 0) + 1.0) / (t_neg + vocab))) AS raw
   FROM words_nz w LEFT JOIN model USING (word), tot, prior
   GROUP BY w.doc_id, n_pos, n_neg
-)
+)"""
+
+Q103_SQL = f"""
+WITH {_NB_CTES_SQL}
 SELECT doc_id, n_words,
        round(raw * 10000, 0) / 10000 AS score,
        CAST(CASE WHEN raw > 0 THEN 1 ELSE 0 END AS INT) AS predicted
@@ -5160,6 +5166,55 @@ FROM a3
 """
 
 
+def q106_classifier_eval(spark, sf_dir):
+    """Held-out evaluation of the q103 classifier (classify.py
+    ``nb_evaluate``): confusion counts + accuracy/precision/recall/F1
+    on the 20% test split — the "did the quality classifier actually
+    learn anything" gate before its scores drive corpus pruning, the
+    eval twin of q89's ANN recall harness.
+
+    Determinism: integer confusion counts; every metric is a SINGLE
+    integer-count division (F1 = 2tp/(2tp+fp+fn)) rounded at 4dp on
+    both engines.  Scale: one broadcast-sized join and a 1-row global
+    agg on top of q103's scoring plan."""
+    from defenda_data_lake_spark.operators import classify as CL
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = CL.nb_evaluate(docs, F.col("n_chars") >= 300)
+    return ev.select(
+        "n_test", "tp", "fp", "fn", "tn",
+        R("accuracy", 4).alias("accuracy"),
+        R("prec", 4).alias("prec"),
+        R("rec", 4).alias("rec"),
+        R("f1", 4).alias("f1"),
+    )
+
+
+Q106_SQL = f"""
+WITH {_NB_CTES_SQL},
+eval AS (
+  SELECT CASE WHEN s.raw > 0 THEN 1 ELSE 0 END AS p, l.y
+  FROM scored s JOIN labels l USING (doc_id)
+  WHERE NOT l.is_train
+),
+cm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM eval
+)
+SELECT n_test, tp, fp, fn, tn,
+       round(CASE WHEN n_test > 0 THEN CAST(tp + tn AS DOUBLE) / n_test END * 10000, 0) / 10000 AS accuracy,
+       round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END * 10000, 0) / 10000 AS prec,
+       round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END * 10000, 0) / 10000 AS rec,
+       round(CASE WHEN 2 * tp + fp + fn > 0
+             THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END * 10000, 0) / 10000 AS f1
+FROM cm
+"""
+
+
 # CATALOG ordering policy: the correctness driver checks only the FIRST
 # 50 entries each round, so entries are ordered least-recently-
 # driver-verified first, then queries whose behavior/oracle changed in
@@ -5193,7 +5248,9 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),
     "q37_vocab_topk": (q37_vocab_topk, Q37_SQL),
-    "q38_dataset_split": (q38_dataset_split, Q38_SQL),
+    # q38 displaced to the tail for q106: its md5 hash-split kernel
+    # (sampling.hash_bucket) is exercised IN-window by q103/q106's
+    # train split, and it is r5-driver-green + unchanged since r2.
     "q39_sequence_packing": (q39_sequence_packing, Q39_SQL),
     "q42_simhash_pairs": (q42_simhash_pairs, Q42_SQL),
     "q43_multimodal_meta": (q43_multimodal_meta, Q43_SQL),
@@ -5243,9 +5300,11 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q103_nb_quality_classifier": (q103_nb_quality_classifier, Q103_SQL),
     "q104_source_overlap": (q104_source_overlap, Q104_SQL),
     "q105_prototypicality": (q105_prototypicality, Q105_SQL),
+    "q106_classifier_eval": (q106_classifier_eval, Q106_SQL),
     # --- tail: driver-verified in r5/r6, rotates back next round.
-    # q24/q25/q26 lead the tail (displaced THIS round by q103-q105 —
-    # see the head comment — so they MUST lead the round-8 window);
+    # q24/q25/q26/q38 lead the tail (displaced THIS round by
+    # q103-q106 — see the head comments — so they MUST lead the
+    # round-8 window);
     # then q07-q17 and q01/q03/q05/q10/q16/q20/q30/q31/q32/q36/q73/
     # q77/q40/q41/q48, displaced past slot 50 by the new q80-q105 (the
     # displaced headline ones are r6-driver-green twice over and
@@ -5253,6 +5312,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q24_presto_text": (q24_presto_text, Q24_SQL),
     "q25_percentile_stats": (q25_percentile_stats, Q25_SQL),
     "q26_regexp_count": (q26_regexp_count, Q26_SQL),
+    "q38_dataset_split": (q38_dataset_split, Q38_SQL),
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
