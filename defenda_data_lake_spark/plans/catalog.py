@@ -5166,6 +5166,57 @@ FROM a3
 """
 
 
+def q107_quality_survivors(spark, sf_dir):
+    """Quality-aware near-dedup (dedup.py ``quality_survivor_dedupe``):
+    from every near-duplicate cluster (connected component of the LSH
+    pair graph, the q98 clustering) keep the HIGHEST-quality member —
+    here the longest document (``n_chars``, ties to the lower id) —
+    instead of the arbitrary min-id claimant every other dedup family
+    keeps.  The curation question is "which copy do we train on",
+    not just "how many copies are there".
+
+    Scale notes (100 TB): clustering is the audited pointer-jumping
+    shape (q49/q98); survivor choice is a per-cluster top-1 window
+    that Spark plans as WindowGroupLimit — each partition prunes to
+    one candidate per cluster BEFORE the exchange.  Quality here is an
+    exact integer, so survivor identity is engine-stable with no
+    rounding contract."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs, num_hashes=8, bands=2, shingle_n=3)
+    out = D.quality_survivor_dedupe(docs, pairs, "n_chars")
+    return out.select("doc_id", "cluster_id", "cluster_size", "n_chars")
+
+
+Q107_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES_SQL},
+pairs AS ({_MINHASH_PAIRS_SELECT}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+),
+lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+sized AS (
+  SELECT doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM lab
+),
+ranked AS (
+  SELECT s.doc_id, s.cluster_id, s.cluster_size, d.n_chars,
+         row_number() OVER (PARTITION BY s.cluster_id
+                            ORDER BY d.n_chars DESC, s.doc_id ASC) AS rk
+  FROM sized s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster_id, cluster_size, n_chars
+FROM ranked WHERE rk = 1
+"""
+
+
 def q106_classifier_eval(spark, sf_dir):
     """Held-out evaluation of the q103 classifier (classify.py
     ``nb_evaluate``): confusion counts + accuracy/precision/recall/F1
@@ -5244,13 +5295,14 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # kernels are unit-tested (functions/compat.py goldens), and they
     # are unchanged since r4 — the lowest-risk 3 of the 25.  They MUST
     # lead the round-8 window.
-    "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q34_text_quality": (q34_text_quality, Q34_SQL),
     "q35_text_langid": (q35_text_langid, Q35_SQL),
     "q37_vocab_topk": (q37_vocab_topk, Q37_SQL),
     # q38 displaced to the tail for q106: its md5 hash-split kernel
     # (sampling.hash_bucket) is exercised IN-window by q103/q106's
     # train split, and it is r5-driver-green + unchanged since r2.
+    # q33 displaced likewise for q107: its normalized-text token
+    # kernel is exercised IN-window by q78/q81/q82/q92/q103.
     "q39_sequence_packing": (q39_sequence_packing, Q39_SQL),
     "q42_simhash_pairs": (q42_simhash_pairs, Q42_SQL),
     "q43_multimodal_meta": (q43_multimodal_meta, Q43_SQL),
@@ -5301,9 +5353,10 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q104_source_overlap": (q104_source_overlap, Q104_SQL),
     "q105_prototypicality": (q105_prototypicality, Q105_SQL),
     "q106_classifier_eval": (q106_classifier_eval, Q106_SQL),
+    "q107_quality_survivors": (q107_quality_survivors, Q107_SQL),
     # --- tail: driver-verified in r5/r6, rotates back next round.
-    # q24/q25/q26/q38 lead the tail (displaced THIS round by
-    # q103-q106 — see the head comments — so they MUST lead the
+    # q24/q25/q26/q38/q33 lead the tail (displaced THIS round by
+    # q103-q107 — see the head comments — so they MUST lead the
     # round-8 window);
     # then q07-q17 and q01/q03/q05/q10/q16/q20/q30/q31/q32/q36/q73/
     # q77/q40/q41/q48, displaced past slot 50 by the new q80-q105 (the
@@ -5313,6 +5366,7 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q25_percentile_stats": (q25_percentile_stats, Q25_SQL),
     "q26_regexp_count": (q26_regexp_count, Q26_SQL),
     "q38_dataset_split": (q38_dataset_split, Q38_SQL),
+    "q33_text_tokens": (q33_text_tokens, Q33_SQL),
     "q40_knn_brute": (q40_knn_brute, Q40_SQL),
     "q20_events_json": (q20_events_json, Q20_SQL),
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),

@@ -73,6 +73,43 @@ def test_q104_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+# ------------------------------------------------------------------ q107
+
+
+def test_quality_survivor_keeps_best_not_first(spark):
+    from defenda_data_lake_spark.operators.dedup import quality_survivor_dedupe
+
+    df = spark.createDataFrame(
+        [
+            (1, "short", 5),
+            (2, "the long clean original copy", 28),
+            (3, "the long clean original cop", 27),
+            (9, "unrelated singleton", 19),
+        ],
+        ["doc_id", "text", "n_chars"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    rows = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in quality_survivor_dedupe(df, pairs, "n_chars").collect()
+    }
+    # cluster {1,2,3}: min-id claimant would keep 1; quality keeps 2
+    assert rows == {2: (1, 3), 9: (9, 1)}
+
+
+def test_q107_value_parity_vs_duckdb(spark):
+    fn, sql = CATALOG["q107_quality_survivors"]
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.n_chars)
+        for r in fn(spark, SF).collect()
+    }
+    want = {
+        d: (c, s, n)
+        for d, c, s, n in _duck(["documents"]).execute(sql).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
 # ------------------------------------------------------------------ q105
 
 
