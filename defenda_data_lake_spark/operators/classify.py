@@ -176,25 +176,37 @@ def nb_evaluate(
     train_pct: int = 8000,
 ) -> DataFrame:
     """Held-out evaluation of the :func:`nb_quality_scores` pipeline:
-    fit on the train split, score the corpus, and reduce the TEST
-    split's predictions against the labels to ONE row of confusion
-    counts and derived metrics (accuracy / precision / recall / F1).
+    fit on the train split, score the TEST split, and reduce its
+    predictions against the labels to ONE row of confusion counts and
+    derived metrics (accuracy / precision / recall / F1).  The scores
+    it grades are identical to ``nb_quality_scores``' (same model,
+    same smoothing) — only the wasted train-split scoring is skipped.
 
     Determinism: the counts are exact integers; each metric is a
     SINGLE division of integer counts (F1 as 2tp/(2tp+fp+fn), never
     composed from pre-divided floats), so the doubles are IEEE-
     identical on any engine.  Zero denominators yield NULL.
 
-    Scale: evaluation adds one broadcast-sized join (scores vs the
-    2-column label projection on the id) and one global 1-row
-    aggregation — negligible next to scoring itself.
+    Scale: only the TEST split is ever scored (the train split's
+    scores would be discarded — at the default 80/20 split that is 5x
+    less scoring work than scoring the corpus); evaluation then adds
+    one broadcast-sized join and a global 1-row aggregation.
+
+    Contract edge: a test doc whose text normalizes to empty (or is
+    NULL) produces no word rows, so it is excluded from ``n_test`` and
+    every metric — the report covers scoreable docs only, and the SQL
+    oracle mirrors the exclusion.
     """
-    scored = nb_quality_scores(df, label_expr, id_col, text_col, salt, train_pct)
-    test = df.select(
-        F.col(id_col),
-        F.coalesce(label_expr.cast("long"), F.lit(0)).alias("_nb_y"),
-    ).filter(~train_split_expr(id_col, salt, train_pct))
-    j = scored.join(test, id_col)
+    labeled = df.withColumn(
+        "_nb_y", F.coalesce(label_expr.cast("long"), F.lit(0))
+    )
+    train = labeled.filter(train_split_expr(id_col, salt, train_pct))
+    model, totals = nb_train(train, "_nb_y", id_col, text_col)
+    test = labeled.filter(~train_split_expr(id_col, salt, train_pct))
+    scored = nb_score(test, model, totals, id_col, text_col).withColumn(
+        "predicted", (F.col("score") > 0).cast("int")
+    )
+    j = scored.join(test.select(id_col, "_nb_y"), id_col)
     c = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
     p, y = F.col("predicted") == 1, F.col("_nb_y") == 1
     counts = j.agg(

@@ -53,7 +53,10 @@ def nb_model_row(model: DataFrame, totals: DataFrame) -> DataFrame:
         ).alias("_nb_default"),
         F.log((F.col("n_pos") + 1) / (F.col("n_neg") + 1)).alias("_nb_prior"),
     )
-    return entries.crossJoin(F.broadcast(scalars))
+    # cache the fold: Structured Streaming re-evaluates the STATIC side
+    # of a stream-static join every micro-batch, so an uncached row
+    # would re-run the corpus-wide training aggregations per batch
+    return entries.crossJoin(F.broadcast(scalars)).cache()
 
 
 def _word_array(text_col: Column) -> Column:
@@ -74,11 +77,14 @@ def nb_score_stream(
 
     Contract edges mirror the batch scorer where they can: unseen
     words take the smoothed default odds.  One deliberate divergence:
-    a document whose text normalizes to EMPTY is absent from the batch
-    output (nothing to explode) but scores ``prior`` with
-    ``n_words=0`` here — on a stream, silently dropping an input row
-    is worse than scoring it on the prior alone."""
-    words = _word_array(F.col(text_col))
+    a document whose text normalizes to EMPTY — or is NULL — is absent
+    from the batch output (nothing to explode) but scores ``prior``
+    with ``n_words=0`` here — on a stream, silently dropping an input
+    row is worse than scoring it on the prior alone."""
+    # NULL text coalesces to '' so it takes the empty-doc path (prior,
+    # n_words=0) instead of poisoning the row (size(NULL) = -1,
+    # aggregate(NULL) = NULL score)
+    words = _word_array(F.coalesce(F.col(text_col), F.lit("")))
     joined = stream_df.withColumn("_nb_k", F.lit(1)).join(
         F.broadcast(model_row.withColumn("_nb_k", F.lit(1))), "_nb_k"
     )

@@ -63,7 +63,7 @@ def test_empty_doc_scores_prior_not_dropped(spark, tmp_path):
     docs, model_row, _, totals = _fit(spark)
     src = tmp_path / "edge_src"
     spark.createDataFrame(
-        [(9001, "   "), (9002, "")], "doc_id long, text string"
+        [(9001, "   "), (9002, ""), (9003, None)], "doc_id long, text string"
     ).write.parquet(str(src))
 
     stream = (
@@ -87,7 +87,9 @@ def test_empty_doc_scores_prior_not_dropped(spark, tmp_path):
     prior = totals.select(
         F.log((F.col("n_pos") + 1) / (F.col("n_neg") + 1)).alias("p")
     ).collect()[0].p
-    assert set(rows) == {9001, 9002}
+    # NULL text takes the same prior path — never (-1, NULL, NULL)
+    assert set(rows) == {9001, 9002, 9003}
     for r in rows.values():
         assert r.n_words == 0
         assert abs(r.score - prior) < 1e-12
+        assert r.predicted is not None
