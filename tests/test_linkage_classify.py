@@ -148,6 +148,27 @@ def test_nb_null_label_treated_negative(spark):
     assert scored[2] < 0 < scored[1]
 
 
+def test_nb_model_save_load_scores_identically(spark, tmp_path):
+    from defenda_data_lake_spark.operators.classify import (
+        load_nb_model,
+        save_nb_model,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "_y", (F.col("n_chars") >= 300).cast("long")
+    )
+    model, totals = nb_train(docs, "_y")
+    save_nb_model(model, totals, str(tmp_path / "nb"))
+    model2, totals2 = load_nb_model(spark, str(tmp_path / "nb"))
+    a = {r.doc_id: (r.n_words, r.score) for r in nb_score(docs, model, totals).collect()}
+    b = {r.doc_id: (r.n_words, r.score) for r in nb_score(docs, model2, totals2).collect()}
+    assert set(a) == set(b)
+    # integer-exact tables -> identical floats up to agg order; pin 4dp
+    # exactly and raw within 1e-9
+    for k in a:
+        assert a[k][0] == b[k][0] and abs(a[k][1] - b[k][1]) < 1e-9
+
+
 def test_train_split_shares_hash_with_sampling_split(spark):
     # the classifier's split reuses sampling.hash_bucket: selecting the
     # LOW pct buckets equals with_split's test set at the same fraction
