@@ -214,6 +214,16 @@ def test_nb_evaluate_confusion_counts_consistent(spark):
     # that, not a promise that it is good)
 
 
+def test_q106_plan_broadcasts_model_no_cartesian(spark):
+    from tests.test_plan_quality import plan_of
+
+    plan = plan_of(spark, "q106_classifier_eval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the vocabulary-model join
+    # only one-row scalar broadcasts may plan as nested-loop joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
 def test_q103_value_parity_vs_duckdb(spark):
     """Pinned value parity for the tail-shipped catalog entry (the
     window was full this round — see the CATALOG ordering comment):
