@@ -116,3 +116,47 @@ def scd2_history(
         *keys, *attrs, "version", "valid_from_s", "valid_to_s", "n_obs",
         *extra_names,
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    fact_ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time enrichment: join each fact row to the dimension
+    VERSION that was valid at the fact's event time — the consumer of
+    :func:`scd2_history` (and of ``streaming.scd``'s maintained
+    table).  ``valid_from_s`` is inclusive, ``valid_to_s`` exclusive,
+    NULL ``valid_to_s`` = the open current version, so every fact
+    matches at most one version; facts earlier than the key's first
+    version keep NULL attributes under ``how='left'``.
+
+    Scale notes (100 TB): this is an EQUI-join on the keys with the
+    interval test as a cheap join residual — never a range-only join
+    or a cross product; both sides hash/sort on the same key layout
+    and versions-per-key is small by construction, so the residual
+    scans a handful of rows per fact.  The fact timestamp is folded
+    to epoch seconds (accepts TIMESTAMP or epoch-seconds LONG — the
+    long→timestamp→long round trip is the identity)."""
+    keys = list(key_cols)
+    f = facts.alias("_f")
+    d = dim.alias("_d")
+    fact_s = F.col(f"_f.{fact_ts_col}").cast("timestamp").cast("long")
+    cond = None
+    for k in keys:
+        c = F.col(f"_f.{k}") == F.col(f"_d.{k}")
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (fact_s >= F.col("_d.valid_from_s"))
+        & (
+            F.col("_d.valid_to_s").isNull()
+            | (fact_s < F.col("_d.valid_to_s"))
+        )
+    )
+    dim_cols = [c for c in dim.columns if c not in keys]
+    return f.join(d, cond, how).select(
+        "_f.*", *[F.col(f"_d.{c}").alias(c) for c in dim_cols]
+    )
