@@ -97,6 +97,17 @@ def test_quality_survivor_keeps_best_not_first(spark):
     assert rows == {2: (1, 3), 9: (9, 1)}
 
 
+def test_q107_plan_window_group_limit_no_cartesian(spark):
+    from tests.test_plan_quality import plan_of
+
+    plan = plan_of(spark, "q107_quality_survivors")
+    # the top-1 survivor window plans as WindowGroupLimit: each
+    # partition prunes to one candidate per cluster BEFORE the exchange
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q107_value_parity_vs_duckdb(spark):
     fn, sql = CATALOG["q107_quality_survivors"]
     got = {
