@@ -443,3 +443,56 @@ def oov_rate(
             ),
         )
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    strip_accents: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD via Python's
+    ``unicodedata`` — the canonicalization step that makes visually
+    identical strings byte-identical BEFORE hashing/dedup/tokenizing;
+    without it, a composed ``é`` and ``e``+combining-acute are
+    different shingles, different exact-dup hashes, different tokens).
+    ``strip_accents=True`` additionally drops combining marks after an
+    NFD pass (the CCNet/fastText preprocessing convention), then
+    re-normalizes to ``form``.
+
+    Spark has no built-in Unicode-normalization expression, so this is
+    a deliberate Arrow-batched ``pandas_udf`` — the sanctioned Python
+    path — applied as a shuffle-free per-row projection: no exchange,
+    no state, composes under whole-stage codegen boundaries like any
+    scalar UDF, and NULL passes through as NULL.  At 100 TB the cost
+    is one Arrow round trip over the text column only (the optimizer
+    prunes the rest), parallel in the scan partitioning."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    # no type hints on the kernel: `from __future__ import annotations`
+    # stringifies them and pandas is module-local here, so pyspark's
+    # hint resolution would fail — the explicit returnType suffices
+    def _norm_series(s):
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            if strip_accents:
+                y = "".join(
+                    ch
+                    for ch in unicodedata.normalize("NFD", y)
+                    if not unicodedata.combining(ch)
+                )
+                y = unicodedata.normalize(form, y)
+            return y
+
+        return s.map(one)
+
+    kernel = pandas_udf(_norm_series, "string")
+    return df.withColumn(out_col or text_col, kernel(F.col(text_col)))

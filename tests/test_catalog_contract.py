@@ -52,16 +52,16 @@ def test_window_covers_round7_changed_and_new():
         "q78_chunk_dedupe", "q79_hll_distinct",
         *[
             n for n in CATALOG
-            if 80 <= int(n[1:].split("_", 1)[0]) <= 107
+            if 80 <= int(n[1:].split("_", 1)[0]) <= 108
         ],
     ]
     missing = [n for n in changed if n not in window]
     assert not missing, missing
-    # changed/new ALWAYS outranks stale: fitting q103-q107 displaced
-    # q24/q25/q26/q38/q33 (r5-driver-green + r6-judge-re-verified,
+    # changed/new ALWAYS outranks stale: fitting q103-q108 displaced
+    # q24/q25/q26/q38/q33/q44 (r5-driver-green + r6-judge-re-verified,
     # unchanged for 3+ rounds, kernels unit-tested or exercised
     # in-window) to the tail head — they MUST lead the round-8 window.
-    assert list(CATALOG)[50:55] == [
+    assert list(CATALOG)[50:56] == [
         "q24_presto_text", "q25_percentile_stats", "q26_regexp_count",
-        "q38_dataset_split", "q33_text_tokens",
+        "q38_dataset_split", "q33_text_tokens", "q44_multimodal_decode",
     ]
