@@ -59,6 +59,48 @@ def test_stream_scores_match_batch_at_4dp(spark, tmp_path):
     assert got == want and len(got) == docs.count()
 
 
+def test_restart_resumes_without_dupes_or_gaps(spark, tmp_path):
+    """Stateless stream, but the exactly-once contract still rests on
+    the checkpoint: stop after batch 1, add files, restart from the
+    same checkpoint — every doc scored exactly once."""
+    docs, model_row, _, _ = _fit(spark)
+    first, second = docs.limit(100), docs.subtract(docs.limit(100))
+    src = tmp_path / "restart_src"
+    ckpt = str(tmp_path / "restart_ckpt")
+    first.select("doc_id", "text").write.parquet(str(src))
+
+    out = str(tmp_path / "restart_out")
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src))
+        )
+        return (
+            nb_score_stream(stream, model_row)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    second.select("doc_id", "text").write.mode("append").parquet(str(src))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [r.doc_id for r in spark.read.parquet(out).collect()]
+    # file sink + checkpoint = exactly-once: no dupes, no gaps
+    assert len(got) == len(set(got)) == docs.count()
+
+
 def test_empty_doc_scores_prior_not_dropped(spark, tmp_path):
     docs, model_row, _, totals = _fit(spark)
     src = tmp_path / "edge_src"
