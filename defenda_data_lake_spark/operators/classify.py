@@ -172,9 +172,17 @@ def save_nb_model(model: DataFrame, totals: DataFrame, path: str) -> None:
     datasets under ``path`` (``model/`` word counts, ``totals/`` the
     one scalar row).  The tables are integer-exact, so a reloaded
     model scores bit-identically; training once and persisting is the
-    100 TB shape — refit only when the seed set changes."""
-    model.write.mode("overwrite").parquet(f"{path}/model")
-    totals.write.mode("overwrite").parquet(f"{path}/totals")
+    100 TB shape — refit only when the seed set changes.
+
+    ``model`` is cached around the two writes: ``totals`` derives
+    from ``model``'s lineage, so uncached the training aggregation
+    would run twice (once per write)."""
+    model.cache()
+    try:
+        model.write.mode("overwrite").parquet(f"{path}/model")
+        totals.write.mode("overwrite").parquet(f"{path}/totals")
+    finally:
+        model.unpersist()
 
 
 def load_nb_model(spark, path: str) -> tuple[DataFrame, DataFrame]:

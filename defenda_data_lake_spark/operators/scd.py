@@ -124,6 +124,7 @@ def scd2_lookup(
     key_cols: Sequence[str],
     fact_ts_col: str,
     how: str = "left",
+    dim_prefix: str = "",
 ) -> DataFrame:
     """Point-in-time enrichment: join each fact row to the dimension
     VERSION that was valid at the fact's event time — the consumer of
@@ -139,8 +140,20 @@ def scd2_lookup(
     and versions-per-key is small by construction, so the residual
     scans a handful of rows per fact.  The fact timestamp is folded
     to epoch seconds (accepts TIMESTAMP or epoch-seconds LONG — the
-    long→timestamp→long round trip is the identity)."""
+    long→timestamp→long round trip is the identity).
+
+    Dimension columns are appended under ``dim_prefix + name``; a
+    collision with a fact column raises up front (an ambiguous
+    duplicate name would otherwise surface only at the first
+    downstream reference or parquet write)."""
     keys = list(key_cols)
+    appended = {f"{dim_prefix}{c}" for c in dim.columns if c not in keys}
+    clash = sorted(appended & set(facts.columns))
+    if clash:
+        raise ValueError(
+            f"scd2_lookup output would duplicate fact column(s) {clash}; "
+            "pass dim_prefix= to disambiguate"
+        )
     f = facts.alias("_f")
     d = dim.alias("_d")
     fact_s = F.col(f"_f.{fact_ts_col}").cast("timestamp").cast("long")
@@ -158,5 +171,6 @@ def scd2_lookup(
     )
     dim_cols = [c for c in dim.columns if c not in keys]
     return f.join(d, cond, how).select(
-        "_f.*", *[F.col(f"_d.{c}").alias(c) for c in dim_cols]
+        "_f.*",
+        *[F.col(f"_d.{c}").alias(f"{dim_prefix}{c}") for c in dim_cols],
     )

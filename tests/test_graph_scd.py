@@ -291,3 +291,21 @@ def test_scd2_lookup_plan_is_keyed_join_not_cartesian(spark):
     )[0]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_lookup_collision_guard_and_prefix(spark):
+    from defenda_data_lake_spark.operators.scd import scd2_lookup
+
+    obs = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc))],
+        ["user_id", "tier", "ts"],
+    )
+    dim = scd2_history(obs, ["user_id"], ["tier"], "ts")
+    facts = spark.createDataFrame(
+        [(1, 1, "x", dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc))],
+        ["fact_id", "user_id", "tier", "ts"],  # 'tier' collides
+    )
+    with pytest.raises(ValueError, match="tier"):
+        scd2_lookup(facts, dim, ["user_id"], "ts")
+    row = scd2_lookup(facts, dim, ["user_id"], "ts", dim_prefix="dim_").collect()[0]
+    assert row.tier == "x" and row.dim_tier == "a"

@@ -163,8 +163,8 @@ def test_nb_model_save_load_scores_identically(spark, tmp_path):
     a = {r.doc_id: (r.n_words, r.score) for r in nb_score(docs, model, totals).collect()}
     b = {r.doc_id: (r.n_words, r.score) for r in nb_score(docs, model2, totals2).collect()}
     assert set(a) == set(b)
-    # integer-exact tables -> identical floats up to agg order; pin 4dp
-    # exactly and raw within 1e-9
+    # integer-exact tables -> identical floats up to agg order (raw
+    # values within 1e-9; the catalog's 4dp rounding absorbs that)
     for k in a:
         assert a[k][0] == b[k][0] and abs(a[k][1] - b[k][1]) < 1e-9
 

@@ -64,7 +64,10 @@ def test_restart_resumes_without_dupes_or_gaps(spark, tmp_path):
     the checkpoint: stop after batch 1, add files, restart from the
     same checkpoint — every doc scored exactly once."""
     docs, model_row, _, _ = _fit(spark)
-    first, second = docs.limit(100), docs.subtract(docs.limit(100))
+    # deterministic split (an unordered limit() can evaluate to a
+    # DIFFERENT row set per job, breaking the no-dupes/no-gaps claim)
+    first = docs.filter(F.col("doc_id") < 100)
+    second = docs.filter(F.col("doc_id") >= 100)
     src = tmp_path / "restart_src"
     ckpt = str(tmp_path / "restart_ckpt")
     first.select("doc_id", "text").write.parquet(str(src))
