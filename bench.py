@@ -79,6 +79,13 @@ def _bench_ingest(spark, n_events: int) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    # load evidence: this box's co-load inflates identical code ~1.4x
+    # uniformly (the r7 driver artifact read as a 40% regression that a
+    # quiet-box re-run disproved).  Recording loadavg at start and end
+    # makes a poisoned run self-identifying from the artifact alone —
+    # loadavg_start well above 0 before Spark even launches means the
+    # numbers were taken under external load.
+    load_start = tuple(round(x, 2) for x in os.getloadavg())
 
     from defenda_data_lake_spark.plans.catalog import CATALOG, headline_queries
     from defenda_data_lake_spark.session import get_spark, tune_for_input_scale
@@ -159,6 +166,14 @@ def main() -> None:
                 "queries": timings,
                 "table_cache": True,
                 "sf": sf,
+                # best-of-4 per query x two time-separated sweeps; see
+                # the protocol comment above
+                "protocol": "consecutive best-of-4 x 2 sweeps",
+                # 1-min loadavg before Spark launch / after the sweeps;
+                # start >> 0 means co-load poisoned the run (this
+                # process alone accounts for the end value)
+                "loadavg_start": load_start,
+                "loadavg_end": tuple(round(x, 2) for x in os.getloadavg()),
             }
         )
     )

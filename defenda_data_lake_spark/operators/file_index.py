@@ -75,9 +75,11 @@ def build_bloom_file_index(
     to ``index_dir`` as ``(file string, _bf_pos string)``.  Rebuild
     (or build per new partition and append) after ingest — like any
     secondary index, a stale sidecar must never cover files it wasn't
-    built from (unknown files are treated as "may contain" by
-    :func:`bloom_prune_files`, preserving no-false-negatives under
-    staleness)."""
+    built from.  :func:`read_with_bloom` (and
+    :func:`bloom_prune_files` when given the table dir) treats files
+    absent from the sidecar as "may contain", preserving
+    no-false-negatives under staleness; pruning just degrades for the
+    uncovered files until the rebuild."""
     _bloom_check(m_hex_digits, k)
     df = (
         spark.read.parquet(table_dir)
@@ -99,28 +101,62 @@ def build_bloom_file_index(
     )
 
 
+def _norm_file_uri(p: str) -> str:
+    """Normalize a file URI for set comparison: ``input_file_name()``
+    (sidecar rows) and ``DataFrame.inputFiles`` (table listing) render
+    the local scheme with different slash counts (``file:///x`` vs
+    ``file:/x``)."""
+    if p.startswith("file:"):
+        return "file:///" + p[5:].lstrip("/")
+    return p
+
+
 def bloom_prune_files(
     spark: SparkSession,
     index_dir: str,
     value,
     m_hex_digits: int = 4,
     k: int = 2,
+    table_dir: str | None = None,
 ) -> list[str]:
     """Files that MAY contain ``value``: those whose sidecar holds ALL
-    of the value's probe positions.  The position IN filter pushes
-    into the sidecar scan; the aggregation output is one row per
-    candidate file."""
+    of the value's probe positions — PLUS, when ``table_dir`` is given,
+    every table file the sidecar does not cover at all.  A sidecar is
+    stale the moment ingest lands a file after the build, and a point
+    lookup that consulted only the sidecar would silently skip such
+    files — a false NEGATIVE, the one failure mode a Bloom index must
+    never have.  Unknown files are therefore "may contain" by
+    definition; callers that pass no ``table_dir`` get the raw
+    sidecar-only candidate list and own the staleness contract
+    themselves.
+
+    The position IN filter pushes into the sidecar scan; the
+    aggregation output is one row per candidate file.  The staleness
+    check costs one more aggregation over the (small) sidecar for its
+    covered-file set plus the table's file LISTING (metadata only —
+    ``DataFrame.inputFiles`` comes from the file index, no data scan)."""
     want = value_positions(value, m_hex_digits, k)
+    sidecar = spark.read.parquet(index_dir)
     rows = (
-        spark.read.parquet(index_dir)
-        .filter(F.col("_bf_pos").isin(sorted(want)))
+        sidecar.filter(F.col("_bf_pos").isin(sorted(want)))
         .groupBy("file")
         .agg(F.countDistinct("_bf_pos").alias("_bf_hits"))
         .filter(F.col("_bf_hits") == len(want))
         .select("file")
         .collect()
     )
-    return sorted(r["file"] for r in rows)
+    files = {r["file"] for r in rows}
+    if table_dir is not None:
+        covered = {
+            _norm_file_uri(r["file"])
+            for r in sidecar.select("file").distinct().collect()
+        }
+        files |= {
+            f
+            for f in spark.read.parquet(table_dir).inputFiles()
+            if _norm_file_uri(f) not in covered
+        }
+    return sorted(files)
 
 
 def read_with_bloom(
@@ -132,11 +168,15 @@ def read_with_bloom(
     m_hex_digits: int = 4,
     k: int = 2,
 ) -> DataFrame:
-    """Point lookup through the index: prune to candidate files, scan
-    only those, apply the exact equality filter (false positives die
-    here).  Zero candidate files short-circuits to an empty DataFrame
-    with the table's schema — no scan at all."""
-    files = bloom_prune_files(spark, index_dir, value, m_hex_digits, k)
+    """Point lookup through the index: prune to candidate files (table
+    files the sidecar doesn't cover are always candidates — a stale
+    index must never skip a freshly-landed file), scan only those,
+    apply the exact equality filter (false positives die here).  Zero
+    candidate files short-circuits to an empty DataFrame with the
+    table's schema — no scan at all."""
+    files = bloom_prune_files(
+        spark, index_dir, value, m_hex_digits, k, table_dir=table_dir
+    )
     schema_df = spark.read.parquet(table_dir)
     if not files:
         return spark.createDataFrame([], schema_df.schema)

@@ -18,11 +18,15 @@ classic trade, here with cross-engine reproducibility.
 Determinism notes (the usual cross-engine float traps, designed out):
 
 * register sum uses integer ``2^(55 - rho)`` terms (rho capped at 55,
-  so terms are >= 1 and the 2^p-term sum — absent registers contribute
-  2^55 each, at least one register is present — stays under 2^63) —
-  bit-exact
-  in any engine; the one floating division happens on two exact
-  integers, and IEEE 754 division is correctly rounded everywhere.
+  so terms are >= 1), summed in DECIMAL so the full-range sum is exact
+  for every supported ``p`` — at p=12 the sum is bounded by
+  ``m * 2^55 = 2^67``, past int64, and a BIGINT sum would silently
+  wrap for cardinalities small enough to leave most registers absent
+  (DuckDB sums BIGINT into int128, so only the Spark side needed the
+  widening; the resulting doubles are identical wherever the BIGINT
+  sum didn't overflow).  The one floating division happens on two
+  exact integers, and IEEE 754 division is correctly rounded
+  everywhere.
 * the small-range (linear-counting) branch uses ``ln`` of a ratio of
   small exact integers — correctly rounded on both engines in
   practice; the final output is scale-rounded (``R``) anyway.
@@ -49,8 +53,8 @@ def _hll_alpha(m: int) -> float:
 
 def hll_rho(whex: Column) -> Column:
     """Position of the first 1-bit (1-based) of a hex-string-encoded
-    bit field, capped at 55 (keeps the scaled register sum inside int64)
-    — computed entirely in the string domain
+    bit field, capped at 55 (keeps each scaled term ``2^(55 - rho)``
+    an exact BIGINT) — computed entirely in the string domain
     (leading-zero hex digits * 4 + a 16-way CASE on the first non-zero
     digit), so the replay is engine-independent."""
     zeros_hex = F.length(F.regexp_extract(whex, "^(0*)", 1))
@@ -139,21 +143,29 @@ def hll_estimate_from_registers(
     alpha = _hll_alpha(m)
     gcols = list(group_by)
     # integer-exact register sum: sum(2^-rho) scaled by 2^55; absent
-    # registers (rho = 0) contribute 2^55 each
+    # registers (rho = 0) contribute 2^55 each.  The per-term shift
+    # fits BIGINT (rho <= 55) but the SUM must be DECIMAL: it is
+    # bounded by m * 2^55, which passes int64 at p=12 (m=4096 -> 2^67)
+    # — a BIGINT sum wraps exactly in the small-cardinality regime
+    # where most registers are absent and zeros * 2^55 dominates.
     # python API shiftleft() only takes a literal bit count; the SQL
     # form accepts a column
-    term = F.expr("shiftleft(CAST(1 AS BIGINT), 55 - _hll_max)")
+    term = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), 55 - _hll_max) AS DECIMAL(20, 0))"
+    )
     per_group = regs.groupBy(*gcols).agg(
         F.sum(term).alias("_hll_isum"),
         F.count("*").alias("_hll_nonzero"),
     )
     zeros = F.lit(m) - F.col("_hll_nonzero")
-    isum = F.col("_hll_isum") + zeros * F.lit(1 << 55).cast("long")
+    isum = F.col("_hll_isum") + zeros.cast("decimal(20, 0)") * F.lit(
+        1 << 55
+    ).cast("decimal(20, 0)")
     raw = F.lit(alpha * m * m) * F.lit(float(1 << 55)) / isum.cast("double")
     small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     # the nonzero == 0 arm covers the ungrouped-empty-input row (global
     # agg over zero rows): count(DISTINCT) of nothing is 0, and the
-    # integer register sum would overflow int64 at exactly m * 2^55
+    # sum-over-no-rows _hll_isum is NULL there
     est = (
         F.when(F.col("_hll_nonzero") == 0, F.lit(0.0))
         .when((raw <= F.lit(2.5 * m)) & (zeros > 0), small)

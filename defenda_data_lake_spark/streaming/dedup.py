@@ -362,7 +362,15 @@ def lsh_candidates_stream(
             first_doc, first_us, n_seen = state.get
         else:
             first_doc = int(ids[0])
-            first_us = int(us[0])
+            # the anchor lives in the WATERMARK's domain end to end —
+            # seeding it from the row's EVENT time (us[0]) let a
+            # future-skewed event timestamp pin the bucket's timeout at
+            # that future time + horizon in processing mode, so state
+            # was not bounded by the arrival horizon (ADVICE r7; the
+            # near_dedupe_stream kernel always seeded from wm_max).
+            # In event mode the domains coincide (batch_max_us >= every
+            # event time in the batch), so this changes nothing there.
+            first_us = batch_max_us
             n_seen = 0
         n_seen += n_total
         last_us = max(last_us, first_us)
@@ -423,9 +431,11 @@ def lsh_candidates_stream(
             ent = table.get(s)
             wm_max = int(max(wm_us[i] for i in idxs))
             if ent is None:
-                # per-bucket kernel seeds the anchor from the earliest
-                # EVENT time, then maxes with the watermark-domain max
-                ent = [int(ids[idxs[0]]), int(us[idxs[0]]), 0, 0]
+                # anchor seeded in the WATERMARK's domain, like the
+                # per-bucket kernel (event-time seeding would pin a
+                # future-skewed bucket past the arrival horizon in
+                # processing mode — ADVICE r7)
+                ent = [int(ids[idxs[0]]), wm_max, 0, 0]
                 table[s] = ent
             ent[1] = max(ent[1], wm_max)
             ent[2] += len(idxs)

@@ -63,6 +63,44 @@ def test_absent_value_short_circuits(spark, table):
     assert out.schema == spark.read.parquet(tdir).schema
 
 
+def test_stale_index_never_skips_uncovered_files(spark, table, tmp_path):
+    # ADVICE r7: files landed AFTER the index build are absent from the
+    # sidecar; a sidecar-only prune silently skipped them — a false
+    # negative on every value that lives only in the new file.  The
+    # no-false-negatives guarantee requires uncovered files to be
+    # candidates unconditionally.
+    tdir, idir = table
+    new_id = 987_654_321
+    spark.createDataFrame(
+        [(new_id, "landed after the index build")], "doc_id long, text string"
+    ).write.mode("append").parquet(tdir)
+
+    # the lookup goes through the stale index and must still find it
+    got = read_with_bloom(spark, tdir, idir, "doc_id", new_id).collect()
+    assert [r["doc_id"] for r in got] == [new_id]
+
+    # prune-level contract: with table_dir the uncovered file is a
+    # candidate; the sidecar-only form is a strict subset (the caller
+    # owns staleness there — old behavior, still available)
+    with_table = bloom_prune_files(spark, idir, new_id, table_dir=tdir)
+    assert len(with_table) >= 1
+    sidecar_only = bloom_prune_files(spark, idir, new_id)
+    assert set(sidecar_only) <= set(with_table)
+
+    # covered files still prune: an existing id's candidate set must
+    # not balloon to the whole table just because one file is new
+    old_id = (
+        spark.read.parquet(tdir)
+        .filter(F.col("doc_id") != new_id)
+        .select("doc_id")
+        .limit(1)
+        .collect()[0]["doc_id"]
+    )
+    cands = bloom_prune_files(spark, idir, old_id, table_dir=tdir)
+    n_files = len(spark.read.parquet(tdir).inputFiles())
+    assert len(cands) < n_files
+
+
 def test_position_parity_and_validation(spark):
     # driver-side hashlib positions must equal Spark's md5 substrings
     df = spark.createDataFrame([(12345,), (0,)], "v long")

@@ -17,6 +17,45 @@ def test_hll_accuracy_bands(spark):
         assert abs(est - true_card) / true_card < 0.15, (true_card, est)
 
 
+def test_hll_p12_small_cardinality_no_overflow(spark):
+    # ADVICE r7: at p=12 (m=4096) the scaled register sum is bounded by
+    # m * 2^55 = 2^67, past int64 — with a BIGINT sum, any cardinality
+    # small enough to leave most registers absent wrapped the sum and
+    # produced a garbage estimate (the linear-counting branch never
+    # fired because `raw` came out huge).  The DECIMAL sum must make
+    # the small-cardinality regime accurate again, and agree with a
+    # pure-Python exact-integer replay of the same formula.
+    import hashlib
+    import math
+
+    true_card = 500
+    df = spark.range(5000).select(
+        (F.col("id") % true_card).cast("string").alias("v")
+    )
+    est = hll_distinct(df, "v", p=12).collect()[0]["hll_estimate"]
+    assert abs(est - true_card) / true_card < 0.15, est
+
+    # python replay (arbitrary-precision ints: the ground truth)
+    regs: dict[str, int] = {}
+    for i in range(true_card):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        idx, whex = h[:3], h[3:17]
+        bits = bin(int(whex, 16))[2:].zfill(56)
+        rho = min(bits.index("1") + 1 if "1" in bits else 56, 55)
+        regs[idx] = max(regs.get(idx, 0), rho)
+    m = 4096
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    zeros = m - len(regs)
+    isum = sum(1 << (55 - r) for r in regs.values()) + zeros * (1 << 55)
+    raw = alpha * m * m * float(1 << 55) / float(isum)
+    expect = (
+        float(m) * math.log(float(m) / zeros)
+        if raw <= 2.5 * m and zeros > 0
+        else raw
+    )
+    assert est == pytest.approx(expect, rel=1e-12), (est, expect)
+
+
 def test_hll_deterministic_and_grouped(spark):
     df = spark.range(20000).select(
         (F.col("id") % 4).alias("g"), (F.col("id") % 997).cast("string").alias("v")

@@ -856,3 +856,72 @@ def test_near_dedupe_sharded_eviction_parity(spark, tmp_path):
     assert r[1] is None and r[2] == "1"
     assert r[4] is None                  # bucket evicted: doc 4 re-claims
     assert r[5] == "4"                   # post-eviction dup -> new claimant
+
+
+def test_lsh_processing_mode_anchor_is_arrival_bounded(spark, tmp_path):
+    """ADVICE r7 regression: in timeout_mode='processing' the eviction
+    anchor must live in the ARRIVAL domain.  The old kernels seeded it
+    from the row's EVENT time, so a future-skewed event timestamp (here:
+    year 2100) pinned the bucket's timeout at 2100 + horizon — state was
+    never bounded by the arrival horizon, and a re-post long after the
+    horizon still matched the fossilized claimant.  With the fix, the
+    bucket evicts one horizon of ARRIVAL time after its last activity
+    regardless of the event timestamp: the re-post re-claims and emits
+    no candidate.  Both kernels (per-bucket and sharded) are pinned to
+    the same behavior."""
+    import time as _time
+
+    from defenda_data_lake_spark.streaming.dedup import lsh_candidates_stream
+
+    fam = "the quick brown fox jumps over the lazy dog tonight"
+    other = "zebra quantum lattice harmonic oscillator drifts beyond the nebula rim"
+
+    results = {}
+    for label, shard_arg in (("pergroup", None), ("sharded", 4)):
+        landing = tmp_path / f"skew_landing_{label}"
+        landing.mkdir()
+        query = (
+            lsh_candidates_stream(
+                _doc_stream(spark, landing),
+                event_time_col="ts",
+                watermark_delay="2 seconds",
+                timeout_mode="processing",
+                shards=shard_arg,
+            )
+            .writeStream.format("memory")
+            .queryName(f"lsh_skew_{label}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"skew_ckpt_{label}"))
+            .start()
+        )
+        try:
+            # batch 0: future-skewed EVENT time claims the fam bucket
+            with open(landing / "b0.ndjson", "w") as f:
+                f.write(_doc(1, "2100-01-01T00:00:00+00:00", fam) + "\n")
+            query.processAllAvailable()
+            # let the arrival clock advance well past the 2 s horizon
+            _time.sleep(6)
+            # batch 1: unrelated doc advances the ARRIVAL watermark; the
+            # engine's no-data batch then evicts every expired bucket —
+            # if and only if the anchor is arrival-domain
+            with open(landing / "b1.ndjson", "w") as f:
+                f.write(_doc(2, "2026-01-01T00:00:00+00:00", other) + "\n")
+            query.processAllAvailable()
+            # batch 2: re-post of the fam text must RE-CLAIM (bucket
+            # forgotten), not match the year-2100 claimant
+            with open(landing / "b2.ndjson", "w") as f:
+                f.write(_doc(3, "2026-01-01T00:01:00+00:00", fam) + "\n")
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        results[label] = {
+            (r["doc_id"], r["first_doc"])
+            for r in spark.sql(
+                f"SELECT doc_id, first_doc FROM lsh_skew_{label}"
+            ).collect()
+        }
+
+    assert results["sharded"] == results["pergroup"]
+    # no candidate rows at all: doc 3 re-claimed a fresh bucket
+    assert (3, 1) not in results["sharded"]
+    assert results["sharded"] == set()
