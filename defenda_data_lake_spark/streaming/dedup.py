@@ -100,18 +100,24 @@ def content_dedupe_stream(
     ).drop("_dedup_content_hash")
 
 
-class _ShardTable:
+class _ShardState:
     """Shared scaffolding for the sharded (``shards=N``) stateful dedup
-    kernels: load a shard's bucket table from the column-major state
-    arrays, and persist it back with the prune-and-reschedule contract
-    both kernels must share (``lsh_candidates_stream`` and
-    ``near_dedupe_stream`` desynchronizing on eviction timing is
-    exactly the bug class this helper exists to prevent).
+    kernels: a shard's bucket table held COLUMNAR — one object array of
+    bucket signatures plus one numpy array per entry field — so every
+    per-batch operation (lookup, claimant seeding, anchor/count/expiry
+    update, prune, write-back) is a vectorized array op instead of a
+    Python loop over entries.  The round-7 dict-of-lists form walked
+    every entry per batch in Python; at horizon-scale tables (thousands
+    of buckets per shard) the walk, not the state math, dominated — the
+    r7 probe measured the sharded stage at 12.6k ev/s with SCALING.md
+    attributing the residual to exactly this loop.  Both kernels
+    (``lsh_candidates_stream`` and ``near_dedupe_stream``) share this
+    class so they cannot desynchronize on eviction timing.
 
-    Entry layout is positional; ``field_types`` is one char per entry
-    field ('i' int, 's' str) and the LAST field must be the entry's
-    expiry in epoch millis — the exact timeout the per-bucket kernel
-    would have registered at this entry's last data batch.
+    ``dtypes`` is one numpy dtype per entry field ('object' for
+    strings) and the LAST field must be the entry's expiry in epoch
+    millis — the exact timeout the per-bucket kernel would have
+    registered at this entry's last data batch.
 
     Prune contract (mirrors the engine's per-bucket timeout timing):
     an entry is dropped when the watermark has passed ITS stored
@@ -120,39 +126,59 @@ class _ShardTable:
     re-registered at the earliest surviving expiry so expired entries
     are revisited (and pruned) on time."""
 
-    def __init__(self, state, field_types: str):
+    def __init__(self, state, dtypes: Sequence[str]):
+        import numpy as np
+
         self.state = state
-        self._types = field_types
+        self._dtypes = tuple(dtypes)
         self.wm_ms = state.getCurrentWatermarkMs()
-        self.table: dict[str, list] = {}
         if state.exists:
             got = state.get
-            sigs, cols = got[0], got[1:]
-            for j, s in enumerate(sigs):
-                self.table[s] = [
-                    int(c[j]) if t == "i" else str(c[j])
-                    for c, t in zip(cols, field_types)
-                ]
+            self.sigs = np.asarray(got[0], dtype=object)
+            self.cols = [
+                np.asarray(c, dtype=dt) for c, dt in zip(got[1:], dtypes)
+            ]
+        else:
+            self.sigs = np.empty(0, dtype=object)
+            self.cols = [np.empty(0, dtype=dt) for dt in dtypes]
 
-    def persist(self, touched=()) -> None:
-        exp = len(self._types) - 1
-        for s in [
-            s
-            for s, v in self.table.items()
-            if s not in touched and v[exp] < self.wm_ms
-        ]:
-            del self.table[s]
-        if not self.table:
+    def lookup_or_append(self, uniq_sigs, defaults):
+        """Row index in the bucket table for each signature in
+        ``uniq_sigs`` (must be unique), appending fresh entries — their
+        field values taken from the aligned ``defaults`` arrays — for
+        signatures the table hasn't seen.  The lookup is one hash join
+        (``pd.Index.get_indexer``), not a per-signature dict probe."""
+        import numpy as np
+
+        if len(self.sigs):
+            idx = pd.Index(self.sigs).get_indexer(uniq_sigs)
+        else:
+            idx = np.full(len(uniq_sigs), -1, dtype="int64")
+        new = idx < 0
+        if new.any():
+            n0 = len(self.sigs)
+            self.sigs = np.concatenate([self.sigs, uniq_sigs[new]])
+            self.cols = [
+                np.concatenate([c, np.asarray(d, dtype=dt)[new]])
+                for c, d, dt in zip(self.cols, defaults, self._dtypes)
+            ]
+            idx[new] = n0 + np.arange(int(new.sum()))
+        return idx
+
+    def persist(self, touched_idx=None) -> None:
+        keep = self.cols[-1] >= self.wm_ms
+        if touched_idx is not None and len(touched_idx):
+            keep[touched_idx] = True
+        if not keep.all():
+            self.sigs = self.sigs[keep]
+            self.cols = [c[keep] for c in self.cols]
+        if not len(self.sigs):
             self.state.remove()
             return
-        items = list(self.table.items())
         self.state.update(
-            (
-                [s for s, _ in items],
-                *([v[k] for _, v in items] for k in range(len(self._types))),
-            )
+            (self.sigs.tolist(), *(c.tolist() for c in self.cols))
         )
-        next_ms = min(v[exp] for _, v in items)
+        next_ms = int(self.cols[-1].min())
         self.state.setTimeoutTimestamp(max(next_ms, self.wm_ms + 1))
 
 
@@ -397,15 +423,15 @@ def lsh_candidates_stream(
         )
 
     def claim_sharded(key, batches, state):
-        # one call serves EVERY bucket hashed to this shard; the state
-        # load / prune / persist contract lives in _ShardTable (shared
-        # with near_dedupe_stream so the two sharded kernels cannot
-        # desynchronize on eviction timing); entry layout per band_sig:
+        # one call serves EVERY bucket hashed to this shard, and every
+        # per-bucket step is a vectorized array op over the shard's
+        # columnar table (_ShardState, shared with near_dedupe_stream
+        # so the two sharded kernels cannot desynchronize on eviction
+        # timing); entry layout per band_sig:
         # [first_doc, anchor_us, n_seen, expiry_ms]
         import numpy as np
 
-        tbl = _ShardTable(state, "iiii")
-        table, wm_ms = tbl.table, tbl.wm_ms
+        tbl = _ShardState(state, ("int64", "int64", "int64", "int64"))
         if state.hasTimedOut:
             tbl.persist()
             return
@@ -418,47 +444,49 @@ def lsh_candidates_stream(
         ids = rows["doc_id"].to_numpy(dtype="int64")
         us = rows["_lsh_us"].to_numpy(dtype="int64")
         wm_us = rows["_lsh_wm_us"].to_numpy(dtype="int64")
-        bsigs = rows["band_sig"].to_list()
-        by_sig: dict[str, list[int]] = {}
-        for i, s in enumerate(bsigs):
-            by_sig.setdefault(s, []).append(i)
-        out_ids: list[int] = []
-        out_firsts: list[int] = []
-        out_sigs: list[str] = []
-        for s, idxs in by_sig.items():
-            if len(idxs) > 1:
-                idxs.sort(key=lambda i: (us[i], ids[i]))
-            ent = table.get(s)
-            wm_max = int(max(wm_us[i] for i in idxs))
-            if ent is None:
-                # anchor seeded in the WATERMARK's domain, like the
-                # per-bucket kernel (event-time seeding would pin a
-                # future-skewed bucket past the arrival horizon in
-                # processing mode — ADVICE r7)
-                ent = [int(ids[idxs[0]]), wm_max, 0, 0]
-                table[s] = ent
-            ent[1] = max(ent[1], wm_max)
-            ent[2] += len(idxs)
-            # same formula the per-bucket kernel feeds to
-            # setTimeoutTimestamp at each data batch
-            ent[3] = max(ent[1] // 1000, wm_ms + 1) + horizon_ms
-            if max_bucket_docs is not None and ent[2] > max_bucket_docs:
-                continue
-            first_doc = ent[0]
-            for i in idxs:
-                if int(ids[i]) != first_doc:
-                    out_ids.append(int(ids[i]))
-                    out_firsts.append(first_doc)
-                    out_sigs.append(s)
-        tbl.persist(touched=by_sig.keys())
-        if not out_ids:
+        bsigs = rows["band_sig"].to_numpy(dtype=object)
+        # one (band_sig, us, id) sort replaces the per-bucket python
+        # sorts; each bucket is then a contiguous run, and the run's
+        # first row is its would-be claimant
+        order = np.lexsort((ids, us, bsigs))
+        bs_s, ids_s, wm_s = bsigs[order], ids[order], wm_us[order]
+        n = len(bs_s)
+        starts = np.flatnonzero(np.r_[True, bs_s[1:] != bs_s[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        uniq = bs_s[starts]
+        wm_max = np.maximum.reduceat(wm_s, starts)
+        # anchor seeded in the WATERMARK's domain, like the per-bucket
+        # kernel (event-time seeding would pin a future-skewed bucket
+        # past the arrival horizon in processing mode — ADVICE r7)
+        zeros = np.zeros(len(uniq), dtype="int64")
+        gidx = tbl.lookup_or_append(
+            uniq, (ids_s[starts], wm_max, zeros, zeros)
+        )
+        firsts, anchors, n_seens, expiries = tbl.cols
+        anchors[gidx] = np.maximum(anchors[gidx], wm_max)
+        n_seens[gidx] += counts
+        # same formula the per-bucket kernel feeds to
+        # setTimeoutTimestamp at each data batch
+        expiries[gidx] = (
+            np.maximum(anchors[gidx] // 1000, tbl.wm_ms + 1) + horizon_ms
+        )
+        capped = (
+            np.zeros(len(uniq), dtype=bool)
+            if max_bucket_docs is None
+            else n_seens[gidx] > max_bucket_docs
+        )
+        group_of_row = np.repeat(np.arange(len(uniq)), counts)
+        first_per_row = firsts[gidx][group_of_row]
+        emit = ~np.repeat(capped, counts) & (ids_s != first_per_row)
+        tbl.persist(touched_idx=gidx)
+        if not emit.any():
             return
         yield pd.DataFrame(
             {
-                "doc_id": np.asarray(out_ids, dtype="int64"),
-                "first_doc": np.asarray(out_firsts, dtype="int64"),
-                "band": np.full(len(out_ids), key[0], dtype="int32"),
-                "band_sig": pd.Series(out_sigs, dtype="str"),
+                "doc_id": ids_s[emit],
+                "first_doc": first_per_row[emit],
+                "band": np.full(int(emit.sum()), key[0], dtype="int32"),
+                "band_sig": pd.Series(bs_s[emit], dtype="str"),
             }
         )
 
@@ -560,15 +588,21 @@ def near_dedupe_stream(
 
     NO ROW IS EVER LOST (``timeout_mode="processing"``) — the
     invariant an ingest stage must hold.  Documents that cannot
-    participate in dedup bypass the stateful stage and survive
-    unconditionally (one band-0 row, ``dup_of`` NULL): rows without a
-    parseable event time (can neither claim a bucket nor be judged
-    against the horizon — and a quarantine-bound record with no
-    timestamp must still reach the quarantine), and rows whose text
-    yields no shingles.  The
-    no-shingle decision is made BY the signature kernel
-    (``keep_unshingleable=True`` → NULL-signature rows routed around
-    the stateful stage): Python's unicode whitespace rules decide
+    participate in dedup survive unconditionally (one band-0 row,
+    ``dup_of`` NULL): rows without a parseable event time (can
+    neither claim a bucket nor be judged against the horizon — and a
+    quarantine-bound record with no timestamp must still reach the
+    quarantine), and rows whose text yields no shingles.  Such rows
+    ride the SAME single-pass plan as everything else, keyed
+    ``(band=-1, band_sig=<doc id>)`` so the stateful kernels emit
+    them verbatim without touching state — NOT a separate union
+    branch: a streaming self-union executes every branch per
+    micro-batch, and the old three-branch shape ran the source scan
+    and normalize three times and the signature kernel twice (the
+    round-8 probe measured it at 3x input rows).  The no-shingle
+    decision is still made BY the signature kernel
+    (``keep_unshingleable=True`` → NULL-signature rows become
+    band=-1): Python's unicode whitespace rules decide
     shingleability, and no Spark-side predicate reproduces them
     exactly — a tab-only document under a trim()-based check would be
     dropped by the kernel yet miss the bypass, silently destroying
@@ -619,11 +653,34 @@ def near_dedupe_stream(
     with_time = docs.withColumn(
         "_ndd_event_time", F.try_to_timestamp(F.col(event_time_col))
     )
+    # ------------------------------------------------------------------
+    # Plan shape by mode (round-8 single-pass rework): in processing
+    # mode the WHOLE stream is ONE pass — every row, including rows
+    # with no parseable event time and rows whose text yields no
+    # shingles, rides the same plan into the stateful stage, where
+    # bypass rows are keyed (band=-1, band_sig=<doc id>) and the
+    # kernels emit them verbatim without touching state.  The previous
+    # shape unioned three branches (stateful + timeless +
+    # unshingleable) off one source, and a streaming self-union
+    # EXECUTES EVERY BRANCH per micro-batch: the round-8 probe
+    # measured numInputRows at 3x the batch size — the file scan and
+    # the Arrow-batched normalize stage ran three times and the
+    # signature kernel twice per batch, and THAT (not the state
+    # kernel) dominated end-to-end ingest throughput.  Event mode
+    # keeps a union for the timeless rows only: a NULL event time
+    # cannot pass an event-time watermark (the engine would drop the
+    # row at the stateful operator), so those rows must go around it.
+    # ------------------------------------------------------------------
     # epoch micros computed JVM-side (unix_micros): timezone-exact by
     # construction, and the kernel never touches pandas datetime — the
     # per-bucket to_datetime cost and the naive-wall-time/DST hazards
     # both disappear
-    timed = with_time.filter(F.col("_ndd_event_time").isNotNull()).withColumn(
+    base = (
+        with_time.filter(F.col("_ndd_event_time").isNotNull())
+        if timeout_event
+        else with_time
+    )
+    timed = base.withColumn(
         "_ndd_us", F.unix_micros(F.col("_ndd_event_time"))
     )
     if timeout_event:
@@ -659,14 +716,39 @@ def near_dedupe_stream(
         passthrough=wm_cols + [c for c in payload_cols if c != id_col],
         keep_unshingleable=True,
     )
-    shingled = sigs.filter(F.col("h0").isNotNull())
     band_structs = band_structs_expr(hs, bands)
-    banded = shingled.select(
-        F.col("id").cast("string").alias("_ndd_id"),
+    id_str = F.col("id").cast("string")
+    # bypass rows stay IN the single pass: one (band=-1, band_sig=id)
+    # row each — the id key spreads them across shards, and the kernels
+    # pass them through without touching state.  _ndd_us is NULL only
+    # for timeless rows in processing mode; those are bypass by
+    # definition, so the coalesce below never reaches a bucket sort.
+    bypass = F.col("h0").isNull() | F.col("_ndd_us").isNull()
+    bands_arr = F.when(
+        bypass,
+        F.array(
+            F.struct(
+                F.lit(-1).cast("int").alias("band"),
+                id_str.alias("band_sig"),
+            )
+        ),
+    ).otherwise(band_structs)
+    wm_sel = [
+        F.coalesce(F.col(c), F.lit(0)).alias(c) if c == "_ndd_us" else F.col(c)
+        for c in wm_cols
+    ]
+    # note: shipping the payload on only the band-0 row (typed NULLs on
+    # the other bands, reassembled by a first-ignorenulls resolve) was
+    # tried here and REVERTED — at realistic event sizes the payload
+    # bytes saved did not pay for the per-column CASE projection and
+    # the null-heavy Arrow columns (clean-box probe: 42-58 s vs 32 s
+    # for 500k events; SCALING.md "Round 8")
+    banded = sigs.select(
+        id_str.alias("_ndd_id"),
         F.concat_ws("|", *hs).alias("_ndd_sig"),
-        *wm_cols,
+        *wm_sel,
         *[c for c in payload_cols if c != id_col],
-        F.explode(band_structs).alias("bs"),
+        F.explode(bands_arr).alias("bs"),
     ).select(
         "_ndd_id", "_ndd_sig", *wm_cols,
         *[c for c in payload_cols if c != id_col],
@@ -687,7 +769,26 @@ def near_dedupe_stream(
 
     min_agree_count = min_hash_agreement * n_fam
 
+    def bypass_rows(batches):
+        # band=-1 group: no parseable event time or no shingles — emit
+        # verbatim as band-0 survivor rows (the no-row-lost invariant),
+        # never touch state, never register a timeout
+        for chunk in batches:
+            if not len(chunk):
+                continue
+            yield pd.DataFrame(
+                {
+                    "_ndd_id": chunk["_ndd_id"],
+                    "band": pd.Series([0] * len(chunk), dtype="int32"),
+                    "dup_of": pd.Series([None] * len(chunk), dtype=object),
+                    **{c: chunk[c] for c in other_cols},
+                }
+            )
+
     def claim(key, batches, state):
+        if key[0] == -1:
+            yield from bypass_rows(batches)
+            return
         if state.hasTimedOut:
             state.remove()
             return
@@ -753,12 +854,19 @@ def near_dedupe_stream(
         yield out
 
     def claim_sharded(key, batches, state):
-        # one call serves EVERY bucket hashed to this shard; the state
-        # load / prune / persist contract lives in _ShardTable (shared
-        # with lsh_candidates_stream); entry layout per band_sig:
+        # one call serves EVERY bucket hashed to this shard, with every
+        # per-bucket step vectorized over the shard's columnar table
+        # (_ShardState, shared with lsh_candidates_stream); entry
+        # layout per band_sig:
         # [first_id, anchor_us, n_seen, first_sig, expiry_ms]
-        tbl = _ShardTable(state, "siisi")
-        table, wm_ms = tbl.table, tbl.wm_ms
+        import numpy as np
+
+        if key[0] == -1:
+            yield from bypass_rows(batches)
+            return
+        tbl = _ShardState(
+            state, ("object", "int64", "int64", "object", "int64")
+        )
         if state.hasTimedOut:
             tbl.persist()
             return
@@ -768,41 +876,62 @@ def near_dedupe_stream(
         rows = chunks[0] if len(chunks) == 1 else pd.concat(
             chunks, ignore_index=True
         )
-        ids = rows["_ndd_id"].to_list()
-        sigs_l = rows["_ndd_sig"].to_list()
-        us = rows["_ndd_us"].to_list()
-        wm_us_l = rows["_ndd_wm_us"].to_list()
-        bsigs = rows["band_sig"].to_list()
-        dup_of = [None] * len(ids)
-        by_sig: dict[str, list[int]] = {}
-        for i, s in enumerate(bsigs):
-            by_sig.setdefault(s, []).append(i)
-        for s, idxs in by_sig.items():
-            if len(idxs) > 1:
-                idxs.sort(key=lambda i: (us[i], ids[i]))
-            ent = table.get(s)
-            wm_max = max(wm_us_l[i] for i in idxs)
-            if ent is None:
-                ent = [str(ids[idxs[0]]), wm_max, 0, str(sigs_l[idxs[0]]), 0]
-                table[s] = ent
-            ent[1] = max(ent[1], wm_max)
-            ent[2] += len(idxs)
-            # same formula the per-bucket kernel feeds to
-            # setTimeoutTimestamp at each data batch
-            ent[4] = max(ent[1] // 1000, wm_ms + 1) + horizon_ms
-            if max_bucket_docs is not None and ent[2] > max_bucket_docs:
-                continue
-            first_id = ent[0]
-            c_parts = ent[3].split("|")
-            for i in idxs:
-                if ids[i] == first_id:
-                    continue
-                agree = sum(
-                    a == b for a, b in zip(sigs_l[i].split("|"), c_parts)
-                )
-                if agree >= min_agree_count:
-                    dup_of[i] = first_id
-        tbl.persist(touched=by_sig.keys())
+        ids = rows["_ndd_id"].to_numpy(dtype=object)
+        sigs_arr = rows["_ndd_sig"].to_numpy(dtype=object)
+        us = rows["_ndd_us"].to_numpy(dtype="int64")
+        wm_us = rows["_ndd_wm_us"].to_numpy(dtype="int64")
+        bsigs = rows["band_sig"].to_numpy(dtype=object)
+        # one (band_sig, us, id) sort; each bucket is a contiguous run
+        # whose first row is its would-be claimant (id compared as a
+        # STRING, same as the state store — see the docstring)
+        order = np.lexsort((ids, us, bsigs))
+        bs_s, ids_s, sigs_s, wm_s = (
+            bsigs[order], ids[order], sigs_arr[order], wm_us[order]
+        )
+        n = len(bs_s)
+        starts = np.flatnonzero(np.r_[True, bs_s[1:] != bs_s[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        uniq = bs_s[starts]
+        wm_max = np.maximum.reduceat(wm_s, starts)
+        zeros = np.zeros(len(uniq), dtype="int64")
+        gidx = tbl.lookup_or_append(
+            uniq, (ids_s[starts], wm_max, zeros, sigs_s[starts], zeros)
+        )
+        firsts, anchors, n_seens, fsigs, expiries = tbl.cols
+        anchors[gidx] = np.maximum(anchors[gidx], wm_max)
+        n_seens[gidx] += counts
+        # same formula the per-bucket kernel feeds to
+        # setTimeoutTimestamp at each data batch
+        expiries[gidx] = (
+            np.maximum(anchors[gidx] // 1000, tbl.wm_ms + 1) + horizon_ms
+        )
+        capped = (
+            np.zeros(len(uniq), dtype=bool)
+            if max_bucket_docs is None
+            else n_seens[gidx] > max_bucket_docs
+        )
+        group_of_row = np.repeat(np.arange(len(uniq)), counts)
+        first_per_row = firsts[gidx][group_of_row]
+        # minhash agreement, vectorized: split row and claimant sigs
+        # into (rows x num_hashes) token matrices and count per-family
+        # equality — the estimator the per-bucket verdict() computes
+        # row-at-a-time
+        row_mat = pd.Series(sigs_s).str.split("|", expand=True).to_numpy()
+        claim_mat = (
+            pd.Series(fsigs[gidx]).str.split("|", expand=True).to_numpy()
+        )[group_of_row]
+        agree = (row_mat == claim_mat).sum(axis=1)
+        is_dup = (
+            ~np.repeat(capped, counts)
+            & (ids_s != first_per_row)
+            & (agree >= min_agree_count)
+        )
+        dup_sorted = np.where(is_dup, first_per_row, None)
+        # scatter verdicts back to the batch's original row order (the
+        # payload columns below are emitted unsorted)
+        dup_of = np.empty(len(ids), dtype=object)
+        dup_of[order] = dup_sorted
+        tbl.persist(touched_idx=gidx)
         yield pd.DataFrame(
             {
                 "_ndd_id": ids,
@@ -836,25 +965,23 @@ def near_dedupe_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
-    # bypass branches (no-row-lost invariant, see docstring): rows
-    # without a parseable event time never reach the kernel; rows the
-    # KERNEL judged unshingleable come back with NULL signatures
-    def as_bypass(df):
-        return df.select(
-            F.col(id_col).cast("string").alias("_ndd_id"),
-            F.lit(0).cast("int").alias("band"),
-            F.lit(None).cast("string").alias("dup_of"),
-            *[F.col(c) for c in other_cols],
-        )
-
-    timeless = as_bypass(with_time.filter(F.col("_ndd_event_time").isNull()))
-    unshingleable = sigs.filter(F.col("h0").isNull()).select(
-        F.col("id").cast("string").alias("_ndd_id"),
+    if not timeout_event:
+        # processing mode: bypass rows (timeless AND unshingleable)
+        # already rode the single pass as band=-1 groups — one plan,
+        # one source scan, one normalize, one signature kernel
+        return flagged
+    # event mode: unshingleable rows rode the single pass too (they
+    # have event times), but rows with no parseable event time cannot
+    # pass the event-time watermark — the engine would drop them at
+    # the stateful operator — so they go around it (the one remaining
+    # union branch; the re-scan it costs is confined to replay mode)
+    timeless = with_time.filter(F.col("_ndd_event_time").isNull()).select(
+        F.col(id_col).cast("string").alias("_ndd_id"),
         F.lit(0).cast("int").alias("band"),
         F.lit(None).cast("string").alias("dup_of"),
         *[F.col(c) for c in other_cols],
     )
-    return flagged.unionByName(timeless).unionByName(unshingleable)
+    return flagged.unionByName(timeless)
 
 
 def resolve_stream_flags(batch_df: DataFrame, id_col: str = "_ndd_id") -> DataFrame:
