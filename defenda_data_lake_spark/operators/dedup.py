@@ -1161,35 +1161,53 @@ def simhash_signatures(
     )
 
 
-def simhash_near_duplicates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def hamming_block_pairs(
+    sigs: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
     max_hamming: int = 3,
     blocks: int = 4,
+    size_hint_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash: block the 64-bit signature into
-    ``blocks`` segments (pigeonhole: pairs within ``max_hamming`` agree
-    on at least one block when ``max_hamming < blocks``), equi-join per
-    block, verify Hamming distance with ``bit_count(xor)``."""
-    # the pigeonhole argument is the recall guarantee: with
-    # max_hamming >= blocks a qualifying pair can differ in every block
-    # and silently never become a candidate (ValueError, not assert —
-    # asserts vanish under `python -O`)
+    """Near-duplicate pairs over any 64-bit integer signature column
+    (SimHash, image dHash, ...) by pigeonhole blocking: split the
+    signature into ``blocks`` segments, equi-join per segment, verify
+    Hamming distance with ``bit_count(xor)``.  Returns
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``, one row per
+    qualifying pair.
+
+    Recall is COMPLETE for ``max_hamming < blocks`` (two signatures
+    within the radius must agree on at least one whole block); the
+    constructor refuses otherwise rather than silently losing pairs.
+
+    Scale: one keyed exchange on (block, block_key); pair expansion is
+    bucket-grouped (collect_list + double explode, JVM-side — the
+    measured winner over a postings self-join for id+int payloads at
+    8x data, SCALING.md round 4); no cartesian anywhere, and a
+    degenerate bucket costs its own membership squared only within its
+    bucket group.  ``size_hint_df``: frame whose driver-visible input
+    size scales the exchange's partition count (pass the source table
+    when ``sigs`` is a kernel output with no file lineage)."""
     if max_hamming >= blocks:
+        # the pigeonhole argument is the recall guarantee: with
+        # max_hamming >= blocks a qualifying pair can differ in every
+        # block and silently never become a candidate (ValueError, not
+        # assert — asserts vanish under `python -O`)
         raise ValueError(
             f"complete recall needs max_hamming < blocks "
             f"(got {max_hamming} >= {blocks}); raise blocks or lower the radius"
         )
-    sigs = simhash_signatures(df, text_col, id_col)
     width = 64 // blocks
-    # one row per (doc, block) via explode — the signature kernel runs
+    sigs = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("_hb_sig")
+    )
+    # one row per (doc, block) via explode — the signature stage runs
     # once, not once per block branch of a union
     block_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("block"),
-                F.shiftrightunsigned(F.col("simhash"), b * width)
+                F.shiftrightunsigned(F.col("_hb_sig"), b * width)
                 .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("block_key"),
             )
@@ -1197,17 +1215,28 @@ def simhash_near_duplicates(
         ]
     )
     blocked = sigs.select(
-        "id", "simhash", F.explode(block_structs).alias("bk")
-    ).select("id", "simhash", F.col("bk.block").alias("block"), F.col("bk.block_key").alias("block_key"))
+        "id", "_hb_sig", F.explode(block_structs).alias("bk")
+    ).select(
+        "id",
+        "_hb_sig",
+        F.col("bk.block").alias("block"),
+        F.col("bk.block_key").alias("block_key"),
+    )
     # bucket-grouped pair expansion (same shape as the minhash band
     # join): one hash aggregation per block bucket, pairs explode
     # JVM-side, Hamming verified with bit_count(xor)
     from defenda_data_lake_spark.utils.partitioning import scaled_keyed_partitions
 
     buckets = (
-        blocked.repartition(scaled_keyed_partitions(df), "block", "block_key")
+        blocked.repartition(
+            scaled_keyed_partitions(
+                size_hint_df if size_hint_df is not None else sigs
+            ),
+            "block",
+            "block_key",
+        )
         .groupBy("block", "block_key")
-        .agg(F.collect_list(F.struct("id", "simhash")).alias("mem"))
+        .agg(F.collect_list(F.struct("id", "_hb_sig")).alias("mem"))
         .filter(F.size("mem") >= 2)
     )
     return (
@@ -1218,11 +1247,32 @@ def simhash_near_duplicates(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("a._hb_sig").bitwiseXOR(F.col("b._hb_sig"))
             ).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: 64-bit text signature +
+    :func:`hamming_block_pairs` (pigeonhole block join, complete recall
+    for ``max_hamming < blocks``)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    return hamming_block_pairs(
+        sigs,
+        id_col="id",
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        blocks=blocks,
+        size_hint_df=df,
     )
 
 

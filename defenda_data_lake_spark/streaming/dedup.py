@@ -119,6 +119,19 @@ class _ShardState:
     millis — the exact timeout the per-bucket kernel would have
     registered at this entry's last data batch.
 
+    Wire format: the whole table crosses the state store as ONE
+    ``binary`` field holding a pickle of the numpy arrays
+    (``_SHARD_STATE_SCHEMA``).  The earlier ``array<string>``/
+    ``array<long>`` row schema made the JVM side pickle and unpickle
+    every ENTRY as an object each batch (applyInPandasWithState ships
+    state values through Pyrolite) — profiled at ~1 s of JVM CPU per
+    task per batch at horizon-scale tables, the stateful stage's
+    single largest cost after the round-8 payload packing.  As an
+    opaque blob the JVM cost is one byte-array copy; numpy arrays
+    pickle/unpickle at buffer speed.  The blob is produced and
+    consumed only by this class (same trust boundary as the state
+    store itself).
+
     Prune contract (mirrors the engine's per-bucket timeout timing):
     an entry is dropped when the watermark has passed ITS stored
     expiry and the current batch brought it no rows (the engine never
@@ -127,17 +140,17 @@ class _ShardState:
     are revisited (and pruned) on time."""
 
     def __init__(self, state, dtypes: Sequence[str]):
+        import pickle
+
         import numpy as np
 
         self.state = state
         self._dtypes = tuple(dtypes)
         self.wm_ms = state.getCurrentWatermarkMs()
         if state.exists:
-            got = state.get
-            self.sigs = np.asarray(got[0], dtype=object)
-            self.cols = [
-                np.asarray(c, dtype=dt) for c, dt in zip(got[1:], dtypes)
-            ]
+            sigs, cols = pickle.loads(bytes(state.get[0]))
+            self.sigs = sigs
+            self.cols = cols
         else:
             self.sigs = np.empty(0, dtype=object)
             self.cols = [np.empty(0, dtype=dt) for dt in dtypes]
@@ -175,11 +188,45 @@ class _ShardState:
         if not len(self.sigs):
             self.state.remove()
             return
+        import pickle
+
         self.state.update(
-            (self.sigs.tolist(), *(c.tolist() for c in self.cols))
+            (pickle.dumps((self.sigs, self.cols), protocol=5),)
         )
         next_ms = int(self.cols[-1].min())
         self.state.setTimeoutTimestamp(max(next_ms, self.wm_ms + 1))
+
+
+def _json_roundtrips(dtype) -> bool:
+    """True when ``to_json`` -> ``from_json`` reproduces a column of
+    this type bit-for-bit: strings, integral numbers, booleans, and
+    arrays / structs / string-keyed maps of those.  Floating point,
+    timestamp/date, decimal, and binary columns are excluded — JSON
+    text formatting of those is not guaranteed faithful — so payloads
+    containing them keep ``near_dedupe_stream``'s unpacked path."""
+    from pyspark.sql import types as T
+
+    if isinstance(
+        dtype,
+        (
+            T.StringType,
+            T.BooleanType,
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+        ),
+    ):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _json_roundtrips(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return isinstance(dtype.keyType, T.StringType) and _json_roundtrips(
+            dtype.valueType
+        )
+    if isinstance(dtype, T.StructType):
+        return all(_json_roundtrips(f.dataType) for f in dtype.fields)
+    return False
 
 
 LSH_CANDIDATE_SCHEMA = "doc_id long, first_doc long, band int, band_sig string"
@@ -193,6 +240,11 @@ LSH_CANDIDATE_SCHEMA = "doc_id long, first_doc long, band int, band_sig string"
 # are marked so the sink suppresses their re-emitted verdicts); without
 # a seed, a bare fresh checkpoint misses up to one horizon of dedup.
 _LSH_STATE_SCHEMA = "first_doc long, first_us long, n_seen long"
+# Sharded-kernel state (round 8, v3): the whole shard table as one
+# opaque pickled-numpy blob — see ``_ShardState``.  Checkpoints taken
+# under the round-7 array-typed shard state need the same
+# fresh-checkpoint + ``seed_near_dedup_state`` migration as v1 -> v2.
+_SHARD_STATE_SCHEMA = "blob binary"
 
 
 def lsh_candidates_stream(
@@ -505,10 +557,7 @@ def lsh_candidates_stream(
     return sharded.groupBy("band", "_lsh_shard").applyInPandasWithState(
         claim_sharded,
         outputStructType=LSH_CANDIDATE_SCHEMA,
-        stateStructType=(
-            "sigs array<string>, first_docs array<long>, "
-            "anchors array<long>, n_seens array<long>, expiries array<long>"
-        ),
+        stateStructType=_SHARD_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
@@ -648,6 +697,34 @@ def near_dedupe_stream(
     timeout_event = timeout_mode == "event"
     horizon_ms = int(pd.Timedelta(watermark_delay).total_seconds() * 1000)
     payload_cols = docs.columns
+    other_cols = [c for c in payload_cols if c != id_col]
+    # ------------------------------------------------------------------
+    # Payload packing (round 8): the per-group Arrow->pandas conversion
+    # inside applyInPandasWithState is paid PER GROUP SLICE PER COLUMN
+    # (pyspark serializers.py gen_data_and_state) — with 512 shard
+    # groups and a 13-column event payload the stateful stage performed
+    # ~8.7k column conversions per micro-batch, and the round-8 profile
+    # measured that input materialization at 29 s of the 500k probe's
+    # Python time while the state math itself was 9 s.  So the payload
+    # crosses the stateful stage as ONE internal JSON string column
+    # (to_json before the signature kernel, from_json + unpack after
+    # the stateful stage — both JVM codegen), restoring the public
+    # output schema exactly.  Packing is gated on a type whitelist with
+    # exact JSON round-trip (strings, integers, booleans, and
+    # arrays/structs/string-keyed maps of those); payloads with floats,
+    # timestamps, decimals, or binary keep the unpacked path — JSON
+    # formatting of those types is not bit-faithful.
+    # ------------------------------------------------------------------
+    packed = (
+        bool(other_cols)
+        and "_ndd_payload" not in payload_cols
+        and all(
+            _json_roundtrips(f.dataType)
+            for f in docs.schema.fields
+            if f.name != id_col
+        )
+    )
+    kernel_payload = ["_ndd_payload"] if packed else other_cols
     hs = [f"h{i}" for i in range(num_hashes)]
 
     with_time = docs.withColumn(
@@ -707,13 +784,18 @@ def near_dedupe_stream(
         [] if timeout_event else ["_ndd_arrival"]
     )
 
+    if packed:
+        timed = timed.withColumn(
+            "_ndd_payload",
+            F.to_json(F.struct(*[F.col(c) for c in other_cols])),
+        )
     sigs = minhash_signatures(
         timed,
         text_col,
         id_col,
         num_hashes,
         shingle_n,
-        passthrough=wm_cols + [c for c in payload_cols if c != id_col],
+        passthrough=wm_cols + kernel_payload,
         keep_unshingleable=True,
     )
     band_structs = band_structs_expr(hs, bands)
@@ -747,24 +829,26 @@ def near_dedupe_stream(
         id_str.alias("_ndd_id"),
         F.concat_ws("|", *hs).alias("_ndd_sig"),
         *wm_sel,
-        *[c for c in payload_cols if c != id_col],
+        *kernel_payload,
         F.explode(bands_arr).alias("bs"),
     ).select(
         "_ndd_id", "_ndd_sig", *wm_cols,
-        *[c for c in payload_cols if c != id_col],
+        *kernel_payload,
         "bs.band", "bs.band_sig",
     )
 
-    out_fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in docs.schema.fields
-        if f.name != id_col
-    )
-    out_schema = (
-        f"_ndd_id string, band int, dup_of string"
-        + (f", {out_fields}" if out_fields else "")
-    )
-    other_cols = [c for c in payload_cols if c != id_col]
+    if packed:
+        out_schema = "_ndd_id string, band int, dup_of string, _ndd_payload string"
+    else:
+        out_fields = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in docs.schema.fields
+            if f.name != id_col
+        )
+        out_schema = (
+            f"_ndd_id string, band int, dup_of string"
+            + (f", {out_fields}" if out_fields else "")
+        )
     n_fam = float(num_hashes)
 
     min_agree_count = min_hash_agreement * n_fam
@@ -781,7 +865,7 @@ def near_dedupe_stream(
                     "_ndd_id": chunk["_ndd_id"],
                     "band": pd.Series([0] * len(chunk), dtype="int32"),
                     "dup_of": pd.Series([None] * len(chunk), dtype=object),
-                    **{c: chunk[c] for c in other_cols},
+                    **{c: chunk[c] for c in kernel_payload},
                 }
             )
 
@@ -847,7 +931,7 @@ def near_dedupe_stream(
                 "dup_of": [verdict(i, s) for i, s in zip(ids, sigs_l)],
                 **{
                     c: rows[c].to_numpy(dtype=object)[order]
-                    for c in other_cols
+                    for c in kernel_payload
                 },
             }
         )
@@ -937,7 +1021,7 @@ def near_dedupe_stream(
                 "_ndd_id": ids,
                 "band": pd.Series([key[0]] * len(ids), dtype="int32"),
                 "dup_of": dup_of,
-                **{c: rows[c].to_numpy(dtype=object) for c in other_cols},
+                **{c: rows[c].to_numpy(dtype=object) for c in kernel_payload},
             }
         )
 
@@ -957,13 +1041,25 @@ def near_dedupe_stream(
         flagged = sharded.groupBy("band", "_ndd_shard").applyInPandasWithState(
             claim_sharded,
             outputStructType=out_schema,
-            stateStructType=(
-                "sigs array<string>, first_ids array<string>, "
-                "anchors array<long>, n_seens array<long>, "
-                "first_sigs array<string>, expiries array<long>"
-            ),
+            stateStructType=_SHARD_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    if packed:
+        # restore the public output schema: one from_json + field
+        # unpack, both JVM codegen on the stateful stage's OUTPUT
+        from pyspark.sql import types as T
+
+        payload_type = T.StructType(
+            [f for f in docs.schema.fields if f.name != id_col]
+        )
+        flagged = flagged.withColumn(
+            "_ndd_p", F.from_json(F.col("_ndd_payload"), payload_type)
+        ).select(
+            "_ndd_id",
+            "band",
+            "dup_of",
+            *[F.col("_ndd_p").getField(c).alias(c) for c in other_cols],
         )
     if not timeout_event:
         # processing mode: bypass rows (timeless AND unshingleable)

@@ -108,6 +108,7 @@ def start_deduped_ingest(
     watermark_delay: str = "1 hour",
     max_bucket_docs: int | None = None,
     dedup_shards: int | None = 256,
+    scan_parallelism: int | None = None,
 ) -> StreamingQuery:
     """:func:`start_ingest` with an IN-STREAM near-dedup stage: after
     normalization, events whose ``text_col`` is a MinHash near-match of
@@ -165,6 +166,14 @@ def start_deduped_ingest(
     )
 
     raw = lines.filter(F.length(F.trim(F.col("raw"))) > 0).select("raw")
+    if scan_parallelism:
+        # a file-landing micro-batch scans at one task per FILE; the
+        # normalize + signature kernels then run at file parallelism,
+        # not core parallelism.  One cheap exchange of the raw lines
+        # (bytes ≈ the landing files themselves) fans the Python-heavy
+        # stages out to the full core count.  Opt-in: worth it exactly
+        # when files-per-trigger < cores and batches are large.
+        raw = raw.repartition(scan_parallelism)
     normalized = normalize_df(raw, raw_col="raw")
     flagged = near_dedupe_stream(
         normalized,

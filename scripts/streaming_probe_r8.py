@@ -55,7 +55,14 @@ def run(mode: str, n: int) -> dict:
             starter = start_ingest
         else:
             starter = start_deduped_ingest
-            kwargs["dedup_shards"] = None if mode == "dedup_pergroup" else 256
+            kwargs["dedup_shards"] = (
+                None
+                if mode == "dedup_pergroup"
+                else int(os.environ.get("PROBE_SHARDS", "256"))
+            )
+            sp = int(os.environ.get("PROBE_SCANPAR", "0"))
+            if sp:
+                kwargs["scan_parallelism"] = sp
         load0 = _loadavg()
         t0 = time.perf_counter()
         q = starter(

@@ -44,24 +44,29 @@ def test_every_oracle_sql_parses_and_plans(con):
     assert not bad, bad
 
 
-def test_window_covers_round7_changed_and_new():
+def test_window_covers_round8_changed_and_new():
     """The driver checks only the FIRST 50 entries: everything new or
-    behavior-changed in round 7 must sit inside that window."""
+    behavior-changed in round 8 must sit inside that window, and the
+    six entries that went two rounds driver-stale (pinned at tail
+    slots 50-55 by the round-7 contract) must LEAD it."""
     window = list(CATALOG)[:50]
-    changed = [
-        "q78_chunk_dedupe", "q79_hll_distinct",
-        *[
-            n for n in CATALOG
-            if 80 <= int(n[1:].split("_", 1)[0]) <= 108
-        ],
-    ]
+    # q42: simhash_near_duplicates now delegates to the extracted
+    # hamming_block_pairs; q109/q110 are new in round 8
+    changed = ["q42_simhash_pairs", "q109_image_dhash", "q110_domain_curation"]
     missing = [n for n in changed if n not in window]
     assert not missing, missing
-    # changed/new ALWAYS outranks stale: fitting q103-q108 displaced
-    # q24/q25/q26/q38/q33/q44 (r5-driver-green + r6-judge-re-verified,
-    # unchanged for 3+ rounds, kernels unit-tested or exercised
-    # in-window) to the tail head — they MUST lead the round-8 window.
-    assert list(CATALOG)[50:56] == [
+    assert list(CATALOG)[:6] == [
         "q24_presto_text", "q25_percentile_stats", "q26_regexp_count",
-        "q38_dataset_split", "q33_text_tokens", "q44_multimodal_decode",
+        "q33_text_tokens", "q38_dataset_split", "q44_multimodal_decode",
     ]
+    # no entry may go >2 rounds without a driver check: everything
+    # outside the round-8 window must have been driver-verified in r6
+    # (the seven headline spills) or r7 (the whole r7 window)
+    r7_window_or_headline = {
+        "q01_pricing_summary", "q03_shipping_priority",
+        "q05_regional_revenue", "q10_window_rank", "q30_dedup_exact",
+        "q31_dedup_minhash", "q36_text_fingerprint",
+    }
+    for n in list(CATALOG)[50:]:
+        num = int(n[1:].split("_", 1)[0])
+        assert n in r7_window_or_headline or 34 <= num <= 108, n
