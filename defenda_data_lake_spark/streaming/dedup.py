@@ -1155,3 +1155,35 @@ def seed_near_dedup_state(
     seeded.write.mode("overwrite").parquet(seed_dir)
     seed_stream = spark.readStream.schema(seeded.schema).parquet(seed_dir)
     return live.withColumn("_ndd_seed", F.lit(False)).unionByName(seed_stream)
+
+
+def watermark_drop_counts(query) -> int:
+    """Total input rows the ENGINE silently discarded for arriving
+    behind the event-time watermark, summed over the query's retained
+    progress history — the audit surface for ``timeout_mode="event"``
+    (VERDICT r7: event mode drops late rows by documented Spark
+    semantics, but the loss was invisible to an operator).  Sums
+    ``stateOperators[].numRowsDroppedByWatermark`` from
+    ``query.recentProgress``; in ``timeout_mode="processing"`` (the
+    default) this is 0 by construction — no row can be behind an
+    arrival-time watermark.
+
+    UNIT: stateful-stage input rows, which for ``near_dedupe_stream``
+    is ``bands`` rows per document (the drop happens AFTER the band
+    explode) — divide by ``bands`` for a document count; pinned by the
+    late-row regression test.
+
+    Scope caveat: ``recentProgress`` retains the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` micro-batches
+    (default 100).  A long-running replay that must account for every
+    drop should attach a ``StreamingQueryListener`` and accumulate the
+    same field per progress event; this helper is the
+    probe/post-run-audit form."""
+    import json as _json
+
+    total = 0
+    for p in query.recentProgress:
+        prog = _json.loads(p.json) if hasattr(p, "json") else p
+        for so in prog.get("stateOperators") or []:
+            total += int(so.get("numRowsDroppedByWatermark") or 0)
+    return total

@@ -462,6 +462,7 @@ def test_near_dedupe_stream_late_rows_not_lost_in_processing_mode(spark, tmp_pat
     from defenda_data_lake_spark.streaming.dedup import (
         near_dedupe_stream,
         resolve_stream_flags,
+        watermark_drop_counts,
     )
 
     fam = "the quick brown fox jumps over the lazy dog tonight"
@@ -494,17 +495,23 @@ def test_near_dedupe_stream_late_rows_not_lost_in_processing_mode(spark, tmp_pat
             with open(landing / "b2.ndjson", "w") as f:
                 f.write(_doc(3, "2026-01-01T00:30:00+00:00", fam) + "\n")
             query.processAllAvailable()
+            dropped = watermark_drop_counts(query)
         finally:
             query.stop()
 
         assert resolved.get(1, "missing") is None, mode
         if expect_doc3:
             # late row LANDS, and is even deduped (claimant still live
-            # on the wall-clock TTL)
+            # on the wall-clock TTL); no engine drops in processing mode
             assert resolved[3] == "1", mode
+            assert dropped == 0, mode
         else:
             # event mode: engine dropped the late row before the kernel
+            # — and the loss is now AUDITABLE: the drop counter equals
+            # the known late-row count in STATEFUL-STAGE rows, i.e.
+            # bands (=2) rows per late document (VERDICT r7 item 6)
             assert 3 not in resolved, mode
+            assert dropped == 2, mode
 
 def test_near_dedupe_stream_sharded_parity(spark, tmp_path):
     """shards=N (bucket-table kernel, one Python call per shard) must
