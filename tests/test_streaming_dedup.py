@@ -280,6 +280,9 @@ def test_near_dedupe_stream_batch_parity(spark, tmp_path):
     with open(landing / "b1.ndjson", "w") as f:
         for i, (doc_id, text) in enumerate(corpus):
             f.write(_doc(doc_id, f"2026-01-01T00:0{i + 1}:00+00:00", text) + "\n")
+        # no parseable event time: rides the single-pass band=-1 bypass
+        # (round 8) — must SURVIVE, never reach bucket state
+        f.write(_doc(7, "not-a-timestamp", "perfectly shingleable text here") + "\n")
 
     resolved = {}
 
@@ -309,11 +312,14 @@ def test_near_dedupe_stream_batch_parity(spark, tmp_path):
         int(r["doc_id"]): r["dup_of"]
         for r in minhash_bucket_dedupe(docs, ts_col="ts").collect()
     }
-    assert resolved == batch
-    assert set(resolved) == {1, 2, 3, 4, 5, 6}  # no row lost
+    # doc 7 (unparseable ts) is stream-only: the batch twin has no
+    # timeline contract for it, so compare it separately
+    assert {k: v for k, v in resolved.items() if k != 7} == batch
+    assert set(resolved) == {1, 2, 3, 4, 5, 6, 7}  # no row lost
     assert resolved[1] is None and resolved[2] == "1"
     assert resolved[4] is None and resolved[5] is None
     assert resolved[6] is None  # tab/newline-only doc survives
+    assert resolved[7] is None  # timeless doc survives via the bypass
 
 def test_near_dedupe_stream_out_of_order_content_set(spark, tmp_path):
     """Out-of-order delivery can flip WHICH member of a near-dup family
@@ -545,6 +551,7 @@ def test_near_dedupe_stream_sharded_parity(spark, tmp_path):
         [
             (9, "2026-01-01T00:20:00+00:00", boiler),   # batch pushes the
             (10, "2026-01-01T00:21:00+00:00", boiler),  # bucket over cap=3
+            (12, "not-a-timestamp", fam),  # timeless: band=-1 bypass in BOTH kernels (round 8)
         ],
     ]
 
@@ -582,12 +589,13 @@ def test_near_dedupe_stream_sharded_parity(spark, tmp_path):
 
     assert results["sharded"] == results["pergroup"]
     r = results["sharded"]
-    assert set(r) == set(range(1, 12))          # no row lost, either kernel
+    assert set(r) == set(range(1, 13))          # no row lost, either kernel
     assert r[1] is None and r[2] == "1"
     assert r[11] is None and r[6] == "11"       # cross-batch claim held
     assert r[4] is None and r[5] is None
     assert r[8] == "7"                          # under cap: flagged
     assert r[9] is None and r[10] is None       # batch crosses cap: silent
+    assert r[12] is None                        # timeless doc: bypass, both kernels
 
 def test_dedupe_stream_late_unique_rows_not_lost(spark, tmp_path):
     """Exact-dedup twin of the near-dedup late-row contract: a UNIQUE
