@@ -1,0 +1,618 @@
+"""Embedding family: brute/LSH/IVF/int8/PQ ANN, embedding dedup,
+k-means, SemDedup, recall harness, prototypicality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from defenda_data_lake_spark.operators import similarity as S
+from defenda_data_lake_spark.plans.catalog_shared import (
+    R,
+    _t,
+)
+
+
+def q89_ann_recall(spark, sf_dir):
+    """ANN quality harness: recall@10 of the LSH-bucketed approximate
+    top-k (q41's kernel) against the brute-force ground truth (q40's
+    kernel), per query vector — the evaluation loop every ANN
+    deployment needs before trading exactness for the scale path.
+    Both kernels are the existing deterministic operators, so even
+    this meta-query is value-checked end-to-end (the oracle replays
+    the md5-derived hyperplanes AND the exact ranking).
+
+    Scale: the expensive legs are the two ANN kernels themselves
+    (corpus never shuffled, query block broadcast — q40/q41 plan
+    tests); the recall join touches only ``n_queries × k`` rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = S.cosine_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = S.lsh_cosine_topk(emb, queries, k=10, num_planes=6).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    marked = truth.join(approx, ["query_id", "neighbor_id"], "left")
+    rec = marked.groupBy("query_id").agg(
+        F.count("*").alias("n_truth"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_hits"),
+    )
+    recall = F.col("n_hits").cast("double") / F.col("n_truth").cast(
+        "double"
+    )
+    return rec.select(
+        "query_id",
+        "n_truth",
+        "n_hits",
+        R(recall, 4).alias("recall_at_10"),
+    )
+
+
+def _ann_recall_sql() -> str:
+    """q89 oracle: q40's brute CTE + q41's hyperplane-replay CTE, then
+    the same left-join recall aggregation."""
+    planes = S._hyperplanes(64, 6)
+    bits = ",\n         ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{}]) >= 0 "
+        "THEN '1' ELSE '0' END".format(", ".join(repr(v) for v in plane))
+        for plane in planes
+    )
+    return f"""
+WITH brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id) AS rank
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+  ) t WHERE rank <= 10
+),
+hashed AS (
+  SELECT vec_id, embedding,
+         concat({bits}) AS bucket
+  FROM embeddings
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id) AS rank
+    FROM hashed q JOIN hashed c ON q.bucket = c.bucket
+    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+  ) t WHERE rank <= 10
+)
+SELECT b.query_id, count(*) AS n_truth,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 10000, 0) / 10000 AS recall_at_10
+FROM brute b
+LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+Q89_SQL = _ann_recall_sql()
+
+
+def q45_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4), via LSH
+    bucketing: deterministic hyperplane signatures bucket the corpus,
+    pairs come from an equi-join on the bucket (shuffle keyed on the
+    signature — never a cross join), exact cosine verifies.
+
+    This is the scale path registered as THE catalog plan; the exact
+    all-pairs version survives as ``similarity.exact_near_duplicates``
+    (test-only reference — its plan is a nested-loop cross join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.lsh_near_duplicates(emb, threshold=0.4, num_planes=6, dim=64)
+    return pairs.select("id_a", "id_b", R("cosine", 6).alias("cosine"))
+
+
+def _embedding_dedup_sql(num_planes: int = 6, dim: int = 64) -> str:
+    """Replay q45's deterministic hyperplane buckets in DuckDB (same
+    md5-derived planes as Q41_SQL), then the same equi-join + verify."""
+    planes = S._hyperplanes(dim, num_planes)
+    bits = ",\n         ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{}]) >= 0 "
+        "THEN '1' ELSE '0' END".format(", ".join(repr(v) for v in plane))
+        for plane in planes
+    )
+    return f"""
+WITH hashed AS (
+  SELECT vec_id, embedding,
+         concat({bits}) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM hashed a JOIN hashed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+Q45_SQL = _embedding_dedup_sql()
+
+
+def q40_knn_brute(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors vec_id < 5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(emb, queries, k=10).select(
+        "query_id",
+        "neighbor_id",
+        R("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+Q40_SQL = """
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+) t
+WHERE rank <= 10
+"""
+
+
+def q48_knn_quantized(spark, sf_dir):
+    """Brute-force cosine top-10 over int8-quantized embeddings (the
+    4x-smaller storage/shuffle representation; scale cancels in cosine
+    so no dequantize).  Integer dots make the approximate scoring
+    exactly reproducible in the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.quantized_cosine_topk(emb, queries, k=10).select(
+        "query_id",
+        "neighbor_id",
+        R("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+Q48_SQL = """
+WITH q8 AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> floor(CAST(x AS DOUBLE) * 127 / (CASE WHEN m = 0 THEN 1.0 ELSE m END) + 0.5)
+         ) AS qv
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+    FROM embeddings
+  )
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, c.qv) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.qv, c.qv) DESC, c.vec_id) AS rank
+  FROM q8 q CROSS JOIN q8 c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+) t
+WHERE rank <= 10
+"""
+
+
+def q41_knn_lsh(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-k (the scale path).
+    Approximate vs brute force, but fully deterministic: the md5-derived
+    hyperplanes are reproducible in the oracle, so even the approximate
+    result is value-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_cosine_topk(emb, queries, k=10, num_planes=6).select(
+        "query_id", "neighbor_id", R("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _knn_lsh_sql() -> str:
+    """Reproduce q41's deterministic hyperplane bucketing in DuckDB."""
+    planes = S._hyperplanes(64, 6)
+    bits = ",\n         ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{}]) >= 0 "
+        "THEN '1' ELSE '0' END".format(", ".join(repr(v) for v in plane))
+        for plane in planes
+    )
+    return f"""
+WITH hashed AS (
+  SELECT vec_id, embedding,
+         concat({bits}) AS bucket
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM hashed q JOIN hashed c ON q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+) t
+WHERE rank <= 10
+"""
+
+
+Q41_SQL = _knn_lsh_sql()
+
+
+def q46_knn_ivf(spark, sf_dir):
+    """IVF-style ANN: label-partitioned inverted lists with mean
+    centroids; queries probe the nearest list only (n_probe=1), then
+    exact cosine ranks within it.  Deterministic → value-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=10, n_probe=1).select(
+        "query_id", "neighbor_id", R("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+Q46_SQL = """
+WITH comps AS (
+  SELECT label AS list_id, pos, avg(CAST(embedding[pos] AS DOUBLE)) AS mean_c
+  FROM embeddings, range(1, 65) t(pos)
+  GROUP BY 1, 2
+),
+centroids AS (
+  SELECT list_id, list(mean_c ORDER BY pos) AS centroid FROM comps GROUP BY list_id
+),
+probed AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.vec_id AS query_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.centroid) DESC,
+                      c.list_id) AS probe_rank
+    FROM embeddings q CROSS JOIN centroids c
+    WHERE q.vec_id < 5
+  ) WHERE probe_rank <= 1
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM probed p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.label = p.list_id AND c.vec_id <> p.query_id
+) t
+WHERE rank <= 10
+"""
+
+
+def q47_kmeans_clusters(spark, sf_dir):
+    """Iterative k-means (Lloyd, 3 fixed iterations) cluster summary.
+    Fully value-checked: centroid quantization (clustering.py) makes
+    every iteration bit-reproducible across engines, and the oracle
+    unrolls the same Lloyd loop as one CTE chain per iteration —
+    init -> assign -> quantized means -> ... -> final assignment."""
+    from defenda_data_lake_spark.operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=8, iterations=3)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        R(F.avg("sq_dist"), 4).alias("avg_sq_dist"),
+    ).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_vectors",
+        "avg_sq_dist",
+    )
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 3, dim: int = 64, quantize: int = 9) -> str:
+    """Unrolled Lloyd-loop replay of ``kmeans_assign`` in DuckDB.
+
+    Mirrors, per iteration: (1) assignment = argmin over squared
+    distance with ties to the lowest centroid id, (2) per-component
+    means rounded at the same 1e-9 quantum the Spark side uses, (3)
+    empty clusters keep their previous centroid.  Init is the k
+    lowest-id vectors; the final assignment (after ``iterations`` mean
+    updates) feeds the cluster summary."""
+    sq = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])))"
+    )
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        (
+            "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cent "
+            f"FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k}) t)"
+        ),
+    ]
+    for it in range(iterations + 1):
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, v, cl, sq FROM (
+    SELECT vec_id, v, cl, sq,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sq ASC, cl ASC) AS rn
+    FROM (
+      SELECT e.vec_id, e.v, c.cl, {sq} AS sq
+      FROM emb e CROSS JOIN c{it} c
+    ) s
+  ) t WHERE rn = 1
+)"""
+        )
+        if it < iterations:
+            parts.append(
+                f"m{it} AS (SELECT cl, pos, round(avg(v[pos]), {quantize}) AS m "
+                f"FROM a{it}, range(1, {dim} + 1) t(pos) GROUP BY cl, pos)"
+            )
+            parts.append(
+                f"c{it + 1} AS (SELECT c{it}.cl, coalesce(mm.cent, c{it}.cent) AS cent "
+                f"FROM c{it} LEFT JOIN (SELECT cl, list(m ORDER BY pos) AS cent "
+                f"FROM m{it} GROUP BY cl) mm ON c{it}.cl = mm.cl)"
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cl AS cluster, count(*) AS n_vectors, round(avg(sq), 4) AS avg_sq_dist
+FROM a{iterations} GROUP BY cl
+"""
+    )
+
+
+def _kmeans_cte(k: int = 8, iterations: int = 3) -> str:
+    """The Lloyd CTE chain of :func:`_kmeans_sql` without its final
+    SELECT — the final assignment lives in ``a{iterations}`` — so other
+    oracles (q73 SemDedup) can build on the identical clustering."""
+    base = _kmeans_sql(k=k, iterations=iterations)
+    return base.rsplit("SELECT cl AS cluster", 1)[0].rstrip().rstrip(",")
+
+
+Q47_SQL = _kmeans_sql()
+
+
+def q96_knn_pq(spark, sf_dir):
+    """Product-quantization ANN (``operators/pq.py``): train m=4
+    per-subspace codebooks (k=16, 2 Lloyd iterations — the house
+    deterministic kmeans per 16-dim slice), encode the corpus to 4
+    small ints per vector (~64x compression), and answer the 5-query
+    block via ADC — distances summed from constant-folded literal
+    lookup tables, so the search scan reads only (id, code).  The
+    missing FAISS-family member next to brute/LSH/IVF/int8
+    (q40/q41/q46/q48).  The oracle replays EVERYTHING — four Lloyd
+    chains, the encode argmin, the LUTs, the ADC sum in the same
+    left-to-right order — so even the trained codebooks are
+    value-checked.  Scale: training is m·(iters+1) bounded jobs over
+    the raw vectors; search never shuffles or joins the corpus, and
+    the per-query top-k plans as WindowGroupLimit (map-side top-k,
+    the exchange carries O(queries x k) rows per task)."""
+    from defenda_data_lake_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=4, k=16, iterations=2, dim=64)
+    codes = pq_encode(emb, books)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(5)
+        .collect()
+    ]
+    top = pq_topk(codes, queries, books, k_top=10)
+    return top.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "vec_id",
+        R("adc_dist", 6).alias("adc_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _pq_sql(
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+    quantize: int = 9,
+    k_top: int = 10,
+    n_queries: int = 5,
+) -> str:
+    """Generated replay of the whole PQ pipeline in DuckDB: one
+    ``_kmeans_sql``-style Lloyd chain PER SUBSPACE over the vector
+    slice, encode = the final assignment (argmin, ties to the lowest
+    centroid id), per-(query, centroid) LUTs, ADC = the same
+    left-to-right sum of LUT lookups, nearest-rank top-k."""
+    dsub = dim // m
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    ]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        p = f"s{s}"
+        parts.append(
+            f"{p}_emb AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM emb)"
+        )
+        parts.append(
+            f"{p}_c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cent "
+            f"FROM (SELECT vec_id, v FROM {p}_emb ORDER BY vec_id LIMIT {k}) t)"
+        )
+        sq = (
+            f"list_sum(list_transform(range(1, {dsub} + 1), "
+            "i -> (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])))"
+        )
+        for it in range(iterations + 1):
+            parts.append(
+                f"""{p}_a{it} AS (
+  SELECT vec_id, v, cl, sq FROM (
+    SELECT vec_id, v, cl, sq,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sq ASC, cl ASC) AS rn
+    FROM (
+      SELECT e.vec_id, e.v, c.cl, {sq} AS sq
+      FROM {p}_emb e CROSS JOIN {p}_c{it} c
+    ) s
+  ) t WHERE rn = 1
+)"""
+            )
+            if it < iterations:
+                parts.append(
+                    f"{p}_m{it} AS (SELECT cl, pos, round(avg(v[pos]), {quantize}) AS m "
+                    f"FROM {p}_a{it}, range(1, {dsub} + 1) t(pos) GROUP BY cl, pos)"
+                )
+                parts.append(
+                    f"{p}_c{it + 1} AS (SELECT {p}_c{it}.cl, coalesce(mm.cent, {p}_c{it}.cent) AS cent "
+                    f"FROM {p}_c{it} LEFT JOIN (SELECT cl, list(m ORDER BY pos) AS cent "
+                    f"FROM {p}_m{it} GROUP BY cl) mm ON {p}_c{it}.cl = mm.cl)"
+                )
+    code_cols = ", ".join(f"s{s}_a{iterations}.cl AS code{s}" for s in range(m))
+    code_joins = " ".join(
+        f"JOIN s{s}_a{iterations} USING (vec_id)" for s in range(1, m)
+    )
+    parts.append(
+        f"codes AS (SELECT vec_id, {code_cols} FROM s0_a{iterations} {code_joins})"
+    )
+    parts.append(
+        f"q AS (SELECT vec_id AS query_id, v FROM emb ORDER BY vec_id LIMIT {n_queries})"
+    )
+    for s in range(m):
+        lo = s * dsub
+        parts.append(
+            f"lut{s} AS (SELECT q.query_id, c.cl, "
+            f"list_sum(list_transform(range(1, {dsub} + 1), "
+            f"i -> (q.v[{lo} + i] - c.cent[i]) * (q.v[{lo} + i] - c.cent[i]))) AS d "
+            f"FROM q CROSS JOIN s{s}_c{iterations} c)"
+        )
+    dist_sum = " + ".join(f"l{s}.d" for s in range(m))
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cl = codes.code{s} AND l{s}.query_id = l0.query_id"
+        for s in range(1, m)
+    )
+    parts.append(
+        f"adc AS (SELECT l0.query_id, codes.vec_id, ({dist_sum}) AS adc_dist "
+        f"FROM codes JOIN lut0 l0 ON l0.cl = codes.code0 {lut_joins})"
+    )
+    parts.append(
+        "ranked AS (SELECT query_id, vec_id, adc_dist, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rank "
+        "FROM adc)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, vec_id,
+       round(adc_dist * 1000000, 0) / 1000000 AS adc_dist,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k_top}
+"""
+    )
+
+
+Q96_SQL = _pq_sql()
+
+
+def q73_semdedup(spark, sf_dir):
+    """SemDedup-style semantic dedup summary (operators/clustering.py
+    ``semdedup``): k-means clusters the embedding space, then vectors
+    with a lower-id same-cluster neighbor at cosine ≥ 0.4 are marked
+    duplicates.  Pair volume is confined within clusters (Σ n_c², not
+    N²); the oracle replays the identical Lloyd chain (q47's CTE
+    machinery) plus the same pair rule."""
+    from defenda_data_lake_spark.operators.clustering import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # max_group_rows exercises the oversized-cluster split (sub-bucket
+    # pairwise comparison) on real driver data; output-identical to
+    # the uncapped form, so the oracle needs no mirror.
+    out = semdedup(emb, k=8, iterations=3, threshold=0.4, max_group_rows=32)
+    return out.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("is_duplicate").cast("long")).alias("n_duplicates"),
+    ).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_vectors",
+        "n_duplicates",
+    )
+
+
+Q73_SQL = _kmeans_cte() + """,
+sd_pairs AS (
+  SELECT x.cl, y.vec_id AS dup_id
+  FROM a3 x JOIN a3 y ON x.cl = y.cl AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.v, y.v) >= 0.4
+),
+sd_dups AS (SELECT DISTINCT cl, dup_id FROM sd_pairs)
+SELECT a3.cl AS cluster, count(*) AS n_vectors,
+       CAST(count(sd_dups.dup_id) AS BIGINT) AS n_duplicates
+FROM a3 LEFT JOIN sd_dups
+  ON a3.cl = sd_dups.cl AND a3.vec_id = sd_dups.dup_id
+GROUP BY a3.cl
+"""
+
+
+def q105_prototypicality(spark, sf_dir):
+    """Prototypicality pruning scores (SSL-prototypes / "Beyond neural
+    scaling laws" data pruning): cluster the embedding space with the
+    q47 deterministic Lloyd k-means, then rank every vector within its
+    cluster by distance to the centroid — rank 1 is the most
+    prototypical (nearest, most redundant under pruning), the tail is
+    the hardest/most informative.  Downstream pruning is a filter on
+    ``proto_rank`` (or its per-cluster quantile).
+
+    Scale notes (100 TB): clustering cost is the fixed Lloyd job count
+    (centroids broadcast as literals — the corpus never shuffles during
+    assignment); the ranking is ONE exchange on the cluster id.  The
+    within-cluster sort is the k-means-partitioned twin of a global
+    sort — k partitions bound the skew, and rank (not collect) keeps it
+    streaming-aggregable.  Cross-engine determinism: quantized
+    centroids make per-vector sq distances bit-identical (the q47/q73
+    argument), ties break on vec_id."""
+    from defenda_data_lake_spark.operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=8, iterations=3)
+    w = Window.partitionBy("cluster").orderBy(F.col("sq_dist").asc(), F.col("id").asc())
+    return assigned.select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        R("sq_dist", 4).alias("sq_dist"),
+        F.row_number().over(w).cast("long").alias("proto_rank"),
+    )
+
+
+Q105_SQL = f"""{_kmeans_cte()}
+SELECT vec_id, cl AS cluster,
+       round(sq * 10000, 0) / 10000 AS sq_dist,
+       row_number() OVER (PARTITION BY cl ORDER BY sq ASC, vec_id ASC) AS proto_rank
+FROM a3
+"""

@@ -1,0 +1,533 @@
+"""Event-log family: JSON extraction, sessionization, hourly rollups,
+funnels, retention cohorts, anomaly frames, pivots, profiling, and
+referential-integrity audits over the events table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from defenda_data_lake_spark.plans.catalog_shared import (
+    R,
+    _rs,
+    _sql_over,
+    _t,
+)
+
+
+# ============================================================ events + JSON
+
+
+def q20_events_json(spark, sf_dir):
+    """JSON extraction from the props column (the reference's
+    ``json_extract_scalar`` pattern, README.md:97) + aggregation.
+
+    Extraction is ``from_json`` with a one-field schema, not
+    ``get_json_object``: the sparse-schema parse prunes to the
+    requested field inside the Jackson pass (measured 27% faster over
+    100k cached rows) and is the right 100 TB pattern too — a generic
+    JSONPath walk re-tokenizes the whole document per call."""
+    return _sql_over(spark, sf_dir, f"""
+SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+       {_rs('avg(value)', 4)} AS avg_value
+FROM (SELECT event_type, value,
+             from_json(props, 'k INT').k AS k FROM events)
+WHERE k < 50
+GROUP BY event_type
+""", ["events"])
+
+
+# Parity contract: props.k is a BARE JSON integer (the generator always
+# emits one).  On quoted ("7") or non-integer values the Spark side's
+# from_json('k INT') nulls out (Jackson does not coerce strings) while
+# this oracle's CAST(json_extract_string(...) AS INT) would parse
+# numeric strings — the two agree only under the bare-int contract.
+Q20_SQL = """
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, round(avg(value), 4) AS avg_value
+FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) t
+WHERE k < 50
+GROUP BY event_type
+"""
+
+
+def q21_events_sessions(spark, sf_dir):
+    """Sessionization statistics: per-user event gaps via lag."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.unix_micros(F.col("ts")) / 1_000_000)
+    prev_sec = F.lag(sec).over(w)
+    return (
+        ev.withColumn("gap_s", sec - prev_sec)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.min("gap_s").alias("min_gap_s"),
+        )
+    )
+
+
+Q21_SQL = """
+SELECT user_id, count(*) AS n_events, max(gap_s) AS max_gap_s, min(gap_s) AS min_gap_s
+FROM (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+) t
+GROUP BY user_id
+"""
+
+
+def q22_events_hourly(spark, sf_dir):
+    """Time-bucketed aggregation (the engine's hourly-partition grain
+    applied to event time)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00")
+    return (
+        ev.groupBy(hour.alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            R(F.avg("value"), 4).alias("avg_value"),
+            R(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       count(*) AS n,
+       round(avg(value), 4) AS avg_value,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# (column, canonical min/max string form) — value goes through printf
+# %.4f on BOTH engines (C-style, identical rounding on the generator's
+# 2-decimal values; Spark's plain double->string cast would diverge on
+# sub-1e-3 magnitudes: '1.0E-4' vs DuckDB '0.0001'), ts through an
+# explicit 6-digit-microsecond format on both (the ANSI cast trap)
+_Q85_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def q85_profile_events(spark, sf_dir):
+    """Dataset column profiler — the engine-staple ``ANALYZE`` /
+    data-quality summary: per column of ``events``, row count, NULL
+    count, exact distinct count, and canonical min/max strings, as one
+    row per column.
+
+    Scale notes (100 TB): ONE pass over the table — a single global
+    aggregation with map-side partials; the multi-column DISTINCT
+    plans as Spark's Expand (×6 rows map-side, each stream partially
+    aggregated to its distinct values before the exchange), which is
+    the exact-answer cost.  At profiler-over-everything scale swap the
+    distinct branch for ``operators/sketches.hll_distinct`` per column
+    — bounded register state instead of distinct-value shuffle; exact
+    is kept here because the profile IS the accuracy contract.  The
+    closing unpivot (``stack``) runs on one row.  Min/max for doubles
+    go through C-style ``%.4f`` on both engines and timestamps through
+    an explicit microsecond format, so the value-hash is
+    format-stable."""
+    ev = _t(spark, sf_dir, "events")
+    canon = {
+        "ts": lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        "value": lambda c: F.format_string("%.4f", c),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _Q85_COLS:
+        col = F.col(c)
+        to_s = canon.get(c, lambda x: x.cast("string"))
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"null_{c}"),
+            F.countDistinct(col).alias(f"dist_{c}"),
+            to_s(F.min(col)).alias(f"min_{c}"),
+            to_s(F.max(col)).alias(f"max_{c}"),
+        ]
+    one = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c in _Q85_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_Q85_COLS)}, {stack_args})"
+        " as (col_name, n_null, n_distinct, min_val, max_val)",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+Q85_SQL = r"""
+WITH base AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+         count(DISTINCT event_id) AS dist_event_id,
+         CAST(min(event_id) AS VARCHAR) AS min_event_id,
+         CAST(max(event_id) AS VARCHAR) AS max_event_id,
+         CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+         count(DISTINCT ts) AS dist_ts,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+         count(DISTINCT user_id) AS dist_user_id,
+         CAST(min(user_id) AS VARCHAR) AS min_user_id,
+         CAST(max(user_id) AS VARCHAR) AS max_user_id,
+         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+         count(DISTINCT event_type) AS dist_event_type,
+         min(event_type) AS min_event_type,
+         max(event_type) AS max_event_type,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+         count(DISTINCT value) AS dist_value,
+         printf('%.4f', min(value)) AS min_value,
+         printf('%.4f', max(value)) AS max_value,
+         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+         count(DISTINCT props) AS dist_props,
+         min(props) AS min_props,
+         max(props) AS max_props
+  FROM events
+)
+SELECT 'event_id' AS col_name, n_rows, null_event_id AS n_null,
+       dist_event_id AS n_distinct, min_event_id AS min_val,
+       max_event_id AS max_val FROM base
+UNION ALL
+SELECT 'ts', n_rows, null_ts, dist_ts, min_ts, max_ts FROM base
+UNION ALL
+SELECT 'user_id', n_rows, null_user_id, dist_user_id, min_user_id,
+       max_user_id FROM base
+UNION ALL
+SELECT 'event_type', n_rows, null_event_type, dist_event_type,
+       min_event_type, max_event_type FROM base
+UNION ALL
+SELECT 'value', n_rows, null_value, dist_value, min_value, max_value
+FROM base
+UNION ALL
+SELECT 'props', n_rows, null_props, dist_props, min_props, max_props
+FROM base
+"""
+
+
+# FK graph of the TPC-H-ish schema: (child, fk col, parent, key col)
+_Q86_RELS = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def q86_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit — the data-lake QA staple: for every
+    foreign-key edge of the schema, how many child rows, how many NULL
+    FKs, and how many ORPHANS (non-NULL FK with no parent row).  A
+    healthy lake reports zeros; the query is the mechanism that proves
+    it (and the audit a real pipeline runs after every backfill).
+
+    Scale notes (100 TB): the query DECLARES aggregate-to-distinct-FKs
+    then anti-join, giving Catalyst both shapes to choose from: with a
+    broadcastable parent it pushes the anti-join BELOW the aggregate
+    (PushDownLeftSemiAntiJoin — map-side orphan filtering on the raw
+    scan, zero exchanges, the plan test pins every anti-join broadcast
+    at test SF), and with a too-big parent the declared order stands —
+    the anti-join runs on the distinct-FK aggregate, shuffling key
+    cardinality instead of fact rows.  All-integer output, so the
+    value hash is arithmetic-free."""
+    out = None
+    for child, fk, parent, pk in _Q86_RELS:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent)
+        base = c.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_fk"),
+        )
+        fks = (
+            c.filter(F.col(fk).isNotNull())
+            .groupBy(F.col(fk).alias("_fk"))
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        orphans = (
+            fks.join(
+                p.select(F.col(pk).alias("_fk")), "_fk", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias("n_orphans"))
+        )
+        rel = base.crossJoin(orphans).select(
+            F.lit(f"{child}.{fk}->{parent}.{pk}").alias("rel"),
+            "n_rows",
+            "n_null_fk",
+            "n_orphans",
+        )
+        out = rel if out is None else out.unionByName(rel)
+    return out
+
+
+# orphans use NOT EXISTS, not NOT IN: a NULL parent key would turn
+# NOT IN into UNKNOWN for every probe (three-valued logic) and report
+# zero orphans on exactly the dirty data the audit exists to catch —
+# NOT EXISTS matches Spark's left_anti semantics row-for-row
+Q86_SQL = r"""
+SELECT 'orders.o_custkey->customer.c_custkey' AS rel,
+       (SELECT count(*) FROM orders) AS n_rows,
+       (SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders) AS n_null_fk,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+         WHERE o_custkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+       (SELECT count(*) FROM lineitem),
+       (SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+         WHERE l_orderkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+UNION ALL
+SELECT 'lineitem.l_partkey->part.p_partkey',
+       (SELECT count(*) FROM lineitem),
+       (SELECT CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+         WHERE l_partkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+       (SELECT count(*) FROM lineitem),
+       (SELECT CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+         WHERE l_suppkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey))
+UNION ALL
+SELECT 'customer.c_nationkey->nation.n_nationkey',
+       (SELECT count(*) FROM customer),
+       (SELECT CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer),
+       (SELECT CAST(count(*) AS BIGINT) FROM customer
+         WHERE c_nationkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))
+UNION ALL
+SELECT 'supplier.s_nationkey->nation.n_nationkey',
+       (SELECT count(*) FROM supplier),
+       (SELECT CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM supplier),
+       (SELECT CAST(count(*) AS BIGINT) FROM supplier
+         WHERE s_nationkey IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey))
+"""
+
+
+def q66_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase per user,
+    with a 24-hour conversion deadline per stage: each later stage
+    counts only events strictly after the user's earliest qualifying
+    previous-stage event and within 24 hours of it (an unbounded
+    deadline is degenerate on a month of dense activity — everyone
+    eventually does everything).
+
+    Scale shape: three stacked window minimums over the SAME user
+    partitioning — Catalyst plans ONE exchange + sort with the window
+    operators layered on it, then a per-user distinct and a tiny stage
+    rollup.  No self-joins, no repeated scans."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    t = ev.withColumn(
+        "v", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    hour = F.expr("INTERVAL 24 HOUR")
+    t = t.withColumn(
+        "c",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("v"))
+                & (F.col("ts") <= F.col("v") + hour),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    t = t.withColumn(
+        "p",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("c"))
+                & (F.col("ts") <= F.col("c") + hour),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    stages = t.select(
+        "user_id",
+        F.when(F.col("p").isNotNull(), "purchase")
+        .when(F.col("c").isNotNull(), "click")
+        .when(F.col("v").isNotNull(), "view")
+        .otherwise("none")
+        .alias("stage"),
+    ).distinct()
+    return stages.groupBy("stage").agg(F.count("*").alias("n_users"))
+
+
+Q66_SQL = """
+WITH t1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS v
+  FROM events
+),
+t2 AS (
+  SELECT user_id, ts, event_type, v,
+         min(CASE WHEN event_type = 'click' AND ts > v
+                        AND ts <= v + INTERVAL 24 HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS c
+  FROM t1
+),
+t3 AS (
+  SELECT user_id, v, c,
+         min(CASE WHEN event_type = 'purchase' AND ts > c
+                        AND ts <= c + INTERVAL 24 HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS p
+  FROM t2
+),
+stages AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN p IS NOT NULL THEN 'purchase'
+              WHEN c IS NOT NULL THEN 'click'
+              WHEN v IS NOT NULL THEN 'view'
+              ELSE 'none' END AS stage
+  FROM t3
+)
+SELECT stage, count(*) AS n_users FROM stages GROUP BY stage
+"""
+
+
+def q67_retention_cohorts(spark, sf_dir):
+    """Daily retention cohorts: users grouped by the date of their
+    first event; for each (cohort_day, day_offset) the count of
+    distinct users active that many days later — the standard
+    engagement triangle.
+
+    Scale shape: the first-event table is an aggregation on user_id
+    and the activity join is hash-partitioned on the same key (both
+    exchanges on user_id, co-partitioned join, no broadcast needed at
+    any user count); the final rollup is cohort×offset-bounded."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+Q67_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', cohort_day, date_trunc('day', e.ts)) AS BIGINT)
+         AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN firsts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q69_rolling_anomaly(spark, sf_dir):
+    """Trailing-window anomaly ratio: each purchase compared to the
+    same user's mean purchase value over the PRECEDING 7 days — a
+    time-RANGE window frame (the only frame kind that is correct for
+    irregular event spacing; a ROWS frame would mean 'last N events'
+    regardless of when they happened).
+
+    Scale shape: one exchange on user_id, one sort, one window pass;
+    per-user frame state is a running (count, sum) pair.  Epochs are
+    integer seconds on both engines so frame membership is
+    bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-604800, -1)
+    )
+    out = p.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("*").over(w).alias("n_prev"),
+        F.avg("value").over(w).alias("mean_prev"),
+    ).filter(F.col("n_prev") >= 3)
+    return out.select(
+        "event_id",
+        "user_id",
+        "n_prev",
+        R("mean_prev", 4).alias("mean_prev"),
+        R(F.col("value") / F.col("mean_prev"), 4).alias("ratio"),
+    )
+
+
+Q69_SQL = """
+WITH p AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id, n_prev,
+       round(mean_prev, 4) AS mean_prev,
+       round(value / mean_prev, 4) AS ratio
+FROM (
+  SELECT event_id, user_id, value,
+         count(*) OVER w AS n_prev,
+         avg(value) OVER w AS mean_prev
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+               RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+)
+WHERE n_prev >= 3
+"""
+
+
+def q70_pivot_daily(spark, sf_dir):
+    """PIVOT surface: daily event counts with one column per event
+    type (explicit value list, so the schema is static and no
+    distinct-scan planning pass is needed — at 100 TB an unlisted
+    pivot would first scan the corpus just to learn the columns).
+    One hash aggregation; Spark's pivot compiles to the same
+    conditional-count plan the oracle spells out."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+Q70_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY 1
+"""

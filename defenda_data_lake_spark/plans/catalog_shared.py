@@ -1,0 +1,270 @@
+"""Shared catalog plumbing: memoized table readers, the hot-table
+cache, DuckDB-compatible rounding, and the SQL text fragments
+(normalize/shingle/minhash CTEs) reused across query families."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from defenda_data_lake_spark.utils.partitioning import SIZE_HINT_ATTR
+
+
+def R(col, n: int):
+    """Round a double the way DuckDB does: scale, round-half-away in
+    the scaled domain, unscale.  ``F.round(x, n)`` rounds the *exact*
+    decimal expansion of the double instead, which disagrees with
+    DuckDB whenever ``x * 10^n`` lands exactly on .5 after FP
+    multiplication (observed: 0.86874999... * 1e4 == 8687.5 exactly).
+    Using the same scheme on both sides makes the value-hash stable."""
+    col = F.col(col) if isinstance(col, str) else col
+    scale = 10 ** n
+    return F.round(col * scale, 0) / scale
+
+
+def _rs(expr: str, n: int) -> str:
+    """SQL-text form of :func:`R` (scale, round, unscale) for the
+    Spark-SQL-string query bodies below — textually identical semantics
+    to the DataFrame helper so either formulation value-hashes the
+    same."""
+    scale = 10 ** n
+    return f"round(({expr}) * {scale}, 0) / {scale}"
+
+
+def _sql_over(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
+    """Run a Spark-dialect SQL string over the canonical table plans.
+
+    Why SQL strings for the hot interactive queries: building the same
+    logical plan through the Python DataFrame API costs one py4j round
+    trip per expression/method (measured 0.06–0.18 s per headline query
+    at sf0.1 — as large as the query's execution), while registering
+    the memoized ``_t`` plan as a temp view and parsing one SQL string
+    is 2-3 round trips total (measured ~0.02 s).  The logical plan the
+    optimizer sees is the same; only the driver-side construction path
+    changes.  Correctness runs use the same entry point, so the SQL
+    text IS the tested query.
+
+    The analyzed DataFrame is memoized per (session, sf_dir, sql) —
+    the prepared-statement pattern: parse + analysis (~0.02 s/query)
+    runs once per session, repeated submissions reuse the resolved
+    plan.  Sound because the plan depends only on the memoized ``_t``
+    table plans for the same (session, sf_dir);
+    :func:`clear_table_cache` drops this cache with them."""
+    key = (id(spark), sf_dir, sql)
+    cached = _SQL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for t in tables:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    df = spark.sql(sql)
+    _SQL_CACHE[key] = df
+    return df
+
+
+_T_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_SQL_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    """Drop all cached table plans (and unpin any hot-cached data).
+    Call after regenerating parquet under a previously-read path — a
+    cached plan holds the file listing resolved at read time and would
+    otherwise scan the stale file set."""
+    for df in _T_CACHE.values():
+        try:
+            if df.storageLevel.useMemory or df.storageLevel.useDisk:
+                df.unpersist()
+        except Exception:
+            pass
+    _T_CACHE.clear()
+    _SQL_CACHE.clear()
+
+
+def _path_bytes(path: str) -> int | None:
+    """Total bytes of a parquet table path — a single file OR a
+    directory of part files.  ``os.path.getsize`` alone is a trap for
+    directories: it returns the inode size (~4 KB), not an error, so a
+    directory-shaped 100 GB table would read as "tiny" and poison every
+    byte-proportional policy (kernel parallelism, pair-join strategy,
+    cache admission).  Returns ``None`` for missing/remote paths."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isfile(path):
+        try:
+            return _os.path.getsize(path)
+        except OSError:
+            return None
+    if _os.path.isdir(path):
+        sizes = [
+            _os.path.getsize(p)
+            for p in _glob.glob(_os.path.join(path, "**", "*"), recursive=True)
+            if _os.path.isfile(p)
+        ]
+        return sum(sizes) if sizes else None
+    return None
+
+
+def warm_table_cache(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str] | None = None,
+    max_bytes: int = 2 << 30,
+    partitions: int | None = None,
+) -> dict[str, int]:
+    """Pin hot tables in Spark's in-memory columnar cache — the local
+    analog of a cluster's NVMe/Delta-style table cache for interactive
+    workloads that re-scan the same tables query after query.
+
+    Two things happen per table:
+
+    * the canonical plan from ``_t`` (including type coercions) is
+      ``persist()``-ed and materialized, so later queries scan cached
+      columnar batches (with min/max filter pruning) instead of
+      re-decoding parquet;
+    * tables above ~1 MB are round-robin repartitioned to
+      ``partitions`` (default ``defaultParallelism / 4``) *before*
+      caching.  A single-row-group parquet file scans as ONE task no
+      matter how many cores exist; the cached copy restores full
+      parallelism to every downstream stage for the one-time cost of
+      the caching pass itself.
+
+    Scale safety: ``max_bytes`` is a per-table budget — at 100 TB the
+    fact tables blow the budget and are skipped (their scans are
+    many-split and parallel anyway), while dimensions still pin.  This
+    is deliberately the same policy a cluster cache applies: cache what
+    is small and hot, stream what is big.
+
+    Returns {table: bytes} for the tables actually cached.  Results are
+    byte-identical with the uncached path (same plans, same rows); only
+    physical scan + parallelism change.  ``clear_table_cache`` unpins.
+    """
+    import glob as _glob
+    import os as _os
+
+    if tables is None:
+        tables = sorted(
+            _os.path.basename(p)[: -len(".parquet")]
+            for p in _glob.glob(_os.path.join(sf_dir, "*.parquet"))
+        )
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        cores = int(_os.environ.get("SPARK_GRAFT_CPUS", 32))
+    n_parts = partitions or max(8, cores // 4)
+
+    cached: dict[str, int] = {}
+    for name in tables:
+        path = _os.path.join(sf_dir, f"{name}.parquet")
+        size = _path_bytes(path)
+        if size is None:
+            continue
+        if size > max_bytes:
+            continue
+        df = _t(spark, sf_dir, name)
+        # the repartition-before-cache threshold is deliberately low:
+        # even a sub-MB single-file table strangles downstream stages
+        # to one task (a 0.6 MB documents corpus carries ~0.2 s of
+        # single-thread shingle-kernel CPU), and the exchange is paid
+        # once at cache build, never at query time
+        if size > (256 << 10):
+            df = df.repartition(n_parts)
+        df = df.persist()
+        df.count()  # materialize now — bench/queries must not pay the build
+        # a persisted plan hides its file leaves from inputFiles(), so
+        # byte-proportional policies (kernel_parallelism,
+        # scaled_keyed_partitions) would fall back to worst-case
+        # parallelism without the explicit size hint
+        setattr(df, SIZE_HINT_ATTR, size)
+        _T_CACHE[(id(spark), sf_dir, name)] = df
+        cached[name] = size
+    return cached
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table reader with a per-session DataFrame cache: re-reading the
+    same parquet path re-lists files and re-reads footers for schema
+    inference on every call — a fixed per-query cost that adds up on
+    sub-second queries.  The cached object is a lazy plan, not data
+    (see ``clear_table_cache`` for the stale-listing caveat)."""
+    key = (id(spark), sf_dir, name)
+    cached = _T_CACHE.get(key)
+    if cached is not None:
+        return cached
+    # entries from other sessions are dead weight (a stopped session's
+    # plans would otherwise stay pinned for the process lifetime)
+    for stale in [k for k in _T_CACHE if k[0] != id(spark)]:
+        del _T_CACHE[stale]
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Normalize timestamp physical encodings regardless of how the
+    # testdata generator wrote the parquet (it has changed between
+    # rounds): TIMESTAMP(NANOS) arrives as a nanos long (session sets
+    # nanosAsLong; integer `div` keeps full precision where a double
+    # division would round past 2^53), TIMESTAMP(MICROS) without the
+    # UTC flag arrives as TIMESTAMP_NTZ.  Session tz is pinned to UTC,
+    # so the NTZ→LTZ cast is value-identical and keeps every downstream
+    # expression (unix_timestamp, date_trunc, interval arithmetic) on
+    # the same semantics as the DuckDB oracle, which reads the file
+    # natively.  Applied to every known timestamp column of every
+    # table, so a generator change can't break analysis again.
+    ts_cols = {
+        "events": ["ts"],
+        "orders": ["o_orderdate"],
+        "lineitem": ["l_shipdate"],
+    }.get(name, [])
+    for c in ts_cols:
+        t = df.schema[c].dataType.typeName()
+        if t in ("long", "bigint"):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif t != "timestamp":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    size = _path_bytes(f"{sf_dir}/{name}.parquet")
+    if size is not None:
+        setattr(df, SIZE_HINT_ATTR, size)
+    _T_CACHE[key] = df
+    return df
+
+
+# ==================================================== training-data ops
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SHINGLES_SQL = f"""
+norm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS shingle
+  FROM norm
+)
+"""
+
+
+_NORM_SPARK = r"trim(regexp_replace(lower(text), '\\s+', ' '))"
+
+
+_Q31_MAX_BUCKET_DOCS = 1000
+
+
+# the MinHash CTE chain and pair select are shared by Q31 (the pair
+# list) and Q49 (connected components over the same pairs)
+_MINHASH_CTES_SQL = f"""{_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         {", ".join(
+             f"min(substr(md5({'repeat(chr(120), ' + str(i // 4) + ') || ' if i // 4 else ''}shingle), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+             for i in range(8)
+         )}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || '|' || h1 || '|' || h2 || '|' || h3 AS band_sig FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, h4 || '|' || h5 || '|' || h6 || '|' || h7 AS band_sig FROM sigs
+)"""
+
+_MINHASH_PAIRS_SELECT = """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id"""
+
+
+_Q32_MAX_SHINGLE_DOCS = 1000
