@@ -573,6 +573,33 @@ def minhash_bucket_dedupe(
     ).drop("id_s")
 
 
+def _word_chunks(
+    df: DataFrame, text_col: str, id_col: str, chunk_words: int
+) -> DataFrame:
+    """Non-overlapping word-chunk explode shared by the chunk-granularity
+    operators: ``(id, start, chunk)`` rows, one per ``chunk_words``-word
+    window of the normalized text (empty docs yield one empty chunk).
+    Pure JVM — split + sequence + explode + slice, no interpreted HOF
+    over O(L²) substrings."""
+    norm = normalized_text(F.col(text_col))
+    w = F.split(norm, " ")
+    t = df.select(
+        F.col(id_col).alias("id"), w.alias("_w"), F.size(w).alias("_n")
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1)), F.lit(chunk_words))
+    return t.select(
+        "id",
+        F.explode(starts).alias("start"),
+        "_w",
+    ).select(
+        "id",
+        "start",
+        F.array_join(F.slice(F.col("_w"), F.col("start"), chunk_words), " ").alias(
+            "chunk"
+        ),
+    )
+
+
 def chunk_level_dedupe(
     df: DataFrame,
     text_col: str = "text",
@@ -598,23 +625,7 @@ def chunk_level_dedupe(
     free); reassembly is one groupBy(doc) with a sorted collect_list
     bounded by the document's own chunk count.  Two exchanges total,
     both on high-cardinality keys."""
-    norm = normalized_text(F.col(text_col))
-    w = F.split(norm, " ")
-    t = df.select(
-        F.col(id_col).alias("id"), w.alias("_w"), F.size(w).alias("_n")
-    )
-    starts = F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1)), F.lit(chunk_words))
-    ex = t.select(
-        "id",
-        F.explode(starts).alias("start"),
-        "_w",
-    ).select(
-        "id",
-        "start",
-        F.array_join(F.slice(F.col("_w"), F.col("start"), chunk_words), " ").alias(
-            "chunk"
-        ),
-    )
+    ex = _word_chunks(df, text_col, id_col, chunk_words)
     occ = first_occurrence_key("chunk_level_dedupe")
     hashed = ex.select("id", "start", "chunk", occ.alias("occ"), F.md5("chunk").alias("h"))
     first_occ = F.min("occ").over(Window.partitionBy("h"))
@@ -630,6 +641,61 @@ def chunk_level_dedupe(
                     F.collect_list(
                         F.when(
                             ~F.col("is_dup"), F.struct("start", "chunk")
+                        )
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def boilerplate_chunk_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 20,
+    min_doc_freq: int = 3,
+) -> DataFrame:
+    """C4/CCNet boilerplate-line removal, adapted to word-chunks (this
+    corpus has no newlines): a chunk whose exact normalized content
+    occurs in at least ``min_doc_freq`` DISTINCT documents is
+    boilerplate (headers, nav bars, license blurbs) and is removed from
+    EVERY document — including the first occurrence, which is what
+    distinguishes this from :func:`chunk_level_dedupe` (first
+    occurrence wins there).  The C4 paper's rule is the three-sentence
+    span seen in ≥3 documents; ``min_doc_freq`` parameterizes that.
+
+    Returns ``(id, n_chunks, n_boiler, clean_text)``.
+
+    Plan shape (scale): chunking is pure JVM (split + explode + slice);
+    document frequency is ONE aggregation keyed by the md5 chunk hash
+    (count(DISTINCT id) — two-phase under the hood, uniform skew-free
+    keys); the frequency table hash-joins back on the same key (the
+    chunk-frequency table is Heaps-law unbounded, so it is never
+    broadcast); reassembly is one groupBy(doc) with a sorted
+    collect_list bounded by the document's own chunk count.  No
+    first-occurrence ordering is needed, so — unlike
+    ``chunk_level_dedupe`` — ids carry no sign/NULL constraint."""
+    ex = _word_chunks(df, text_col, id_col, chunk_words)
+    hashed = ex.select("id", "start", "chunk", F.md5("chunk").alias("h"))
+    freq = hashed.groupBy("h").agg(F.count_distinct("id").alias("df_docs"))
+    flagged = hashed.join(freq, "h").select(
+        "id",
+        "start",
+        "chunk",
+        (F.col("df_docs") >= min_doc_freq).alias("is_boiler"),
+    )
+    return flagged.groupBy("id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_boiler"), F.struct("start", "chunk")
                         )
                     )
                 ),

@@ -452,3 +452,99 @@ def group_token_budget_select(
             int(num)
         )
     return sel.filter(keep).select(*cols, out)
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    alpha: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every document by how much more
+    likely its content is under a TARGET-domain bag-of-hashed-ngrams
+    model than under the raw-corpus model.  Documents with high
+    weights "look like" the target domain; resampling the corpus by
+    these weights is the standard recipe for building a domain-matched
+    pretraining mix from a general crawl.
+
+    ``target`` is a boolean Column over ``df``'s rows marking the
+    target-domain examples (e.g. ``F.col("lang") == "en"``); the raw
+    model is the whole corpus, so every scored feature bucket is
+    guaranteed a nonzero raw count.
+
+    Features are unigrams + bigrams of the normalized text, hashed
+    into ``buckets`` buckets via the first 8 hex chars of md5 — the
+    same engine-portable scheme as :func:`hash_bucket`, so a SQL
+    oracle replays the bucketing bit-for-bit.  Bucket probabilities
+    are add-``alpha`` smoothed; the per-document weight is the MEAN of
+    ``ln(p_target(b)/p_raw(b))`` over the document's feature
+    OCCURRENCES (length-normalized log importance weight — the paper's
+    sum-form ranks long documents first regardless of fit).
+
+    Returns ``(id, n_feats, avg_logw)`` (un-rounded; callers round).
+
+    Plan shape (scale): feature explode is pure JVM (split + zip_with
+    bigrams — slice-based, so one-word docs yield an empty bigram
+    array, never a descending ``sequence``); bucket counts for BOTH
+    models come from ONE corpus pass (a single agg keyed by the
+    ≤``buckets``-row bucket id, carrying raw and target counts
+    together); totals + log-ratios are arithmetic over that tiny
+    table, which then BROADCASTS back into the feature stream; the
+    only corpus-sized exchange is the final per-doc mean.  Nothing
+    here is skew-prone: bucket ids are md5-uniform by construction."""
+    from defenda_data_lake_spark.operators.dedup import normalized_text
+
+    norm = normalized_text(F.col(text_col))
+    w = F.split(norm, " ")
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        target.alias("_is_target"),
+        F.explode(F.concat(w, bigrams)).alias("feat"),
+    ).select(
+        "id",
+        "_is_target",
+        (
+            F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
+            % buckets
+        ).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.count("*").alias("raw_c"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tgt_c"),
+    )
+    if materialize:
+        # the counts table is <= `buckets` rows but sits on a full
+        # corpus pass; without pinning it, the totals row and the
+        # ratio broadcast would each recompute the feature explode —
+        # THREE corpus passes instead of two (the q92 precedent)
+        counts = counts.localCheckpoint(eager=True)
+    # totals via a one-row broadcast crossJoin (the q97-datasheet
+    # pattern): the counts table is <= `buckets` rows, the totals one
+    torow = counts.agg(
+        F.sum("raw_c").alias("_raw_tot"), F.sum("tgt_c").alias("_tgt_tot")
+    )
+    denom = alpha * buckets
+    ratios = counts.crossJoin(F.broadcast(torow)).select(
+        "bucket",
+        F.log(
+            ((F.col("tgt_c") + F.lit(alpha)) / (F.col("_tgt_tot") + F.lit(denom)))
+            / ((F.col("raw_c") + F.lit(alpha)) / (F.col("_raw_tot") + F.lit(denom)))
+        ).alias("logr"),
+    )
+    return (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.avg("logr").alias("avg_logw"),
+        )
+    )

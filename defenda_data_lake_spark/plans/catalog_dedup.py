@@ -784,3 +784,43 @@ ranked AS (
 SELECT doc_id, cluster_id, cluster_size, n_chars
 FROM ranked WHERE rk = 1
 """
+
+
+def q111_boilerplate_removal(spark, sf_dir):
+    """C4-style boilerplate removal (``dedup.boilerplate_chunk_removal``):
+    20-word chunks whose exact normalized content occurs in >= 2
+    DISTINCT documents are removed from EVERY document — including the
+    first occurrence, which is the semantic difference from q78's
+    first-occurrence-wins chunk dedup (C4 drops the repeated span
+    everywhere; CCNet keeps one copy).  min_doc_freq=2 on this corpus:
+    the df>=2 chunks come from planted near-dup families sharing
+    aligned spans (~50-60 chunks at the test SFs; C4's literal >=3
+    rule would match only ~5).  One agg + one
+    hash join, both keyed by the uniform md5 chunk hash, then one
+    per-doc reassembly — no window over the corpus-wide hash
+    partitioning, no first-occurrence ordering, no id sign constraint."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.boilerplate_chunk_removal(docs, chunk_words=20, min_doc_freq=2)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_chunks", "n_boiler", "clean_text"
+    )
+
+
+Q111_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+ch AS (
+  SELECT doc_id, s AS start, array_to_string(ws[s : s + 19], ' ') AS chunk
+  FROM w, unnest(range(1, greatest(len(ws), 1) + 1, 20)) AS u(s)
+),
+hh AS (SELECT doc_id, start, chunk, md5(chunk) AS h FROM ch),
+freq AS (SELECT h, count(DISTINCT doc_id) AS df_docs FROM hh GROUP BY h),
+fl AS (SELECT doc_id, start, chunk, (df_docs >= 2) AS is_boiler
+       FROM hh JOIN freq USING (h))
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       coalesce(string_agg(CASE WHEN NOT is_boiler THEN chunk END, ' ' ORDER BY start), '') AS clean_text
+FROM fl GROUP BY doc_id
+"""

@@ -429,3 +429,52 @@ SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, n_chars,
        round(priority * 100000000, 0) / 100000000 AS priority
 FROM ranked WHERE sample_rank <= 20
 """
+
+
+def q112_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (``sampling.dsir_importance_weights``,
+    Xie et al. 2023): every document scored by the mean log ratio of
+    target-domain vs raw-corpus probability over its hashed
+    unigram+bigram features (1024 md5 buckets, add-0.5 smoothing),
+    with the English subcorpus as the target domain — the standard
+    recipe for selecting domain-matched pretraining data from a
+    general crawl.  ONE corpus pass builds both bucket models (a
+    single agg carrying raw and target counts), the 1024-row log-ratio
+    table broadcasts back into the feature stream, and the only
+    corpus-sized exchange is the final per-doc mean."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SA.dsir_importance_weights(
+        docs, F.col("lang") == "en", buckets=1024, alpha=0.5
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_feats",
+        R("avg_logw", 4).alias("avg_logw"),
+    )
+
+
+Q112_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+),
+w AS (SELECT doc_id, lang, string_split(t, ' ') AS ws FROM norm),
+uni AS (SELECT doc_id, lang, unnest(ws) AS feat FROM w),
+bi AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS feat
+       FROM w, unnest(range(1, len(ws))) AS u(i)),
+feats AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 1024 AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+counts AS (SELECT bucket, count(*) AS raw_c,
+                  sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_c
+           FROM feats GROUP BY bucket),
+tot AS (SELECT sum(raw_c) AS raw_tot, sum(tgt_c) AS tgt_tot FROM counts),
+ratios AS (SELECT bucket,
+                  ln(((tgt_c + 0.5) / (tgt_tot + 512.0)) /
+                     ((raw_c + 0.5) / (raw_tot + 512.0))) AS logr
+           FROM counts, tot)
+SELECT doc_id, count(*) AS n_feats, round(avg(logr), 4) AS avg_logw
+FROM feats JOIN ratios USING (bucket)
+GROUP BY doc_id
+"""
