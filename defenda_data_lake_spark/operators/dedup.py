@@ -677,8 +677,19 @@ def boilerplate_chunk_removal(
     broadcast); reassembly is one groupBy(doc) with a sorted
     collect_list bounded by the document's own chunk count.  No
     first-occurrence ordering is needed, so — unlike
-    ``chunk_level_dedupe`` — ids carry no sign/NULL constraint."""
-    ex = _word_chunks(df, text_col, id_col, chunk_words)
+    ``chunk_level_dedupe`` — ids carry no sign/NULL constraint.
+
+    NULL text is treated as empty text (one empty chunk): a bare
+    ``md5(chunk)`` would hash NULL to NULL and the inner join on the
+    hash would silently DROP the document from the cleaned corpus —
+    violating the no-row-lost contract every other operator here
+    honors."""
+    ex = _word_chunks(
+        df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))),
+        text_col,
+        id_col,
+        chunk_words,
+    )
     hashed = ex.select("id", "start", "chunk", F.md5("chunk").alias("h"))
     freq = hashed.groupBy("h").agg(F.count_distinct("id").alias("df_docs"))
     flagged = hashed.join(freq, "h").select(

@@ -498,7 +498,10 @@ def dsir_importance_weights(
     here is skew-prone: bucket ids are md5-uniform by construction."""
     from defenda_data_lake_spark.operators.dedup import normalized_text
 
-    norm = normalized_text(F.col(text_col))
+    # NULL text scores as empty text (one '' unigram): a NULL feature
+    # array would explode to zero rows and silently drop the document
+    # from the scored output — every document must receive a weight
+    norm = normalized_text(F.coalesce(F.col(text_col), F.lit("")))
     w = F.split(norm, " ")
     bigrams = F.zip_with(
         F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),

@@ -808,7 +808,7 @@ def q111_boilerplate_removal(spark, sf_dir):
 
 Q111_SQL = r"""
 WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+  SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS t FROM documents
 ),
 w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
 ch AS (

@@ -455,7 +455,7 @@ def q112_dsir_weights(spark, sf_dir):
 
 Q112_SQL = r"""
 WITH norm AS (
-  SELECT doc_id, lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+  SELECT doc_id, lang, trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS t FROM documents
 ),
 w AS (SELECT doc_id, lang, string_split(t, ' ') AS ws FROM norm),
 uni AS (SELECT doc_id, lang, unnest(ws) AS feat FROM w),

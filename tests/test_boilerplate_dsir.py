@@ -82,6 +82,34 @@ def test_boilerplate_negative_ids_allowed(spark):
     assert out == {-1: 1, 2: 1}
 
 
+def test_null_text_docs_are_never_dropped(spark):
+    """NULL text behaves as empty text in both round-8 operators: a
+    bare md5/explode of NULL would silently drop the document (inner
+    join on a NULL hash; explode of a NULL array), violating the
+    no-row-lost contract."""
+    from defenda_data_lake_spark.operators.dedup import boilerplate_chunk_removal
+    from defenda_data_lake_spark.operators.sampling import dsir_importance_weights
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "en", None), (3, "fr", "a b c")],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    cleaned = {
+        r["id"]: (r["n_chunks"], r["clean_text"])
+        for r in boilerplate_chunk_removal(
+            docs, chunk_words=3, min_doc_freq=2
+        ).collect()
+    }
+    assert set(cleaned) == {1, 2, 3}
+    assert cleaned[2] == (1, "")  # one empty chunk, retained
+    scored = {
+        r["id"]: r["n_feats"]
+        for r in dsir_importance_weights(docs, F.col("lang") == "en").collect()
+    }
+    assert set(scored) == {1, 2, 3}
+    assert scored[2] == 1  # the single '' unigram
+
+
 def test_q111_plan_no_nested_loop(spark):
     from defenda_data_lake_spark.plans.catalog import CATALOG
 
