@@ -531,3 +531,88 @@ SELECT n_test, tp, fp, fn, tn,
              THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END * 10000, 0) / 10000 AS f1
 FROM cm
 """
+
+
+def q113_cdc_apply(spark, sf_dir):
+    """CDC apply (``operators/cdc.py``): fold a Debezium-style
+    insert/update/delete change log into the documents snapshot —
+    MERGE with deletes and sequence collapsing, the current-state twin
+    of q99's SCD-2 history.  The change stream is manufactured
+    deterministically from the table itself (the q42/q94/q109 synthetic-
+    drift pattern) and exercises every semantic branch: two 'U's per
+    key where the later seq must win, a net delete, a delete-then-
+    reinsert where the 'I' must win, and brand-new keys.  Collapsing
+    plans as WindowGroupLimit (partition-local top-2 prune before the
+    single key exchange — the tie guard rides the same window); the
+    apply is one anti-join plus a union, snapshot scanned once."""
+    from defenda_data_lake_spark.operators import cdc as C
+
+    docs = _t(spark, sf_dir, "documents")
+    snap = docs.select("doc_id", "source", "n_chars")
+    base = docs.select(
+        "doc_id", "source", "n_chars", (F.col("doc_id") % 10).alias("_m")
+    )
+
+    def ch(flt, op, seq, doc_id, source, n_chars):
+        return base.filter(flt).select(
+            F.lit(op).alias("op"),
+            seq.cast("long").alias("seq"),
+            doc_id.cast("long").alias("doc_id"),
+            source.alias("source"),
+            n_chars.cast("long").alias("n_chars"),
+        )
+
+    did, src, nch = F.col("doc_id"), F.col("source"), F.col("n_chars")
+    changes = (
+        # superseded update, then the winner (later seq)
+        ch(F.col("_m") < 2, "U", did * 2, did, src, nch + 500)
+        .unionByName(ch(F.col("_m") < 2, "U", did * 2 + 1, did, src, nch + 1000))
+        # net delete
+        .unionByName(ch(F.col("_m") == 2, "D", did * 2, did, src, nch))
+        # delete superseded by a re-insert
+        .unionByName(ch(F.col("_m") == 3, "D", did * 2, did, src, nch))
+        .unionByName(
+            ch(F.col("_m") == 3, "I", did * 2 + 1, did, F.lit("resync"), nch + 7)
+        )
+        # brand-new keys
+        .unionByName(
+            ch(F.lit(True), "I", F.lit(1), did + 1000000, F.lit("cdc"), did % 977)
+        )
+    )
+    out = C.cdc_apply(snap, changes, ["doc_id"])
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+Q113_SQL = """
+WITH base AS (SELECT doc_id, source, n_chars, doc_id % 10 AS m FROM documents),
+changes AS (
+  SELECT 'U' AS op, doc_id * 2 AS seq, doc_id, source, n_chars + 500 AS n_chars
+  FROM base WHERE m < 2
+  UNION ALL
+  SELECT 'U', doc_id * 2 + 1, doc_id, source, n_chars + 1000 FROM base WHERE m < 2
+  UNION ALL
+  SELECT 'D', doc_id * 2, doc_id, source, n_chars FROM base WHERE m = 2
+  UNION ALL
+  SELECT 'D', doc_id * 2, doc_id, source, n_chars FROM base WHERE m = 3
+  UNION ALL
+  SELECT 'I', doc_id * 2 + 1, doc_id, 'resync', n_chars + 7 FROM base WHERE m = 3
+  UNION ALL
+  SELECT 'I', 1, doc_id + 1000000, 'cdc', doc_id % 977 FROM base
+),
+net AS (
+  SELECT op, seq, doc_id, source, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+),
+survivors AS (
+  SELECT s.doc_id, s.source, s.n_chars
+  FROM documents s LEFT JOIN net n ON s.doc_id = n.doc_id
+  WHERE n.doc_id IS NULL
+)
+SELECT doc_id, source, n_chars FROM survivors
+UNION ALL
+SELECT doc_id, source, n_chars FROM net WHERE op <> 'D'
+"""

@@ -1,0 +1,233 @@
+"""Streaming CDC maintenance: a persisted current-state snapshot kept
+live by a change-data-capture stream (insert/update/delete rows with a
+monotone ``seq``), one micro-batch at a time — the streaming twin of
+``operators/cdc.py``'s batch apply and the current-state sibling of
+``streaming/scd.py`` (which keeps full history).
+
+Fold law: each batch is collapsed to its per-key net effect
+(:func:`~defenda_data_lake_spark.operators.cdc.cdc_collapse`) and
+applied over the snapshot; the result equals a single batch
+``cdc_apply`` over the concatenated change log PROVIDED the log is
+delivered in non-decreasing ``seq`` order per key across batches — the
+property every real CDC transport (binlog, LSN, Kinesis shard)
+provides.  Violations are DETECTED per key: every snapshot row carries
+``_last_seq``, and a change with ``seq`` strictly below it is late —
+``on_late='error'`` (default) fails the batch, ``'drop'`` discards and
+counts.  A change with ``seq`` EQUAL to ``_last_seq`` re-applies
+idempotently (same seq ⇒ same content under the transport's
+uniqueness), which makes the fold itself idempotent — a crash between
+the table write and the ``_last_batch_id`` marker write is repaired by
+the redelivered batch folding to the identical table, closing the
+residual window ``streaming/scd.py`` documents.  The one blind spot is
+tombstone-free deletes: once a key's row is gone its ``_last_seq`` is
+gone, so a late change for a deleted key re-inserts it undetected
+(standard for snapshot stores without tombstone retention; keep the
+log's retention ≥ the maximum delivery skew if that matters).  And as
+with any schema-on-read parquet table, a snapshot whose every row has
+been deleted has no files left to infer a schema from — the next fold
+must treat it as a fresh table.
+
+Scale: the snapshot is hash-bucketed on the key
+(``kb = pmod(hash(keys), num_buckets)`` partition directories); a
+batch reads back and dynamically overwrites ONLY the buckets its keys
+touch — steady-state cost per trigger is O(batch + touched buckets),
+independent of snapshot size (the rollup/SCD-maintenance trade).  All
+steps are key-equi joins between the batch's net changes (small) and
+the touched buckets; nothing driver-side beyond the touched-bucket
+value list (≤ ``num_buckets`` entries).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from defenda_data_lake_spark.operators.cdc import cdc_collapse
+from defenda_data_lake_spark.streaming.rollup import (
+    _read_last_batch_id,
+    _write_last_batch_id,
+)
+
+
+def _bucket(keys: Sequence[str], num_buckets: int):
+    return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_buckets))
+
+
+def fold_cdc_batch(
+    spark: SparkSession,
+    path: str,
+    batch_df: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    num_buckets: int = 16,
+    on_late: str = "error",
+    table_exists: bool | None = None,
+) -> dict:
+    """Fold ONE batch of change rows into the snapshot at ``path``.
+    Returns ``{"applied": n, "deleted": n, "late_dropped": n,
+    "touched_buckets": [...]}``.  Usable directly for incremental
+    BATCH maintenance too (a nightly change extract is just a big
+    micro-batch)."""
+    if on_late not in ("error", "drop"):
+        raise ValueError("on_late must be 'error' or 'drop'")
+    keys = list(key_cols)
+    payload = [c for c in batch_df.columns if c not in (op_col, seq_col)]
+    cols = [*payload, "_last_seq", "kb"]
+
+    if table_exists is None:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        table_exists = p.getFileSystem(conf).exists(p)
+
+    net = cdc_collapse(batch_df, keys, seq_col=seq_col, op_col=op_col)
+
+    if not table_exists:
+        rows = (
+            net.filter(F.col(op_col) != "D")
+            .select(*payload, F.col(seq_col).alias("_last_seq"))
+            .withColumn("kb", _bucket(keys, num_buckets))
+            .select(*cols)
+            .localCheckpoint(eager=True)
+        )
+        rows.write.mode("overwrite").partitionBy("kb").parquet(path)
+        touched = [r[0] for r in rows.select("kb").distinct().collect()]
+        return {
+            "applied": rows.count(),
+            "deleted": 0,
+            "late_dropped": 0,
+            "touched_buckets": sorted(touched),
+        }
+
+    src = net.withColumn("kb", _bucket(keys, num_buckets))
+    touched = [r[0] for r in src.select("kb").distinct().collect()]
+    if not touched:
+        return {
+            "applied": 0, "deleted": 0, "late_dropped": 0,
+            "touched_buckets": [],
+        }
+    tbl = spark.read.parquet(path).filter(F.col("kb").isin(touched))
+
+    # ---- late-arrival guard against each row's per-key seq HWM.
+    # Strict '<': an EQUAL seq is the idempotent redelivery of the
+    # change that produced the row and must re-apply cleanly.
+    hwm = tbl.select(*keys, F.col("_last_seq").alias("_hwm_seq"))
+    marked = src.join(hwm, keys, "left").withColumn(
+        "_late",
+        F.col("_hwm_seq").isNotNull() & (F.col(seq_col) < F.col("_hwm_seq")),
+    )
+    late_dropped = 0
+    if on_late == "error":
+        n_late = marked.filter("_late").count()
+        if n_late:
+            raise RuntimeError(
+                f"{n_late} change(s) arrived behind a key's folded seq "
+                f"high-water mark; a snapshot fold cannot apply changes "
+                f"retroactively.  Rebuild from the full log (one "
+                f"fold_cdc_batch over the concatenated history) or use "
+                f"on_late='drop'."
+            )
+        clean = marked
+    else:
+        kept = marked.filter(~F.col("_late")).localCheckpoint(eager=True)
+        late_dropped = marked.count() - kept.count()
+        clean = kept
+    clean = clean.drop("_hwm_seq", "_late")
+
+    survivors = tbl.join(clean.select(*keys), keys, "left_anti").drop("kb")
+    upserts = clean.filter(F.col(op_col) != "D").select(
+        *payload, F.col(seq_col).alias("_last_seq")
+    )
+    merged = (
+        survivors.unionByName(upserts)
+        .withColumn("kb", _bucket(keys, num_buckets))
+        .select(*cols)
+        # materialize BEFORE the dynamic overwrite: merged reads the
+        # same parquet buckets the write replaces
+        .localCheckpoint(eager=True)
+    )
+    n_applied = upserts.count()
+    n_deleted = clean.filter(F.col(op_col) == "D").count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("kb").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite replaces only partitions PRESENT in the written
+    # data — a touched bucket whose every row was net-deleted produces
+    # no rows, so its stale files would silently survive (deleted keys
+    # resurrecting).  Such buckets are exactly (touched − written):
+    # every row in them was superseded by this batch.  Remove them.
+    written = {r[0] for r in merged.select("kb").distinct().collect()}
+    if set(touched) - written:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for kb in sorted(set(touched) - written):
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/kb={kb}")
+            fs = p.getFileSystem(conf)
+            if fs.exists(p):
+                fs.delete(p, True)
+    return {
+        "applied": int(n_applied),
+        "deleted": int(n_deleted),
+        "late_dropped": int(late_dropped),
+        "touched_buckets": sorted(touched),
+    }
+
+
+def start_cdc_maintenance(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    checkpoint_path: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    num_buckets: int = 16,
+    on_late: str = "error",
+    trigger_seconds: int | None = 60,
+    query_name: str = "cdc_maintenance",
+    on_batch: Callable[[int, dict], None] | None = None,
+) -> StreamingQuery:
+    """Maintain the snapshot at ``path`` from a change stream.  Same
+    restart contract as ``start_rollup_maintenance`` /
+    ``start_scd2_maintenance``: the ``_last_batch_id`` marker makes
+    checkpoint redeliveries no-ops (and the fold is itself idempotent,
+    so even the marker-gap residual window repairs itself — see the
+    module docstring).  ``num_buckets`` is a TABLE constant — changing
+    it on an existing snapshot strands rows in stale buckets; rebuild
+    instead.  ``on_batch(batch_id, stats)`` is an observability hook."""
+    spark = stream_df.sparkSession
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        last = _read_last_batch_id(spark, path)
+        if batch_id <= last:
+            return
+        stats = fold_cdc_batch(
+            spark,
+            path,
+            batch_df,
+            key_cols,
+            seq_col=seq_col,
+            op_col=op_col,
+            num_buckets=num_buckets,
+            on_late=on_late,
+            table_exists=last >= 0,
+        )
+        _write_last_batch_id(spark, path, batch_id)
+        if on_batch is not None:
+            on_batch(batch_id, stats)
+
+    writer = stream_df.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_path
+    ).queryName(query_name)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -54,7 +54,7 @@ def test_window_covers_round8_changed_and_new():
     # hamming_block_pairs; q109-q112 are new in round 8
     changed = [
         "q42_simhash_pairs", "q109_image_dhash", "q110_domain_curation",
-        "q111_boilerplate_removal", "q112_dsir_weights",
+        "q111_boilerplate_removal", "q112_dsir_weights", "q113_cdc_apply",
     ]
     missing = [n for n in changed if n not in window]
     assert not missing, missing
@@ -62,11 +62,13 @@ def test_window_covers_round8_changed_and_new():
         "q24_presto_text", "q25_percentile_stats", "q26_regexp_count",
         "q33_text_tokens", "q38_dataset_split", "q44_multimodal_decode",
     ]
-    # q73/q77 were displaced from the r6 block by q111/q112: they are
-    # r6-driver-green but will be 3 rounds stale by round 9, so they
-    # MUST lead round 9's window — pinned at tail slots 50-51 exactly
-    # like the round-7 q24-q26 precedent.
-    assert list(CATALOG)[50:52] == ["q73_semdedup", "q77_bucket_dedupe"]
+    # q73/q77/q70 were displaced from the r6 block by q111-q113: they
+    # are r6-driver-green but will be 3 rounds stale by round 9, so
+    # they MUST lead round 9's window — pinned at tail slots 50-52
+    # exactly like the round-7 q24-q26 precedent.
+    assert list(CATALOG)[50:53] == [
+        "q73_semdedup", "q77_bucket_dedupe", "q70_pivot_daily",
+    ]
     # no entry may go >2 rounds without a driver check: everything
     # outside the round-8 window must have been driver-verified in r6
     # (the seven headline spills, bench-exercised every round, plus
@@ -75,7 +77,7 @@ def test_window_covers_round8_changed_and_new():
         "q01_pricing_summary", "q03_shipping_priority",
         "q05_regional_revenue", "q10_window_rank", "q30_dedup_exact",
         "q31_dedup_minhash", "q36_text_fingerprint",
-        "q73_semdedup", "q77_bucket_dedupe",
+        "q73_semdedup", "q77_bucket_dedupe", "q70_pivot_daily",
     }
     for n in list(CATALOG)[50:]:
         if n in r6_verified_tail:
