@@ -221,3 +221,85 @@ WHERE bit_count(CAST(xor(CAST(a.sig AS UBIGINT), CAST(b.sig AS UBIGINT)) AS UBIG
 
 
 Q109_SQL = _dhash_sql()
+
+
+def q114_audio_fingerprint(spark, sf_dir):
+    """Audio near-duplicate pairs by perceptual envelope fingerprint
+    (multimodal.py ``audio_near_duplicates``) — the audio twin of
+    q109's image dHash, closing the multimodal-dedup family (text ✓
+    image ✓ audio now ✓).  The corpus is manufactured REAL WAVs
+    (``synthetic_pcm_wav``: sample i = a linear map of code point i of
+    the text; the container ships no audio dataset), so the query
+    exercises the genuine RIFF round trip — WAV encode -> stdlib
+    decode -> int16 samples -> 65 two-sample energy frames over the
+    FIRST 130 samples -> 64-bit gradient-sign fingerprint — and the
+    oracle replays the fingerprint from the SAME code points without
+    any codec.  The fixed head window (not length-proportional
+    frames) is what makes the hash edit-robust: proportional
+    boundaries shift with every insertion, flipping 10+ bits between
+    near-dup clips (measured — zero pairs at hamming<=3), while the
+    fixed window keeps aligned content aligned, the same reason image
+    dHash uses a fixed 9x8 grid.  The |sample| = 256 *
+    |codepoint%256 - 128| scale factor cancels inside the strict
+    energy comparisons, so the oracle sums the unscaled code-point
+    magnitudes.  Docs shorter than 130 chars are excluded on both
+    sides: they cannot fill the window.
+
+    Scale: fingerprint once per clip (16 bytes out regardless of clip
+    length), then the shared pigeonhole Hamming block join — one keyed
+    exchange, complete recall at hamming <= 3 with 4 blocks, no
+    cartesian."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 130)
+    media = M.synthetic_pcm_wav(docs, text_col="text", id_col="doc_id")
+    return M.audio_near_duplicates(media, max_hamming=3)
+
+
+def _afp_sql(max_hamming: int = 3) -> str:
+    """Reproduce the envelope fingerprint in DuckDB: text code points
+    -> |cp%256 - 128| magnitudes -> 65 two-sample frames over the
+    first 130 -> gradient-sign bits (weight ``2^j``) -> 16-bit block
+    join -> Hamming verify — the q109 generated-SQL pattern.  The WAV
+    encode/decode round trip is sample-identity (PCM is lossless) and
+    the int16 scale factor cancels in the comparisons, so replaying
+    the MAGNITUDES replays the fingerprint."""
+    bit_terms = "\n        + ".join(
+        f"(CASE WHEN e[{j + 2}] > e[{j + 1}] "
+        f"THEN CAST({1 << j} AS UHUGEINT) "
+        f"ELSE CAST(0 AS UHUGEINT) END)"
+        for j in range(64)
+    )
+    block_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sig, {blk} AS blk, "
+        f"(sig // {1 << (16 * blk)}) % 65536 AS bkey FROM sigs"
+        for blk in range(4)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(0, 130), i ->
+           abs((unicode(substr(text, CAST(i + 1 AS INT), 1)) % 256) - 128)) AS a
+  FROM documents WHERE n_chars >= 130
+),
+fr AS (
+  SELECT doc_id,
+         list_transform(range(0, 65), j ->
+           a[CAST(2 * j + 1 AS INT)] + a[CAST(2 * j + 2 AS INT)]) AS e
+  FROM s
+),
+sigs AS (
+  SELECT doc_id,
+        {bit_terms} AS sig
+  FROM fr
+),
+blocked AS (
+{block_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(CAST(xor(CAST(a.sig AS UBIGINT), CAST(b.sig AS UBIGINT)) AS UBIGINT)) AS INT) AS hamming
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(CAST(xor(CAST(a.sig AS UBIGINT), CAST(b.sig AS UBIGINT)) AS UBIGINT)) <= {max_hamming}
+"""
+
+
+Q114_SQL = _afp_sql()

@@ -55,6 +55,7 @@ def test_window_covers_round8_changed_and_new():
     changed = [
         "q42_simhash_pairs", "q109_image_dhash", "q110_domain_curation",
         "q111_boilerplate_removal", "q112_dsir_weights", "q113_cdc_apply",
+        "q114_audio_fingerprint",
     ]
     missing = [n for n in changed if n not in window]
     assert not missing, missing
@@ -62,12 +63,13 @@ def test_window_covers_round8_changed_and_new():
         "q24_presto_text", "q25_percentile_stats", "q26_regexp_count",
         "q33_text_tokens", "q38_dataset_split", "q44_multimodal_decode",
     ]
-    # q73/q77/q70 were displaced from the r6 block by q111-q113: they
-    # are r6-driver-green but will be 3 rounds stale by round 9, so
-    # they MUST lead round 9's window — pinned at tail slots 50-52
+    # q73/q77/q70/q69 were displaced from the r6 block by q111-q114:
+    # they are r6-driver-green but will be 3 rounds stale by round 9,
+    # so they MUST lead round 9's window — pinned at tail slots 50-53
     # exactly like the round-7 q24-q26 precedent.
-    assert list(CATALOG)[50:53] == [
+    assert list(CATALOG)[50:54] == [
         "q73_semdedup", "q77_bucket_dedupe", "q70_pivot_daily",
+        "q69_rolling_anomaly",
     ]
     # no entry may go >2 rounds without a driver check: everything
     # outside the round-8 window must have been driver-verified in r6
@@ -78,6 +80,7 @@ def test_window_covers_round8_changed_and_new():
         "q05_regional_revenue", "q10_window_rank", "q30_dedup_exact",
         "q31_dedup_minhash", "q36_text_fingerprint",
         "q73_semdedup", "q77_bucket_dedupe", "q70_pivot_daily",
+        "q69_rolling_anomaly",
     }
     for n in list(CATALOG)[50:]:
         if n in r6_verified_tail:
