@@ -59,6 +59,15 @@ def cdc_collapse(
                 f"' (expected I/U/D)'))"
             )
         ),
+    ).withColumn(
+        # a NULL seq has no position in the log's total order: it
+        # would lose every desc comparison and silently "win" alone,
+        # and downstream a NULL _last_seq permanently disables the
+        # late-arrival guard for its key — fail loudly instead
+        seq_col,
+        F.when(F.col(seq_col).isNotNull(), F.col(seq_col)).otherwise(
+            F.expr(f"raise_error('cdc_collapse: NULL {seq_col}')")
+        ),
     )
     # rank(), not row_number(): ties at the winning seq all get rank 1
     # and SURVIVE the prune, where the tie guard below can see them.

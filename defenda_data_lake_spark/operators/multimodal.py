@@ -797,15 +797,27 @@ def _audio_fp64(payload: bytes) -> int | None:
     energy[j]``; SIGNED int64 for Spark LongType.  Needs n >= 130
     samples; shorter payloads return None (they cannot fill the
     window)."""
+    import io
+    import wave
+
     import numpy as np
 
     if payload is None or len(payload) == 0:
         return None
-    n_frames, _rate, channels, pcm = _decode_wav(bytes(payload))
-    if channels != 1:
-        raise ValueError(
-            f"audio_fingerprint: expected mono PCM, got {channels} channels"
-        )
+    # open directly (not via _decode_wav) because the sample WIDTH must
+    # be checked too: reinterpreting 8- or 24-bit PCM as int16 would
+    # silently fingerprint garbage instead of failing loudly
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        channels, width = w.getnchannels(), w.getsampwidth()
+        if channels != 1:
+            raise ValueError(
+                f"audio_fingerprint: expected mono PCM, got {channels} channels"
+            )
+        if width != 2:
+            raise ValueError(
+                f"audio_fingerprint: expected 16-bit PCM, got {8 * width}-bit"
+            )
+        pcm = w.readframes(w.getnframes())
     s = np.abs(np.frombuffer(pcm, dtype="<i2").astype(np.int64))
     if len(s) < _AFP_WINDOW:
         return None

@@ -248,7 +248,11 @@ def q114_audio_fingerprint(spark, sf_dir):
     Scale: fingerprint once per clip (16 bytes out regardless of clip
     length), then the shared pigeonhole Hamming block join — one keyed
     exchange, complete recall at hamming <= 3 with 4 blocks, no
-    cartesian."""
+    cartesian.  The oracle filters on n_chars AND length(text): the
+    Spark side's effective predicate is the conjunction (the n_chars
+    filter selects docs, then sub-130-SAMPLE clips fingerprint to NULL
+    and drop), and the two only coincide while n_chars == length(text)
+    — the q109 oracle defends the same way."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 130)
     media = M.synthetic_pcm_wav(docs, text_col="text", id_col="doc_id")
     return M.audio_near_duplicates(media, max_hamming=3)
@@ -278,7 +282,7 @@ WITH s AS (
   SELECT doc_id,
          list_transform(range(0, 130), i ->
            abs((unicode(substr(text, CAST(i + 1 AS INT), 1)) % 256) - 128)) AS a
-  FROM documents WHERE n_chars >= 130
+  FROM documents WHERE n_chars >= 130 AND length(text) >= 130
 ),
 fr AS (
   SELECT doc_id,

@@ -51,10 +51,11 @@ from defenda_data_lake_spark.streaming.rollup import (
     _read_last_batch_id,
     _write_last_batch_id,
 )
-
-
-def _bucket(keys: Sequence[str], num_buckets: int):
-    return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_buckets))
+from defenda_data_lake_spark.streaming._tables import (
+    bucket_col as _bucket,  # ONE bucket definition across scd/cdc tables
+    parquet_has_data as _parquet_has_data,
+    path_exists as _path_exists,
+)
 
 
 def fold_cdc_batch(
@@ -80,12 +81,22 @@ def fold_cdc_batch(
     cols = [*payload, "_last_seq", "kb"]
 
     if table_exists is None:
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        table_exists = p.getFileSystem(conf).exists(p)
+        table_exists = _path_exists(spark, path)
+    if table_exists and not _parquet_has_data(spark, path):
+        # a batch that net-deleted every remaining row left the table
+        # with a directory and marker but NO data files — reading it
+        # would fail schema inference forever, wedging the stream.
+        # Treat it as a fresh table (the net effect of the emptied
+        # history is exactly "nothing exists yet").
+        table_exists = False
 
-    net = cdc_collapse(batch_df, keys, seq_col=seq_col, op_col=op_col)
+    # the collapsed net is tiny relative to the snapshot but sits on
+    # the batch's window sort and both raise_error guards; without
+    # pinning it, the touched-bucket collect, the late count, the
+    # merge, and the applied/deleted stats would each re-execute it
+    net = cdc_collapse(
+        batch_df, keys, seq_col=seq_col, op_col=op_col
+    ).localCheckpoint(eager=True)
 
     if not table_exists:
         rows = (
@@ -112,6 +123,15 @@ def fold_cdc_batch(
             "touched_buckets": [],
         }
     tbl = spark.read.parquet(path).filter(F.col("kb").isin(touched))
+    table_payload = [c for c in tbl.columns if c not in ("_last_seq", "kb")]
+    missing = [c for c in table_payload if c not in payload]
+    if missing:
+        # same up-front check (and reason) as cdc_apply: a drifted
+        # batch schema would otherwise surface as an unrelated
+        # analysis error deep inside the union
+        raise ValueError(
+            f"fold_cdc_batch: batch is missing snapshot columns {missing}"
+        )
 
     # ---- late-arrival guard against each row's per-key seq HWM.
     # Strict '<': an EQUAL seq is the idempotent redelivery of the

@@ -47,10 +47,10 @@ from defenda_data_lake_spark.streaming.rollup import (
     _read_last_batch_id,
     _write_last_batch_id,
 )
-
-
-def _bucket(keys: Sequence[str], num_buckets: int):
-    return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(num_buckets))
+from defenda_data_lake_spark.streaming._tables import (
+    bucket_col as _bucket,  # ONE bucket definition across scd/cdc tables
+    path_exists as _path_exists,
+)
 
 
 def _table_cols(keys: Sequence[str], attrs: Sequence[str]) -> list[str]:
@@ -83,10 +83,7 @@ def fold_scd2_batch(
     cols = _table_cols(keys, attrs)
 
     if table_exists is None:
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        table_exists = p.getFileSystem(conf).exists(p)
+        table_exists = _path_exists(spark, path)
 
     late_dropped = 0
     if not table_exists:

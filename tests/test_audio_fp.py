@@ -63,6 +63,15 @@ def test_audio_fp_edge_payloads():
         _audio_fp64(b"not a wav")
     with pytest.raises(ValueError, match="mono"):
         _audio_fp64(_wav([0] * 300, channels=2))
+    # 8-bit PCM must fail loudly, not silently pair bytes into int16
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes(range(200)))
+    with pytest.raises(ValueError, match="16-bit"):
+        _audio_fp64(buf.getvalue())
 
 
 def test_audio_pairs_recall_vs_bruteforce(spark):

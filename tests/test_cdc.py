@@ -253,3 +253,46 @@ def test_only_touched_buckets_rewritten(spark, tmp_path):
         if f"kb={kb}" in p:
             continue
         assert os.path.exists(p) and os.path.getmtime(p) == mtime, p
+
+
+def test_collapse_null_seq_raises(spark):
+    bad = _changes(spark, [("U", None, 1, "a")])
+    with pytest.raises(Exception, match="NULL seq"):
+        cdc_collapse(bad, ["k"]).collect()
+
+
+def test_fold_schema_drift_raises_clearly(spark, tmp_path):
+    table = tmp_path / "snap"
+    fold_cdc_batch(
+        spark, str(table), _changes(spark, [("I", 1, 1, "a")]), ["k"],
+        num_buckets=4,
+    )
+    drifted = spark.createDataFrame([("U", 2, 1)], "op string, seq long, k long")
+    with pytest.raises(ValueError, match="missing snapshot columns"):
+        fold_cdc_batch(
+            spark, str(table), drifted, ["k"], num_buckets=4, table_exists=True
+        )
+
+
+def test_fold_recovers_after_every_row_deleted(spark, tmp_path):
+    """A batch that net-deletes every remaining row leaves a directory
+    with no parquet data files; the next fold must treat the table as
+    fresh instead of crashing on schema inference forever."""
+    table = tmp_path / "snap"
+    fold_cdc_batch(
+        spark, str(table), _changes(spark, [("I", 1, 1, "a"), ("I", 2, 2, "b")]),
+        ["k"], num_buckets=4,
+    )
+    stats = fold_cdc_batch(
+        spark, str(table),
+        _changes(spark, [("D", 3, 1, None), ("D", 4, 2, None)]),
+        ["k"], num_buckets=4, table_exists=True,
+    )
+    assert stats["deleted"] == 2 and stats["applied"] == 0
+    # table is now empty of data files; the next insert must succeed
+    stats = fold_cdc_batch(
+        spark, str(table), _changes(spark, [("I", 5, 3, "c")]),
+        ["k"], num_buckets=4, table_exists=True,
+    )
+    assert stats["applied"] == 1
+    assert _frame(spark.read.parquet(str(table))) == [(3, "c")]
