@@ -2,14 +2,15 @@
 """End-to-end training-data curation pipeline demo: the individual
 operators composed the way a production corpus build chains them.
 
-    rule filter → exact dedup → near-dup (MinHash-LSH) cluster drop →
-    eval decontamination → temperature mix rebalance → PII redaction →
-    chunk/pack accounting
+    rule filter → exact dedup → boilerplate chunk removal →
+    near-dup (MinHash-LSH) cluster drop → eval decontamination →
+    DSIR domain selection → temperature mix rebalance →
+    PII redaction → chunk/pack accounting
 
 Each stage is the same operator the query catalog exposes (q57, q30,
-q31/q49, q51, q59, redact, q39) — this script demonstrates that they
-compose lazily into ONE Spark job graph per action, not seven separate
-pipelines.
+q111, q31/q49, q51, q112, q59, redact, q39) — this script demonstrates
+that they compose lazily into ONE Spark job graph per action, not nine
+separate pipelines.
 
 Usage: python scripts/curation_pipeline_demo.py [sf_dir]
 Prints one JSON line of per-stage survivor counts.
@@ -43,12 +44,30 @@ def main() -> None:
 
     # 1. rule-based quality filter (shuffle-free projection)
     kept = X.gopher_quality_flags(docs).filter(F.col("keep") == 1)
-    kept = kept.select("doc_id", "text", "source")
+    kept = kept.select("doc_id", "text", "source", "lang")
     counts["rule_filter"] = kept.count()
 
     # 2. exact dedup: keep the min-id representative per content hash
     kept = D.exact_dedup(kept, "text", "doc_id")
     counts["exact_dedup"] = kept.count()
+
+    # 2b. boilerplate removal (C4 rule): chunks appearing in >= 2
+    # distinct docs are cut from EVERY doc; documents continue with
+    # their cleaned text (q111's operator)
+    cleaned = D.boilerplate_chunk_removal(
+        kept, "text", "doc_id", chunk_words=20, min_doc_freq=2
+    ).select(F.col("id").alias("doc_id"), F.col("clean_text"), "n_boiler")
+    kept = (
+        kept.join(cleaned, "doc_id")
+        .withColumn("text", F.col("clean_text"))
+        .drop("clean_text")
+        .filter(F.length("text") > 0)  # fully-boilerplate docs drop out
+    )
+    counts["boiler_chunks_cut"] = int(
+        cleaned.agg(F.sum("n_boiler")).first()[0] or 0
+    )
+    kept = kept.drop("n_boiler")
+    counts["boilerplate_removed"] = kept.count()
 
     # 3. near-dup removal: MinHash-LSH pairs → clusters → keep canonical
     pairs = D.minhash_lsh_candidates(kept, "text", "doc_id")
@@ -70,6 +89,22 @@ def main() -> None:
     )
     kept = train.join(contaminated, "doc_id", "left_anti")
     counts["decontaminated"] = kept.count()
+
+    # 4b. DSIR domain matching: score every survivor against the
+    # English-target hashed-ngram model (q112's operator) and keep the
+    # top ~80% by importance weight — the "make the crawl look like
+    # the target domain" selection step
+    weights = SA.dsir_importance_weights(kept, F.col("lang") == "en")
+    cutoff = weights.agg(
+        F.expr("percentile_approx(avg_logw, 0.2)").alias("c")
+    ).first()["c"]
+    kept = kept.join(
+        weights.filter(F.col("avg_logw") >= cutoff).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    counts["dsir_selected"] = kept.count()
 
     # 5. temperature mix rebalance (α=0.5 toward a flatter source mix)
     kept = SA.temperature_resample(kept, "doc_id", "source").filter(

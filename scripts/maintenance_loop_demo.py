@@ -10,6 +10,9 @@
    closing the loop); sampled_snapshot_diff previews it from a key
    sample
 5. verify        - the updated rollup equals a full rebuild
+6. CDC apply     - an I/U/D change batch folded into a hash-bucketed
+   current-state snapshot; the same snapshot_diff audits that applied
+   == modified and deleted == removed
 
 Usage: python scripts/maintenance_loop_demo.py [sf_dir]
 Prints one JSON line of counts.
@@ -126,6 +129,46 @@ def main() -> None:
         out["distinct_users_est"] = {
             r["event_type"]: round(r["hll_estimate"], 1) for r in est.collect()
         }
+
+        # 6. CDC maintenance: fold an I/U/D change batch into a
+        # hash-bucketed current-state snapshot and audit it with the
+        # same snapshot_diff that closed the rollup loop
+        from defenda_data_lake_spark.streaming.cdc import fold_cdc_batch
+
+        snap_path = os.path.join(tmp, "snapshot")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
+        )
+        seed = docs.select(
+            F.lit("I").alias("op"),
+            F.col("doc_id").alias("seq"),
+            "doc_id", "source", "n_chars",
+        )
+        fold_cdc_batch(spark, snap_path, seed, ["doc_id"], num_buckets=8)
+        before_cdc = (
+            spark.read.parquet(snap_path)
+            .drop("_last_seq", "kb")
+            .localCheckpoint(eager=True)  # pin pre-fold content: the
+            # plan would otherwise re-list the rewritten buckets
+        )
+        changes = docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.when(F.col("doc_id") % 14 == 0, "D").otherwise("U").alias("op"),
+            (F.col("doc_id") + 1_000_000).alias("seq"),
+            "doc_id", "source",
+            (F.col("n_chars") + 1).alias("n_chars"),
+        )
+        stats = fold_cdc_batch(
+            spark, snap_path, changes, ["doc_id"], num_buckets=8,
+            table_exists=True,
+        )
+        after_cdc = spark.read.parquet(snap_path).drop("_last_seq", "kb")
+        audit = snapshot_diff_summary(before_cdc, after_cdc, ["doc_id"])
+        cdc_by_type = {r["diff_type"]: r["n_rows"] for r in audit.collect()}
+        assert cdc_by_type.get("removed", 0) == stats["deleted"]
+        assert cdc_by_type.get("modified", 0) == stats["applied"]
+        out["cdc_applied"] = stats["applied"]
+        out["cdc_deleted"] = stats["deleted"]
+        out["cdc_touched_buckets"] = len(stats["touched_buckets"])
     finally:
         import shutil
 
