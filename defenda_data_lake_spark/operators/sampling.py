@@ -453,6 +453,64 @@ def group_token_budget_select(
         )
     return sel.filter(keep).select(*cols, out)
 
+def dsir_feature_array(text_col):
+    """Array of DSIR features for one document: normalized unigrams +
+    bigrams.  NULL text scores as empty text (one \'\'-unigram): a NULL
+    feature array would vanish under explode/aggregate and silently
+    drop the document from the scored output — every document must
+    receive a weight.  Bigrams via slice+zip_with so one-word docs
+    yield an empty bigram array, never a descending ``sequence``."""
+    from defenda_data_lake_spark.operators.dedup import normalized_text
+
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = normalized_text(F.coalesce(col, F.lit("")))
+    w = F.split(norm, " ")
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(w, bigrams)
+
+
+def dsir_bucket_of(feat, buckets: int):
+    """The engine-portable feature→bucket hash (first 8 md5 hex chars,
+    the :func:`hash_bucket` scheme)."""
+    return (
+        F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("long") % buckets
+    )
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    buckets: int = 1024,
+    materialize: bool = True,
+) -> DataFrame:
+    """The fitted DSIR "model": per-bucket raw and target feature
+    counts from ONE corpus pass — ``(bucket, raw_c, tgt_c)``,
+    <= ``buckets`` rows.  Shared by the batch scorer
+    (:func:`dsir_importance_weights`) and the streaming scorer
+    (``streaming/dsir.py``), which folds it into a broadcast map."""
+    feats = df.select(
+        target.alias("_is_target"),
+        F.explode(dsir_feature_array(text_col)).alias("feat"),
+    ).select(
+        "_is_target", dsir_bucket_of(F.col("feat"), buckets).alias("bucket")
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.count("*").alias("raw_c"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tgt_c"),
+    )
+    if materialize:
+        # the counts table is <= `buckets` rows but sits on a full
+        # corpus pass; without pinning it, the totals row and the
+        # ratio broadcast would each recompute the feature explode —
+        # THREE corpus passes instead of two (the q92 precedent)
+        counts = counts.localCheckpoint(eager=True)
+    return counts
+
 
 def dsir_importance_weights(
     df: DataFrame,
@@ -498,38 +556,18 @@ def dsir_importance_weights(
     here is skew-prone: bucket ids are md5-uniform by construction."""
     from defenda_data_lake_spark.operators.dedup import normalized_text
 
-    # NULL text scores as empty text (one '' unigram): a NULL feature
-    # array would explode to zero rows and silently drop the document
-    # from the scored output — every document must receive a weight
-    norm = normalized_text(F.coalesce(F.col(text_col), F.lit("")))
-    w = F.split(norm, " ")
-    bigrams = F.zip_with(
-        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
     feats = df.select(
         F.col(id_col).alias("id"),
         target.alias("_is_target"),
-        F.explode(F.concat(w, bigrams)).alias("feat"),
+        F.explode(dsir_feature_array(text_col)).alias("feat"),
     ).select(
         "id",
         "_is_target",
-        (
-            F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
-            % buckets
-        ).alias("bucket"),
+        dsir_bucket_of(F.col("feat"), buckets).alias("bucket"),
     )
-    counts = feats.groupBy("bucket").agg(
-        F.count("*").alias("raw_c"),
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tgt_c"),
+    counts = dsir_bucket_counts(
+        df, target, text_col=text_col, buckets=buckets, materialize=materialize
     )
-    if materialize:
-        # the counts table is <= `buckets` rows but sits on a full
-        # corpus pass; without pinning it, the totals row and the
-        # ratio broadcast would each recompute the feature explode —
-        # THREE corpus passes instead of two (the q92 precedent)
-        counts = counts.localCheckpoint(eager=True)
     # totals via a one-row broadcast crossJoin (the q97-datasheet
     # pattern): the counts table is <= `buckets` rows, the totals one
     torow = counts.agg(
