@@ -511,6 +511,43 @@ def dsir_bucket_counts(
         counts = counts.localCheckpoint(eager=True)
     return counts
 
+def dsir_bucket_ratios(
+    counts: DataFrame, buckets: int = 1024, alpha: float = 0.5
+) -> DataFrame:
+    """Per-bucket add-``alpha`` smoothed log ratio ``(bucket, logr)``
+    from a fitted counts table — THE one definition of the DSIR
+    smoothing formula, shared by the batch scorer and the streaming
+    model-row fold so the two can never drift.  ``buckets``/``alpha``
+    must match the fit; a counts table with a bucket id outside the
+    declared space raises (the cheap detectable half of a mismatched
+    ``buckets`` — the undetectable half, declaring MORE buckets than
+    the fit, only mis-smooths the denominators, so pass the same
+    constant everywhere).
+
+    Totals via a one-row broadcast crossJoin (the q97-datasheet
+    pattern): the counts table is <= ``buckets`` rows, the totals one.
+    """
+    denom = alpha * buckets
+    torow = counts.agg(
+        F.sum("raw_c").alias("_raw_tot"), F.sum("tgt_c").alias("_tgt_tot")
+    )
+    checked_bucket = F.when(
+        F.col("bucket") < buckets, F.col("bucket")
+    ).otherwise(
+        F.expr(
+            f"raise_error(concat('dsir_bucket_ratios: bucket ', "
+            f"cast(bucket as string), ' >= declared space {buckets} — "
+            f"counts were fitted with a larger `buckets`'))"
+        )
+    )
+    return counts.crossJoin(F.broadcast(torow)).select(
+        checked_bucket.alias("bucket"),
+        F.log(
+            ((F.col("tgt_c") + F.lit(alpha)) / (F.col("_tgt_tot") + F.lit(denom)))
+            / ((F.col("raw_c") + F.lit(alpha)) / (F.col("_raw_tot") + F.lit(denom)))
+        ).alias("logr"),
+    )
+
 
 def dsir_importance_weights(
     df: DataFrame,
@@ -554,8 +591,6 @@ def dsir_importance_weights(
     table, which then BROADCASTS back into the feature stream; the
     only corpus-sized exchange is the final per-doc mean.  Nothing
     here is skew-prone: bucket ids are md5-uniform by construction."""
-    from defenda_data_lake_spark.operators.dedup import normalized_text
-
     feats = df.select(
         F.col(id_col).alias("id"),
         target.alias("_is_target"),
@@ -568,19 +603,7 @@ def dsir_importance_weights(
     counts = dsir_bucket_counts(
         df, target, text_col=text_col, buckets=buckets, materialize=materialize
     )
-    # totals via a one-row broadcast crossJoin (the q97-datasheet
-    # pattern): the counts table is <= `buckets` rows, the totals one
-    torow = counts.agg(
-        F.sum("raw_c").alias("_raw_tot"), F.sum("tgt_c").alias("_tgt_tot")
-    )
-    denom = alpha * buckets
-    ratios = counts.crossJoin(F.broadcast(torow)).select(
-        "bucket",
-        F.log(
-            ((F.col("tgt_c") + F.lit(alpha)) / (F.col("_tgt_tot") + F.lit(denom)))
-            / ((F.col("raw_c") + F.lit(alpha)) / (F.col("_raw_tot") + F.lit(denom)))
-        ).alias("logr"),
-    )
+    ratios = dsir_bucket_ratios(counts, buckets=buckets, alpha=alpha)
     return (
         feats.join(F.broadcast(ratios), "bucket")
         .groupBy("id")

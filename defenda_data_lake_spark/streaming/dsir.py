@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from defenda_data_lake_spark.operators.sampling import (
     dsir_bucket_of,
+    dsir_bucket_ratios,
     dsir_feature_array,
 )
 
@@ -43,18 +44,20 @@ def dsir_model_row(
     dsir_bucket_counts`'s table into ONE row: ``(_dsir_map,
     _dsir_default)`` — the bucket→log-ratio map and the smoothed
     ratio of a bucket with zero fitted counts.  ``buckets``/``alpha``
-    must match the fit."""
+    must match the fit; the shared ratio builder raises on the
+    detectable mismatch (a bucket id outside the declared space).
+
+    The per-bucket ratios come from the SAME
+    :func:`~defenda_data_lake_spark.operators.sampling.
+    dsir_bucket_ratios` the batch scorer joins, so the smoothing
+    formula cannot drift between the two scorers."""
     denom = alpha * buckets
     torow = counts.agg(
         F.sum("raw_c").alias("_raw_tot"), F.sum("tgt_c").alias("_tgt_tot")
     )
-    logr = F.log(
-        ((F.col("tgt_c") + F.lit(alpha)) / (F.col("_tgt_tot") + F.lit(denom)))
-        / ((F.col("raw_c") + F.lit(alpha)) / (F.col("_raw_tot") + F.lit(denom)))
-    )
     entries = (
-        counts.crossJoin(F.broadcast(torow))
-        .select(F.struct(F.col("bucket"), logr.alias("lr")).alias("e"))
+        dsir_bucket_ratios(counts, buckets=buckets, alpha=alpha)
+        .select(F.struct(F.col("bucket"), F.col("logr").alias("lr")).alias("e"))
         .agg(F.map_from_entries(F.collect_list("e")).alias("_dsir_map"))
     )
     default = torow.select(
@@ -96,6 +99,8 @@ def dsir_score_stream(
     n = F.size(feats)
     return joined.select(
         F.col(id_col).alias("id"),
-        n.alias("n_feats"),
+        # long, matching the batch scorer's count() so the two outputs
+        # union/append into one table without a schema mismatch
+        n.cast("long").alias("n_feats"),
         (total / n).alias("avg_logw"),
     )

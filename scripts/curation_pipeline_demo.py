@@ -57,17 +57,20 @@ def main() -> None:
     cleaned = D.boilerplate_chunk_removal(
         kept, "text", "doc_id", chunk_words=20, min_doc_freq=2
     ).select(F.col("id").alias("doc_id"), F.col("clean_text"), "n_boiler")
+    # ONE action for both stage stats — a second .agg on the unpinned
+    # plan would re-run the whole chunk doc-frequency aggregation
+    stats_row = cleaned.agg(
+        F.sum("n_boiler").alias("cut"),
+        F.sum((F.length("clean_text") > 0).cast("long")).alias("kept"),
+    ).first()
+    counts["boiler_chunks_cut"] = int(stats_row["cut"] or 0)
+    counts["boilerplate_removed"] = int(stats_row["kept"] or 0)
     kept = (
         kept.join(cleaned, "doc_id")
         .withColumn("text", F.col("clean_text"))
-        .drop("clean_text")
+        .drop("clean_text", "n_boiler")
         .filter(F.length("text") > 0)  # fully-boilerplate docs drop out
     )
-    counts["boiler_chunks_cut"] = int(
-        cleaned.agg(F.sum("n_boiler")).first()[0] or 0
-    )
-    kept = kept.drop("n_boiler")
-    counts["boilerplate_removed"] = kept.count()
 
     # 3. near-dup removal: MinHash-LSH pairs → clusters → keep canonical
     pairs = D.minhash_lsh_candidates(kept, "text", "doc_id")
@@ -94,16 +97,21 @@ def main() -> None:
     # English-target hashed-ngram model (q112's operator) and keep the
     # top ~80% by importance weight — the "make the crawl look like
     # the target domain" selection step
-    weights = SA.dsir_importance_weights(kept, F.col("lang") == "en")
+    weights = SA.dsir_importance_weights(kept, F.col("lang") == "en").persist()
     cutoff = weights.agg(
         F.expr("percentile_approx(avg_logw, 0.2)").alias("c")
     ).first()["c"]
-    kept = kept.join(
-        weights.filter(F.col("avg_logw") >= cutoff).select(
-            F.col("id").alias("doc_id")
-        ),
-        "doc_id",
-    )
+    if cutoff is not None:  # empty survivor set: nothing to threshold
+        kept = kept.join(
+            weights.filter(F.col("avg_logw") >= cutoff).select(
+                F.col("id").alias("doc_id")
+            ),
+            "doc_id",
+        )
+    # pin the post-selection corpus: every later stage count would
+    # otherwise re-run the DSIR scoring join and the decontamination
+    # anti-join (the stage-3 persist convention)
+    kept = kept.persist()
     counts["dsir_selected"] = kept.count()
 
     # 5. temperature mix rebalance (α=0.5 toward a flatter source mix)
