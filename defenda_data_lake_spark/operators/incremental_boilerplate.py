@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from defenda_data_lake_spark.operators.dedup import _word_chunks
+from defenda_data_lake_spark.streaming._tables import swap_directory
 
 
 def chunk_doc_frequencies(
@@ -84,9 +85,14 @@ def update_chunk_index(
     """Fold one increment of NEW documents into the index: the
     chunking kernel runs only over ``delta``; the merge is one h-keyed
     sum over (index ∪ delta counts).  Written to a sibling temp dir
-    first, then swapped (the ``upsert_corpus_snapshot`` durability
-    contract: no reader ever sees a half-written index).  Returns the
-    delta's distinct-chunk count."""
+    first, then swapped through the Hadoop FileSystem API
+    (:func:`~defenda_data_lake_spark.streaming._tables.swap_directory`,
+    so s3a://, hdfs:// and local paths all work) — the
+    ``upsert_corpus_snapshot`` durability contract: no reader ever
+    sees a HALF-WRITTEN index, though the two-rename swap leaves a
+    brief window where the canonical path does not exist (a concurrent
+    read fails cleanly and retries).  Returns the delta's
+    distinct-chunk count."""
     dc = chunk_doc_frequencies(delta, text_col, id_col, chunk_words)
     old = spark.read.parquet(path)
     merged = (
@@ -106,12 +112,7 @@ def update_chunk_index(
 
         shutil.rmtree(tmp_dir, ignore_errors=True)
         raise
-    old_dir = path.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
-    os.rename(path, old_dir)
-    os.rename(tmp_dir, path)
-    import shutil
-
-    shutil.rmtree(old_dir)
+    swap_directory(spark, tmp_dir, path)
     return dc.count()
 
 

@@ -30,7 +30,13 @@ def _rs(expr: str, n: int) -> str:
     return f"round(({expr}) * {scale}, 0) / {scale}"
 
 
-def _sql_over(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
+def _sql_over(
+    spark: SparkSession,
+    sf_dir: str,
+    sql: str,
+    tables: list[str],
+    extra_views: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """Run a Spark-dialect SQL string over the canonical table plans.
 
     Why SQL strings for the hot interactive queries: building the same
@@ -55,13 +61,56 @@ def _sql_over(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> 
         return cached
     for t in tables:
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    if extra_views:
+        for name, view_df in extra_views.items():
+            view_df.createOrReplaceTempView(name)
     df = spark.sql(sql)
     _SQL_CACHE[key] = df
     return df
 
 
+def derived_view(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build,
+    source_table: str | None = None,
+    max_bytes: int = 2 << 30,
+) -> DataFrame:
+    """Memoized MATERIALIZED PROJECTION over the canonical tables —
+    the engine's computed-column cache (VERDICT r8 item 2, the q20
+    prescription).  ``build(spark, sf_dir) -> DataFrame`` constructs
+    the projection (e.g. a ``from_json``-parsed field); the result is
+    ``persist()``-ed so the expensive derivation (a JSON tokenize of
+    every row, a regex extract) runs ONCE per session instead of once
+    per query, exactly like a warehouse's materialized view or a
+    Delta/Iceberg generated column.
+
+    Scale policy mirrors :func:`warm_table_cache`: if ``source_table``
+    is given and its parquet footprint exceeds ``max_bytes``, the
+    projection is returned UNPINNED — at 100 TB the fact table's
+    derived view streams (same plan, fused into each consumer), while
+    at interactive scale it pins.  Values are byte-identical either
+    way; :func:`clear_table_cache` unpins and forgets."""
+    import os as _os
+
+    key = (id(spark), sf_dir, name)
+    df = _DERIVED_CACHE.get(key)
+    if df is None:
+        df = build(spark, sf_dir)
+        pin = True
+        if source_table is not None:
+            size = _path_bytes(_os.path.join(sf_dir, f"{source_table}.parquet"))
+            pin = size is not None and size <= max_bytes
+        if pin:
+            df = df.persist()
+        _DERIVED_CACHE[key] = df
+    return df
+
+
 _T_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _SQL_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_DERIVED_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def clear_table_cache() -> None:
@@ -75,8 +124,15 @@ def clear_table_cache() -> None:
                 df.unpersist()
         except Exception:
             pass
+    for df in _DERIVED_CACHE.values():
+        try:
+            if df.storageLevel.useMemory or df.storageLevel.useDisk:
+                df.unpersist()
+        except Exception:
+            pass
     _T_CACHE.clear()
     _SQL_CACHE.clear()
+    _DERIVED_CACHE.clear()
 
 
 def _path_bytes(path: str) -> int | None:

@@ -29,6 +29,40 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(p)
 
 
+def swap_directory(spark: SparkSession, tmp_dir: str, path: str) -> None:
+    """Replace the directory at ``path`` with ``tmp_dir`` via the
+    Hadoop FileSystem API, so the maintenance tables' swap works on
+    every FS Spark can write (local, s3a://, hdfs://), not just local
+    paths.  Same durability contract as
+    ``lake_maintenance.upsert_corpus_snapshot``: the new content is
+    fully written before the swap, so no reader ever sees a
+    HALF-WRITTEN table — but the swap is two renames, so there is a
+    brief window where the canonical path does not exist (a concurrent
+    read fails cleanly and retries) and a crash between them leaves
+    the complete old table at a ``.old-*`` sibling for manual
+    recovery.  True atomic swap needs a table format's metadata
+    pointer; this is the honest parquet-directory approximation.
+    (On object stores rename is copy+delete, so the window is longer
+    there — the same reason a table format is the real answer at
+    deployment scale.)"""
+    import uuid as _uuid
+
+    jvm = spark.sparkContext._jvm
+    fs, p = _fs_path(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(tmp_dir)
+    old = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + f".old-{_uuid.uuid4().hex[:8]}"
+    )
+    if not fs.rename(p, old):
+        raise IOError(f"swap_directory: rename {path} -> {old} failed")
+    if not fs.rename(tmp, p):
+        # put the old table back so the canonical path is never left
+        # dangling longer than necessary
+        fs.rename(old, p)
+        raise IOError(f"swap_directory: rename {tmp_dir} -> {path} failed")
+    fs.delete(old, True)
+
+
 def parquet_has_data(spark: SparkSession, path: str) -> bool:
     """True when the table directory holds at least one parquet data
     file in a ``kb=`` bucket.  A table whose every row was deleted

@@ -636,9 +636,22 @@ def near_dedupe_stream(
       late data is impossible by construction.
 
     NO ROW IS EVER LOST (``timeout_mode="processing"``) — the
-    invariant an ingest stage must hold.  Documents that cannot
-    participate in dedup survive unconditionally (one band-0 row,
-    ``dup_of`` NULL): rows without a parseable event time (can
+    invariant an ingest stage must hold.  In ``timeout_mode="event"``
+    the guarantee is WEAKER for one class of row: unshingleable rows
+    carry their own event time through the stateful operator (band=-1),
+    so one that arrives behind the event-time watermark is dropped by
+    the engine exactly like a late shingleable row — that is this
+    mode's documented contract ("late data is impossible by
+    construction" is the operator's premise), and the drop is auditable
+    via :func:`watermark_drop_counts`.  Routing them around the
+    operator instead would need a second signature-kernel pass on a
+    union branch — the exact 3x-scan shape the round-8 single-pass
+    rework removed.  Only timeless rows (no parseable event time, so
+    no time for the watermark to judge) bypass the operator in event
+    mode and survive unconditionally.  In processing mode, documents
+    that cannot participate in dedup survive unconditionally (one
+    band-0 row, ``dup_of`` NULL): rows without a parseable event time
+    (can
     neither claim a bucket nor be judged against the horizon — and a
     quarantine-bound record with no timestamp must still reach the
     quarantine), and rows whose text yields no shingles.  Such rows
@@ -1067,10 +1080,14 @@ def near_dedupe_stream(
         # one source scan, one normalize, one signature kernel
         return flagged
     # event mode: unshingleable rows rode the single pass too (they
-    # have event times), but rows with no parseable event time cannot
-    # pass the event-time watermark — the engine would drop them at
-    # the stateful operator — so they go around it (the one remaining
-    # union branch; the re-scan it costs is confined to replay mode)
+    # have event times), so a LATE unshingleable row is dropped by the
+    # event-time watermark like any other late row — the mode's
+    # documented contract; see the class-docstring NO-ROW-LOST section
+    # and watermark_drop_counts for the audit trail.  Rows with no
+    # parseable event time cannot pass the event-time watermark at all
+    # (the engine would drop every one at the stateful operator), so
+    # they go around it (the one remaining union branch; the re-scan
+    # it costs is confined to replay mode)
     timeless = with_time.filter(F.col("_ndd_event_time").isNull()).select(
         F.col(id_col).cast("string").alias("_ndd_id"),
         F.lit(0).cast("int").alias("band"),

@@ -296,3 +296,168 @@ def test_fold_recovers_after_every_row_deleted(spark, tmp_path):
     )
     assert stats["applied"] == 1
     assert _frame(spark.read.parquet(str(table))) == [(3, "c")]
+
+
+# -------------------------------------------------- tombstones (opt-in)
+
+
+def test_tombstones_detect_late_change_for_deleted_key(spark, tmp_path):
+    """The opt-in fix for the blind spot pinned above: with
+    tombstones=N a late change for a deleted key is DETECTED within
+    the retention horizon — error by default, counted drop with
+    on_late='drop' — instead of silently re-inserting."""
+    table = tmp_path / "snap"
+    stats = fold_cdc_batch(
+        spark, str(table),
+        _changes(spark, [("U", 1, 1, "a"), ("D", 9, 2, None),
+                         ("U", 2, 2, "gone")]),
+        ["k"], num_buckets=4, tombstones=4,
+    )
+    assert stats["tombstoned"] == 1
+    assert _frame(spark.read.parquet(str(table))) == [(1, "a")]
+    with pytest.raises(RuntimeError, match="DELETED key's tombstoned seq"):
+        fold_cdc_batch(
+            spark, str(table), _changes(spark, [("U", 3, 2, "zombie")]),
+            ["k"], num_buckets=4, table_exists=True, tombstones=4,
+        )
+    stats = fold_cdc_batch(
+        spark, str(table), _changes(spark, [("U", 3, 2, "zombie")]),
+        ["k"], num_buckets=4, table_exists=True, tombstones=4,
+        on_late="drop",
+    )
+    assert stats["late_dropped"] == 1 and stats["applied"] == 0
+    assert _frame(spark.read.parquet(str(table))) == [(1, "a")]
+
+
+def test_tombstone_equal_seq_delete_redelivery_is_idempotent(spark, tmp_path):
+    """An EQUAL seq is the redelivery of the delete itself: not late,
+    re-applies as a no-op, refreshes the tombstone."""
+    table = tmp_path / "snap"
+    fold_cdc_batch(
+        spark, str(table),
+        _changes(spark, [("U", 1, 1, "a"), ("D", 9, 2, None),
+                         ("U", 2, 2, "gone")]),
+        ["k"], num_buckets=4, tombstones=4,
+    )
+    stats = fold_cdc_batch(
+        spark, str(table), _changes(spark, [("D", 9, 2, None)]),
+        ["k"], num_buckets=4, table_exists=True, tombstones=4,
+    )
+    assert stats["late_dropped"] == 0 and stats["tombstoned"] == 1
+    assert _frame(spark.read.parquet(str(table))) == [(1, "a")]
+
+
+def test_tombstone_cleared_on_reinsert(spark, tmp_path):
+    """A legitimate re-insert (seq above the tombstone) clears the
+    tombstone; the snapshot row carries the HWM from then on."""
+    table = tmp_path / "snap"
+    fold_cdc_batch(
+        spark, str(table),
+        _changes(spark, [("D", 9, 2, None), ("U", 2, 2, "gone")]),
+        ["k"], num_buckets=4, tombstones=4,
+    )
+    stats = fold_cdc_batch(
+        spark, str(table), _changes(spark, [("I", 10, 2, "back")]),
+        ["k"], num_buckets=4, table_exists=True, tombstones=4,
+    )
+    assert stats["applied"] == 1 and stats["late_dropped"] == 0
+    assert _frame(spark.read.parquet(str(table))) == [(2, "back")]
+    # the late guard is now the snapshot row's HWM (10), not the
+    # expired tombstone's (9)
+    with pytest.raises(RuntimeError, match="behind a key's folded seq"):
+        fold_cdc_batch(
+            spark, str(table), _changes(spark, [("U", 5, 2, "stale")]),
+            ["k"], num_buckets=4, table_exists=True, tombstones=4,
+        )
+
+
+def test_tombstone_expires_after_horizon(spark, tmp_path):
+    """Beyond the N-fold retention horizon the tombstone expires and
+    the documented pre-tombstone behavior returns (late change
+    re-inserts undetected) — TTL is a bound, not a forever-guard."""
+    table = tmp_path / "snap"
+    fold_cdc_batch(
+        spark, str(table),
+        _changes(spark, [("U", 1, 1, "a"), ("D", 9, 2, None),
+                         ("U", 2, 2, "gone")]),
+        ["k"], num_buckets=4, tombstones=2,
+    )
+    # two delete-free folds advance the fold counter past the horizon
+    for seq in (20, 21):
+        fold_cdc_batch(
+            spark, str(table), _changes(spark, [("U", seq, 1, f"a{seq}")]),
+            ["k"], num_buckets=4, table_exists=True, tombstones=2,
+        )
+    stats = fold_cdc_batch(
+        spark, str(table), _changes(spark, [("U", 3, 2, "zombie")]),
+        ["k"], num_buckets=4, table_exists=True, tombstones=2,
+    )
+    assert stats["late_dropped"] == 0 and stats["applied"] == 1
+    assert (2, "zombie") in _frame(spark.read.parquet(str(table)))
+
+
+def test_tombstones_survive_full_deletion_rebuild(spark, tmp_path):
+    """The all-rows-deleted fold flips the next fold to the fresh-table
+    rebuild path, whose static overwrite removes everything under the
+    table dir — the pinned tombstones must be written back and still
+    detect a late change for a deleted key."""
+    table = tmp_path / "snap"
+    fold_cdc_batch(
+        spark, str(table), _changes(spark, [("I", 1, 1, "a")]),
+        ["k"], num_buckets=4, tombstones=4,
+    )
+    fold_cdc_batch(
+        spark, str(table), _changes(spark, [("D", 9, 1, None)]),
+        ["k"], num_buckets=4, table_exists=True, tombstones=4,
+    )
+    # fresh-rebuild fold (no data files left): inserts a different key
+    stats = fold_cdc_batch(
+        spark, str(table), _changes(spark, [("I", 10, 3, "c")]),
+        ["k"], num_buckets=4, table_exists=True, tombstones=4,
+    )
+    assert stats["applied"] == 1
+    with pytest.raises(RuntimeError, match="DELETED key's tombstoned seq"):
+        fold_cdc_batch(
+            spark, str(table), _changes(spark, [("U", 5, 1, "zombie")]),
+            ["k"], num_buckets=4, table_exists=True, tombstones=4,
+        )
+
+
+def test_tombstones_invisible_to_snapshot_readers(spark, tmp_path):
+    """The side table lives under an underscore-prefixed dir, so a
+    plain spark.read.parquet(path) of the snapshot never sees it."""
+    table = tmp_path / "snap"
+    fold_cdc_batch(
+        spark, str(table),
+        _changes(spark, [("U", 1, 1, "a"), ("D", 9, 2, None),
+                         ("U", 2, 2, "gone")]),
+        ["k"], num_buckets=4, tombstones=4,
+    )
+    got = spark.read.parquet(str(table))
+    assert set(got.columns) == {"k", "v", "_last_seq", "kb"}
+    assert _frame(got) == [(1, "a")]
+    assert os.path.isdir(str(table / "_tombstones"))
+
+
+def test_fold_rejects_extra_batch_columns(spark, tmp_path):
+    table = tmp_path / "snap"
+    fold_cdc_batch(
+        spark, str(table), _changes(spark, [("I", 1, 1, "a")]), ["k"],
+        num_buckets=4,
+    )
+    drifted = spark.createDataFrame(
+        [("U", 2, 1, "b", "x")], "op string, seq long, k long, v string, w string"
+    )
+    with pytest.raises(ValueError, match="extra batch columns \\['w'\\]"):
+        fold_cdc_batch(
+            spark, str(table), drifted, ["k"], num_buckets=4,
+            table_exists=True,
+        )
+
+
+def test_fold_rejects_reserved_column_names(spark, tmp_path):
+    bad = spark.createDataFrame(
+        [("I", 1, 1, 7)], "op string, seq long, k long, _last_seq long"
+    )
+    with pytest.raises(ValueError, match="reserved columns"):
+        fold_cdc_batch(spark, str(tmp_path / "snap"), bad, ["k"], num_buckets=4)
