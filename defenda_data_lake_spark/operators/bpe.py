@@ -1,0 +1,269 @@
+"""Corpus-learned BPE tokenizer: learn a byte-pair-encoding merge
+table from the corpus, apply it as whole-stage-codegen string
+rewrites, and account documents in REAL learned tokens instead of
+whitespace words (VERDICT r8 item 3) — the missing piece between this
+engine's token-budget operators (q92/q93) and how production training
+pipelines actually measure data.
+
+The algorithm is classic BPE (Sennrich et al. 2016, public knowledge)
+pinned to an exactly-reproducible form so a SQL oracle can replay
+every step:
+
+* **Words**: ``lower(text)`` split on ``[^a-z]+``; empty strings and
+  words longer than ``max_word_len`` (32) are excluded everywhere
+  (learning AND accounting) — documented scope, identical in both
+  engines.
+* **Symbol state**: a word is its symbols joined by single spaces with
+  a leading and trailing space (``' a b c '``) — the classic BPE
+  working form, chosen because "merge pair (l, r)" is then the plain
+  LITERAL string replace ``' l r ' -> ' lr '``, and ``replace`` has
+  identical left-to-right non-overlapping semantics in Python, Spark
+  (``F.replace``) and DuckDB.
+* **One merge application = exactly ``n_passes`` (5) replace passes.**
+  A single pass can miss adjacent occurrences (the match consumes the
+  shared boundary space: ``' a a a a '`` -> ``' aa a a '``), so passes
+  repeat; 5 passes reach a true fixpoint for any word up to 32 chars
+  (occurrences at most halve+1 per pass).  Both engines run the same
+  fixed pass count, so the result is deterministic even where the
+  bound is loose.
+* **Learning**: from the top ``learn_words`` (2000) distinct words by
+  ``(count DESC, word ASC)``, repeat ``n_merges`` (24) times: count
+  adjacent symbol pairs weighted by word frequency, pick the max by
+  ``(count DESC, pair-string ASC)`` (the space sorts below ``a-z``, so
+  pair-string order equals (l, r) tuple order), apply it.  Ties and
+  iteration order are therefore total — the merge table is a pure
+  function of the corpus.
+* **Application**: merges applied in rank order, each to fixpoint
+  (= the same 5-pass replace chain), to every distinct corpus word;
+  a word's token count is its final symbol count.
+
+Scale design (100 TB): learning aggregates word counts in Spark (one
+hash agg over the corpus — the only corpus-sized step), then collects
+the BOUNDED top-2000 rows and learns driver-side in pure Python
+(milliseconds; the k-means-centroid pattern, not a driver loop over
+data).  Application is a single projection of ``n_merges × n_passes``
+chained literal ``replace`` calls — all JVM codegen, no Python
+workers — run over DISTINCT words only (Heaps-law: orders of magnitude
+smaller than the corpus), then hash-joined back to per-document word
+instances.  The distinct-word table is corpus-derived and unbounded,
+so the join back is a shuffle hash join on the word, NOT a broadcast
+(the q111 chunk-frequency lesson).
+
+No reference counterpart: the reference engine has no tokenizer; this
+family extends SURVEY.md §2's training-data operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MERGES = 24
+N_PASSES = 5
+LEARN_WORDS = 2000
+MAX_WORD_LEN = 32
+
+WORD_SPLIT_RE = "[^a-z]+"
+
+
+def corpus_words(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = MAX_WORD_LEN,
+    keep: Sequence[str] = (),
+) -> DataFrame:
+    """Explode ``text_col`` into the BPE word stream ``w`` (lowercased
+    ``[a-z]+`` runs, 1..max_word_len chars), carrying ``keep`` columns
+    through for per-document accounting."""
+    return (
+        df.select(
+            *keep,
+            F.explode(
+                F.split(F.lower(F.col(text_col)), WORD_SPLIT_RE)
+            ).alias("w"),
+        )
+        .filter((F.col("w") != "") & (F.length("w") <= max_word_len))
+    )
+
+
+def word_counts(
+    df: DataFrame, text_col: str = "text", max_word_len: int = MAX_WORD_LEN
+) -> DataFrame:
+    """Distinct-word frequencies ``(w, cnt)`` — the corpus-sized
+    aggregation that feeds learning (map-side combine; one shuffle on
+    the word)."""
+    return corpus_words(df, text_col, max_word_len).groupBy("w").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def learn_bpe(
+    top_words: Sequence[tuple[str, int]],
+    n_merges: int = N_MERGES,
+    n_passes: int = N_PASSES,
+) -> list[str]:
+    """Pure-Python merge learning over a bounded ``(word, count)``
+    list — deterministic, and replayed verbatim by the SQL oracle
+    (tests pin Python == DuckDB on the same corpus).  Returns merges
+    as pair strings ``'l r'`` in rank order."""
+    states = {w: " " + " ".join(w) + " " for w, _ in top_words}
+    merges: list[str] = []
+    for _ in range(n_merges):
+        pc: dict[str, int] = {}
+        for w, cnt in top_words:
+            sy = states[w].strip().split(" ")
+            for i in range(len(sy) - 1):
+                p = sy[i] + " " + sy[i + 1]
+                pc[p] = pc.get(p, 0) + cnt
+        if not pc:
+            # every word fully merged — only possible on toy corpora;
+            # the merge table is simply shorter (the SQL oracle's
+            # LIMIT-1-on-empty would diverge first, so the catalog
+            # asserts the corpus precondition instead)
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        pat, rep = " " + best + " ", " " + best.replace(" ", "") + " "
+        for w in states:
+            s = states[w]
+            for _ in range(n_passes):
+                s = s.replace(pat, rep)
+            states[w] = s
+        merges.append(best)
+    return merges
+
+
+def learn_bpe_spark(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = N_MERGES,
+    n_passes: int = N_PASSES,
+    learn_words: int = LEARN_WORDS,
+    max_word_len: int = MAX_WORD_LEN,
+) -> list[str]:
+    """Learn the merge table from a corpus DataFrame: Spark aggregates
+    word counts, the bounded top-``learn_words`` rows come to the
+    driver (TakeOrdered, ≤2000 rows at ANY corpus size), and
+    :func:`learn_bpe` runs locally."""
+    top = (
+        word_counts(df, text_col, max_word_len)
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(learn_words)
+        .collect()
+    )
+    return learn_bpe([(r["w"], r["cnt"]) for r in top], n_merges, n_passes)
+
+
+def char_spaced(col: Column) -> Column:
+    """The initial symbol state: ``'abc' -> ' a b c '``."""
+    return F.concat(F.lit(" "), F.regexp_replace(col, "(.)", "$1 "))
+
+
+def apply_merges_expr(
+    col: Column, merges: Sequence[str], n_passes: int = N_PASSES
+) -> Column:
+    """Final symbol state of a word column under the merge table: one
+    chained-literal-``replace`` projection (n_merges × n_passes calls,
+    all JVM codegen — no Python workers, no shuffle)."""
+    st = char_spaced(col)
+    for pair in merges:
+        pat = F.lit(" " + pair + " ")
+        rep = F.lit(" " + pair.replace(" ", "") + " ")
+        for _ in range(n_passes):
+            st = F.replace(st, pat, rep)
+    return st
+
+
+def token_count_expr(
+    col: Column, merges: Sequence[str], n_passes: int = N_PASSES
+) -> Column:
+    """Token count of a word column under the merge table."""
+    return F.size(F.split(F.trim(apply_merges_expr(col, merges, n_passes)), " "))
+
+
+def tokenize_py(word: str, merges: Sequence[str], n_passes: int = N_PASSES) -> list[str]:
+    """Reference Python tokenizer (tests pin it against the Spark
+    expression row-for-row)."""
+    s = " " + " ".join(word) + " "
+    for pair in merges:
+        pat, rep = " " + pair + " ", " " + pair.replace(" ", "") + " "
+        for _ in range(n_passes):
+            s = s.replace(pat, rep)
+    return s.strip().split(" ")
+
+
+def word_token_counts(
+    df: DataFrame,
+    merges: Sequence[str],
+    text_col: str = "text",
+    n_passes: int = N_PASSES,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """``(w, n_tok)`` over the corpus's DISTINCT words — the expensive
+    rewrite runs once per distinct word, never once per instance."""
+    return (
+        corpus_words(df, text_col, max_word_len)
+        .select("w")
+        .distinct()
+        .select(
+            "w",
+            token_count_expr(F.col("w"), merges, n_passes)
+            .cast("long")
+            .alias("n_tok"),
+        )
+    )
+
+
+def tokenize_corpus(
+    df: DataFrame,
+    merges: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_passes: int = N_PASSES,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Per-document token accounting under the learned merge table:
+    ``(id_col, n_words, n_chars_az, n_tokens)`` — word instances,
+    their a-z char total, and their BPE token total.  Documents with
+    no qualifying words are absent (no defined token count).
+
+    Plan: per-doc-per-word instance counts (one shuffle on
+    ``(id, w)``), hash join to the distinct-word token counts on ``w``
+    (NOT broadcast — Heaps-unbounded build side), final agg on the
+    id."""
+    per_doc_word = (
+        corpus_words(df, text_col, max_word_len, keep=[id_col])
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    wtok = word_token_counts(df, merges, text_col, n_passes, max_word_len)
+    return (
+        per_doc_word.join(wtok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.length("w")).cast("long").alias("n_chars_az"),
+            F.sum(F.col("n_occ") * F.col("n_tok")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_MERGES_CACHE: dict[tuple, list[str]] = {}
+
+
+def learned_merges_cached(
+    spark: SparkSession,
+    df: DataFrame,
+    cache_key: tuple,
+    text_col: str = "text",
+    n_merges: int = N_MERGES,
+) -> list[str]:
+    """Session-memoized merge table (the catalog's q115/q116/q117 all
+    share one learned table per (session, sf_dir))."""
+    key = (id(spark), *cache_key, n_merges)
+    merges = _MERGES_CACHE.get(key)
+    if merges is None:
+        merges = learn_bpe_spark(df, text_col, n_merges=n_merges)
+        _MERGES_CACHE[key] = merges
+    return merges

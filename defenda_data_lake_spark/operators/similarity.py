@@ -235,67 +235,6 @@ def cosine_topk(
     )
 
 
-def cosine_topk_codegen(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Brute-force cosine top-k with the query block folded into
-    LITERAL codegen expressions — the round-9 structural alternative
-    to :func:`cosine_topk`'s Arrow/numpy kernel (VERDICT r8 item 2).
-
-    The collected queries become, per query j, one projection column
-    ``sum_i(e[i] * Q[j][i]) / (|e| * |Q[j]|)`` built from
-    ``GetArrayItem`` multiply-adds (all whole-stage-codegen; unlike
-    ``aggregate()``/``zip_with()`` higher-order functions, which Spark
-    evaluates interpreted per row — the round-1 HOF form measured 1.8 s
-    for exactly that reason).  One JVM job, no Python stage, no
-    posexplode shuffle: corpus-scan → 5-struct explode → ranking
-    window.  Left-fold summation in double matches the oracle's
-    ``list_cosine_similarity`` at the 6 dp the catalog rounds to.
-
-    Trade-off vs the kernel: expression size grows as dim × n_queries
-    (64 × 5 = 320 terms here) — fine for a handful of probe queries,
-    wrong for a big query batch (codegen blowup), and at 100 TB the
-    BLAS kernel's bytes-proportional matmul wins; this shape exists
-    for the interactive few-query case where the Python stage's fixed
-    ~0.18 s floor dominates."""
-    q_ids, Q = _collect_queries(queries, id_col, vec_col)
-    dim = Q.shape[1]
-    qn = np.linalg.norm(Q, axis=1)
-    e = F.col(vec_col)
-    elems = [e.getItem(i).cast("double") for i in range(dim)]
-    norm_sq = elems[0] * elems[0]
-    for el in elems[1:]:
-        norm_sq = norm_sq + el * el
-    structs = []
-    for j in range(len(q_ids)):
-        dot = elems[0] * float(Q[j, 0])
-        for i in range(1, dim):
-            dot = dot + elems[i] * float(Q[j, i])
-        structs.append(
-            F.struct(
-                F.lit(q_ids[j].item()).alias("query_id"),
-                (dot / (F.sqrt(norm_sq) * float(qn[j]))).alias("cosine"),
-            )
-        )
-    scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), e)
-        .select("neighbor_id", F.explode(F.array(*structs)).alias("s"))
-        .select("s.query_id", "neighbor_id", "s.cosine")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-
-
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -23,6 +23,74 @@ time.tzset()
 from pyspark.sql import functions as F
 
 
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+from defenda_data_lake_spark.operators.similarity import _collect_queries
+
+
+def cosine_topk_codegen(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k with the query block folded into
+    LITERAL codegen expressions — the round-9 structural alternative
+    to :func:`cosine_topk`'s Arrow/numpy kernel (VERDICT r8 item 2).
+
+    The collected queries become, per query j, one projection column
+    ``sum_i(e[i] * Q[j][i]) / (|e| * |Q[j]|)`` built from
+    ``GetArrayItem`` multiply-adds (all whole-stage-codegen; unlike
+    ``aggregate()``/``zip_with()`` higher-order functions, which Spark
+    evaluates interpreted per row — the round-1 HOF form measured 1.8 s
+    for exactly that reason).  One JVM job, no Python stage, no
+    posexplode shuffle: corpus-scan → 5-struct explode → ranking
+    window.  Left-fold summation in double matches the oracle's
+    ``list_cosine_similarity`` at the 6 dp the catalog rounds to.
+
+    Trade-off vs the kernel: expression size grows as dim × n_queries
+    (64 × 5 = 320 terms here) — fine for a handful of probe queries,
+    wrong for a big query batch (codegen blowup), and at 100 TB the
+    BLAS kernel's bytes-proportional matmul wins; this shape exists
+    for the interactive few-query case where the Python stage's fixed
+    ~0.18 s floor dominates."""
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    dim = Q.shape[1]
+    qn = np.linalg.norm(Q, axis=1)
+    e = F.col(vec_col)
+    elems = [e.getItem(i).cast("double") for i in range(dim)]
+    norm_sq = elems[0] * elems[0]
+    for el in elems[1:]:
+        norm_sq = norm_sq + el * el
+    structs = []
+    for j in range(len(q_ids)):
+        dot = elems[0] * float(Q[j, 0])
+        for i in range(1, dim):
+            dot = dot + elems[i] * float(Q[j, i])
+        structs.append(
+            F.struct(
+                F.lit(q_ids[j].item()).alias("query_id"),
+                (dot / (F.sqrt(norm_sq) * float(qn[j]))).alias("cosine"),
+            )
+        )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), e)
+        .select("neighbor_id", F.explode(F.array(*structs)).alias("s"))
+        .select("s.query_id", "neighbor_id", "s.cosine")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def best_of(fn, reps=4, sweeps=2, pause=0.0):
     best = float("inf")
     for _ in range(sweeps):
@@ -49,7 +117,6 @@ def main():
         _t,
         derived_view,
     )
-    from defenda_data_lake_spark.operators import similarity as S
     from defenda_data_lake_spark.session import get_spark, tune_for_input_scale
 
     spark = get_spark(app_name="floor-probe-r9")
@@ -69,12 +136,60 @@ def main():
     def q40_codegen():
         emb = _t(spark, sf_dir, "embeddings")
         queries = emb.filter(F.col("vec_id") < 5)
-        return S.cosine_topk_codegen(emb, queries, k=10).select(
+        return cosine_topk_codegen(emb, queries, k=10).select(
             "query_id",
             "neighbor_id",
             R("cosine", 6).alias("cosine"),
             F.col("rank").cast("long").alias("rank"),
         )
+
+    # SQL-string form of the codegen variant: ONE parse of a ~12 KB
+    # statement, memoized by _sql_over (the prepared-statement path) —
+    # the Column-API form above costs ~1000 py4j round trips PER CALL
+    # to rebuild the 320-term tree (measured 2.7 s/rep, all driver)
+    _q40_sql_memo = {}
+
+    def q40_sqlgen():
+        sql = _q40_sql_memo.get("sql")
+        if sql is None:
+            import numpy as np
+
+            emb = _t(spark, sf_dir, "embeddings")
+            pdf = (
+                emb.filter(F.col("vec_id") < 5)
+                .select("vec_id", "embedding")
+                .toPandas()
+            )
+            q_ids = pdf["vec_id"].to_numpy()
+            Q = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+            qn = np.linalg.norm(Q, axis=1)
+            dim = Q.shape[1]
+            es = [f"CAST(embedding[{i}] AS DOUBLE)" for i in range(dim)]
+            nsq = " + ".join(f"{e}*{e}" for e in es)
+            structs = []
+            for j in range(len(q_ids)):
+                dot = " + ".join(f"{es[i]}*{Q[j, i]!r}" for i in range(dim))
+                structs.append(
+                    f"struct(CAST({int(q_ids[j])} AS BIGINT) AS query_id, "
+                    f"(({dot})) / (sqrt({nsq}) * {qn[j]!r}) AS cosine)"
+                )
+            sql = f"""
+SELECT query_id, neighbor_id,
+       round(cosine * 1000000, 0) / 1000000 AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM (
+    SELECT vec_id AS neighbor_id,
+           inline(array({', '.join(structs)}))
+    FROM embeddings
+  ) WHERE neighbor_id <> query_id
+) WHERE rank <= 10
+"""
+            _q40_sql_memo["sql"] = sql
+        return _sql_over(spark, sf_dir, sql, ["embeddings"])
 
     # ---- q20 variants
     def q20_current():
@@ -105,18 +220,20 @@ FROM events_k WHERE k < 50 GROUP BY event_type
 
     # value parity first (the variant is only admissible if identical)
     for name, a, b in (("q40", q40_current, q40_codegen),
+                       ("q40sql", q40_current, q40_sqlgen),
                        ("q20", q20_current, q20_derived)):
         rows_a = sorted(map(tuple, a().collect()))
         rows_b = sorted(map(tuple, b().collect()))
         assert rows_a == rows_b, f"{name} variant diverges: {rows_a[:3]} vs {rows_b[:3]}"
 
     # untimed compile pass
-    for fn in (q40_current, q40_codegen, q20_current, q20_derived):
+    for fn in (q40_current, q40_codegen, q40_sqlgen, q20_current, q20_derived):
         fn().write.format("noop").mode("overwrite").save()
 
     out = {
         "q40_current": best_of(q40_current),
         "q40_codegen": best_of(q40_codegen),
+        "q40_sqlgen": best_of(q40_sqlgen),
         "q20_current": best_of(q20_current),
         "q20_derived": best_of(q20_derived),
         "loadavg_start": load_start,

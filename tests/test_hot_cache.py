@@ -62,3 +62,45 @@ def test_size_budget_skips_big_tables(spark, cold_cache):
     assert not any(
         df.storageLevel.useMemory for df in _T_CACHE.values()
     )
+
+
+def test_derived_view_memoizes_pins_and_clears(spark, cold_cache):
+    """derived_view: values identical to an uncached build, the second
+    call reuses the pinned plan (memoized), and over-budget sources
+    return unpinned; clear_table_cache forgets and unpersists."""
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.plans.catalog_shared import (
+        _DERIVED_CACHE,
+        _t,
+        derived_view,
+    )
+
+    def build(s, d):
+        return _t(s, d, "events").select(
+            "event_type", F.from_json("props", "k INT").getField("k").alias("k")
+        )
+
+    dv = derived_view(spark, SF_DIR, "ev_k_test", build, source_table="events")
+    assert dv.storageLevel.useMemory
+    again = derived_view(spark, SF_DIR, "ev_k_test", build, source_table="events")
+    assert again is dv
+    cold = sorted(map(tuple, build(spark, SF_DIR).collect()))
+    assert sorted(map(tuple, dv.collect())) == cold
+    # over-budget source: returned unpinned, values still identical.
+    # NB: the build must differ from dv's — Spark's cache manager
+    # matches by logical plan, so an identical plan would (correctly)
+    # read as cached through dv's pin.
+    def build2(s, d):
+        return build(s, d).select("k", "event_type")
+
+    big = derived_view(
+        spark, SF_DIR, "ev_k_unpinned", build2, source_table="events", max_bytes=1
+    )
+    assert not big.storageLevel.useMemory
+    assert sorted(map(tuple, big.collect())) == sorted(
+        map(tuple, build2(spark, SF_DIR).collect())
+    )
+    clear_table_cache()
+    assert not _DERIVED_CACHE
+    assert not dv.storageLevel.useMemory
