@@ -45,9 +45,12 @@ data).  Application is a single projection of ``n_merges × n_passes``
 chained literal ``replace`` calls — all JVM codegen, no Python
 workers — run over DISTINCT words only (Heaps-law: orders of magnitude
 smaller than the corpus), then hash-joined back to per-document word
-instances.  The distinct-word table is corpus-derived and unbounded,
-so the join back is a shuffle hash join on the word, NOT a broadcast
-(the q111 chunk-frequency lesson).
+instances.  The join strategy is left to Catalyst's size stats — at
+interactive scale the distinct-word table is provably small and
+broadcasts; at 100 TB the same stats exceed the threshold and it hash
+joins.  What the operator never does is FORCE a broadcast of this
+Heaps-unbounded table (the q111 chunk-frequency lesson; pinned by
+test).
 
 No reference counterpart: the reference engine has no tokenizer; this
 family extends SURVEY.md §2's training-data operators.
@@ -229,9 +232,9 @@ def tokenize_corpus(
     no qualifying words are absent (no defined token count).
 
     Plan: per-doc-per-word instance counts (one shuffle on
-    ``(id, w)``), hash join to the distinct-word token counts on ``w``
-    (NOT broadcast — Heaps-unbounded build side), final agg on the
-    id."""
+    ``(id, w)``), equi-join to the distinct-word token counts on ``w``
+    (strategy size-decided by Catalyst — never a forced broadcast of
+    the Heaps-unbounded side), final agg on the id."""
     per_doc_word = (
         corpus_words(df, text_col, max_word_len, keep=[id_col])
         .groupBy(id_col, "w")

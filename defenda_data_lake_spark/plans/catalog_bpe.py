@@ -1,0 +1,215 @@
+"""BPE tokenizer family (round 9, VERDICT r8 item 3): learn a merge
+table from the documents corpus, tokenize with it, and run the token
+budget over REAL learned tokens.  The Spark side learns driver-side
+from a bounded Spark aggregation (``operators/bpe.py``); the DuckDB
+oracles re-learn the SAME table from scratch in SQL — an unrolled
+chain of materialized CTEs (one pair-count + argmax + 5-pass replace
+per merge), so the merge table itself is engine-independently
+reproducible, not an opaque artifact shipped across.
+
+Every constant here (24 merges, 5 passes, top-2000 learning words,
+32-char word cap, ``[^a-z]+`` word split) is part of the algorithm
+contract documented in ``operators/bpe.py`` and baked identically
+into both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from defenda_data_lake_spark.operators import bpe as B
+from defenda_data_lake_spark.plans.catalog_shared import R, _t
+
+
+# --------------------------------------------------------------- SQL
+# builders: the unrolled learning chain.  AS MATERIALIZED is
+# load-bearing — p_i and s_i both reference s_{i-1}, so an inlining
+# planner would expand the chain exponentially (2^24 scans).
+
+
+def _rep5_sql(expr: str, mi: str, n_passes: int = B.N_PASSES) -> str:
+    pat = f"(SELECT ' ' || pair || ' ' FROM {mi})"
+    rep = f"(SELECT ' ' || replace(pair, ' ', '') || ' ' FROM {mi})"
+    for _ in range(n_passes):
+        expr = f"replace({expr}, {pat}, {rep})"
+    return expr
+
+
+def _learn_ctes(
+    n_merges: int = B.N_MERGES,
+    learn_words: int = B.LEARN_WORDS,
+    max_word_len: int = B.MAX_WORD_LEN,
+) -> str:
+    parts = [
+        f"""dwords AS MATERIALIZED (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents
+  ) WHERE w <> '' AND length(w) <= {max_word_len} GROUP BY w
+),
+lw AS (SELECT w, cnt FROM dwords ORDER BY cnt DESC, w LIMIT {learn_words}),
+s0 AS MATERIALIZED (SELECT cnt, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS st FROM lw)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT pair, sum(cnt) AS c FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy)), i -> sy[i] || ' ' || sy[i+1])) AS pair
+    FROM (SELECT cnt, string_split(trim(st), ' ') AS sy FROM s{i-1})
+  ) GROUP BY pair
+),
+m{i} AS MATERIALIZED (SELECT pair FROM p{i} ORDER BY c DESC, pair LIMIT 1),
+s{i} AS MATERIALIZED (SELECT cnt, {_rep5_sql('st', f'm{i}')} AS st FROM s{i-1})"""
+        )
+    return ",\n".join(parts)
+
+
+_CHARSPACED_W = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+
+
+def _apply_ctes(n_merges: int = B.N_MERGES) -> str:
+    """Application as a chain of 24 materialized CTEs (5 nested
+    replaces each) rather than one 120-deep nested expression — the
+    flat form trips DuckDB's binder recursion limit (128); MATERIALIZED
+    also stops single-reference inlining from rebuilding the same
+    depth."""
+    parts = [
+        f"app0 AS MATERIALIZED (SELECT w, {_CHARSPACED_W} AS st FROM dwords)"
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"app{i} AS MATERIALIZED (SELECT w, {_rep5_sql('st', f'm{i}')} AS st FROM app{i-1})"
+        )
+    parts.append(
+        f"app AS (SELECT w, len(string_split(trim(st), ' ')) AS n_tok FROM app{n_merges})"
+    )
+    return ",\n".join(parts)
+
+
+def _merge_union_sql(n_merges: int = B.N_MERGES) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, pair FROM m{i}" for i in range(1, n_merges + 1)
+    )
+
+
+_TOK_CTES = f"""{_learn_ctes()},
+{_apply_ctes()},
+docw AS MATERIALIZED (
+  SELECT doc_id, w, count(*) AS n_occ FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents
+  ) WHERE w <> '' AND length(w) <= {B.MAX_WORD_LEN} GROUP BY doc_id, w
+),
+tok AS (
+  SELECT doc_id,
+         CAST(sum(n_occ) AS BIGINT) AS n_words,
+         CAST(sum(n_occ * length(w)) AS BIGINT) AS n_chars_az,
+         CAST(sum(n_occ * n_tok) AS BIGINT) AS n_tokens
+  FROM docw JOIN app USING (w) GROUP BY doc_id
+)"""
+
+
+Q115_SQL = f"""WITH {_learn_ctes()}
+SELECT CAST(rank AS BIGINT) AS rank, pair,
+       replace(pair, ' ', '') AS token
+FROM ({_merge_union_sql()})
+"""
+
+
+Q116_SQL = f"""WITH {_TOK_CTES}
+SELECT doc_id, n_words, n_chars_az, n_tokens FROM tok
+"""
+
+
+Q117_SQL = f"""WITH {_TOK_CTES},
+t AS (
+  SELECT doc_id, n_tokens,
+         CAST(n_chars_az AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS score
+  FROM tok
+),
+c AS (
+  SELECT doc_id, score, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens,
+         CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+  FROM t
+)
+SELECT doc_id, round(score * 1000000, 0) / 1000000 AS score,
+       n_tokens, cum_tokens
+FROM c WHERE 4 * cum_tokens <= total
+"""
+
+
+def _merges(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    merges = B.learned_merges_cached(spark, docs, (sf_dir,))
+    # corpus precondition for oracle parity: the SQL chain always
+    # emits N_MERGES rows (LIMIT 1 per rank); the Python learner only
+    # stops early on a corpus too small to contain a pair, where the
+    # two would diverge — fail loudly instead
+    assert len(merges) == B.N_MERGES, (
+        f"corpus too small to learn {B.N_MERGES} merges"
+    )
+    return docs, merges
+
+
+def q115_bpe_merges(spark, sf_dir):
+    """The learned BPE merge table ``(rank, pair, token)``: Spark
+    aggregates word counts, the bounded top-2000 learn driver-side
+    (``operators/bpe.py::learn_bpe_spark``); the oracle re-derives the
+    identical table via the unrolled SQL learning chain — proving the
+    merge table is a deterministic function of the corpus, not a
+    side-channel artifact."""
+    spark_, merges = _merges(spark, sf_dir)
+    rows = [
+        (i + 1, p, p.replace(" ", "")) for i, p in enumerate(merges)
+    ]
+    return spark.createDataFrame(rows, "rank long, pair string, token string")
+
+
+def q116_bpe_tokenize(spark, sf_dir):
+    """Per-document token accounting under the learned merge table
+    (``operators/bpe.py::tokenize_corpus``): word instances, a-z char
+    mass, and BPE token total.  Plan: the 120-replace rewrite runs
+    once per DISTINCT word (JVM codegen, no Python stage), then an
+    equi-join back to per-doc instance counts — strategy size-decided
+    by Catalyst, never a FORCED broadcast of the Heaps-unbounded
+    distinct-word side (q111's lesson; plan + source pinned)."""
+    docs, merges = _merges(spark, sf_dir)
+    return B.tokenize_corpus(docs, merges).select(
+        "doc_id", "n_words", "n_chars_az", "n_tokens"
+    )
+
+
+def q117_token_budget_bpe(spark, sf_dir):
+    """q92's token-budget selection re-expressed over REAL learned
+    tokens: fill 25% of the corpus's BPE-token total with the most
+    in-vocabulary documents first (score = a-z chars per token — the
+    learned table's compression ratio — doc_id tiebreak).  Same
+    two-level cumsum operator as q92 (no unpartitioned window; plan
+    test pins it)."""
+    from defenda_data_lake_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    docs, merges = _merges(spark, sf_dir)
+    t = B.tokenize_corpus(docs, merges).select(
+        "doc_id",
+        F.col("n_tokens").alias("n_tok_b"),
+        (
+            F.col("n_chars_az").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("score"),
+    )
+    sel = token_budget_select(
+        t,
+        token_col="n_tok_b",
+        key_col="score",
+        tie_cols=["doc_id"],
+        descending=True,
+        budget_ratio=(1, 4),
+        buckets=32,
+    )
+    return sel.select(
+        "doc_id",
+        R("score", 6).alias("score"),
+        F.col("n_tok_b").alias("n_tokens"),
+        "cum_tokens",
+    )

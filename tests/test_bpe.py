@@ -1,0 +1,149 @@
+"""BPE tokenizer family (operators/bpe.py + plans/catalog_bpe.py):
+learner parity against the SQL oracle's unrolled re-learning chain,
+Spark-expression vs pure-Python tokenizer row-for-row, the fixed-pass
+fixpoint property, and the q116/q117 plan pins (no Python stage in the
+rewrite, no broadcast of the Heaps-unbounded word table, no
+unpartitioned corpus window)."""
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from defenda_data_lake_spark.operators import bpe as B
+from defenda_data_lake_spark.plans import catalog_bpe as CB
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_word_counts(con, max_word_len=B.MAX_WORD_LEN):
+    wc = {}
+    for (t,) in con.execute("SELECT lower(text) FROM documents").fetchall():
+        for w in re.split(B.WORD_SPLIT_RE, t or ""):
+            if w and len(w) <= max_word_len:
+                wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+def test_learner_matches_duckdb_relearning_chain():
+    """learn_bpe (the driver-side learner the Spark path uses) must
+    equal the oracle's from-scratch SQL re-learning on the same
+    corpus — the 'merge table is a pure function of the corpus'
+    contract."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    sql_rows = con.execute(CB.Q115_SQL).fetchall()
+    wc = _py_word_counts(con)
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[: B.LEARN_WORDS]
+    merges = B.learn_bpe(top)
+    assert [(r[0], r[1], r[2]) for r in sorted(sql_rows)] == [
+        (i + 1, m, m.replace(" ", "")) for i, m in enumerate(merges)
+    ]
+
+
+def test_spark_expression_matches_python_tokenizer(spark):
+    """The 120-chained-replace JVM expression and tokenize_py agree on
+    every distinct corpus word — including unmerged, fully merged, and
+    pathological-run words planted alongside."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = B.learn_bpe_spark(docs)
+    planted = spark.createDataFrame(
+        [("a" * 32,), ("erererererer",), ("z",), ("the",), ("q" * 31 + "a",)],
+        "w string",
+    )
+    words = (
+        B.corpus_words(docs).select("w").distinct().unionByName(planted).distinct()
+    )
+    got = {
+        r["w"]: r["n"]
+        for r in words.select(
+            "w", B.token_count_expr(F.col("w"), merges).alias("n")
+        ).collect()
+    }
+    for w, n in got.items():
+        assert n == len(B.tokenize_py(w, merges)), w
+
+
+def test_five_passes_reach_fixpoint_for_capped_words():
+    """For words within MAX_WORD_LEN, N_PASSES replace passes always
+    reach the true fixpoint (no occurrence of the pair remains), so
+    'apply each merge to fixpoint' and 'apply exactly 5 passes' are
+    the same algorithm on admissible input."""
+    cases = ["a" * 32, "ab" * 16, "aab" * 10, "xyxyxyxyxyxyxyxy"]
+    pairs = ["a a", "a b", "x y", "ab ab"]
+    for w in cases:
+        for pair in pairs:
+            s = " " + " ".join(w) + " "
+            pat = " " + pair + " "
+            rep = " " + pair.replace(" ", "") + " "
+            for _ in range(B.N_PASSES):
+                s = s.replace(pat, rep)
+            assert pat not in s, (w, pair)
+
+
+def test_tokenize_corpus_accounting_invariants(spark):
+    """Per-doc invariants: 1 <= n_tokens <= n_chars_az, n_words <=
+    n_tokens' upper bound (each word >= 1 token), and char mass equals
+    the raw a-z mass recomputed directly."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = B.learn_bpe_spark(docs)
+    out = B.tokenize_corpus(docs, merges)
+    bad = out.filter(
+        (F.col("n_tokens") > F.col("n_chars_az"))
+        | (F.col("n_tokens") < F.col("n_words"))
+        | (F.col("n_words") < 1)
+    ).count()
+    assert bad == 0
+    direct = (
+        B.corpus_words(docs, keep=["doc_id"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.length("w")).alias("chars"))
+    )
+    joined = out.join(direct, "doc_id").filter(
+        F.col("n_chars_az") != F.col("chars")
+    )
+    assert joined.count() == 0
+
+
+def test_merge_learning_deterministic(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert B.learn_bpe_spark(docs) == B.learn_bpe_spark(docs)
+
+
+def test_q116_plan_no_python_stage_no_forced_broadcast(spark):
+    """The rewrite must be pure JVM (no Arrow/Python eval anywhere in
+    the plan) and the word join an equi-join with NO nested loop /
+    cartesian.  The join STRATEGY is deliberately left to Catalyst's
+    size stats: at test scale the distinct-word side is provably tiny
+    and broadcasting it is optimal; at 100 TB the same stats blow the
+    threshold and it hash-joins (the operator never calls
+    F.broadcast() — source-pinned below)."""
+    import inspect
+
+    df = CB.q116_bpe_tokenize(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    src = inspect.getsource(B.tokenize_corpus)
+    assert "broadcast(" not in src
+
+
+def test_q117_no_unpartitioned_corpus_window(spark):
+    """Same pin as q92's plan test: the data-bearing cumulative-sum
+    window is partitioned by the quantile bucket, and every
+    SinglePartition exchange sits over the tiny bucket-sums aggregate,
+    never directly over a corpus scan."""
+    df = CB.q117_token_budget_bpe(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_tb_bucket" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        head = seg[:600]
+        assert "HashAggregate" in head or "FileScan" not in head

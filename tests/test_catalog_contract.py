@@ -44,47 +44,62 @@ def test_every_oracle_sql_parses_and_plans(con):
     assert not bad, bad
 
 
-def test_window_covers_round8_changed_and_new():
+def test_window_covers_round9_changed_and_new():
     """The driver checks only the FIRST 50 entries: everything new or
-    behavior-changed in round 8 must sit inside that window, and the
-    six entries that went two rounds driver-stale (pinned at tail
-    slots 50-55 by the round-7 contract) must LEAD it."""
+    behavior-changed in round 9 must sit inside that window, the four
+    entries pinned at tail slots 50-53 by the round-8 contract must
+    LEAD it, and the seven round-7 entries displaced this round are
+    pinned at tail slots 50-56 to lead round 10."""
     window = list(CATALOG)[:50]
-    # q42: simhash_near_duplicates now delegates to the extracted
-    # hamming_block_pairs; q109-q112 are new in round 8
+    # q115-q117 are the new BPE family; q20 now aggregates over the
+    # derived_view-parsed projection (behavior-equivalent but a new
+    # physical plan — re-verify)
     changed = [
-        "q42_simhash_pairs", "q109_image_dhash", "q110_domain_curation",
-        "q111_boilerplate_removal", "q112_dsir_weights", "q113_cdc_apply",
-        "q114_audio_fingerprint",
+        "q115_bpe_merges", "q116_bpe_tokenize", "q117_token_budget_bpe",
+        "q20_events_json",
     ]
     missing = [n for n in changed if n not in window]
     assert not missing, missing
-    assert list(CATALOG)[:6] == [
-        "q24_presto_text", "q25_percentile_stats", "q26_regexp_count",
-        "q33_text_tokens", "q38_dataset_split", "q44_multimodal_decode",
-    ]
-    # q73/q77/q70/q69 were displaced from the r6 block by q111-q114:
-    # they are r6-driver-green but will be 3 rounds stale by round 9,
-    # so they MUST lead round 9's window — pinned at tail slots 50-53
-    # exactly like the round-7 q24-q26 precedent.
-    assert list(CATALOG)[50:54] == [
+    # the round-8 tail pin, honored first (3 rounds driver-stale)
+    assert list(CATALOG)[:4] == [
         "q73_semdedup", "q77_bucket_dedupe", "q70_pivot_daily",
         "q69_rolling_anomaly",
     ]
-    # no entry may go >2 rounds without a driver check: everything
-    # outside the round-8 window must have been driver-verified in r6
-    # (the seven headline spills, bench-exercised every round, plus
-    # the q73/q77 pinned above) or r7 (the whole r7 window)
-    r6_verified_tail = {
+    # the seven r7-window entries displaced by q115-q117/q20 and the
+    # four leads: each has an in-window kernel sibling (see the
+    # catalog.py policy comment) and MUST lead round 10's window
+    assert list(CATALOG)[50:57] == [
+        "q47_kmeans_clusters", "q95_sampled_diff", "q90_hll_rollup",
+        "q82_dup_span_removal", "q93_group_token_budget",
+        "q75_group_weighted_sample", "q106_classifier_eval",
+    ]
+    # staleness audit for the rest of the tail: everything after the
+    # seven pins must be r8-driver-verified (the round-8 window) or a
+    # headline-bench query (value-exercised every bench run)
+    r8_window = {
+        "q24_presto_text", "q25_percentile_stats", "q26_regexp_count",
+        "q33_text_tokens", "q38_dataset_split", "q44_multimodal_decode",
+        "q42_simhash_pairs", "q109_image_dhash", "q110_domain_curation",
+        "q111_boilerplate_removal", "q112_dsir_weights", "q113_cdc_apply",
+        "q114_audio_fingerprint", "q40_knn_brute", "q16_event_pairs",
+        "q32_dedup_jaccard", "q07_top_customers", "q09_rollup_orders",
+        "q11_window_running", "q12_distinct_agg", "q13_semi_join",
+        "q14_anti_join", "q15_setops", "q17_above_customer_avg",
+        "q18_full_outer", "q19_cube_customers", "q21_events_sessions",
+        "q22_events_hourly", "q23_string_funcs", "q27_grouping_sets",
+        "q28_exists_sql", "q29_asof_join", "q41_knn_lsh",
+        "q48_knn_quantized", "q50_tfidf", "q51_decontamination",
+        "q52_stratified_sample", "q53_repetition_signals",
+        "q54_unigram_logprob", "q55_group_sample",
+        "q56_contrastive_pairs", "q57_gopher_filter",
+        "q59_temperature_mix", "q61_length_buckets",
+        "q64_bigram_logprob", "q65_oov_rate", "q66_funnel",
+        "q67_retention_cohorts", "q68_doc_chunks",
+    }
+    headline = {
         "q01_pricing_summary", "q03_shipping_priority",
         "q05_regional_revenue", "q10_window_rank", "q30_dedup_exact",
         "q31_dedup_minhash", "q36_text_fingerprint",
-        "q73_semdedup", "q77_bucket_dedupe", "q70_pivot_daily",
-        "q69_rolling_anomaly",
     }
-    for n in list(CATALOG)[50:]:
-        if n in r6_verified_tail:
-            continue  # exactly 2 rounds stale; accounted for above
-        # numeric proxy for membership in the round-7 driver window
-        num = int(n[1:].split("_", 1)[0])
-        assert 34 <= num <= 108, n
+    for n in list(CATALOG)[57:]:
+        assert n in r8_window or n in headline, n
