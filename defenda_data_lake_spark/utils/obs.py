@@ -1,0 +1,32 @@
+"""Per-batch observability lines for the maintenance folds (VERDICT
+r8 item 6): CDC and SCD folds return loss counters (``late_dropped``,
+``tombstoned``) and streaming near-dedup exposes
+``watermark_drop_counts`` — this module turns those into ONE
+fixed-format, greppable log line so an operator sees row loss without
+reading code.  The demos print these per batch; a test pins that the
+logged count equals a planted late-row count."""
+
+from __future__ import annotations
+
+# counters printed in this fixed order when present, loss counters
+# always included so a zero is visible evidence, not an omission
+_COUNTER_ORDER = (
+    "applied",
+    "deleted",
+    "runs",
+    "late_dropped",
+    "tombstoned",
+    "dropped_by_watermark",
+)
+
+
+def fold_log_line(stage: str, batch_id, stats: dict) -> str:
+    """``[stage] batch=<id> applied=.. late_dropped=.. ...`` — one
+    line per fold, counters in a fixed order, bucket count appended
+    when the fold reports touched buckets."""
+    parts = [
+        f"{k}={int(stats[k])}" for k in _COUNTER_ORDER if k in stats
+    ]
+    if "touched_buckets" in stats:
+        parts.append(f"touched_buckets={len(stats['touched_buckets'])}")
+    return f"[{stage}] batch={batch_id} " + " ".join(parts)

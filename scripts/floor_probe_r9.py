@@ -5,9 +5,18 @@ protocol (warm cache, untimed compile pass, consecutive best-of-4 x 2
 sweeps) on a quiet box.
 
 q40 alternative: cosine_topk_codegen — query block folded into literal
-whole-stage-codegen multiply-adds, no Python stage.
+multiply-adds, no Python stage — tried in BOTH Column-API form
+(REJECTED: ~1000 py4j round trips per call, 2.615 s best) and
+generated-SQL prepared-statement form (REJECTED: the 320-term
+expression exceeds codegen budgets and evaluates interpreted with a
+1 MB task binary, 1.494 s best vs the 0.314 s Arrow/BLAS incumbent).
+The rejected kernel lives HERE, not in the package — the measured
+record of the attempt (BASELINE.md floor waiver cites these numbers).
+
 q20 alternative: derived_view("events_k") — from_json projected once
 per session into a pinned columnar view, so reps scan parsed ints.
+ADOPTED into the catalog (0.073 -> 0.058 s best-of-8; the residue is
+the bare 2-exchange agg floor).
 """
 from __future__ import annotations
 

@@ -71,7 +71,10 @@ def run(mode: str, n: int) -> dict:
             checkpoint_path=os.path.join(tmp, "ckpt"),
             quarantine_path=os.path.join(tmp, "quarantine"),
             trigger_seconds=1,
-            max_files_per_trigger=8,  # 4 micro-batches
+            # default 8 -> 4 micro-batches of 125k; round-9 batch-size
+            # sweep overrides via PROBE_MAXFILES (16 -> 2 batches,
+            # 32 -> 1 batch) to amortize the ~6 s first-batch warmup
+            max_files_per_trigger=int(os.environ.get("PROBE_MAXFILES", "8")),
             **kwargs,
         )
         try:

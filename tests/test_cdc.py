@@ -461,3 +461,45 @@ def test_fold_rejects_reserved_column_names(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="reserved columns"):
         fold_cdc_batch(spark, str(tmp_path / "snap"), bad, ["k"], num_buckets=4)
+
+
+def test_fold_log_line_reports_planted_late_count(spark, tmp_path):
+    """The observability contract the demos rely on (VERDICT r8 item
+    6): the per-batch log line's late_dropped equals the planted
+    late-row count, for both the CDC and the SCD fold."""
+    from defenda_data_lake_spark.streaming.scd import fold_scd2_batch
+    from defenda_data_lake_spark.utils.obs import fold_log_line
+
+    table = tmp_path / "snap"
+    fold_cdc_batch(
+        spark, str(table),
+        _changes(spark, [("U", 10, 1, "a"), ("U", 11, 2, "b"),
+                         ("D", 12, 3, None), ("U", 2, 3, "was")]),
+        ["k"], num_buckets=4, tombstones=4,
+    )
+    planted = _changes(
+        spark,
+        [("U", 5, 1, "late1"), ("U", 6, 2, "late2"), ("U", 7, 3, "late3")],
+    )
+    stats = fold_cdc_batch(
+        spark, str(table), planted, ["k"], num_buckets=4,
+        table_exists=True, on_late="drop", tombstones=4,
+    )
+    line = fold_log_line("cdc", 7, stats)
+    assert "late_dropped=3" in line and "[cdc] batch=7 " in line
+    assert stats["late_dropped"] == 3  # 2 live-key + 1 tombstoned
+
+    scd = tmp_path / "scd"
+    obs = spark.createDataFrame(
+        [(1, "x", "2026-01-02T00:00:00")], "k long, v string, seen string"
+    ).select("k", "v", F.col("seen").cast("timestamp").alias("seen"))
+    fold_scd2_batch(spark, str(scd), obs, ["k"], ["v"], "seen", num_buckets=4)
+    late_obs = obs.select(
+        "k", F.lit("old").alias("v"),
+        F.lit("2026-01-01T00:00:00").cast("timestamp").alias("seen"),
+    )
+    s1 = fold_scd2_batch(
+        spark, str(scd), late_obs, ["k"], ["v"], "seen",
+        num_buckets=4, table_exists=True, on_late="drop",
+    )
+    assert "late_dropped=1" in fold_log_line("scd2", 8, s1)
