@@ -1,0 +1,76 @@
+"""Streaming BPE token accounting: apply a batch-learned merge table
+(``operators/bpe.py``) to a document STREAM — real-token budget
+metering at ingest time instead of over a corpus at rest.
+
+Same plan-shape move as ``streaming/classify.py`` /
+``streaming/dsir.py``: the batch accountant
+(:func:`~defenda_data_lake_spark.operators.bpe.tokenize_corpus`)
+explodes words, dedups them, and re-joins — but accounting a streamed
+document only ever needs ITS OWN words, and the merge table is a
+bounded list of LITERALS baked into the expression.  Each row reduces
+its own word array with ``F.aggregate``: pure append mode, no state
+store, no watermark, no shuffle, no distinct-word table.
+
+The trade is per-element interpretation: inside the higher-order
+``aggregate`` lambda the 120-replace chain evaluates interpreted per
+word (the batch path runs it whole-stage-codegen once per DISTINCT
+word) — the same stateless-vs-kernel trade the NB/DSIR stream scorers
+document.  For an ingest-time meter the per-row cost is what you pay
+to need no state; for corpus-at-rest accounting use the batch
+operator.
+
+One deliberate contract difference from the batch operator (pinned by
+test): the batch inner-join drops documents with NO qualifying words;
+the stream emits them with ``n_words = n_tokens = 0`` — a stream
+stage must not lose rows (the ``near_dedupe_stream`` no-row-lost
+invariant), and a zero row is the auditable form of "nothing to
+count".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from defenda_data_lake_spark.operators.bpe import (
+    MAX_WORD_LEN,
+    WORD_SPLIT_RE,
+    token_count_expr,
+)
+
+
+def bpe_token_stream(
+    stream_df: DataFrame,
+    merges: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Append-mode-safe stream of ``(id, n_words, n_chars_az,
+    n_tokens)`` — the same columns (and exact integer values, no
+    rounding caveat) as the batch ``tokenize_corpus`` for every
+    document with at least one qualifying word; wordless documents
+    additionally appear as zero rows (see module docstring)."""
+    # NULL text counts as empty (zero row), not as NULL counts — the
+    # stream's no-row-lost contract needs an auditable zero
+    words = F.filter(
+        F.split(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), WORD_SPLIT_RE
+        ),
+        lambda w: (w != F.lit("")) & (F.length(w) <= F.lit(max_word_len)),
+    )
+    zero = F.lit(0).cast("long")
+    return stream_df.select(
+        F.col(id_col).alias("id"),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            words, zero, lambda acc, w: acc + F.length(w).cast("long")
+        ).alias("n_chars_az"),
+        F.aggregate(
+            words,
+            zero,
+            lambda acc, w: acc + token_count_expr(w, merges).cast("long"),
+        ).alias("n_tokens"),
+    )
