@@ -252,6 +252,194 @@ def tokenize_corpus(
     )
 
 
+# fallback-stripping pattern: lowercase a-z plus the EXPLICIT ASCII
+# whitespace set shared by Java regex and RE2 (never `\s`, whose class
+# differs between the engines: Java includes \x0B, RE2 does not)
+FALLBACK_STRIP_RE = "[a-z \\t\\n\\r\\f]"
+
+
+def full_token_accounting(
+    df: DataFrame,
+    merges: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_passes: int = N_PASSES,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Full-coverage token accounting with BYTE FALLBACK — the
+    production-tokenizer contract (GPT-2-style byte fallback, public
+    knowledge) where no input char is unaccounted, instead of
+    :func:`tokenize_corpus`'s documented a-z-words-only scope:
+
+    * qualifying words (lowercased ``[a-z]+`` runs, ≤``max_word_len``
+      chars) cost their BPE token count under ``merges``;
+    * oversized a-z runs (>``max_word_len``) fall back to one token
+      per char (they are a-z, so char == UTF-8 byte);
+    * everything else except ASCII whitespace (space/tab/newline/CR/FF
+      — an explicit class, see ``FALLBACK_STRIP_RE``) falls back to
+      one token per UTF-8 BYTE of the lowercased text.
+
+    Returns one row per input row: ``(id_col, n_words, n_vocab_words,
+    n_tokens_bpe, n_long_chars, n_bytes_other, n_tokens_total)`` where
+    ``n_vocab_words`` counts word INSTANCES the merge table collapses
+    to a single token (the in-vocab hit rate — ``1 -
+    n_vocab_words/n_words`` is the real-token OOV rate, and
+    ``n_tokens_bpe/n_words`` the fertility).  Unlike
+    ``tokenize_corpus``, documents with no qualifying words still
+    appear (zero BPE columns) — fallback bytes alone can be nonzero.
+
+    Scale: the fallback columns are one narrow codegen projection (no
+    shuffle); the BPE side is exactly ``tokenize_corpus``'s plan (one
+    (id, w) shuffle + distinct-word rewrite + size-decided equi-join);
+    the stitch is a left join on the id.  Nothing here forces a
+    broadcast of a Heaps-unbounded table."""
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    arr = F.split(lowered, WORD_SPLIT_RE)
+    zero = F.lit(0).cast("long")
+    long_chars = F.aggregate(
+        F.filter(arr, lambda w: F.length(w) > F.lit(max_word_len)),
+        zero,
+        lambda acc, w: acc + F.length(w).cast("long"),
+    )
+    other_bytes = F.octet_length(
+        F.regexp_replace(lowered, FALLBACK_STRIP_RE, "")
+    ).cast("long")
+    fb = df.select(
+        F.col(id_col),
+        long_chars.alias("n_long_chars"),
+        other_bytes.alias("n_bytes_other"),
+    )
+    per_doc_word = (
+        corpus_words(df, text_col, max_word_len, keep=[id_col])
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    wtok = word_token_counts(df, merges, text_col, n_passes, max_word_len)
+    bpe = (
+        per_doc_word.join(wtok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(
+                F.when(F.col("n_tok") == 1, F.col("n_occ")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_vocab_words"),
+            F.sum(F.col("n_occ") * F.col("n_tok"))
+            .cast("long")
+            .alias("n_tokens_bpe"),
+        )
+    )
+    return fb.join(bpe, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_words"), zero).alias("n_words"),
+        F.coalesce(F.col("n_vocab_words"), zero).alias("n_vocab_words"),
+        F.coalesce(F.col("n_tokens_bpe"), zero).alias("n_tokens_bpe"),
+        "n_long_chars",
+        "n_bytes_other",
+        (
+            F.coalesce(F.col("n_tokens_bpe"), zero)
+            + F.col("n_long_chars")
+            + F.col("n_bytes_other")
+        ).alias("n_tokens_total"),
+    )
+
+
+def full_token_accounting_py(
+    text: str, merges: Sequence[str], max_word_len: int = MAX_WORD_LEN
+) -> dict[str, int]:
+    """Pure-Python reference for :func:`full_token_accounting` on one
+    document (tests pin Spark row == this on adversarial unicode/
+    whitespace/oversized-word inputs)."""
+    import re
+
+    lowered = (text or "").lower()
+    words = [w for w in re.split("[^a-z]+", lowered) if w]
+    qual = [w for w in words if len(w) <= max_word_len]
+    long_chars = sum(len(w) for w in words if len(w) > max_word_len)
+    other = re.sub("[a-z \t\n\r\f]", "", lowered)
+    n_bytes_other = len(other.encode("utf-8"))
+    n_tok = [len(tokenize_py(w, merges)) for w in qual]
+    n_bpe = sum(n_tok)
+    return {
+        "n_words": len(qual),
+        "n_vocab_words": sum(1 for t in n_tok if t == 1),
+        "n_tokens_bpe": n_bpe,
+        "n_long_chars": long_chars,
+        "n_bytes_other": n_bytes_other,
+        "n_tokens_total": n_bpe + long_chars + n_bytes_other,
+    }
+
+
+# ------------------------------------------------------ persistence /
+# drift: the merge table as a versioned artifact.  A production
+# pipeline learns the tokenizer ONCE per corpus snapshot, persists it,
+# and meters every later job against the frozen table; re-learning on
+# a drifted corpus then needs a drift report before the new table is
+# adopted (retokenizing 100 TB is the single most expensive decision a
+# training-data pipeline makes).
+
+
+def merges_to_df(spark: SparkSession, merges: Sequence[str]) -> DataFrame:
+    """The merge table as rows ``(rank, pair, token)`` — rank is
+    1-based application order."""
+    rows = [(i + 1, p, p.replace(" ", "")) for i, p in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank long, pair string, token string")
+
+
+def save_bpe_model(spark: SparkSession, merges: Sequence[str], path: str) -> None:
+    """Persist the learned merge table as ONE parquet dataset (the
+    table is bounded — ``n_merges`` rows — so a single file; the
+    ``save_nb_model`` precedent).  Application order is carried by the
+    explicit ``rank`` column, never by file order."""
+    merges_to_df(spark, merges).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_model(spark: SparkSession, path: str) -> list[str]:
+    """Reload a persisted merge table in rank order.  A reloaded table
+    tokenizes bit-identically (the pairs are exact strings; tests pin
+    round-trip equality), so learn-once/apply-everywhere is safe."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    ranks = [r["rank"] for r in rows]
+    if ranks != list(range(1, len(ranks) + 1)):
+        raise ValueError(f"corrupt merge table at {path}: ranks {ranks}")
+    return [r["pair"] for r in rows]
+
+
+def bpe_drift(old: Sequence[str], new: Sequence[str]) -> dict:
+    """Drift report between two learned merge tables (both bounded, so
+    this is driver-side pure Python — the CDC-for-vocab check run
+    BEFORE adopting a re-learned tokenizer).
+
+    * ``common_prefix`` — merges agreeing in rank order from rank 1;
+      because BPE merges apply in order, tokenization is guaranteed
+      unchanged only for words whose rewrites use the common prefix.
+    * ``first_divergence`` — 1-based rank of the first disagreement
+      (None when one table is a prefix of the other or they're equal).
+    * ``added`` / ``removed`` — tokens (rank-insensitive) only in the
+      new / only in the old table, sorted.
+    * ``token_jaccard`` — |old ∩ new| / |old ∪ new| over token sets
+      (1.0 for identical sets; both-empty defined as 1.0).
+    * ``drifted`` — True unless the tables are IDENTICAL (same pairs,
+      same order): any difference can change token counts."""
+    old, new = list(old), list(new)
+    k = 0
+    while k < len(old) and k < len(new) and old[k] == new[k]:
+        k += 1
+    diverged = k < len(old) and k < len(new)
+    ot = {p.replace(" ", "") for p in old}
+    nt = {p.replace(" ", "") for p in new}
+    union = ot | nt
+    return {
+        "common_prefix": k,
+        "first_divergence": (k + 1) if diverged else None,
+        "added": sorted(nt - ot),
+        "removed": sorted(ot - nt),
+        "token_jaccard": (len(ot & nt) / len(union)) if union else 1.0,
+        "drifted": old != new,
+    }
+
+
 _MERGES_CACHE: dict[tuple, list[str]] = {}
 
 

@@ -15,6 +15,7 @@ into both sides.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from defenda_data_lake_spark.operators import bpe as B
@@ -137,6 +138,79 @@ FROM c WHERE 4 * cum_tokens <= total
 """
 
 
+Q118_SQL = f"""WITH {_TOK_CTES},
+t AS (
+  SELECT d.doc_id, d.lang, tok.n_tokens,
+         CAST(tok.n_chars_az AS DOUBLE) / CAST(tok.n_tokens AS DOUBLE) AS score
+  FROM tok JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL
+),
+c AS (
+  SELECT doc_id, lang, n_tokens, score,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT)
+           AS cum_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang) AS BIGINT) AS total
+  FROM t
+)
+SELECT doc_id, lang, round(score * 1000000, 0) / 1000000 AS score,
+       n_tokens, cum_tokens
+FROM c WHERE 4 * cum_tokens <= total
+"""
+
+
+Q119_SQL = f"""WITH {_TOK_CTES},
+tokf AS (
+  SELECT doc_id,
+         CAST(sum(n_occ) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN n_tok = 1 THEN n_occ ELSE 0 END) AS BIGINT) AS n_vocab_words,
+         CAST(sum(n_occ * n_tok) AS BIGINT) AS n_tokens_bpe
+  FROM docw JOIN app USING (w) GROUP BY doc_id
+),
+fb AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(list_transform(
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         w -> len(w) > {B.MAX_WORD_LEN}),
+             w -> len(w))), 0) AS BIGINT) AS n_long_chars,
+         CAST(strlen(regexp_replace(lower(text), '[a-z \\t\\n\\r\\f]', '', 'g'))
+           AS BIGINT) AS n_bytes_other
+  FROM documents
+)
+SELECT fb.doc_id,
+       coalesce(n_words, 0) AS n_words,
+       coalesce(n_vocab_words, 0) AS n_vocab_words,
+       coalesce(n_tokens_bpe, 0) AS n_tokens_bpe,
+       n_long_chars, n_bytes_other,
+       coalesce(n_tokens_bpe, 0) + n_long_chars + n_bytes_other AS n_tokens_total
+FROM fb LEFT JOIN tokf USING (doc_id)
+"""
+
+
+_Q120_BUDGET = 512
+_Q120_BUCKETS = 16
+
+
+Q120_SQL = f"""WITH {_TOK_CTES},
+d AS (
+  SELECT doc_id, n_tokens AS tokens, doc_id % {_Q120_BUCKETS} AS bucket
+  FROM tok
+),
+binned AS (
+  SELECT bucket, doc_id, tokens,
+         CAST(floor((sum(tokens) OVER (
+             PARTITION BY bucket ORDER BY tokens DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - tokens) / {_Q120_BUDGET}) AS BIGINT) AS bin
+  FROM d
+)
+SELECT bucket, bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc
+FROM binned GROUP BY bucket, bin
+"""
+
+
 def _merges(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     merges = B.learned_merges_cached(spark, docs, (sf_dir,))
@@ -157,11 +231,8 @@ def q115_bpe_merges(spark, sf_dir):
     identical table via the unrolled SQL learning chain — proving the
     merge table is a deterministic function of the corpus, not a
     side-channel artifact."""
-    spark_, merges = _merges(spark, sf_dir)
-    rows = [
-        (i + 1, p, p.replace(" ", "")) for i, p in enumerate(merges)
-    ]
-    return spark.createDataFrame(rows, "rank long, pair string, token string")
+    _docs, merges = _merges(spark, sf_dir)
+    return B.merges_to_df(spark, merges)
 
 
 def q116_bpe_tokenize(spark, sf_dir):
@@ -212,4 +283,91 @@ def q117_token_budget_bpe(spark, sf_dir):
         R("score", 6).alias("score"),
         F.col("n_tok_b").alias("n_tokens"),
         "cum_tokens",
+    )
+
+
+def q118_group_token_budget_bpe(spark, sf_dir):
+    """q93's mix-spec selection re-expressed over REAL learned tokens:
+    fill each LANGUAGE to 25% of its own BPE-token total, most
+    in-vocabulary (chars/token) documents first.  This is the full
+    production form of "30% code / 20% multilingual" — both the budget
+    unit and the ranking come from the learned tokenizer, not
+    whitespace proxies.  Scale: the tokenizer join is q116's plan; the
+    selection adds ONE hash exchange on ``lang`` with every window
+    group-bounded (same kernel as q93/q117 — no unpartitioned
+    window)."""
+    from defenda_data_lake_spark.operators.sampling import (
+        group_token_budget_select,
+    )
+
+    docs, merges = _merges(spark, sf_dir)
+    t = B.tokenize_corpus(docs, merges).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    t = t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (
+            F.col("n_chars_az").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("score"),
+    )
+    sel = group_token_budget_select(
+        t,
+        token_col="n_tokens",
+        key_col="score",
+        group_col="lang",
+        tie_cols=["doc_id"],
+        descending=True,
+        budget_ratio=(1, 4),
+    )
+    return sel.select(
+        "doc_id", "lang", R("score", 6).alias("score"), "n_tokens",
+        "cum_tokens",
+    )
+
+
+def q119_bpe_byte_fallback(spark, sf_dir):
+    """Full-coverage token accounting with byte fallback
+    (``operators/bpe.py::full_token_accounting``): qualifying a-z
+    words cost their BPE tokens, oversized words and non-a-z content
+    fall back to one token per UTF-8 byte, and ``n_vocab_words``
+    counts instances the merge table collapses to ONE token (real-
+    token OOV/fertility).  Every document appears — fallback bytes
+    alone can be nonzero — so this is the accounting a
+    no-char-unaccounted production pipeline meters against.  Scale:
+    fallback columns are a narrow codegen projection; the BPE side is
+    q116's plan; the stitch is one left join on the id."""
+    docs, merges = _merges(spark, sf_dir)
+    return B.full_token_accounting(docs, merges)
+
+
+def q120_sequence_packing_bpe(spark, sf_dir):
+    """q39's sequence packing re-expressed over REAL learned tokens:
+    documents packed into ~512-BPE-token training bins by
+    deterministic next-fit-decreasing within hash buckets.  Scale:
+    per-bucket windows parallelize packing across the cluster (no
+    global running state — the q39 argument), and the token counts
+    come from q116's distinct-word plan, not a whitespace proxy."""
+    docs, merges = _merges(spark, sf_dir)
+    t = B.tokenize_corpus(docs, merges)
+    d = t.select(
+        "doc_id",
+        F.col("n_tokens").alias("tokens"),
+        (F.col("doc_id") % _Q120_BUCKETS).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("tokens").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.withColumn(
+        "bin",
+        F.floor((F.sum("tokens").over(w) - F.col("tokens")) / _Q120_BUDGET),
+    )
+    return binned.groupBy("bucket", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
     )

@@ -133,6 +133,157 @@ def test_q116_plan_no_python_stage_no_forced_broadcast(spark):
     assert "broadcast(" not in src
 
 
+def _corpus_merges(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return docs, B.learn_bpe_spark(docs)
+
+
+def test_full_token_accounting_matches_python_reference(spark):
+    """Spark full_token_accounting row == the pure-Python reference on
+    adversarial inputs: multibyte chars (fallback counts BYTES),
+    oversized a-z runs, explicit-whitespace variants, digits/punct
+    only, empty, and NULL text.  Chars are chosen to lower()
+    identically in Python and the JVM (no locale-sensitive cases like
+    dotted-I)."""
+    _docs, merges = _corpus_merges(spark)
+    planted = [
+        (1, "Héllo wörld! café 世界 the the"),
+        (2, "x" * 40 + " the end " + "y" * 33),
+        (3, "  \t\nmixed   WHITESPACE\r\nhere\f ok"),
+        (4, ""),
+        (5, None),
+        (6, "1234 !!! ??? $$$"),
+        (7, "a" * 32),
+    ]
+    df = spark.createDataFrame(planted, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in B.full_token_accounting(df, merges).collect()
+    }
+    assert set(got) == {p[0] for p in planted}
+    for doc_id, text in planted:
+        want = B.full_token_accounting_py(text, merges)
+        row = got[doc_id]
+        for k, v in want.items():
+            assert row[k] == v, (doc_id, k, row, want)
+
+
+def test_full_accounting_consistent_with_tokenize_corpus(spark):
+    """On the real corpus the BPE columns must equal tokenize_corpus's
+    (same words, same merge table), and the total must be the exact
+    column sum."""
+    docs, merges = _corpus_merges(spark)
+    full = B.full_token_accounting(docs, merges)
+    tc = B.tokenize_corpus(docs, merges).select(
+        "doc_id",
+        F.col("n_words").alias("tw"),
+        F.col("n_tokens").alias("tt"),
+    )
+    j = full.join(tc, "doc_id", "left")
+    bad = j.filter(
+        (F.coalesce(F.col("tw"), F.lit(0)) != F.col("n_words"))
+        | (F.coalesce(F.col("tt"), F.lit(0)) != F.col("n_tokens_bpe"))
+        | (
+            F.col("n_tokens_total")
+            != F.col("n_tokens_bpe") + F.col("n_long_chars") + F.col("n_bytes_other")
+        )
+        | (F.col("n_vocab_words") > F.col("n_words"))
+    ).count()
+    assert bad == 0
+
+
+def test_bpe_model_save_load_roundtrip(spark, tmp_path):
+    """Persist + reload returns the identical rank-ordered merge list,
+    so a reloaded model tokenizes bit-identically (application is a
+    pure function of the pair list)."""
+    _docs, merges = _corpus_merges(spark)
+    path = str(tmp_path / "bpe_model")
+    B.save_bpe_model(spark, merges, path)
+    assert B.load_bpe_model(spark, path) == merges
+
+
+def test_load_bpe_model_rejects_corrupt_ranks(spark, tmp_path):
+    path = str(tmp_path / "bad_model")
+    spark.createDataFrame(
+        [(1, "a b", "ab"), (3, "c d", "cd")],
+        "rank long, pair string, token string",
+    ).write.parquet(path)
+    with pytest.raises(ValueError, match="corrupt merge table"):
+        B.load_bpe_model(spark, path)
+
+
+def test_bpe_drift_report_semantics():
+    m = ["a b", "c d", "ab c"]
+    same = B.bpe_drift(m, list(m))
+    assert same == {
+        "common_prefix": 3,
+        "first_divergence": None,
+        "added": [],
+        "removed": [],
+        "token_jaccard": 1.0,
+        "drifted": False,
+    }
+    mid = B.bpe_drift(m, ["a b", "x y", "ab c"])
+    assert mid["first_divergence"] == 2
+    assert mid["added"] == ["xy"] and mid["removed"] == ["cd"]
+    assert mid["drifted"] and mid["common_prefix"] == 1
+    # one table a PREFIX of the other: no rank disagrees, still drift
+    # (token counts change when later merges disappear)
+    pre = B.bpe_drift(m, m[:2])
+    assert pre["drifted"] and pre["first_divergence"] is None
+    assert pre["common_prefix"] == 2 and pre["removed"] == ["abc"]
+    assert B.bpe_drift([], [])["token_jaccard"] == 1.0
+    assert not B.bpe_drift([], [])["drifted"]
+
+
+def test_bpe_drift_detects_corpus_change(spark):
+    """The CDC-for-vocab loop: re-learning on a shifted corpus (a new
+    high-frequency word) produces a measurably drifted table, while
+    re-learning on the SAME corpus does not."""
+    docs, merges_a = _corpus_merges(spark)
+    extra = spark.createDataFrame(
+        [(100000 + i, "qzw qzw qzwqzw qzwqzwqzw") for i in range(2000)],
+        "doc_id long, text string",
+    )
+    shifted = docs.select("doc_id", "text").unionByName(extra)
+    merges_b = B.learn_bpe_spark(shifted)
+    rep = B.bpe_drift(merges_a, merges_b)
+    assert rep["drifted"] and rep["token_jaccard"] < 1.0
+    assert any("qz" in t or "zw" in t for t in rep["added"])
+    assert not B.bpe_drift(merges_a, B.learn_bpe_spark(docs))["drifted"]
+
+
+def test_q119_plan_pure_jvm_no_cartesian(spark):
+    """Byte-fallback accounting must stay whole-stage-codegen: no
+    Python/Arrow eval anywhere, no cartesian/NLJ, and the distinct-
+    word join never source-forces a broadcast (q116's contract)."""
+    import inspect
+
+    df = CB.q119_bpe_byte_fallback(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "broadcast(" not in inspect.getsource(B.full_token_accounting)
+
+
+def test_q118_q120_group_bounded_windows(spark):
+    """The per-language budget window and the per-bucket packing
+    window are both hash-partitioned by their group — no global
+    single-partition window over the corpus."""
+    for fn, part in (
+        (CB.q118_group_token_budget_bpe, "hashpartitioning(lang"),
+        (CB.q120_sequence_packing_bpe, "hashpartitioning(bucket"),
+    ):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert part in plan, (fn.__name__, part)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        for seg in plan.split("Exchange SinglePartition")[1:]:
+            head = seg[:600]
+            assert "HashAggregate" in head or "FileScan" not in head
+
+
 def test_q117_no_unpartitioned_corpus_window(spark):
     """Same pin as q92's plan test: the data-bearing cumulative-sum
     window is partitioned by the quantile bucket, and every
