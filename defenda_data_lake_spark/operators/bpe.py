@@ -294,13 +294,21 @@ def full_token_accounting(
     the stitch is a left join on the id.  Nothing here forces a
     broadcast of a Heaps-unbounded table."""
     lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    arr = F.split(lowered, WORD_SPLIT_RE)
     zero = F.lit(0).cast("long")
-    long_chars = F.aggregate(
-        F.filter(arr, lambda w: F.length(w) > F.lit(max_word_len)),
-        zero,
-        lambda acc, w: acc + F.length(w).cast("long"),
-    )
+    # oversized-run char mass WITHOUT higher-order functions: an
+    # aggregate/filter lambda formulation is value-identical but is a
+    # CodegenFallback expression, and two fallback expressions in one
+    # Project knocked the whole projection out of whole-stage codegen
+    # (measured 7x slower at the 32x probe — SCALING.md round 9);
+    # regexp_extract_all + array_join keeps the Project in codegen
+    long_chars = F.length(
+        F.array_join(
+            F.regexp_extract_all(
+                lowered, F.lit("[a-z]{" + str(max_word_len + 1) + ",}"), F.lit(0)
+            ),
+            "",
+        )
+    ).cast("long")
     other_bytes = F.octet_length(
         F.regexp_replace(lowered, FALLBACK_STRIP_RE, "")
     ).cast("long")
