@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from defenda_data_lake_spark.operators.bpe import (
+    FALLBACK_STRIP_RE,
     MAX_WORD_LEN,
     WORD_SPLIT_RE,
     token_count_expr,
@@ -73,4 +74,60 @@ def bpe_token_stream(
             zero,
             lambda acc, w: acc + token_count_expr(w, merges).cast("long"),
         ).alias("n_tokens"),
+    )
+
+
+def bpe_full_token_stream(
+    stream_df: DataFrame,
+    merges: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Streaming twin of the batch
+    :func:`~defenda_data_lake_spark.operators.bpe.full_token_accounting`
+    (byte-fallback full-coverage accounting): same columns, exact
+    integer parity per document (pinned by test), still STATELESS
+    append mode — the fallback columns are plain codegen projections
+    and the BPE columns per-row ``F.aggregate`` reductions over the
+    document's own words, so no state store, watermark, or shuffle is
+    introduced.  NULL text meters as empty (all-zero row)."""
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    words = F.filter(
+        F.split(lowered, WORD_SPLIT_RE),
+        lambda w: (w != F.lit("")) & (F.length(w) <= F.lit(max_word_len)),
+    )
+    zero = F.lit(0).cast("long")
+    n_bpe = F.aggregate(
+        words,
+        zero,
+        lambda acc, w: acc + token_count_expr(w, merges).cast("long"),
+    )
+    n_vocab = F.aggregate(
+        words,
+        zero,
+        lambda acc, w: acc
+        + F.when(token_count_expr(w, merges) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    long_chars = F.length(
+        F.array_join(
+            F.regexp_extract_all(
+                lowered, F.lit("[a-z]{" + str(max_word_len + 1) + ",}"), F.lit(0)
+            ),
+            "",
+        )
+    ).cast("long")
+    other_bytes = F.octet_length(
+        F.regexp_replace(lowered, FALLBACK_STRIP_RE, "")
+    ).cast("long")
+    return stream_df.select(
+        F.col(id_col).alias("id"),
+        F.size(words).cast("long").alias("n_words"),
+        n_vocab.alias("n_vocab_words"),
+        n_bpe.alias("n_tokens_bpe"),
+        long_chars.alias("n_long_chars"),
+        other_bytes.alias("n_bytes_other"),
+        (n_bpe + long_chars + other_bytes).alias("n_tokens_total"),
     )

@@ -51,6 +51,63 @@ def test_stream_counts_match_batch_exactly_and_stateless(spark, tmp_path):
     assert len(got) == docs.count()  # no row lost
 
 
+def test_full_stream_matches_batch_byte_fallback(spark, tmp_path):
+    """bpe_full_token_stream == batch full_token_accounting column-
+    for-column (exact integers, EVERY doc appears on both sides —
+    unlike tokenize_corpus the batch twin keeps wordless docs), and
+    the stream stays stateless."""
+    from defenda_data_lake_spark.streaming.bpe import bpe_full_token_stream
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = B.learn_bpe_spark(corpus)
+    docs = corpus.select("doc_id", "text").limit(60).unionByName(
+        spark.createDataFrame(
+            [
+                (900001, "Héllo wörld! café 世界 the the"),
+                (900002, "x" * 40 + " the end " + "y" * 33),
+                (900003, "1234 !!! ??? $$$"),
+                (900004, None),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    src = tmp_path / "src_full"
+    docs.write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    query = (
+        bpe_full_token_stream(stream, merges)
+        .writeStream.format("memory")
+        .queryName("bpe_full")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_full"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        progress = query.lastProgress
+        assert progress is None or progress["stateOperators"] == []
+    finally:
+        query.stop()
+    cols = [
+        "n_words", "n_vocab_words", "n_tokens_bpe", "n_long_chars",
+        "n_bytes_other", "n_tokens_total",
+    ]
+    got = {
+        r["id"]: tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM bpe_full").collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in B.full_token_accounting(
+            spark.read.parquet(str(src)), merges
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == docs.count()
+
+
 def test_wordless_document_emits_zero_row(spark, tmp_path):
     docs = spark.createDataFrame(
         [(1, "the quick brown fox"), (2, "1234 !!! 5678"), (3, None)],
