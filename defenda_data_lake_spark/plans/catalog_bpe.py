@@ -338,7 +338,13 @@ def q119_bpe_byte_fallback(spark, sf_dir):
     alone can be nonzero — so this is the accounting a
     no-char-unaccounted production pipeline meters against.  Scale:
     fallback columns are a narrow codegen projection; the BPE side is
-    q116's plan; the stitch is one left join on the id."""
+    q116's plan; the stitch is one left join on the id.
+
+    Oracle-parity contract (the q20 bare-int precedent): Spark and
+    DuckDB must ``lower()`` the corpus identically — guaranteed on
+    the generator's ASCII text; non-ASCII behavior is pinned
+    Spark-vs-pure-Python in ``test_bpe.py`` instead (locale-sensitive
+    case mappings like dotted-I could diverge ACROSS engines)."""
     docs, merges = _merges(spark, sf_dir)
     return B.full_token_accounting(docs, merges)
 

@@ -5,12 +5,13 @@ operators composed the way a production corpus build chains them.
     rule filter → exact dedup → boilerplate chunk removal →
     near-dup (MinHash-LSH) cluster drop → eval decontamination →
     DSIR domain selection → temperature mix rebalance →
-    PII redaction → chunk/pack accounting
+    PII redaction → tokenizer learn/persist/drift-gate →
+    real-token accounting → chunk/pack accounting
 
 Each stage is the same operator the query catalog exposes (q57, q30,
-q111, q31/q49, q51, q112, q59, redact, q39) — this script demonstrates
-that they compose lazily into ONE Spark job graph per action, not nine
-separate pipelines.
+q111, q31/q49, q51, q112, q59, redact, q115-q120, q39) — this script
+demonstrates that they compose lazily into ONE Spark job graph per
+action, not separate pipelines.
 
 Usage: python scripts/curation_pipeline_demo.py [sf_dir]
 Prints one JSON line of per-stage survivor counts.
@@ -144,18 +145,46 @@ def main() -> None:
     # no separate count action)
     kept = X.redact(kept, "text")
 
-    # 7. packing accounting: how many 256-token bins the survivors fill
-    # (token definition shared with the rest of the repo)
+    # 6b. tokenizer lifecycle: learn the BPE merge table on the CURATED
+    # corpus, persist it, and gate adoption with a drift report against
+    # a table learned on the RAW input — the check a production
+    # pipeline runs before committing to retokenizing everything
+    import tempfile
+
+    from defenda_data_lake_spark.operators import bpe as B
+
+    curated_for_bpe = kept.select(
+        "doc_id", F.col("text_redacted").alias("text")
+    )
+    merges_curated = B.learn_bpe_spark(curated_for_bpe)
+    merges_raw = B.learn_bpe_spark(docs)
+    model_dir = os.path.join(tempfile.mkdtemp(prefix="curation_bpe_"), "model")
+    B.save_bpe_model(spark, merges_curated, model_dir)
+    reloaded = B.load_bpe_model(spark, model_dir)
+    assert reloaded == merges_curated  # learn-once/apply-everywhere
+    drift = B.bpe_drift(merges_raw, merges_curated)
+    counts["vocab_drifted_by_curation"] = int(drift["drifted"])
+    counts["vocab_token_jaccard"] = round(drift["token_jaccard"], 4)
+    counts["vocab_added"] = len(drift["added"])
+    counts["vocab_removed"] = len(drift["removed"])
+    counts["bpe_model_dir"] = model_dir
+
+    # 7. packing accounting, twice: whitespace-proxy 256-token bins
+    # (the historical metric) and REAL learned tokens with byte
+    # fallback in 512-token bins — the number a training run budgets
     total_tokens = kept.agg(
         F.sum(X.token_count_col("text_redacted")).alias("t")
     ).first()["t"] or 0
     counts["total_tokens"] = int(total_tokens)
     counts["bins_256"] = int((total_tokens + 255) // 256)
+    bpe_total = B.full_token_accounting(curated_for_bpe, merges_curated).agg(
+        F.sum("n_tokens_total").alias("t")
+    ).first()["t"] or 0
+    counts["bpe_tokens_total"] = int(bpe_total)
+    counts["bpe_bins_512"] = int((bpe_total + 511) // 512)
 
     # 8. materialize the curated corpus as deterministic training
     # shards (hash membership + pseudo-shuffled order + manifest)
-    import tempfile
-
     from defenda_data_lake_spark.operators.export import export_jsonl_shards
 
     # argv[2] keeps the shards; the default temp dir is printed so the
