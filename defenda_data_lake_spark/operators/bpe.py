@@ -218,6 +218,29 @@ def word_token_counts(
     )
 
 
+def _doc_word_token_join(
+    df: DataFrame,
+    merges: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_passes: int = N_PASSES,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Shared accounting core: per-doc word instance counts
+    ``(id, w, n_occ)`` equi-joined to the distinct-word token counts
+    ``(w, n_tok)``.  ONE place owns the plan (shuffle on ``(id, w)``;
+    join strategy size-decided by Catalyst, never a forced broadcast
+    of the Heaps-unbounded word side) so :func:`tokenize_corpus` and
+    :func:`full_token_accounting` cannot silently diverge."""
+    per_doc_word = (
+        corpus_words(df, text_col, max_word_len, keep=[id_col])
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    wtok = word_token_counts(df, merges, text_col, n_passes, max_word_len)
+    return per_doc_word.join(wtok, "w")
+
+
 def tokenize_corpus(
     df: DataFrame,
     merges: Sequence[str],
@@ -235,14 +258,8 @@ def tokenize_corpus(
     ``(id, w)``), equi-join to the distinct-word token counts on ``w``
     (strategy size-decided by Catalyst — never a forced broadcast of
     the Heaps-unbounded side), final agg on the id."""
-    per_doc_word = (
-        corpus_words(df, text_col, max_word_len, keep=[id_col])
-        .groupBy(id_col, "w")
-        .agg(F.count("*").alias("n_occ"))
-    )
-    wtok = word_token_counts(df, merges, text_col, n_passes, max_word_len)
     return (
-        per_doc_word.join(wtok, "w")
+        _doc_word_token_join(df, merges, id_col, text_col, n_passes, max_word_len)
         .groupBy(id_col)
         .agg(
             F.sum("n_occ").cast("long").alias("n_words"),
@@ -317,14 +334,8 @@ def full_token_accounting(
         long_chars.alias("n_long_chars"),
         other_bytes.alias("n_bytes_other"),
     )
-    per_doc_word = (
-        corpus_words(df, text_col, max_word_len, keep=[id_col])
-        .groupBy(id_col, "w")
-        .agg(F.count("*").alias("n_occ"))
-    )
-    wtok = word_token_counts(df, merges, text_col, n_passes, max_word_len)
     bpe = (
-        per_doc_word.join(wtok, "w")
+        _doc_word_token_join(df, merges, id_col, text_col, n_passes, max_word_len)
         .groupBy(id_col)
         .agg(
             F.sum("n_occ").cast("long").alias("n_words"),

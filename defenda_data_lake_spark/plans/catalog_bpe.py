@@ -167,12 +167,15 @@ tokf AS (
   FROM docw JOIN app USING (w) GROUP BY doc_id
 ),
 fb AS (
+  -- coalesce(text, '') mirrors Spark's NULL-text-counts-as-empty
+  -- contract: without it a NULL-text row would emit NULL (not 0)
+  -- fallback bytes and the value hash would diverge
   SELECT doc_id,
          CAST(coalesce(list_sum(list_transform(
-             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+             list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z]+'),
                          w -> len(w) > {B.MAX_WORD_LEN}),
              w -> len(w))), 0) AS BIGINT) AS n_long_chars,
-         CAST(strlen(regexp_replace(lower(text), '[a-z \\t\\n\\r\\f]', '', 'g'))
+         CAST(strlen(regexp_replace(lower(coalesce(text, '')), '[a-z \\t\\n\\r\\f]', '', 'g'))
            AS BIGINT) AS n_bytes_other
   FROM documents
 )

@@ -98,19 +98,6 @@ def bpe_full_token_stream(
         lambda w: (w != F.lit("")) & (F.length(w) <= F.lit(max_word_len)),
     )
     zero = F.lit(0).cast("long")
-    n_bpe = F.aggregate(
-        words,
-        zero,
-        lambda acc, w: acc + token_count_expr(w, merges).cast("long"),
-    )
-    n_vocab = F.aggregate(
-        words,
-        zero,
-        lambda acc, w: acc
-        + F.when(token_count_expr(w, merges) == 1, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long"),
-    )
     long_chars = F.length(
         F.array_join(
             F.regexp_extract_all(
@@ -122,12 +109,36 @@ def bpe_full_token_stream(
     other_bytes = F.octet_length(
         F.regexp_replace(lowered, FALLBACK_STRIP_RE, "")
     ).cast("long")
-    return stream_df.select(
+    # the EXPENSIVE per-word replace chain runs ONCE, in its own
+    # projection: `_tc` is referenced by three downstream expressions,
+    # and CollapseProject does not inline a multiply-referenced
+    # non-cheap alias, so the chain is not re-expanded per consumer
+    # (naive form — two independent F.aggregate calls each embedding
+    # token_count_expr — evaluated the 120-replace chain twice per
+    # word instance)
+    counted = stream_df.select(
         F.col(id_col).alias("id"),
-        F.size(words).cast("long").alias("n_words"),
-        n_vocab.alias("n_vocab_words"),
-        n_bpe.alias("n_tokens_bpe"),
+        F.transform(
+            words, lambda w: token_count_expr(w, merges).cast("long")
+        ).alias("_tc"),
         long_chars.alias("n_long_chars"),
         other_bytes.alias("n_bytes_other"),
-        (n_bpe + long_chars + other_bytes).alias("n_tokens_total"),
+    )
+    n_bpe = F.aggregate(F.col("_tc"), zero, lambda acc, c: acc + c)
+    n_vocab = F.aggregate(
+        F.col("_tc"),
+        zero,
+        lambda acc, c: acc
+        + F.when(c == F.lit(1), F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    return counted.select(
+        "id",
+        F.size("_tc").cast("long").alias("n_words"),
+        n_vocab.alias("n_vocab_words"),
+        n_bpe.alias("n_tokens_bpe"),
+        "n_long_chars",
+        "n_bytes_other",
+        (n_bpe + F.col("n_long_chars") + F.col("n_bytes_other")).alias(
+            "n_tokens_total"
+        ),
     )

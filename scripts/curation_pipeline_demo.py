@@ -142,8 +142,11 @@ def main() -> None:
     counts["mix_budget"] = kept.count()
 
     # 6. PII redaction (projection — rows unchanged by construction, so
-    # no separate count action)
-    kept = X.redact(kept, "text")
+    # no separate count action).  Persist here: the tokenizer stage,
+    # the two packing accountants, and the export each act on this
+    # corpus, and the unpinned lineage would re-run the rebalance/
+    # mix-budget/redaction suffix per action (the stage-3 convention)
+    kept = X.redact(kept, "text").persist()
 
     # 6b. tokenizer lifecycle: learn the BPE merge table on the CURATED
     # corpus, persist it, and gate adoption with a drift report against

@@ -129,7 +129,7 @@ def test_q116_plan_no_python_stage_no_forced_broadcast(spark):
     assert "Python" not in plan and "ArrowEval" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    src = inspect.getsource(B.tokenize_corpus)
+    src = inspect.getsource(B._doc_word_token_join)
     assert "broadcast(" not in src
 
 
@@ -265,6 +265,7 @@ def test_q119_plan_pure_jvm_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "broadcast(" not in inspect.getsource(B.full_token_accounting)
+    assert "broadcast(" not in inspect.getsource(B._doc_word_token_join)
 
 
 def test_q118_q120_group_bounded_windows(spark):

@@ -106,6 +106,16 @@ def test_full_stream_matches_batch_byte_fallback(spark, tmp_path):
     }
     assert got == want
     assert len(got) == docs.count()
+    # the 120-replace chain must expand ONCE (inside the _tc
+    # transform), not once per consuming aggregate: CollapseProject
+    # must not re-inline the multiply-referenced alias
+    plan = (
+        bpe_full_token_stream(
+            spark.read.parquet(str(src)), merges
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    n_repl = plan.count("replace(")
+    assert n_repl < 2 * B.N_MERGES * B.N_PASSES, n_repl
 
 
 def test_wordless_document_emits_zero_row(spark, tmp_path):
