@@ -167,3 +167,74 @@ def test_resize_nearest_dims_and_identity(w, h, out_w, out_h, channels, rnd):
     assert len(out) == out_w * out_h * channels
     if (out_w, out_h) == (w, h):
         assert out == pixels  # identity resize is exact
+
+
+@given(
+    st.lists(
+        st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=32),
+        min_size=1,
+        max_size=60,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_bpe_learner_invariants(words, rnd):
+    """Properties of the pure BPE core on arbitrary corpora: (a) the
+    learned merge table is invariant under permutation of the word
+    list (tie-breaks are a total order over counts, not list order);
+    (b) tokenize_py output always reassembles to the word with no
+    empty tokens; (c) token count never exceeds word length."""
+    from defenda_data_lake_spark.operators.bpe import learn_bpe, tokenize_py
+
+    wc = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    merges = learn_bpe(top, n_merges=8)
+    shuffled = list(top)
+    rnd.shuffle(shuffled)
+    assert learn_bpe(shuffled, n_merges=8) == merges
+    for w in wc:
+        toks = tokenize_py(w, merges)
+        assert "".join(toks) == w, (w, toks)
+        assert all(toks), (w, toks)
+        assert 1 <= len(toks) <= len(w)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_full_token_accounting_py_total_covers_everything(text):
+    """The byte-fallback contract on arbitrary unicode text: totals
+    are consistent, non-negative, and every non-whitespace char of the
+    lowered text is accounted in exactly one bucket (BPE words,
+    oversized runs, or fallback bytes >= one per char)."""
+    import re
+
+    from defenda_data_lake_spark.operators.bpe import (
+        full_token_accounting_py,
+        learn_bpe,
+    )
+
+    merges = learn_bpe([("the", 5), ("hello", 3)], n_merges=4)
+    acc = full_token_accounting_py(text, merges)
+    assert all(v >= 0 for v in acc.values())
+    assert (
+        acc["n_tokens_total"]
+        == acc["n_tokens_bpe"] + acc["n_long_chars"] + acc["n_bytes_other"]
+    )
+    assert acc["n_vocab_words"] <= acc["n_words"] <= acc["n_tokens_bpe"] or (
+        acc["n_words"] == 0 and acc["n_tokens_bpe"] == 0
+    )
+    lowered = text.lower()
+    qual_chars = sum(
+        len(w)
+        for w in re.split("[^a-z]+", lowered)
+        if w and len(w) <= 32
+    )
+    non_ws = len(re.sub("[ \t\n\r\f]", "", lowered))
+    # the lowered non-whitespace chars decompose exactly into
+    # qualifying-word chars, oversized-run chars, and everything else;
+    # the fallback bucket must cover that remainder at >= 1 byte/char
+    assert acc["n_long_chars"] + qual_chars <= non_ws
+    other_chars = non_ws - qual_chars - acc["n_long_chars"]
+    assert acc["n_bytes_other"] >= other_chars  # bytes >= chars (UTF-8)
