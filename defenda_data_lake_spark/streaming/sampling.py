@@ -86,6 +86,8 @@ def group_budget_admission(
 
     ``order_col`` must totally order rows within a (group,
     micro-batch) slice — ties sort by id as a deterministic backstop.
+    Output ``id``/``grp`` are emitted as STRINGS (fixed output schema;
+    join back to payloads on the stringified id).
 
     On a batch DataFrame the same kernel runs via ``applyInPandas``
     with zero starting counters, so single-batch streaming parity is
@@ -96,7 +98,9 @@ def group_budget_admission(
         raise ValueError("budgets must be >= 0")
     if default_budget is not None and default_budget < 0:
         raise ValueError(f"default_budget must be >= 0; got {default_budget}")
-    spec = dict(budgets or {})
+    # keys coerced into the projected group domain (the group column is
+    # cast to string below, so {1: ...} must match an int group column)
+    spec = {str(k): int(v) for k, v in (budgets or {}).items()}
 
     projected = df.select(
         F.col(id_col).cast("string").alias("id"),
@@ -123,8 +127,16 @@ def group_budget_admission(
             else pd.concat(chunks, ignore_index=True)
         )
         rows = rows.sort_values(["_ord", "id"], kind="mergesort")
-        out, used = _admit_rows(rows, used, _budget_for(key[0]))
-        state.update((used,))
+        budget = _budget_for(key[0])
+        out, used = _admit_rows(rows, used, budget)
+        # no counter for budget-less groups: a strict-mix stream with
+        # high-cardinality unlisted groups must not grow state per
+        # group it will never admit (rejects consume nothing, so the
+        # zero counter is semantically redundant); with
+        # default_budget set, state scales with OBSERVED group
+        # cardinality — the caller's spec decides that trade
+        if budget is not None:
+            state.update((used,))
         yield out[["id", "grp", "tokens", "admitted", "cum_tokens"]]
 
     if not df.isStreaming:

@@ -135,6 +135,59 @@ def test_budget_never_exceeded_random_corpus(spark, tmp_path):
     assert "fr" not in by_grp  # zero budget admits nothing
 
 
+def test_no_state_for_budgetless_groups(spark, tmp_path):
+    """Strict mix + high-cardinality unlisted groups must not grow a
+    counter per rejected group: state rows == listed groups observed."""
+    rows = [(f"x{i}", f"g{i}", 5, i) for i in range(50)] + [
+        ("e1", "en", 5, 99)
+    ]
+    src = tmp_path / "src_state"
+    src.mkdir()
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = (
+        group_budget_admission(
+            stream, "id", "tokens", "grp", "ord", budgets={"en": 100}
+        )
+        .writeStream.format("memory")
+        .queryName("adm_state")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    try:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+    assert state_rows == 1  # only "en" holds a counter
+    got = {
+        r["id"]: r["admitted"]
+        for r in spark.sql("SELECT * FROM adm_state").collect()
+    }
+    assert got["e1"] is True and not any(
+        v for k, v in got.items() if k != "e1"
+    )
+
+
+def test_budget_keys_coerced_to_group_domain(spark):
+    """An int-keyed spec must meter an int group column (both sides
+    land in the projected string domain)."""
+    df = spark.createDataFrame(
+        [("a", 7, 10, 1), ("b", 7, 10, 2), ("c", 8, 10, 1)],
+        "id string, grp long, tokens long, ord long",
+    )
+    got = {
+        r["id"]: r["admitted"]
+        for r in group_budget_admission(
+            df, "id", "tokens", "grp", "ord", budgets={7: 15}
+        ).collect()
+    }
+    assert got == {"a": True, "b": False, "c": False}
+
+
 def test_restart_continues_from_checkpointed_counter(spark, tmp_path):
     """Stop the query between batches and restart on the same
     checkpoint: the counter must continue, not reset (no
