@@ -469,9 +469,14 @@ def learned_merges_cached(
     text_col: str = "text",
     n_merges: int = N_MERGES,
 ) -> list[str]:
-    """Session-memoized merge table (the catalog's q115/q116/q117 all
-    share one learned table per (session, sf_dir))."""
+    """Session-memoized merge table (the catalog's BPE queries all
+    share one learned table per (session, sf_dir)).  Invalidation:
+    ``plans.catalog_shared.clear_table_cache`` clears this memo too —
+    after regenerating parquet under a cached sf_dir, a stale table
+    would diverge from the oracle's from-scratch re-learning."""
     key = (id(spark), *cache_key, n_merges)
+    for stale in [k for k in _MERGES_CACHE if k[0] != id(spark)]:
+        del _MERGES_CACHE[stale]
     merges = _MERGES_CACHE.get(key)
     if merges is None:
         merges = learn_bpe_spark(df, text_col, n_merges=n_merges)

@@ -220,10 +220,14 @@ def _merges(spark, sf_dir):
     # corpus precondition for oracle parity: the SQL chain always
     # emits N_MERGES rows (LIMIT 1 per rank); the Python learner only
     # stops early on a corpus too small to contain a pair, where the
-    # two would diverge — fail loudly instead
-    assert len(merges) == B.N_MERGES, (
-        f"corpus too small to learn {B.N_MERGES} merges"
-    )
+    # two would diverge — fail loudly instead (a real raise, not an
+    # assert: python -O must not compile the guard away into a silent
+    # oracle divergence)
+    if len(merges) != B.N_MERGES:
+        raise ValueError(
+            f"corpus too small to learn {B.N_MERGES} merges "
+            f"(got {len(merges)})"
+        )
     return docs, merges
 
 

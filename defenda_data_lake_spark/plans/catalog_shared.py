@@ -95,6 +95,12 @@ def derived_view(
     import os as _os
 
     key = (id(spark), sf_dir, name)
+    # same dead-session eviction as _t(): a stopped session's pinned
+    # projections would otherwise stay referenced for the process
+    # lifetime (and a CPython id() reuse could hand back a DataFrame
+    # bound to a dead session)
+    for stale in [k for k in _DERIVED_CACHE if k[0] != id(spark)]:
+        del _DERIVED_CACHE[stale]
     df = _DERIVED_CACHE.get(key)
     if df is None:
         df = build(spark, sf_dir)
@@ -133,6 +139,13 @@ def clear_table_cache() -> None:
     _T_CACHE.clear()
     _SQL_CACHE.clear()
     _DERIVED_CACHE.clear()
+    # the BPE merge-table memo is derived from the same parquet: after
+    # a regenerate, a stale table would silently diverge from the
+    # oracle's from-scratch re-learning (local import — catalog_shared
+    # must not depend on operators at module load)
+    from defenda_data_lake_spark.operators.bpe import _MERGES_CACHE
+
+    _MERGES_CACHE.clear()
 
 
 def _path_bytes(path: str) -> int | None:

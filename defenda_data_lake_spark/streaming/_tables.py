@@ -57,10 +57,33 @@ def swap_directory(spark: SparkSession, tmp_dir: str, path: str) -> None:
         raise IOError(f"swap_directory: rename {path} -> {old} failed")
     if not fs.rename(tmp, p):
         # put the old table back so the canonical path is never left
-        # dangling longer than necessary
-        fs.rename(old, p)
-        raise IOError(f"swap_directory: rename {tmp_dir} -> {path} failed")
-    fs.delete(old, True)
+        # dangling longer than necessary — and if even the restore
+        # fails, say exactly where the surviving copy sits instead of
+        # leaving the reader to discover a missing canonical path
+        restored = fs.rename(old, p)
+        raise IOError(
+            f"swap_directory: rename {tmp_dir} -> {path} failed"
+            + (
+                ""
+                if restored
+                else (
+                    f"; RESTORE ALSO FAILED — the complete old table "
+                    f"survives at {old.toString()} and the new content "
+                    f"at {tmp_dir}; the canonical path is missing until "
+                    f"one is renamed back manually"
+                )
+            )
+        )
+    if not fs.delete(old, True):
+        # non-fatal: the swap is complete; the leftover sibling only
+        # wastes space and is named for manual cleanup
+        import warnings
+
+        warnings.warn(
+            f"swap_directory: could not delete {old.toString()}; "
+            f"stale sibling left behind",
+            stacklevel=2,
+        )
 
 
 def parquet_has_data(spark: SparkSession, path: str) -> bool:

@@ -115,14 +115,20 @@ def fold_cdc_batch(
         raise ValueError("tombstones must be a positive fold count")
     keys = list(key_cols)
     payload = [c for c in batch_df.columns if c not in (op_col, seq_col)]
-    clash = [c for c in payload if c in ("_last_seq", "kb")]
+    reserved = {"_last_seq", "kb"}
+    if tombstones is not None:
+        # the tombstone path introduces its own internal names; a
+        # colliding payload column would fail as an ambiguous
+        # reference deep inside the fold instead of up front
+        reserved |= {"_ts_seq", "_ts_late", "_fold"}
+    clash = [c for c in payload if c in reserved]
     if clash:
         # same up-front rule as the missing/extra checks below: the
         # bookkeeping names are the snapshot's, and a batch that uses
         # them would silently corrupt the seq HWM / bucket layout
         raise ValueError(
             f"fold_cdc_batch: batch payload columns {clash} collide "
-            f"with the snapshot's reserved columns ('_last_seq', 'kb')"
+            f"with the snapshot's reserved columns {sorted(reserved)}"
         )
     cols = [*payload, "_last_seq", "kb"]
 
@@ -153,14 +159,21 @@ def fold_cdc_batch(
     ts_old = None
     current_fold = 0
     ts_late_dropped = 0
-    src_pre = net.withColumn("kb", _bucket(keys, num_buckets))
-    ts_touched = [r[0] for r in src_pre.select("kb").distinct().collect()]
+    ts_touched: list = []
     if tombstones is not None:
+        # touched-bucket collect only on the opt-in path: callers with
+        # tombstones disabled must not pay an extra per-fold job
+        src_pre = net.withColumn("kb", _bucket(keys, num_buckets))
+        ts_touched = [r[0] for r in src_pre.select("kb").distinct().collect()]
         current_fold = _read_last_batch_id(spark, ts_meta) + 1
         if _parquet_has_data(spark, ts_path):
             ts_old = spark.read.parquet(ts_path).localCheckpoint(eager=True)
+            # live for N FULL folds after the writing fold: a
+            # tombstone written at fold C guards folds C+1..C+N
+            # (>= — a strict > guarded only N-1, so tombstones=1
+            # protected nothing)
             live = ts_old.filter(
-                F.col("_fold") > F.lit(current_fold - int(tombstones))
+                F.col("_fold") >= F.lit(current_fold - int(tombstones))
             )
             thwm = live.select(*keys, F.col("_last_seq").alias("_ts_seq"))
             tmarked = src_pre.join(thwm, keys, "left").withColumn(
@@ -209,7 +222,7 @@ def fold_cdc_batch(
         batch_keys = clean_net.select(*keys).distinct()
         if ts_old is not None:
             surv = ts_old.filter(
-                F.col("_fold") > F.lit(current_fold - int(tombstones))
+                F.col("_fold") >= F.lit(current_fold - int(tombstones))
             ).join(batch_keys, keys, "left_anti")
             if not full_rewrite:
                 surv = surv.filter(F.col("kb").isin(ts_touched))

@@ -253,6 +253,20 @@ def test_bpe_drift_detects_corpus_change(spark):
     assert not B.bpe_drift(merges_a, B.learn_bpe_spark(docs))["drifted"]
 
 
+def test_clear_table_cache_clears_merge_memo(spark):
+    """After regenerating parquet under a cached sf_dir the prescribed
+    clear_table_cache() must also forget learned merge tables — a
+    stale table would silently diverge from the oracle's from-scratch
+    re-learning."""
+    from defenda_data_lake_spark.plans.catalog_shared import (
+        clear_table_cache,
+    )
+
+    B._MERGES_CACHE[(id(spark), "some_dir", 24)] = ["a b"]
+    clear_table_cache()
+    assert B._MERGES_CACHE == {}
+
+
 def test_q119_plan_pure_jvm_no_cartesian(spark):
     """Byte-fallback accounting must stay whole-stage-codegen: no
     Python/Arrow eval anywhere, no cartesian/NLJ, and the distinct-

@@ -396,6 +396,61 @@ def test_tombstone_expires_after_horizon(spark, tmp_path):
     assert (2, "zombie") in _frame(spark.read.parquet(str(table)))
 
 
+def test_tombstone_internal_names_rejected_up_front(spark, tmp_path):
+    """With tombstones enabled the fold's internal columns join the
+    reserved set: a payload column named _fold/_ts_seq/_ts_late must
+    fail the clear up-front ValueError, not an ambiguous-reference
+    error deep inside the fold."""
+    bad = spark.createDataFrame(
+        [("I", 1, 1, "a", 0)], "op string, seq long, k long, v string, _fold long"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        fold_cdc_batch(
+            spark, str(tmp_path / "snap"), bad, ["k"], tombstones=2
+        )
+    # without tombstones the same payload is legal (no internal names)
+    stats = fold_cdc_batch(spark, str(tmp_path / "snap2"), bad, ["k"])
+    assert stats["applied"] == 1
+
+
+def test_tombstone_ttl_boundary_protects_n_full_folds(spark, tmp_path):
+    """The exact expiry boundary (the off-by-one regression pin): a
+    tombstone written at fold C guards folds C+1..C+N inclusive.
+    tombstones=1 must protect the IMMEDIATELY FOLLOWING fold, and
+    tombstones=2 must still be live exactly N folds later."""
+    # tombstones=1: delete at fold 1, late change at fold 2 — caught
+    table = tmp_path / "snap1"
+    fold_cdc_batch(
+        spark, str(table),
+        _changes(spark, [("U", 1, 1, "a"), ("D", 9, 2, None),
+                         ("U", 2, 2, "gone")]),
+        ["k"], num_buckets=4, tombstones=1,
+    )
+    with pytest.raises(RuntimeError, match="DELETED key's tombstoned seq"):
+        fold_cdc_batch(
+            spark, str(table), _changes(spark, [("U", 3, 2, "zombie")]),
+            ["k"], num_buckets=4, table_exists=True, tombstones=1,
+        )
+    # tombstones=2: delete at fold 1, one intervening fold, late
+    # change at fold 3 (exactly N folds later) — still caught
+    table = tmp_path / "snap2"
+    fold_cdc_batch(
+        spark, str(table),
+        _changes(spark, [("U", 1, 1, "a"), ("D", 9, 2, None),
+                         ("U", 2, 2, "gone")]),
+        ["k"], num_buckets=4, tombstones=2,
+    )
+    fold_cdc_batch(
+        spark, str(table), _changes(spark, [("U", 20, 1, "a20")]),
+        ["k"], num_buckets=4, table_exists=True, tombstones=2,
+    )
+    with pytest.raises(RuntimeError, match="DELETED key's tombstoned seq"):
+        fold_cdc_batch(
+            spark, str(table), _changes(spark, [("U", 3, 2, "zombie")]),
+            ["k"], num_buckets=4, table_exists=True, tombstones=2,
+        )
+
+
 def test_tombstones_survive_full_deletion_rebuild(spark, tmp_path):
     """The all-rows-deleted fold flips the next fold to the fresh-table
     rebuild path, whose static overwrite removes everything under the
