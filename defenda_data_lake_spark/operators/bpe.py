@@ -372,11 +372,14 @@ def full_token_accounting_py(
     whitespace/oversized-word inputs)."""
     import re
 
+    # the same pattern constants as the Spark expressions: Python `re`
+    # reads the backslash escapes in FALLBACK_STRIP_RE identically, so
+    # one definition serves all three engines' contracts
     lowered = (text or "").lower()
-    words = [w for w in re.split("[^a-z]+", lowered) if w]
+    words = [w for w in re.split(WORD_SPLIT_RE, lowered) if w]
     qual = [w for w in words if len(w) <= max_word_len]
     long_chars = sum(len(w) for w in words if len(w) > max_word_len)
-    other = re.sub("[a-z \t\n\r\f]", "", lowered)
+    other = re.sub(FALLBACK_STRIP_RE, "", lowered)
     n_bytes_other = len(other.encode("utf-8"))
     n_tok = [len(tokenize_py(w, merges)) for w in qual]
     n_bpe = sum(n_tok)
