@@ -462,6 +462,49 @@ def bpe_drift(old: Sequence[str], new: Sequence[str]) -> dict:
     }
 
 
+def fertility_by_group(
+    df: DataFrame,
+    merges: Sequence[str],
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_passes: int = N_PASSES,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Per-group tokenizer-fit report — how well the learned merge
+    table serves each language/source/domain: ``(group, n_docs,
+    n_words, n_tokens_bpe, n_bytes_other, fertility,
+    vocab_hit_rate)`` where ``fertility`` is BPE tokens per word
+    (1.0 = every word is a vocab token; higher = the tokenizer
+    fragments this group's text) and ``vocab_hit_rate`` the fraction
+    of word instances collapsing to one token.  This is the signal a
+    multi-corpus pipeline reads before deciding a group needs its own
+    vocabulary budget (fertility gaps between languages are the
+    classic mis-fit symptom).  Groups with zero qualifying words
+    report NULL ratios, not a division error.
+
+    Scale: :func:`full_token_accounting`'s plan plus ONE hash agg on
+    the group — nothing new shuffles the corpus."""
+    acc = full_token_accounting(
+        df, merges, id_col, text_col, n_passes, max_word_len
+    ).join(df.select(F.col(id_col), F.col(group_col).alias("grp")), id_col)
+    words = F.sum("n_words").cast("long")
+    toks = F.sum("n_tokens_bpe").cast("long")
+    hits = F.sum("n_vocab_words").cast("long")
+    return acc.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        words.alias("n_words"),
+        toks.alias("n_tokens_bpe"),
+        F.sum("n_bytes_other").cast("long").alias("n_bytes_other"),
+        F.when(words > 0, toks.cast("double") / words.cast("double")).alias(
+            "fertility"
+        ),
+        F.when(words > 0, hits.cast("double") / words.cast("double")).alias(
+            "vocab_hit_rate"
+        ),
+    )
+
+
 _MERGES_CACHE: dict[tuple, list[str]] = {}
 
 

@@ -253,6 +253,41 @@ def test_bpe_drift_detects_corpus_change(spark):
     assert not B.bpe_drift(merges_a, B.learn_bpe_spark(docs))["drifted"]
 
 
+def test_fertility_by_group_matches_per_doc_accounting(spark):
+    """The group report must be the exact per-doc accounting rolled
+    up: cross-checked against full_token_accounting aggregated in
+    pandas, including the NULL-ratio contract for a planted group
+    with no qualifying words."""
+    docs, merges = _corpus_merges(spark)
+    planted = spark.createDataFrame(
+        [(800001, "12345 !!!", "numeric"), (800002, "★★★", "numeric")],
+        "doc_id long, text string, lang string",
+    )
+    corpus = docs.select("doc_id", "text", "lang").unionByName(planted)
+    rep = {
+        r["lang"]: r.asDict()
+        for r in B.fertility_by_group(corpus, merges, "lang").collect()
+    }
+    acc = B.full_token_accounting(corpus, merges).toPandas().merge(
+        corpus.select("doc_id", "lang").toPandas(), on="doc_id"
+    )
+    for lang, g in acc.groupby("lang"):
+        row = rep[lang]
+        assert row["n_docs"] == len(g)
+        assert row["n_words"] == int(g["n_words"].sum())
+        assert row["n_tokens_bpe"] == int(g["n_tokens_bpe"].sum())
+        assert row["n_bytes_other"] == int(g["n_bytes_other"].sum())
+        nw, nt = int(g["n_words"].sum()), int(g["n_tokens_bpe"].sum())
+        if nw:
+            assert abs(row["fertility"] - nt / nw) < 1e-12
+            assert 1.0 <= row["fertility"]
+            assert 0.0 <= row["vocab_hit_rate"] <= 1.0
+        else:
+            assert row["fertility"] is None
+            assert row["vocab_hit_rate"] is None
+    assert rep["numeric"]["fertility"] is None  # wordless group
+
+
 def test_clear_table_cache_clears_merge_memo(spark):
     """After regenerating parquet under a cached sf_dir the prescribed
     clear_table_cache() must also forget learned merge tables — a
