@@ -83,6 +83,7 @@ def bpe_full_token_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_word_len: int = MAX_WORD_LEN,
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
     """Streaming twin of the batch
     :func:`~defenda_data_lake_spark.operators.bpe.full_token_accounting`
@@ -91,7 +92,13 @@ def bpe_full_token_stream(
     append mode — the fallback columns are plain codegen projections
     and the BPE columns per-row ``F.aggregate`` reductions over the
     document's own words, so no state store, watermark, or shuffle is
-    introduced.  NULL text meters as empty (all-zero row)."""
+    introduced.  NULL text meters as empty (all-zero row).
+
+    ``passthrough`` columns ride through unchanged (the
+    ``minhash_signatures`` precedent) so a downstream stage — e.g.
+    ``streaming.sampling.group_budget_admission`` keyed on the
+    document's language — needs NO stream-stream join-back to recover
+    them (composition pinned by test)."""
     lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     words = F.filter(
         F.split(lowered, WORD_SPLIT_RE),
@@ -123,6 +130,7 @@ def bpe_full_token_stream(
         ).alias("_tc"),
         long_chars.alias("n_long_chars"),
         other_bytes.alias("n_bytes_other"),
+        *[F.col(c) for c in passthrough],
     )
     n_bpe = F.aggregate(F.col("_tc"), zero, lambda acc, c: acc + c)
     n_vocab = F.aggregate(
@@ -141,4 +149,5 @@ def bpe_full_token_stream(
         (n_bpe + F.col("n_long_chars") + F.col("n_bytes_other")).alias(
             "n_tokens_total"
         ),
+        *[F.col(c) for c in passthrough],
     )

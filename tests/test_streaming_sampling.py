@@ -188,6 +188,57 @@ def test_budget_keys_coerced_to_group_domain(spark):
     assert got == {"a": True, "b": False, "c": False}
 
 
+def test_composes_with_streaming_token_meter(spark, tmp_path):
+    """The streaming curation pipeline in ONE query: byte-fallback
+    token meter (stateless, lang rides through via passthrough — no
+    stream-stream join-back) feeding budget admission (stateful).
+    Every document is decided exactly once, token values equal the
+    batch accountant's, and per-lang admitted totals respect the
+    budgets."""
+    from defenda_data_lake_spark.operators import bpe as B
+    from defenda_data_lake_spark.streaming.bpe import bpe_full_token_stream
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = B.learn_bpe_spark(corpus)
+    docs = corpus.select("doc_id", "text", "lang").limit(120)
+    src = tmp_path / "src_comp"
+    src.mkdir()
+    docs.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string"
+    ).parquet(str(src))
+    budgets = {"en": 4000, "de": 2000}
+    metered = bpe_full_token_stream(stream, merges, passthrough=["lang"])
+    adm = group_budget_admission(
+        metered, "id", "n_tokens_total", "lang", "id", budgets=budgets
+    )
+    q = (
+        adm.writeStream.format("memory")
+        .queryName("comp_pipe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_comp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM comp_pipe").collect()
+    assert len(rows) == docs.count()  # one decision per doc, none lost
+    want_tok = {
+        str(r["doc_id"]): r["n_tokens_total"]
+        for r in B.full_token_accounting(docs, merges).collect()
+    }
+    spent: dict[str, int] = {}
+    for r in rows:
+        assert r["tokens"] == want_tok[r["id"]], r["id"]
+        if r["admitted"]:
+            spent[r["grp"]] = spent.get(r["grp"], 0) + r["tokens"]
+    assert spent  # something was admitted
+    for g, total in spent.items():
+        assert total <= budgets[g], (g, total)
+
+
 def test_restart_continues_from_checkpointed_counter(spark, tmp_path):
     """Stop the query between batches and restart on the same
     checkpoint: the counter must continue, not reset (no
