@@ -275,6 +275,34 @@ def tokenize_corpus(
 FALLBACK_STRIP_RE = "[a-z \\t\\n\\r\\f]"
 
 
+def fallback_count_cols(
+    lowered: Column, max_word_len: int = MAX_WORD_LEN
+) -> tuple[Column, Column]:
+    """The two byte-fallback columns ``(long_chars, other_bytes)``
+    over an already-lowered text column — ONE definition serving both
+    the batch accountant and the stream meter (their parity is
+    test-pinned, so the expressions must not be able to drift).
+
+    Built without higher-order functions: an aggregate/filter lambda
+    formulation is value-identical but is a CodegenFallback
+    expression, and two fallback expressions in one Project knocked
+    the whole projection out of whole-stage codegen (measured 7x
+    slower at the 32x probe — SCALING.md round 9);
+    regexp_extract_all + array_join keeps the Project in codegen."""
+    long_chars = F.length(
+        F.array_join(
+            F.regexp_extract_all(
+                lowered, F.lit("[a-z]{" + str(max_word_len + 1) + ",}"), F.lit(0)
+            ),
+            "",
+        )
+    ).cast("long")
+    other_bytes = F.octet_length(
+        F.regexp_replace(lowered, FALLBACK_STRIP_RE, "")
+    ).cast("long")
+    return long_chars, other_bytes
+
+
 def full_token_accounting(
     df: DataFrame,
     merges: Sequence[str],
@@ -305,6 +333,13 @@ def full_token_accounting(
     ``tokenize_corpus``, documents with no qualifying words still
     appear (zero BPE columns) — fallback bytes alone can be nonzero.
 
+    PRECONDITION: ``id_col`` must be unique (one row per document).
+    Under duplicate ids the BPE side aggregates per ID while the
+    fallback side stays per row, so the left join would attach the
+    MERGED token totals to each duplicate row — inflated counts, and
+    divergent from the per-row streaming twin.  The engine's document
+    ids are unique by construction; de-dup first if yours are not.
+
     Scale: the fallback columns are one narrow codegen projection (no
     shuffle); the BPE side is exactly ``tokenize_corpus``'s plan (one
     (id, w) shuffle + distinct-word rewrite + size-decided equi-join);
@@ -312,23 +347,7 @@ def full_token_accounting(
     broadcast of a Heaps-unbounded table."""
     lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     zero = F.lit(0).cast("long")
-    # oversized-run char mass WITHOUT higher-order functions: an
-    # aggregate/filter lambda formulation is value-identical but is a
-    # CodegenFallback expression, and two fallback expressions in one
-    # Project knocked the whole projection out of whole-stage codegen
-    # (measured 7x slower at the 32x probe — SCALING.md round 9);
-    # regexp_extract_all + array_join keeps the Project in codegen
-    long_chars = F.length(
-        F.array_join(
-            F.regexp_extract_all(
-                lowered, F.lit("[a-z]{" + str(max_word_len + 1) + ",}"), F.lit(0)
-            ),
-            "",
-        )
-    ).cast("long")
-    other_bytes = F.octet_length(
-        F.regexp_replace(lowered, FALLBACK_STRIP_RE, "")
-    ).cast("long")
+    long_chars, other_bytes = fallback_count_cols(lowered, max_word_len)
     fb = df.select(
         F.col(id_col),
         long_chars.alias("n_long_chars"),
@@ -365,11 +384,15 @@ def full_token_accounting(
 
 
 def full_token_accounting_py(
-    text: str, merges: Sequence[str], max_word_len: int = MAX_WORD_LEN
+    text: str,
+    merges: Sequence[str],
+    max_word_len: int = MAX_WORD_LEN,
+    n_passes: int = N_PASSES,
 ) -> dict[str, int]:
     """Pure-Python reference for :func:`full_token_accounting` on one
     document (tests pin Spark row == this on adversarial unicode/
-    whitespace/oversized-word inputs)."""
+    whitespace/oversized-word inputs) — mirrors every tunable of the
+    Spark twin, including ``n_passes``."""
     import re
 
     # the same pattern constants as the Spark expressions: Python `re`
@@ -381,7 +404,7 @@ def full_token_accounting_py(
     long_chars = sum(len(w) for w in words if len(w) > max_word_len)
     other = re.sub(FALLBACK_STRIP_RE, "", lowered)
     n_bytes_other = len(other.encode("utf-8"))
-    n_tok = [len(tokenize_py(w, merges)) for w in qual]
+    n_tok = [len(tokenize_py(w, merges, n_passes)) for w in qual]
     n_bpe = sum(n_tok)
     return {
         "n_words": len(qual),
@@ -520,7 +543,9 @@ def learned_merges_cached(
     ``plans.catalog_shared.clear_table_cache`` clears this memo too —
     after regenerating parquet under a cached sf_dir, a stale table
     would diverge from the oracle's from-scratch re-learning."""
-    key = (id(spark), *cache_key, n_merges)
+    # every learning-relevant tunable is in the key: omitting text_col
+    # would hand the 'text'-learned table to a 'title' caller
+    key = (id(spark), *cache_key, text_col, n_merges)
     for stale in [k for k in _MERGES_CACHE if k[0] != id(spark)]:
         del _MERGES_CACHE[stale]
     merges = _MERGES_CACHE.get(key)

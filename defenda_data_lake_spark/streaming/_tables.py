@@ -55,14 +55,28 @@ def swap_directory(spark: SparkSession, tmp_dir: str, path: str) -> None:
     )
     if not fs.rename(p, old):
         raise IOError(f"swap_directory: rename {path} -> {old} failed")
-    if not fs.rename(tmp, p):
+    # the second rename can FAIL by returning false OR by throwing
+    # (wrong-FS Path args, object-store IOException mid-copy) — both
+    # paths must attempt the restore, or the canonical path is left
+    # missing with no recovery guidance
+    try:
+        ok = fs.rename(tmp, p)
+        err = None
+    except Exception as exc:  # noqa: BLE001 - any JVM-side failure
+        ok = False
+        err = exc
+    if not ok:
         # put the old table back so the canonical path is never left
         # dangling longer than necessary — and if even the restore
         # fails, say exactly where the surviving copy sits instead of
         # leaving the reader to discover a missing canonical path
-        restored = fs.rename(old, p)
+        try:
+            restored = fs.rename(old, p)
+        except Exception:  # noqa: BLE001
+            restored = False
         raise IOError(
             f"swap_directory: rename {tmp_dir} -> {path} failed"
+            + (f" ({err})" if err is not None else "")
             + (
                 ""
                 if restored

@@ -35,9 +35,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from defenda_data_lake_spark.operators.bpe import (
-    FALLBACK_STRIP_RE,
     MAX_WORD_LEN,
     WORD_SPLIT_RE,
+    fallback_count_cols,
     token_count_expr,
 )
 
@@ -105,17 +105,9 @@ def bpe_full_token_stream(
         lambda w: (w != F.lit("")) & (F.length(w) <= F.lit(max_word_len)),
     )
     zero = F.lit(0).cast("long")
-    long_chars = F.length(
-        F.array_join(
-            F.regexp_extract_all(
-                lowered, F.lit("[a-z]{" + str(max_word_len + 1) + ",}"), F.lit(0)
-            ),
-            "",
-        )
-    ).cast("long")
-    other_bytes = F.octet_length(
-        F.regexp_replace(lowered, FALLBACK_STRIP_RE, "")
-    ).cast("long")
+    # the shared column builder keeps batch/stream fallback semantics
+    # from drifting (their parity is test-pinned)
+    long_chars, other_bytes = fallback_count_cols(lowered, max_word_len)
     # the EXPENSIVE per-word replace chain runs ONCE, in its own
     # projection: `_tc` is referenced by three downstream expressions,
     # and CollapseProject does not inline a multiply-referenced

@@ -72,9 +72,17 @@ def main() -> None:
 
         # budget ~25% of each metered language's token mass
         budgets = {x: (n_rows // 4) * 499 // 4 for x in langs}
-        stream = spark.readStream.schema(
-            "id string, grp string, tokens long, ord long"
-        ).parquet(src)
+        # maxFilesPerTrigger is a SOURCE option: on the sink builder it
+        # is silently ignored and the whole backlog runs as one giant
+        # micro-batch (the first published run made that mistake —
+        # numbers re-recorded in SCALING.md)
+        stream = (
+            spark.readStream.schema(
+                "id string, grp string, tokens long, ord long"
+            )
+            .option("maxFilesPerTrigger", 4)
+            .parquet(src)
+        )
         out = os.path.join(tmp, "out")
         t0 = time.perf_counter()
         q = (
@@ -85,7 +93,6 @@ def main() -> None:
             .option("path", out)
             .outputMode("append")
             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .option("maxFilesPerTrigger", 4)
             .start()
         )
         q.processAllAvailable()

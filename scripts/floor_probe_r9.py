@@ -177,10 +177,16 @@ def main():
             nsq = " + ".join(f"{e}*{e}" for e in es)
             structs = []
             for j in range(len(q_ids)):
-                dot = " + ".join(f"{es[i]}*{Q[j, i]!r}" for i in range(dim))
+                # float() before !r: numpy>=2 reprs scalars as
+                # 'np.float64(x)', which would be injected verbatim
+                # into the SQL (the Column-API variant above already
+                # converts)
+                dot = " + ".join(
+                    f"{es[i]}*{float(Q[j, i])!r}" for i in range(dim)
+                )
                 structs.append(
                     f"struct(CAST({int(q_ids[j])} AS BIGINT) AS query_id, "
-                    f"(({dot})) / (sqrt({nsq}) * {qn[j]!r}) AS cosine)"
+                    f"(({dot})) / (sqrt({nsq}) * {float(qn[j])!r}) AS cosine)"
                 )
             sql = f"""
 SELECT query_id, neighbor_id,
