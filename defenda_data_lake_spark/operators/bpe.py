@@ -310,6 +310,7 @@ def full_token_accounting(
     text_col: str = "text",
     n_passes: int = N_PASSES,
     max_word_len: int = MAX_WORD_LEN,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Full-coverage token accounting with BYTE FALLBACK — the
     production-tokenizer contract (GPT-2-style byte fallback, public
@@ -340,16 +341,33 @@ def full_token_accounting(
     divergent from the per-row streaming twin.  The engine's document
     ids are unique by construction; de-dup first if yours are not.
 
+    ``carry_cols`` names input columns to propagate unchanged onto the
+    output rows (e.g. the group key a rollup needs next).  They ride
+    the fallback projection — the scan this operator already pays —
+    instead of forcing the caller into a second corpus-sized join back
+    to the input (measured: the join form cost q121 an extra exchange
+    round at the 32x probe).
+
     Scale: the fallback columns are one narrow codegen projection (no
     shuffle); the BPE side is exactly ``tokenize_corpus``'s plan (one
     (id, w) shuffle + distinct-word rewrite + size-decided equi-join);
     the stitch is a left join on the id.  Nothing here forces a
     broadcast of a Heaps-unbounded table."""
+    reserved = {
+        id_col, "n_words", "n_vocab_words", "n_tokens_bpe",
+        "n_long_chars", "n_bytes_other", "n_tokens_total",
+    }
+    clash = [c for c in carry_cols if c in reserved]
+    if clash:
+        raise ValueError(
+            f"carry_cols {clash} collide with accounting output columns"
+        )
     lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     zero = F.lit(0).cast("long")
     long_chars, other_bytes = fallback_count_cols(lowered, max_word_len)
     fb = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         long_chars.alias("n_long_chars"),
         other_bytes.alias("n_bytes_other"),
     )
@@ -370,6 +388,7 @@ def full_token_accounting(
     )
     return fb.join(bpe, id_col, "left").select(
         id_col,
+        *carry_cols,
         F.coalesce(F.col("n_words"), zero).alias("n_words"),
         F.coalesce(F.col("n_vocab_words"), zero).alias("n_vocab_words"),
         F.coalesce(F.col("n_tokens_bpe"), zero).alias("n_tokens_bpe"),
@@ -507,10 +526,13 @@ def fertility_by_group(
     report NULL ratios, not a division error.
 
     Scale: :func:`full_token_accounting`'s plan plus ONE hash agg on
-    the group — nothing new shuffles the corpus."""
+    the group — nothing new shuffles the corpus (the group key rides
+    the accounting scan via ``carry_cols``; a join-back formulation
+    measured an extra exchange round at the 32x probe)."""
     acc = full_token_accounting(
-        df, merges, id_col, text_col, n_passes, max_word_len
-    ).join(df.select(F.col(id_col), F.col(group_col).alias("grp")), id_col)
+        df, merges, id_col, text_col, n_passes, max_word_len,
+        carry_cols=[group_col],
+    ).withColumnRenamed(group_col, "grp")
     words = F.sum("n_words").cast("long")
     toks = F.sum("n_tokens_bpe").cast("long")
     hits = F.sum("n_vocab_words").cast("long")

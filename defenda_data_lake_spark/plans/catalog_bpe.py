@@ -158,15 +158,17 @@ FROM c WHERE 4 * cum_tokens <= total
 """
 
 
-Q119_SQL = f"""WITH {_TOK_CTES},
-tokf AS (
+# shared by Q119/Q121: per-doc BPE accounting over qualifying words,
+# and the fallback-mass projection over every document
+_TOKF_CTE = """tokf AS (
   SELECT doc_id,
          CAST(sum(n_occ) AS BIGINT) AS n_words,
          CAST(sum(CASE WHEN n_tok = 1 THEN n_occ ELSE 0 END) AS BIGINT) AS n_vocab_words,
          CAST(sum(n_occ * n_tok) AS BIGINT) AS n_tokens_bpe
   FROM docw JOIN app USING (w) GROUP BY doc_id
-),
-fb AS (
+)"""
+
+_FB_CTE = f"""fb AS (
   -- coalesce(text, '') mirrors Spark's NULL-text-counts-as-empty
   -- contract: without it a NULL-text row would emit NULL (not 0)
   -- fallback bytes and the value hash would diverge
@@ -178,7 +180,12 @@ fb AS (
          CAST(strlen(regexp_replace(lower(coalesce(text, '')), '[a-z \\t\\n\\r\\f]', '', 'g'))
            AS BIGINT) AS n_bytes_other
   FROM documents
-)
+)"""
+
+
+Q119_SQL = f"""WITH {_TOK_CTES},
+{_TOKF_CTE},
+{_FB_CTE}
 SELECT fb.doc_id,
        coalesce(n_words, 0) AS n_words,
        coalesce(n_vocab_words, 0) AS n_vocab_words,
@@ -186,6 +193,34 @@ SELECT fb.doc_id,
        n_long_chars, n_bytes_other,
        coalesce(n_tokens_bpe, 0) + n_long_chars + n_bytes_other AS n_tokens_total
 FROM fb LEFT JOIN tokf USING (doc_id)
+"""
+
+
+Q121_SQL = f"""WITH {_TOK_CTES},
+{_TOKF_CTE},
+{_FB_CTE},
+acc AS (
+  SELECT d.lang,
+         coalesce(tokf.n_words, 0) AS nw,
+         coalesce(tokf.n_vocab_words, 0) AS nv,
+         coalesce(tokf.n_tokens_bpe, 0) AS nt,
+         fb.n_bytes_other AS nb
+  FROM documents d
+  JOIN fb USING (doc_id)
+  LEFT JOIN tokf USING (doc_id)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(nt) AS BIGINT) AS n_tokens_bpe,
+       CAST(sum(nb) AS BIGINT) AS n_bytes_other,
+       CASE WHEN sum(nw) > 0
+            THEN round(CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) * 1000000, 0) / 1000000
+       END AS fertility,
+       CASE WHEN sum(nw) > 0
+            THEN round(CAST(sum(nv) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) * 1000000, 0) / 1000000
+       END AS vocab_hit_rate
+FROM acc GROUP BY lang
 """
 
 
@@ -383,4 +418,30 @@ def q120_sequence_packing_bpe(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("tokens").alias("bin_tokens"),
         F.min("doc_id").alias("first_doc"),
+    )
+
+
+def q121_fertility_by_lang(spark, sf_dir):
+    """Per-language tokenizer-fit datasheet
+    (``operators/bpe.py::fertility_by_group``): BPE tokens per word
+    (fertility) and the fraction of word instances the merge table
+    collapses to one token (vocab_hit_rate), per ``lang`` — the signal
+    a multi-corpus pipeline reads before granting a language its own
+    vocabulary budget.  Every document counts (byte-fallback mass
+    rides along), so a language of pure non-a-z text still reports its
+    docs and byte mass with NULL ratios rather than vanishing.  Scale:
+    q119's accounting plan plus ONE hash agg on the bounded language
+    key; the ratios divide two exact BIGINT sums once, so the doubles
+    are IEEE-identical cross-engine (the q106 precedent) and rounded
+    6dp on both sides."""
+    docs, merges = _merges(spark, sf_dir)
+    rep = B.fertility_by_group(docs, merges, "lang")
+    return rep.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens_bpe",
+        "n_bytes_other",
+        R("fertility", 6).alias("fertility"),
+        R("vocab_hit_rate", 6).alias("vocab_hit_rate"),
     )

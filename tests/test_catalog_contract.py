@@ -48,16 +48,17 @@ def test_window_covers_round9_changed_and_new():
     """The driver checks only the FIRST 50 entries: everything new or
     behavior-changed in round 9 must sit inside that window, the four
     entries pinned at tail slots 50-53 by the round-8 contract must
-    LEAD it, and the ten round-7 entries displaced this round are
-    pinned at tail slots 50-59 to lead round 10."""
+    LEAD it, and the eleven round-7 entries displaced this round are
+    pinned at tail slots 50-60 to lead round 10."""
     window = list(CATALOG)[:50]
-    # q115-q120 are the new BPE family; q20 now aggregates over the
+    # q115-q121 are the new BPE family; q20 now aggregates over the
     # derived_view-parsed projection (behavior-equivalent but a new
     # physical plan — re-verify)
     changed = [
         "q115_bpe_merges", "q116_bpe_tokenize", "q117_token_budget_bpe",
         "q118_group_token_budget_bpe", "q119_bpe_byte_fallback",
-        "q120_sequence_packing_bpe", "q20_events_json",
+        "q120_sequence_packing_bpe", "q121_fertility_by_lang",
+        "q20_events_json",
     ]
     missing = [n for n in changed if n not in window]
     assert not missing, missing
@@ -66,10 +67,11 @@ def test_window_covers_round9_changed_and_new():
         "q73_semdedup", "q77_bucket_dedupe", "q70_pivot_daily",
         "q69_rolling_anomaly",
     ]
-    # the ten r7-window entries displaced by q115-q120/q20 and the
+    # the eleven r7-window entries displaced by q115-q121/q20 and the
     # four leads: each has an in-window kernel sibling (see the
     # catalog.py policy comment) and MUST lead round 10's window
-    assert list(CATALOG)[50:60] == [
+    assert list(CATALOG)[50:61] == [
+        "q104_source_overlap",
         "q105_prototypicality", "q107_quality_survivors",
         "q108_unicode_normalize",
         "q47_kmeans_clusters", "q95_sampled_diff", "q90_hll_rollup",
@@ -104,5 +106,5 @@ def test_window_covers_round9_changed_and_new():
         "q05_regional_revenue", "q10_window_rank", "q30_dedup_exact",
         "q31_dedup_minhash", "q36_text_fingerprint",
     }
-    for n in list(CATALOG)[60:]:
+    for n in list(CATALOG)[61:]:
         assert n in r8_window or n in headline, n
