@@ -575,3 +575,140 @@ def learned_merges_cached(
         merges = learn_bpe_spark(df, text_col, n_merges=n_merges)
         _MERGES_CACHE[key] = merges
     return merges
+
+
+def corpus_fertility(
+    wc: DataFrame,
+    tables: dict[str, Sequence[str]],
+    n_passes: int = N_PASSES,
+) -> dict[str, float | None]:
+    """Corpus-level fertility (BPE tokens per qualifying word
+    instance) under one or more merge tables, from the distinct-word
+    counts ``wc`` (``word_counts`` output) — ONE projection carrying
+    one rewrite chain per table and ONE aggregate, so comparing an old
+    and a candidate tokenizer costs a single distinct-word-sized pass,
+    not a pass per table.  Returns ``{name: fertility}`` with ``None``
+    for a wordless corpus (no defined fertility)."""
+    names = list(tables)
+    proj = wc.select(
+        "cnt",
+        *[
+            token_count_expr(F.col("w"), tables[n], n_passes)
+            .cast("long")
+            .alias(f"_nt_{i}")
+            for i, n in enumerate(names)
+        ],
+    )
+    row = proj.agg(
+        F.sum("cnt").cast("long").alias("_nw"),
+        *[
+            F.sum(F.col(f"_nt_{i}") * F.col("cnt"))
+            .cast("long")
+            .alias(f"_ntt_{i}")
+            for i in range(len(names))
+        ],
+    ).first()
+    nw = row["_nw"]
+    if not nw:
+        return {n: None for n in names}
+    return {n: row[f"_ntt_{i}"] / nw for i, n in enumerate(names)}
+
+
+def tokenizer_refresh(
+    spark: SparkSession,
+    df: DataFrame,
+    model_path: str,
+    text_col: str = "text",
+    n_merges: int = N_MERGES,
+    n_passes: int = N_PASSES,
+    learn_words: int = LEARN_WORDS,
+    max_word_len: int = MAX_WORD_LEN,
+    min_fertility_gain: float = 0.002,
+    dry_run: bool = False,
+) -> dict:
+    """Drift-triggered auto-relearn policy — the decision loop a
+    production pipeline runs on a schedule: re-learn a candidate merge
+    table on the CURRENT corpus, compare it to the persisted model,
+    and adopt only when the measured improvement justifies the single
+    most expensive action a training-data pipeline can take
+    (retokenizing everything downstream).
+
+    Decisions (returned under ``"decision"``):
+
+    * ``"bootstrap"`` — no model at ``model_path``: learn, persist,
+      adopt (nothing downstream exists to invalidate).
+    * ``"keep-identical"`` — candidate == persisted table (same pairs,
+      same order): no-op, fertility not measured (identical tables
+      tokenize identically).
+    * ``"keep-no-words"`` — corpus has no qualifying words, so
+      fertility is undefined: keep the persisted table (a relearn on
+      nothing would be adopted blind).
+    * ``"adopt"`` — candidate differs AND improves corpus fertility by
+      at least ``min_fertility_gain`` (relative): persist candidate.
+    * ``"keep-insufficient-gain"`` — candidate differs but doesn't
+      clear the bar: keep the persisted table.  Drift without gain is
+      vocabulary churn, not fit improvement — the report carries the
+      full :func:`bpe_drift` output for a human to overrule.
+
+    ``dry_run=True`` evaluates the full policy but never writes; the
+    decision says what WOULD happen (``"would-bootstrap"`` /
+    ``"would-adopt"``).
+
+    Cost: ONE corpus-sized pass (``word_counts``, cached across its
+    two consumers) + one distinct-word-sized projection measuring BOTH
+    tables' fertility (:func:`corpus_fertility`) + the bounded top-2k
+    collect.  The corpus is never scanned twice.
+
+    Returns ``{"decision", "merges" (the ACTIVE table after the
+    decision), "candidate", "drift", "fertility_old",
+    "fertility_new", "relative_gain"}``."""
+    from pyspark.errors import AnalysisException
+
+    wc = word_counts(df, text_col, max_word_len).cache()
+    try:
+        top = (
+            wc.orderBy(F.col("cnt").desc(), F.col("w"))
+            .limit(learn_words)
+            .collect()
+        )
+        candidate = learn_bpe([(r["w"], r["cnt"]) for r in top], n_merges, n_passes)
+        try:
+            old = load_bpe_model(spark, model_path)
+        except AnalysisException:
+            if not dry_run:
+                save_bpe_model(spark, candidate, model_path)
+            return {
+                "decision": "would-bootstrap" if dry_run else "bootstrap",
+                "merges": candidate,
+                "candidate": candidate,
+                "drift": None,
+                "fertility_old": None,
+                "fertility_new": None,
+                "relative_gain": None,
+            }
+        drift = bpe_drift(old, candidate)
+        report = {
+            "merges": old,
+            "candidate": candidate,
+            "drift": drift,
+            "fertility_old": None,
+            "fertility_new": None,
+            "relative_gain": None,
+        }
+        if not drift["drifted"]:
+            return {"decision": "keep-identical", **report}
+        fert = corpus_fertility(wc, {"old": old, "new": candidate}, n_passes)
+        report["fertility_old"] = fert["old"]
+        report["fertility_new"] = fert["new"]
+        if fert["old"] is None:
+            return {"decision": "keep-no-words", **report}
+        gain = (fert["old"] - fert["new"]) / fert["old"]
+        report["relative_gain"] = gain
+        if gain >= min_fertility_gain:
+            if dry_run:
+                return {"decision": "would-adopt", **report}
+            save_bpe_model(spark, candidate, model_path)
+            return {"decision": "adopt", **report, "merges": candidate}
+        return {"decision": "keep-insufficient-gain", **report}
+    finally:
+        wc.unpersist()

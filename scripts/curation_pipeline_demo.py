@@ -172,6 +172,20 @@ def main() -> None:
     counts["vocab_removed"] = len(drift["removed"])
     counts["bpe_model_dir"] = model_dir
 
+    # 6c. the nightly auto-relearn policy against the persisted model:
+    # an unchanged corpus must be a no-op (keep-identical), and the
+    # drifted RAW corpus gets a dry-run policy verdict — adoption only
+    # on measured fertility gain, never on churn alone
+    refresh_same = B.tokenizer_refresh(spark, curated_for_bpe, model_dir)
+    assert refresh_same["decision"] == "keep-identical"
+    counts["tokenizer_refresh_unchanged"] = refresh_same["decision"]
+    refresh_raw = B.tokenizer_refresh(spark, docs, model_dir, dry_run=True)
+    counts["tokenizer_refresh_raw_dryrun"] = refresh_raw["decision"]
+    if refresh_raw["relative_gain"] is not None:
+        counts["tokenizer_refresh_raw_gain"] = round(
+            refresh_raw["relative_gain"], 6
+        )
+
     # 7. packing accounting, twice: whitespace-proxy 256-token bins
     # (the historical metric) and REAL learned tokens with byte
     # fallback in 512-token bins — the number a training run budgets
