@@ -446,9 +446,14 @@ def full_token_accounting_py(
 
 def merges_to_df(spark: SparkSession, merges: Sequence[str]) -> DataFrame:
     """The merge table as rows ``(rank, pair, token)`` — rank is
-    1-based application order."""
+    1-based application order.  One partition from the start
+    (``bounded_local_df``): the table is tiny, and the
+    coalesce(1)-on-parallelize alternative costs a measured ~5 s of
+    sequential partition draining per write."""
+    from defenda_data_lake_spark.utils.partitioning import bounded_local_df
+
     rows = [(i + 1, p, p.replace(" ", "")) for i, p in enumerate(merges)]
-    return spark.createDataFrame(rows, "rank long, pair string, token string")
+    return bounded_local_df(spark, rows, "rank long, pair string, token string")
 
 
 def save_bpe_model(spark: SparkSession, merges: Sequence[str], path: str) -> None:
@@ -456,7 +461,7 @@ def save_bpe_model(spark: SparkSession, merges: Sequence[str], path: str) -> Non
     table is bounded — ``n_merges`` rows — so a single file; the
     ``save_nb_model`` precedent).  Application order is carried by the
     explicit ``rank`` column, never by file order."""
-    merges_to_df(spark, merges).coalesce(1).write.mode("overwrite").parquet(path)
+    merges_to_df(spark, merges).write.mode("overwrite").parquet(path)
 
 
 def load_bpe_model(spark: SparkSession, path: str) -> list[str]:

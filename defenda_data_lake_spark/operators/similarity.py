@@ -395,7 +395,8 @@ def build_ivf_index(
     values round-trip through paths; probing compares strings
     consistently on both sides).  Rebuild after significant corpus
     churn — like any IVF deployment, centroid drift degrades recall,
-    not correctness."""
+    not correctness; ``incremental_ivf.append_ivf_index`` folds
+    arrival batches in between rebuilds and reports the drift."""
     dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).head()
     if dim_row is None:
         raise ValueError("cannot build an IVF index from an empty corpus")
@@ -413,17 +414,35 @@ def build_ivf_index(
     (
         corpus.groupBy(lk.alias("list_id"))
         .agg(
+            F.count("*").cast("long").alias("n"),
             *[
                 F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
                 for i in range(dim)
-            ]
+            ],
         )
         .select(
             "list_id",
             F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("centroid"),
+            # list size rides along so incremental maintenance
+            # (``incremental_ivf.append_ivf_index``) can fold exact
+            # running means without rescanning the indexed corpus
+            "n",
         )
         .write.mode("overwrite")
         .parquet(f"{index_dir}/centroids")
+    )
+    # zeroed arrival-fit history: appends accumulate the fit of each
+    # arrival batch to the centroids of ITS time, and compare new
+    # batches against that history (see incremental_ivf's drift
+    # section).  A rebuild resets the history — the geometry changed.
+    from defenda_data_lake_spark.utils.partitioning import bounded_local_df
+
+    (
+        bounded_local_df(
+            corpus.sparkSession, [(0.0, 0)], "arr_fit_sum double, arr_n long"
+        )
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/arrival_fit")
     )
 
 

@@ -188,3 +188,23 @@ def scaled_keyed_partitions(
         return par
     want = int(size * expansion // bytes_per_task) + 1
     return max(min(want, cap_multiple * par), max(par // 2, 1))
+
+
+def bounded_local_df(spark, rows, schema: str) -> DataFrame:
+    """ONE-partition DataFrame from a bounded driver-side collection —
+    the shape every small maintenance table (merge tables, centroid
+    tables, arrival-fit history) wants to be written in.
+
+    Why not ``createDataFrame(rows).coalesce(1)``: a parallelized
+    local collection starts at defaultParallelism partitions, and
+    ``coalesce(1)`` folds them into ONE task that drains all ~32
+    Python-worker partitions SEQUENTIALLY — measured ~5 s per tiny
+    write on local[32], i.e. the fixed floor of every small-table
+    write in the package.  A single-slice parallelize starts (and
+    stays) at one partition: same file layout, ~0.4 s."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    template = spark.createDataFrame(rows[:1], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), template.schema
+    )
