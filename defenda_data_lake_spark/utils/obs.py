@@ -14,9 +14,12 @@ _COUNTER_ORDER = (
     "applied",
     "deleted",
     "runs",
+    "appended",
     "late_dropped",
     "tombstoned",
     "dropped_by_watermark",
+    "delta_fit",
+    "rebuild_recommended",
 )
 
 
@@ -24,8 +27,15 @@ def fold_log_line(stage: str, batch_id, stats: dict) -> str:
     """``[stage] batch=<id> applied=.. late_dropped=.. ...`` — one
     line per fold, counters in a fixed order, bucket count appended
     when the fold reports touched buckets."""
+    def _fmt(v):
+        # bools/ints print as counters; ratio-valued stats (the IVF
+        # fit numbers) keep 4 decimals instead of truncating to 0
+        if isinstance(v, float) and not v.is_integer():
+            return f"{v:.4f}"
+        return str(int(v))
+
     parts = [
-        f"{k}={int(stats[k])}" for k in _COUNTER_ORDER if k in stats
+        f"{k}={_fmt(stats[k])}" for k in _COUNTER_ORDER if k in stats
     ]
     if "touched_buckets" in stats:
         parts.append(f"touched_buckets={len(stats['touched_buckets'])}")

@@ -284,6 +284,32 @@ def main() -> None:
                             {"dropped_by_watermark": n_dropped}))
         assert n_dropped == 2, n_dropped  # 1 late doc x bands(=2) rows
         out["dedup_dropped_by_watermark"] = n_dropped
+
+        # 10. IVF index maintenance: fold an embedding arrival batch
+        # into the persisted ANN index and surface the drift verdict —
+        # the vector-index twin of the CDC/SCD fold stages above
+        from defenda_data_lake_spark.operators.incremental_ivf import (
+            append_ivf_index,
+        )
+        from defenda_data_lake_spark.operators.similarity import (
+            build_ivf_index,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        ivf_dir = os.path.join(tmp, "ivf")
+        build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), ivf_dir)
+        r1 = append_ivf_index(
+            spark, ivf_dir,
+            emb.filter(F.col("vec_id") % 2 == 1), partition_col="label",
+        )
+        print(fold_log_line("ivf", 0, {
+            "appended": r1["appended"],
+            "delta_fit": round(r1["delta_fit"], 4),
+            "rebuild_recommended": r1["rebuild_recommended"],
+        }))
+        assert not r1["rebuild_recommended"]  # first fold: history starts
+        out["ivf_appended"] = r1["appended"]
+        out["ivf_rebuild_recommended"] = r1["rebuild_recommended"]
     finally:
         import shutil
 
