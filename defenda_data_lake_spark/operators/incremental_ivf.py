@@ -307,3 +307,86 @@ def append_ivf_index(
         }
     finally:
         delta.unpersist()
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dedupe_ids: bool = False,
+) -> dict:
+    """Compact the index's ``corpus/`` dataset: every append leaves
+    one more file per touched list, so a long-running maintenance
+    stream accretes small files until scan setup dominates probes —
+    the classic streaming-sink problem ``lake_maintenance.
+    compact_partition`` solves for the events table.  Rewrites each
+    list to ONE file (hash repartition on the list key: each list's
+    rows land in a single shuffle partition) and swaps the dataset in
+    via the Hadoop FS API.
+
+    ``dedupe_ids=True`` additionally heals the at-least-once append
+    contract: a crash in `start_ivf_maintenance`'s marker gap
+    duplicates a batch's rows — duplicates are EXACT copies (same id,
+    vector, list), so keeping one row per (list, id) restores the
+    exactly-once corpus, and the centroid table is recomputed EXACTLY
+    from the deduped corpus (the build's own aggregation —
+    ``similarity.centroid_table``).  The arrival-fit history is
+    PRESERVED: compaction restores what the folds meant to write, it
+    does not change the geometry the history was measured against.
+
+    Cost: O(corpus) — one shuffled rewrite (+ one aggregation when
+    deduping).  This is the off-hot-path nightly op; appends stay
+    O(delta).  Returns ``{"rows_before", "rows_after", "files_before",
+    "files_after", "duplicates_removed"}``."""
+    from defenda_data_lake_spark.operators.similarity import centroid_table
+
+    corpus_path = f"{index_dir}/corpus"
+    corpus = spark.read.parquet(corpus_path).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__ivf_list").cast("string").alias("__ivf_list"),
+    )
+    files_before = corpus.select(F.input_file_name()).distinct().count()
+    rows_before = corpus.count()
+    out = corpus
+    if dedupe_ids:
+        # duplicates are exact row copies, so any survivor is THE row
+        out = out.dropDuplicates(["__ivf_list", id_col])
+    # one shuffle partition per list hash -> one file per list dir
+    tmp = f"{index_dir}/.corpus-compact-tmp"
+    (
+        out.repartition("__ivf_list")
+        .write.mode("overwrite")
+        .partitionBy("__ivf_list")
+        .parquet(tmp)
+    )
+    swap_directory(spark, tmp, corpus_path)
+    compacted = spark.read.parquet(corpus_path)
+    rows_after = compacted.count()
+    files_after = compacted.select(F.input_file_name()).distinct().count()
+    if dedupe_ids and rows_after != rows_before:
+        # the corpus changed: recompute the centroid table exactly
+        # (same aggregation as the build) and swap it in
+        dim = len(
+            spark.read.parquet(f"{index_dir}/centroids").first()["centroid"]
+        )
+        tmp_c = f"{index_dir}/.centroids-compact-tmp"
+        centroid_table(
+            compacted.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col("__ivf_list").cast("string").alias("__ivf_list"),
+            ),
+            F.col("__ivf_list"),
+            vec_col,
+            dim,
+        ).write.mode("overwrite").parquet(tmp_c)
+        swap_directory(spark, tmp_c, f"{index_dir}/centroids")
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_before": files_before,
+        "files_after": files_after,
+        "duplicates_removed": rows_before - rows_after,
+    }

@@ -369,6 +369,33 @@ def _ivf_score_and_rank(
     )
 
 
+def centroid_table(
+    corpus: DataFrame, list_key, vec_col: str, dim: int
+) -> DataFrame:
+    """``(list_id, centroid, n)`` aggregated from a corpus and its
+    list-key column expression — per-component partial aggregation
+    (map-side combine, no vector explode).  The list size rides along
+    so incremental maintenance (``incremental_ivf.append_ivf_index``)
+    can fold exact running means without rescanning the corpus.  ONE
+    definition serves the build and ``compact_ivf_index``'s exact
+    recompute."""
+    return (
+        corpus.groupBy(list_key.alias("list_id"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            *[
+                F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
+                for i in range(dim)
+            ],
+        )
+        .select(
+            "list_id",
+            F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("centroid"),
+            "n",
+        )
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     index_dir: str,
@@ -411,26 +438,9 @@ def build_ivf_index(
         .partitionBy("__ivf_list")
         .parquet(f"{index_dir}/corpus")
     )
-    (
-        corpus.groupBy(lk.alias("list_id"))
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            *[
-                F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
-                for i in range(dim)
-            ],
-        )
-        .select(
-            "list_id",
-            F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("centroid"),
-            # list size rides along so incremental maintenance
-            # (``incremental_ivf.append_ivf_index``) can fold exact
-            # running means without rescanning the indexed corpus
-            "n",
-        )
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/centroids")
-    )
+    centroid_table(corpus, lk, vec_col, dim).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/centroids")
     # zeroed arrival-fit history: appends accumulate the fit of each
     # arrival batch to the centroids of ITS time, and compare new
     # batches against that history (see incremental_ivf's drift

@@ -17,11 +17,12 @@ a replayed row), so a crash in the window between the corpus append
 and the marker write DUPLICATES that batch's rows on redelivery.
 ``streaming/cdc.py``'s fold self-repairs in that window because equal
 seqs re-apply idempotently; an append-only corpus has no such anchor.
-Mitigations: ids are carried, so duplicates are detectable and a
-rebuild (or an id-dedup compaction) heals the index; size the window
-by putting the marker on the same filesystem as the index.  The same
-at-least-once contract as `append_dedup_index` — documented there and
-here.
+Mitigations: ids are carried, so duplicates are detectable, and
+``incremental_ivf.compact_ivf_index(dedupe_ids=True)`` restores the
+exactly-once corpus and exact centroids (test-pinned against a full
+rebuild); size the window by putting the marker on the same
+filesystem as the index.  The same at-least-once contract as
+`append_dedup_index` — documented there and here.
 
 Drift: each batch's `append_ivf_index` report (arrival-fit vs
 history, `rebuild_recommended`) flows to the ``on_batch`` hook — wire

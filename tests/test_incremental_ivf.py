@@ -231,3 +231,69 @@ def test_null_partition_value_rejected(spark, tmp_path, emb):
     bad = emb.limit(3).withColumn("label", F.lit(None).cast("int"))
     with pytest.raises(ValueError, match="NULL label"):
         append_ivf_index(spark, inc, bad, partition_col="label")
+
+
+def test_compact_reduces_files_data_identical(spark, tmp_path, emb):
+    from defenda_data_lake_spark.operators.incremental_ivf import (
+        compact_ivf_index,
+    )
+
+    inc = str(tmp_path / "inc")
+    build_ivf_index(emb.filter(F.col("vec_id") % 3 == 1), inc)
+    for m in (2, 0):
+        append_ivf_index(
+            spark, inc, emb.filter(F.col("vec_id") % 3 == m),
+            partition_col="label",
+        )
+    before = _members(spark, inc)
+    cents_before = _centroids(spark, inc)
+    rep = compact_ivf_index(spark, inc)
+    assert rep["duplicates_removed"] == 0
+    assert rep["rows_after"] == rep["rows_before"] == len(before)
+    assert rep["files_after"] < rep["files_before"]
+    assert rep["files_after"] == len(cents_before)  # one file per list
+    assert _members(spark, inc) == before
+    after = _centroids(spark, inc)  # untouched without dedupe
+    for lid in cents_before:
+        assert after[lid][1] == cents_before[lid][1]
+        np.testing.assert_array_equal(after[lid][0], cents_before[lid][0])
+
+
+def test_compact_dedupe_heals_marker_gap_duplicates(spark, tmp_path, emb):
+    """Replaying an append (the crash-in-marker-gap scenario the
+    streaming docstring documents) duplicates rows; dedupe compaction
+    restores the exactly-once corpus AND the exact centroid table of a
+    full rebuild."""
+    from defenda_data_lake_spark.operators.incremental_ivf import (
+        compact_ivf_index,
+    )
+
+    inc = str(tmp_path / "inc")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    build_ivf_index(base, inc)
+    append_ivf_index(spark, inc, delta, partition_col="label")
+    append_ivf_index(spark, inc, delta, partition_col="label")  # replay
+    n_dup = delta.count()
+    assert len(_members(spark, inc)) == base.count() + 2 * n_dup
+
+    rep = compact_ivf_index(spark, inc, dedupe_ids=True)
+    assert rep["duplicates_removed"] == n_dup
+    full = str(tmp_path / "full")
+    build_ivf_index(emb, full)
+    assert _members(spark, inc) == _members(spark, full)
+    ci, cf = _centroids(spark, inc), _centroids(spark, full)
+    for lid in cf:
+        assert ci[lid][1] == cf[lid][1]
+        np.testing.assert_allclose(ci[lid][0], cf[lid][0], rtol=1e-9)
+    # probes over the healed index match the rebuild
+    queries = emb.filter(F.col("vec_id") < 5)
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in ivf_probe(spark, full, queries, k=10, n_probe=2).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in ivf_probe(spark, inc, queries, k=10, n_probe=2).collect()
+    )
+    assert got == want and len(got) > 0
