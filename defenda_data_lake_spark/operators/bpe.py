@@ -137,6 +137,27 @@ def learn_bpe(
     return merges
 
 
+def learn_bpe_from_counts(
+    wc: DataFrame,
+    n_merges: int = N_MERGES,
+    n_passes: int = N_PASSES,
+    learn_words: int = LEARN_WORDS,
+) -> list[str]:
+    """Learn from an existing :func:`word_counts` DataFrame: the
+    bounded top-``learn_words`` rows come to the driver (TakeOrdered,
+    ≤2000 rows at ANY corpus size) and :func:`learn_bpe` runs locally.
+    ONE definition of the selection/tie-break serves both
+    :func:`learn_bpe_spark` and :func:`tokenizer_refresh` (which
+    reuses a cached ``wc``) — two copies could silently drift the
+    keep-identical invariant the refresh policy depends on."""
+    top = (
+        wc.orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(learn_words)
+        .collect()
+    )
+    return learn_bpe([(r["w"], r["cnt"]) for r in top], n_merges, n_passes)
+
+
 def learn_bpe_spark(
     df: DataFrame,
     text_col: str = "text",
@@ -146,16 +167,13 @@ def learn_bpe_spark(
     max_word_len: int = MAX_WORD_LEN,
 ) -> list[str]:
     """Learn the merge table from a corpus DataFrame: Spark aggregates
-    word counts, the bounded top-``learn_words`` rows come to the
-    driver (TakeOrdered, ≤2000 rows at ANY corpus size), and
-    :func:`learn_bpe` runs locally."""
-    top = (
-        word_counts(df, text_col, max_word_len)
-        .orderBy(F.col("cnt").desc(), F.col("w"))
-        .limit(learn_words)
-        .collect()
+    word counts, then :func:`learn_bpe_from_counts`."""
+    return learn_bpe_from_counts(
+        word_counts(df, text_col, max_word_len),
+        n_merges,
+        n_passes,
+        learn_words,
     )
-    return learn_bpe([(r["w"], r["cnt"]) for r in top], n_merges, n_passes)
 
 
 def char_spaced(col: Column) -> Column:
@@ -671,12 +689,7 @@ def tokenizer_refresh(
 
     wc = word_counts(df, text_col, max_word_len).cache()
     try:
-        top = (
-            wc.orderBy(F.col("cnt").desc(), F.col("w"))
-            .limit(learn_words)
-            .collect()
-        )
-        candidate = learn_bpe([(r["w"], r["cnt"]) for r in top], n_merges, n_passes)
+        candidate = learn_bpe_from_counts(wc, n_merges, n_passes, learn_words)
         try:
             old = load_bpe_model(spark, model_path)
         except AnalysisException:

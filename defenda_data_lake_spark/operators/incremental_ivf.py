@@ -109,6 +109,27 @@ def _nearest_list_col(vec_col: str, list_ids: list[str], cent: np.ndarray):
     return _nearest(F.col(vec_col))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _raw_partition_strings(spark: SparkSession):
+    """Read partition values as their RAW directory strings.  Type
+    inference reads ``__ivf_list=007`` back as int 7, and
+    ``cast("string")`` then yields ``'7'`` — which no longer matches
+    the centroid table's ``list_id='007'`` (KeyError on append,
+    silently orphaned lists on compact).  Inference is a session conf,
+    not a reader option, so it is toggled around the read and
+    restored."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _read_arrival_fit(spark: SparkSession, index_dir: str):
     """(arr_fit_sum, arr_n, table_exists) — a missing table (legacy
     index) reads as empty history and is created, not swapped, on the
@@ -152,15 +173,16 @@ def append_ivf_index(
     else:
         # pre-counts index layout: recover list sizes with ONE
         # column-pruned pass over the partition key (no vector bytes
-        # are read; partition-type inference may read '0','1',... back
-        # as ints — cast to match the string centroid keys)
-        counts = {
-            r["k"]: r["cnt"]
-            for r in spark.read.parquet(f"{index_dir}/corpus")
-            .groupBy(F.col("__ivf_list").cast("string").alias("k"))
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
+        # are read; inference disabled so keys match the centroid
+        # table's raw strings — see _raw_partition_strings)
+        with _raw_partition_strings(spark):
+            counts = {
+                r["k"]: r["cnt"]
+                for r in spark.read.parquet(f"{index_dir}/corpus")
+                .groupBy(F.col("__ivf_list").alias("k"))
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
     arr_fit_sum, arr_n, af_exists = _read_arrival_fit(spark, index_dir)
 
     carried = partition_col is not None
@@ -341,48 +363,56 @@ def compact_ivf_index(
     "files_after", "duplicates_removed"}``."""
     from defenda_data_lake_spark.operators.similarity import centroid_table
 
-    corpus_path = f"{index_dir}/corpus"
-    corpus = spark.read.parquet(corpus_path).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("__ivf_list").cast("string").alias("__ivf_list"),
-    )
-    files_before = corpus.select(F.input_file_name()).distinct().count()
-    rows_before = corpus.count()
-    out = corpus
-    if dedupe_ids:
-        # duplicates are exact row copies, so any survivor is THE row
-        out = out.dropDuplicates(["__ivf_list", id_col])
-    # one shuffle partition per list hash -> one file per list dir
-    tmp = f"{index_dir}/.corpus-compact-tmp"
-    (
-        out.repartition("__ivf_list")
-        .write.mode("overwrite")
-        .partitionBy("__ivf_list")
-        .parquet(tmp)
-    )
-    swap_directory(spark, tmp, corpus_path)
-    compacted = spark.read.parquet(corpus_path)
-    rows_after = compacted.count()
-    files_after = compacted.select(F.input_file_name()).distinct().count()
-    if dedupe_ids and rows_after != rows_before:
-        # the corpus changed: recompute the centroid table exactly
-        # (same aggregation as the build) and swap it in
-        dim = len(
-            spark.read.parquet(f"{index_dir}/centroids").first()["centroid"]
+    def _stats(df):
+        # rows + distinct files in ONE aggregation (two separate
+        # count() jobs per side would double the stat scans); the
+        # nondeterministic input_file_name() must be projected first —
+        # directly inside the aggregate it is rejected
+        r = (
+            df.select(F.input_file_name().alias("_f"))
+            .agg(
+                F.count("*").alias("r"), F.countDistinct("_f").alias("f")
+            )
+            .first()
         )
-        tmp_c = f"{index_dir}/.centroids-compact-tmp"
-        centroid_table(
-            compacted.select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.col("__ivf_list").cast("string").alias("__ivf_list"),
-            ),
-            F.col("__ivf_list"),
-            vec_col,
-            dim,
-        ).write.mode("overwrite").parquet(tmp_c)
-        swap_directory(spark, tmp_c, f"{index_dir}/centroids")
+        return r["r"], r["f"]
+
+    corpus_path = f"{index_dir}/corpus"
+    with _raw_partition_strings(spark):
+        corpus = spark.read.parquet(corpus_path).select(
+            F.col(id_col), F.col(vec_col), F.col("__ivf_list")
+        )
+        rows_before, files_before = _stats(corpus)
+        out = corpus
+        if dedupe_ids:
+            # duplicates are exact row copies: any survivor is THE row
+            out = out.dropDuplicates(["__ivf_list", id_col])
+        # one shuffle partition per list hash -> one file per list dir
+        tmp = f"{index_dir}/.corpus-compact-tmp"
+        (
+            out.repartition("__ivf_list")
+            .write.mode("overwrite")
+            .partitionBy("__ivf_list")
+            .parquet(tmp)
+        )
+        swap_directory(spark, tmp, corpus_path)
+        compacted = spark.read.parquet(corpus_path).select(
+            F.col(id_col), F.col(vec_col), F.col("__ivf_list")
+        )
+        rows_after, files_after = _stats(compacted)
+        if dedupe_ids and rows_after != rows_before:
+            # the corpus changed: recompute the centroid table exactly
+            # (same aggregation as the build) and swap it in
+            dim = len(
+                spark.read.parquet(f"{index_dir}/centroids").first()[
+                    "centroid"
+                ]
+            )
+            tmp_c = f"{index_dir}/.centroids-compact-tmp"
+            centroid_table(
+                compacted, F.col("__ivf_list"), vec_col, dim
+            ).write.mode("overwrite").parquet(tmp_c)
+            swap_directory(spark, tmp_c, f"{index_dir}/centroids")
     return {
         "rows_before": rows_before,
         "rows_after": rows_after,

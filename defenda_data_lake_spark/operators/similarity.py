@@ -447,13 +447,25 @@ def build_ivf_index(
     # section).  A rebuild resets the history — the geometry changed.
     from defenda_data_lake_spark.utils.partitioning import bounded_local_df
 
+    spark = corpus.sparkSession
     (
         bounded_local_df(
-            corpus.sparkSession, [(0.0, 0)], "arr_fit_sum double, arr_n long"
+            spark, [(0.0, 0)], "arr_fit_sum double, arr_n long"
         )
         .write.mode("overwrite")
         .parquet(f"{index_dir}/arrival_fit")
     )
+    # ...and a rebuild also invalidates streaming-maintenance
+    # bookkeeping: delete the fold marker `start_ivf_maintenance`
+    # leaves here — the documented rebuild-and-restart workflow uses a
+    # FRESH checkpoint whose batches renumber from 0, and a stale
+    # high-water marker would make every one of them look like a
+    # redelivery and silently skip it
+    jvm = spark.sparkContext._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/_last_batch_id")
+    fs = marker.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        fs.delete(marker, False)
 
 
 def ivf_probe(

@@ -29,7 +29,12 @@ def fold_log_line(stage: str, batch_id, stats: dict) -> str:
     when the fold reports touched buckets."""
     def _fmt(v):
         # bools/ints print as counters; ratio-valued stats (the IVF
-        # fit numbers) keep 4 decimals instead of truncating to 0
+        # fit numbers) keep 4 decimals instead of truncating to 0, and
+        # a None (fit not measurable this batch — empty delta, or
+        # every row landed in a new list) prints as 'na' rather than
+        # killing the stream's on_batch hook with a TypeError
+        if v is None:
+            return "na"
         if isinstance(v, float) and not v.is_integer():
             return f"{v:.4f}"
         return str(int(v))

@@ -304,7 +304,7 @@ def main() -> None:
         )
         print(fold_log_line("ivf", 0, {
             "appended": r1["appended"],
-            "delta_fit": round(r1["delta_fit"], 4),
+            "delta_fit": r1["delta_fit"],  # fold_log_line formats/na-guards
             "rebuild_recommended": r1["rebuild_recommended"],
         }))
         assert not r1["rebuild_recommended"]  # first fold: history starts

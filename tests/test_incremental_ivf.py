@@ -297,3 +297,54 @@ def test_compact_dedupe_heals_marker_gap_duplicates(spark, tmp_path, emb):
         for r in ivf_probe(spark, inc, queries, k=10, n_probe=2).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_non_canonical_list_keys_survive_maintenance(spark, tmp_path, emb):
+    """String list keys that partition-type inference would mangle
+    ('007' reads back as int 7) must survive the legacy-counts path
+    AND compaction — keys are read as raw directory strings."""
+    from defenda_data_lake_spark.operators.incremental_ivf import (
+        compact_ivf_index,
+    )
+
+    keyed = emb.withColumn(
+        "label", F.format_string("%03d", F.col("label"))
+    )
+    inc = str(tmp_path / "inc")
+    base = keyed.filter(F.col("vec_id") % 3 != 0)
+    build_ivf_index(base, inc)
+    assert "007" in _centroids(spark, inc)
+
+    # legacy layout: no n column, counts recovered from partitions
+    old = spark.read.parquet(f"{inc}/centroids").drop("n")
+    old.coalesce(1).write.mode("overwrite").parquet(f"{inc}/centroids_old")
+    import shutil
+
+    shutil.rmtree(f"{inc}/centroids")
+    shutil.move(f"{inc}/centroids_old", f"{inc}/centroids")
+
+    delta = keyed.filter(F.col("vec_id") % 3 == 0)
+    rep = append_ivf_index(spark, inc, delta, partition_col="label")
+    assert rep["appended"] == delta.count()
+
+    rep2 = compact_ivf_index(spark, inc, dedupe_ids=True)
+    assert rep2["duplicates_removed"] == 0
+    # every padded key survives: centroid keys and the RAW corpus
+    # directory keys agree (a plain inference-enabled read would show
+    # '7' for dir __ivf_list=007 — that mangling is exactly what the
+    # operators guard against)
+    from defenda_data_lake_spark.operators.incremental_ivf import (
+        _raw_partition_strings,
+    )
+
+    cents = _centroids(spark, inc)
+    assert all(len(lid) == 3 for lid in cents)
+    with _raw_partition_strings(spark):
+        got_lists = {
+            r["__ivf_list"]
+            for r in spark.read.parquet(f"{inc}/corpus")
+            .select("__ivf_list")
+            .distinct()
+            .collect()
+        }
+    assert got_lists == set(cents)

@@ -184,3 +184,36 @@ def test_drift_report_reaches_hook(spark, tmp_path, emb):
     assert not stats[0][1]["rebuild_recommended"]
     assert stats[1][1]["rebuild_recommended"]
     assert stats[1][1]["delta_fit"] < stats[1][1]["baseline_fit"] - 0.1
+
+
+def test_rebuild_resets_marker_for_fresh_checkpoint(spark, tmp_path, emb):
+    """The documented rebuild-and-restart workflow: after a rebuild,
+    a FRESH checkpoint renumbers batches from 0 — the rebuild must
+    clear the old high-water marker or every new batch would look
+    like a redelivery and be silently skipped."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    idx = tmp_path / "ivf"
+    build_ivf_index(emb.filter(F.col("vec_id") % 3 == 1), str(idx))
+    _write_batch(
+        landing / "b1.json", emb.filter(F.col("vec_id") % 3 == 2).collect()
+    )
+    stats = []
+    _run(spark, landing, idx, tmp_path / "ckpt1", stats=stats,
+         partition_col="label")
+    assert len(stats) == 1  # marker now at batch 0
+
+    # drift verdict says rebuild: do it, then restart FRESH
+    build_ivf_index(emb.filter(F.col("vec_id") % 3 != 0), str(idx))
+    landing2 = tmp_path / "landing2"
+    landing2.mkdir()
+    _write_batch(
+        landing2 / "b1.json", emb.filter(F.col("vec_id") % 3 == 0).collect()
+    )
+    stats2 = []
+    _run(spark, landing2, idx, tmp_path / "ckpt2", stats=stats2,
+         partition_col="label")
+    assert len(stats2) == 1 and stats2[0][1]["appended"] > 0
+    full = tmp_path / "full"
+    build_ivf_index(emb, str(full))
+    assert _members(spark, str(idx)) == _members(spark, str(full))
