@@ -235,6 +235,74 @@ def cosine_topk(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level decontamination — flag corpus documents whose
+    embedding is suspiciously close to ANY benchmark/eval item
+    (max cosine ≥ ``threshold``), the semantic complement of n-gram
+    decontamination (q51): paraphrased or translated eval contamination
+    shares no 8-gram but lands next to the eval item in embedding
+    space.  Returns flagged rows only:
+    ``(id, nearest_eval_id, max_eval_cosine)`` with ties on the max
+    broken to the LOWEST eval id.
+
+    Scale (100 TB): eval sets are bounded by contract (benchmarks, not
+    corpora) — collected once and broadcast like ``cosine_topk``'s
+    query block; the corpus is scanned ONCE with a matmul per
+    (partition x eval block), no shuffle, no join, and only flagged
+    rows leave the executors.  This is the production shape: the big
+    side streams, the small side rides the closure."""
+    e_ids, E = _collect_queries(eval_set, id_col, vec_col)
+    spark = corpus.sparkSession
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_t}, nearest_eval_id {id_t}, max_eval_cosine double"
+    )
+    if len(e_ids) == 0:
+        # an empty eval set can contaminate nothing (and an empty
+        # matrix has no axis-1 for the kernel's norms)
+        return spark.createDataFrame([], out_schema)
+    order = np.argsort(e_ids, kind="stable")
+    e_ids, E = e_ids[order], E[order]  # argmax-first-max => lowest id
+    bc = spark.sparkContext.broadcast((e_ids, E))
+
+    def score(batches):
+        b_ids, b_E = bc.value
+        ne = np.linalg.norm(b_E, axis=1)
+        for pdf in batches:
+            if len(pdf) == 0 or len(b_ids) == 0:
+                continue
+            C = _stack(pdf[vec_col])
+            nc = np.linalg.norm(C, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (C @ b_E.T) / np.outer(nc, ne)
+            S = np.nan_to_num(S, nan=-np.inf)
+            mx = S.max(axis=1)
+            keep = mx >= threshold
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[keep],
+                    "nearest_eval_id": b_ids[np.argmax(S[keep], axis=1)],
+                    "max_eval_cosine": mx[keep],
+                }
+            )
+
+    from defenda_data_lake_spark.utils.partitioning import kernel_parallelism
+
+    return (
+        corpus.select(id_col, vec_col)
+        .coalesce(kernel_parallelism(corpus))
+        .mapInPandas(score, schema=out_schema)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

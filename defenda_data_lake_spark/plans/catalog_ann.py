@@ -616,3 +616,48 @@ SELECT vec_id, cl AS cluster,
        row_number() OVER (PARTITION BY cl ORDER BY sq ASC, vec_id ASC) AS proto_rank
 FROM a3
 """
+
+
+_Q122_TAU = 0.35
+
+
+def q122_semantic_decontamination(spark, sf_dir):
+    """Embedding-level decontamination
+    (``similarity.semantic_contamination``): flag corpus documents
+    whose embedding sits within cosine ``0.35`` of ANY eval-set item
+    (the deterministic ``vec_id % 17 = 0`` slice stands in for a
+    benchmark) — the semantic complement of q51's 8-gram
+    decontamination: a paraphrased eval item shares no n-gram but
+    lands next to its source in embedding space.  Scale: the bounded
+    eval block broadcasts (the q40 pattern); the corpus is scanned
+    ONCE, no shuffle/join, flagged rows only leave the executors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    eval_set = emb.filter(F.col("vec_id") % 17 == 0)
+    corpus = emb.filter(F.col("vec_id") % 17 != 0)
+    return S.semantic_contamination(corpus, eval_set, _Q122_TAU).select(
+        "vec_id",
+        "nearest_eval_id",
+        R("max_eval_cosine", 6).alias("max_eval_cosine"),
+    )
+
+
+Q122_SQL = f"""
+WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0),
+corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0),
+pairs AS (
+  SELECT c.vec_id, e.vec_id AS eval_id,
+         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM corp c CROSS JOIN ev e
+),
+best AS (
+  SELECT vec_id, eval_id, cos,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos DESC, eval_id
+         ) AS rn
+  FROM pairs
+)
+SELECT vec_id, eval_id AS nearest_eval_id,
+       round(cos * 1000000, 0) / 1000000 AS max_eval_cosine
+FROM best WHERE rn = 1 AND cos >= {_Q122_TAU}
+"""

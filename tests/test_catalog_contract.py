@@ -58,6 +58,7 @@ def test_window_covers_round9_changed_and_new():
         "q115_bpe_merges", "q116_bpe_tokenize", "q117_token_budget_bpe",
         "q118_group_token_budget_bpe", "q119_bpe_byte_fallback",
         "q120_sequence_packing_bpe", "q121_fertility_by_lang",
+        "q122_semantic_decontamination",
         "q20_events_json",
     ]
     missing = [n for n in changed if n not in window]
@@ -67,11 +68,11 @@ def test_window_covers_round9_changed_and_new():
         "q73_semdedup", "q77_bucket_dedupe", "q70_pivot_daily",
         "q69_rolling_anomaly",
     ]
-    # the eleven r7-window entries displaced by q115-q121/q20 and the
+    # the twelve r7-window entries displaced by q115-q122/q20 and the
     # four leads: each has an in-window kernel sibling (see the
     # catalog.py policy comment) and MUST lead round 10's window
-    assert list(CATALOG)[50:61] == [
-        "q104_source_overlap",
+    assert list(CATALOG)[50:62] == [
+        "q103_nb_quality_classifier", "q104_source_overlap",
         "q105_prototypicality", "q107_quality_survivors",
         "q108_unicode_normalize",
         "q47_kmeans_clusters", "q95_sampled_diff", "q90_hll_rollup",
@@ -106,5 +107,5 @@ def test_window_covers_round9_changed_and_new():
         "q05_regional_revenue", "q10_window_rank", "q30_dedup_exact",
         "q31_dedup_minhash", "q36_text_fingerprint",
     }
-    for n in list(CATALOG)[61:]:
+    for n in list(CATALOG)[62:]:
         assert n in r8_window or n in headline, n

@@ -518,3 +518,60 @@ def test_ivf_probe_empty_queries_and_n_probe(spark, tmp_path, sf_dir):
     r1 = ivf_probe(spark, idx, q, k=50, n_probe=1).count()
     r2 = ivf_probe(spark, idx, q, k=50, n_probe=2).count()
     assert r2 >= r1
+
+
+def test_semantic_contamination_matches_numpy(spark, sf_dir):
+    """Flagged set, nearest ids, and cosines equal a direct numpy
+    reference; an empty eval set flags nothing; ties go to the lowest
+    eval id (pinned on a constructed exact tie)."""
+    import numpy as np
+
+    from defenda_data_lake_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eval_set = emb.filter(F.col("vec_id") % 17 == 0)
+    corpus = emb.filter(F.col("vec_id") % 17 != 0)
+    got = sorted(
+        (r["vec_id"], r["nearest_eval_id"], round(r["max_eval_cosine"], 9))
+        for r in semantic_contamination(corpus, eval_set, 0.35).collect()
+    )
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    ev = ids % 17 == 0
+    E, C = V[ev], V[~ev]
+    e_ids, c_ids = ids[ev], ids[~ev]
+    order = np.argsort(e_ids)
+    E, e_ids = E[order], e_ids[order]
+    S = (C @ E.T) / np.outer(
+        np.linalg.norm(C, axis=1), np.linalg.norm(E, axis=1)
+    )
+    mx, am = S.max(axis=1), S.argmax(axis=1)
+    want = sorted(
+        (int(c_ids[i]), int(e_ids[am[i]]), round(float(mx[i]), 9))
+        for i in range(len(c_ids))
+        if mx[i] >= 0.35
+    )
+    assert got == want and len(got) > 0
+
+    # empty eval set: nothing can be contaminated
+    none = semantic_contamination(
+        corpus, eval_set.filter(F.col("vec_id") < 0), 0.35
+    )
+    assert none.count() == 0
+
+    # exact tie: one corpus vector, two eval items with the SAME
+    # direction but different ids -> the lower id wins
+    tied = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (7, [2.0, 0.0]), (3, [4.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    r = semantic_contamination(
+        tied.filter(F.col("vec_id") == 100),
+        tied.filter(F.col("vec_id") != 100),
+        0.5,
+    ).collect()
+    assert [(x["vec_id"], x["nearest_eval_id"]) for x in r] == [(100, 3)]
