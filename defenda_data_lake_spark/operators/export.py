@@ -155,3 +155,180 @@ def read_jsonl_shards(spark, out_dir: str, shards: list[int] | None = None):
     if shards is not None:
         df = df.filter(F.col(SHARD_COL).isin([int(s) for s in shards]))
     return df
+
+
+def incremental_export_jsonl(
+    spark,
+    delta: DataFrame,
+    out_dir: str,
+    id_col: str | None = None,
+) -> dict:
+    """Fold a DELTA of new documents into an existing
+    :func:`export_jsonl_shards` shard set — the nightly form: corpus
+    growth re-materializes ONLY the shards the new ids hash into,
+    never the whole export.
+
+    The export parameters (salt, n_shards, order, columns) come from
+    the shard set's own ``_manifest.json``, so an increment can never
+    silently fork the layout: a delta whose columns disagree raises
+    up front.  Mechanics per call:
+
+    * tag the delta with the manifest's deterministic shard
+      assignment — membership is content-addressed, so a doc lands in
+      the same shard the full export would have put it in;
+    * read back ONLY the touched ``shard=N`` directories (explicit
+      schema in manifest column order — no inference drift), union the
+      delta, restore the deterministic intra-shard order, and
+      dynamic-partition-overwrite just those directories (the
+      streaming-CDC touched-bucket pattern);
+    * fold the per-shard counts into the manifest additively.
+
+    The result is IDENTICAL to re-running the full export over the
+    union — file-for-file, line-for-line (gzip included: zero-MTIME
+    headers + pinned order; parity test reads the bytes back).  Cost
+    is O(delta + touched shards); untouched shards are neither read
+    nor written.  Append-only-id contract (the `incremental_dedup`
+    family rule): delta ids must be NEW — a re-exported id would
+    duplicate its row in the shard.
+
+    Returns ``{"appended", "touched_shards", "total_rows"}``."""
+    import json as _json
+
+    from urllib.parse import urlparse
+
+    manifest_path = out_dir.rstrip("/") + "/_manifest.json"
+    if urlparse(out_dir).scheme:
+        fh = _open_hadoop(spark, manifest_path)
+    else:
+        fh = open(manifest_path)
+    with fh:
+        manifest = _json.load(fh)
+    id_col = id_col or manifest["id_col"]
+    if id_col != manifest["id_col"]:
+        raise ValueError(
+            f"id_col {id_col!r} != manifest id_col {manifest['id_col']!r}"
+        )
+    cols = manifest["columns"]
+    missing = [c for c in cols if c not in delta.columns]
+    extra = [c for c in delta.columns if c not in cols]
+    if missing or extra:
+        raise ValueError(
+            f"delta columns disagree with the manifest: missing {missing}, "
+            f"extra {extra} (an increment cannot fork the export layout)"
+        )
+    n_shards, salt, order = (
+        manifest["n_shards"],
+        manifest["salt"],
+        manifest["order"],
+    )
+
+    tagged = delta.select(*cols).withColumn(
+        SHARD_COL, shard_assignment(id_col, n_shards, salt)
+    )
+    delta_counts = {
+        int(r[SHARD_COL]): int(r["n"])
+        for r in tagged.groupBy(SHARD_COL).agg(F.count("*").alias("n")).collect()
+    }
+    if not delta_counts:
+        return {
+            "appended": 0,
+            "touched_shards": [],
+            "total_rows": manifest["total_rows"],
+        }
+    touched = sorted(delta_counts)
+
+    # read back ONLY the touched shards, with the delta's schema for
+    # the data columns (inference on JSON would widen/reorder types)
+    schema = tagged.select(*cols).schema
+    old = (
+        spark.read.schema(schema)
+        .json([os.path.join(out_dir, f"{SHARD_COL}={s}") for s in touched])
+    )
+    unioned = [
+        old.withColumn(
+            SHARD_COL, shard_assignment(id_col, n_shards, salt)
+        ),
+        tagged,
+    ]
+    merged = unioned[0].unionByName(unioned[1])
+    if order == "hash":
+        sort_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    else:
+        sort_key = F.col(id_col)
+    writer = (
+        merged.withColumn("_ord", sort_key)
+        .repartition(len(touched), SHARD_COL)
+        .sortWithinPartitions(SHARD_COL, "_ord", id_col)
+        .drop("_ord")
+        .write.mode("overwrite")
+        .partitionBy(SHARD_COL)
+    )
+    compression = "gzip" if _shards_gzipped(spark, out_dir, touched[0]) else None
+    if compression:
+        writer = writer.option("compression", compression)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        writer.json(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    appended = sum(delta_counts.values())
+    for s, n in delta_counts.items():
+        manifest["shards"][str(s)] = manifest["shards"].get(str(s), 0) + n
+    manifest["total_rows"] += appended
+    _write_text(
+        spark,
+        out_dir,
+        "_manifest.json",
+        _json.dumps(manifest, indent=2, sort_keys=True),
+    )
+    return {
+        "appended": appended,
+        "touched_shards": touched,
+        "total_rows": manifest["total_rows"],
+    }
+
+
+def _shards_gzipped(spark, out_dir: str, shard: int) -> bool:
+    """Whether the existing shard files are gzip — the increment must
+    keep the set homogeneous."""
+    import glob
+
+    from urllib.parse import urlparse
+
+    if not urlparse(out_dir).scheme:
+        return any(
+            p.endswith(".gz")
+            for p in glob.glob(os.path.join(out_dir, f"{SHARD_COL}={shard}", "part-*"))
+        )
+    jvm = spark._jvm
+    d = jvm.org.apache.hadoop.fs.Path(
+        out_dir.rstrip("/") + f"/{SHARD_COL}={shard}"
+    )
+    fs = d.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(d):
+        if st.getPath().getName().endswith(".gz"):
+            return True
+    return False
+
+
+def _open_hadoop(spark, path: str):
+    """File-like reader over the Hadoop FS API for URI manifests."""
+    import io
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        data = bytearray()
+        buf = bytearray(65536)
+        while True:
+            n = stream.read(buf)
+            if n <= 0:
+                break
+            data.extend(buf[:n])
+    finally:
+        stream.close()
+    return io.BytesIO(bytes(data))

@@ -119,3 +119,131 @@ def test_export_uri_out_dir_writes_manifest_via_hadoop_fs(spark, tmp_path):
     local = os.path.join(str(tmp_path / "shards"), "_manifest.json")
     with open(local) as f:
         assert json.load(f) == manifest
+
+
+def _shard_blobs(out, n_shards):
+    blobs = {}
+    for s in range(n_shards):
+        files = [
+            p
+            for p in glob.glob(os.path.join(out, f"shard={s}", "*"))
+            if not os.path.basename(p).startswith((".", "_"))
+        ]
+        assert len(files) == 1, files
+        with open(files[0], "rb") as fh:
+            data = fh.read()
+        if files[0].endswith(".gz"):
+            data = gzip.decompress(data)
+        blobs[s] = data
+    return blobs
+
+
+def test_incremental_export_equals_full_rerun(spark, tmp_path):
+    """Two delta folds over a base export produce the same shard set —
+    line-for-line per shard — as one full export of the union, only
+    touched shards are rewritten, and the manifest counts fold."""
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.operators.export import (
+        incremental_export_jsonl,
+    )
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    d1 = docs.filter(F.col("doc_id") % 3 == 1)
+    d2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    inc = str(tmp_path / "inc")
+    export_jsonl_shards(base, inc, "doc_id", n_shards=5)
+    r1 = incremental_export_jsonl(spark, d1, inc)
+    assert r1["appended"] == d1.count()
+    r2 = incremental_export_jsonl(spark, d2, inc)
+    assert r2["total_rows"] == docs.count()
+
+    full = str(tmp_path / "full")
+    export_jsonl_shards(docs, full, "doc_id", n_shards=5)
+    assert _shard_blobs(inc, 5) == _shard_blobs(full, 5)
+    with open(os.path.join(inc, "_manifest.json")) as f:
+        mi = json.load(f)
+    with open(os.path.join(full, "_manifest.json")) as f:
+        mf = json.load(f)
+    assert mi == mf
+
+
+def test_incremental_export_touches_only_hashed_shards(spark, tmp_path):
+    """A one-document delta rewrites exactly one shard directory: the
+    others' file mtimes (and bytes) are untouched."""
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.operators.export import (
+        incremental_export_jsonl,
+        shard_assignment,
+    )
+
+    docs = _docs(spark)
+    out = str(tmp_path / "inc")
+    export_jsonl_shards(
+        docs.filter(F.col("doc_id") > 0), out, "doc_id", n_shards=4
+    )
+    one = docs.filter(F.col("doc_id") == 0)
+    (expect_shard,) = [
+        r[0]
+        for r in one.select(shard_assignment("doc_id", 4)).collect()
+    ]
+    before = _shard_blobs(out, 4)
+    rep = incremental_export_jsonl(spark, one, out)
+    assert rep["touched_shards"] == [expect_shard]
+    after = _shard_blobs(out, 4)
+    for s in range(4):
+        if s == expect_shard:
+            assert after[s] != before[s]
+        else:
+            assert after[s] == before[s]
+
+
+def test_incremental_export_rejects_layout_fork(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.operators.export import (
+        incremental_export_jsonl,
+    )
+
+    docs = _docs(spark)
+    out = str(tmp_path / "inc")
+    export_jsonl_shards(docs, out, "doc_id", n_shards=3)
+    with pytest.raises(ValueError, match="fork the export layout"):
+        incremental_export_jsonl(
+            spark, docs.withColumn("extra", F.lit(1)), out
+        )
+    with pytest.raises(ValueError, match="fork the export layout"):
+        incremental_export_jsonl(spark, docs.drop("lang"), out)
+    # empty delta: clean noop
+    rep = incremental_export_jsonl(
+        spark, docs.filter(F.col("doc_id") < 0), out
+    )
+    assert rep == {
+        "appended": 0,
+        "touched_shards": [],
+        "total_rows": docs.count(),
+    }
+
+
+def test_incremental_export_hash_order_parity(spark, tmp_path):
+    """The pseudo-shuffle order survives increments byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.operators.export import (
+        incremental_export_jsonl,
+    )
+
+    docs = _docs(spark)
+    inc = str(tmp_path / "inc")
+    export_jsonl_shards(
+        docs.filter(F.col("doc_id") % 2 == 0), inc, "doc_id",
+        n_shards=3, order="hash",
+    )
+    incremental_export_jsonl(spark, docs.filter(F.col("doc_id") % 2 == 1), inc)
+    full = str(tmp_path / "full")
+    export_jsonl_shards(docs, full, "doc_id", n_shards=3, order="hash")
+    assert _shard_blobs(inc, 3) == _shard_blobs(full, 3)
