@@ -94,6 +94,23 @@ def main() -> None:
     kept = train.join(contaminated, "doc_id", "left_anti")
     counts["decontaminated"] = kept.count()
 
+    # 4a. SEMANTIC decontamination (q122's operator): the n-gram pass
+    # above misses paraphrased eval leakage — flag survivors whose
+    # EMBEDDING sits within cosine 0.35 of any held-out item (doc_id
+    # aligns with vec_id in the synthetic corpus) and drop those too
+    from defenda_data_lake_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    test_ids = test.select(F.col("doc_id").alias("vec_id"))
+    kept_ids = kept.select(F.col("doc_id").alias("vec_id"))
+    sem_flagged = semantic_contamination(
+        emb.join(kept_ids, "vec_id"), emb.join(test_ids, "vec_id"), 0.35
+    ).select(F.col("vec_id").alias("doc_id"))
+    kept = kept.join(sem_flagged, "doc_id", "left_anti")
+    counts["sem_decontaminated"] = kept.count()
+
     # 4b. DSIR domain matching: score every survivor against the
     # English-target hashed-ngram model (q112's operator) and keep the
     # top ~80% by importance weight — the "make the crawl look like
