@@ -54,6 +54,15 @@ def shard_assignment(id_col: str, n_shards: int, salt: str = "shard") -> F.Colum
     return (F.conv(hexpart, 16, 10).cast("long") % n_shards).cast("int")
 
 
+def _sort_key(order: str, salt: str, id_col: str) -> F.Column:
+    """ONE definition of the intra-shard order for the full export AND
+    the incremental fold — two copies could silently stop increments
+    being byte-identical to full re-exports."""
+    if order == "hash":
+        return F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return F.col(id_col)
+
+
 def export_jsonl_shards(
     df: DataFrame,
     out_dir: str,
@@ -77,7 +86,10 @@ def export_jsonl_shards(
     shard task, never global.
 
     Returns the manifest dict: ``{"n_shards", "total_rows", "salt",
-    "id_col", "order", "columns", "shards": {shard: n_rows}}``.
+    "id_col", "order", "columns", "schema", "compression",
+    "shards": {shard: n_rows}}`` — the manifest is the layout
+    AUTHORITY: `incremental_export_jsonl` takes every parameter,
+    including column types and the compression codec, from it.
 
     Two jobs total: the per-shard count aggregation (rows = n_shards)
     and the partitioned write.  The corpus is shuffled exactly once, on
@@ -91,12 +103,8 @@ def export_jsonl_shards(
         int(r[SHARD_COL]): int(r["n"])
         for r in tagged.groupBy(SHARD_COL).agg(F.count("*").alias("n")).collect()
     }
-    if order == "hash":
-        sort_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    else:
-        sort_key = F.col(id_col)
     writer = (
-        tagged.withColumn("_ord", sort_key)
+        tagged.withColumn("_ord", _sort_key(order, salt, id_col))
         .repartition(n_shards, SHARD_COL)
         .sortWithinPartitions(SHARD_COL, "_ord", id_col)
         .drop("_ord")
@@ -113,6 +121,8 @@ def export_jsonl_shards(
         "id_col": id_col,
         "order": order,
         "columns": [c for c in df.columns],
+        "schema": [[f.name, f.dataType.simpleString()] for f in df.schema.fields],
+        "compression": compression,
         "shards": {str(s): counts.get(s, 0) for s in range(n_shards)},
     }
     _write_text(
@@ -157,6 +167,7 @@ def read_jsonl_shards(spark, out_dir: str, shards: list[int] | None = None):
     return df
 
 
+
 def incremental_export_jsonl(
     spark,
     delta: DataFrame,
@@ -168,18 +179,24 @@ def incremental_export_jsonl(
     growth re-materializes ONLY the shards the new ids hash into,
     never the whole export.
 
-    The export parameters (salt, n_shards, order, columns) come from
-    the shard set's own ``_manifest.json``, so an increment can never
-    silently fork the layout: a delta whose columns disagree raises
-    up front.  Mechanics per call:
+    The export layout (salt, n_shards, order, column NAMES AND TYPES,
+    compression codec) comes from the shard set's own
+    ``_manifest.json``, so an increment can never silently fork it: a
+    delta whose columns or types disagree raises up front, and the
+    read-back schema is built from the MANIFEST (a delta-derived
+    schema would silently re-type or null out old rows).  Mechanics
+    per call:
 
     * tag the delta with the manifest's deterministic shard
       assignment — membership is content-addressed, so a doc lands in
-      the same shard the full export would have put it in;
-    * read back ONLY the touched ``shard=N`` directories (explicit
-      schema in manifest column order — no inference drift), union the
-      delta, restore the deterministic intra-shard order, and
-      dynamic-partition-overwrite just those directories (the
+      the same shard a full export would have put it in;
+    * read back ONLY the touched ``shard=N`` directories that EXIST
+      (partitionBy never creates empty-shard dirs, so a shard can be
+      manifest-known but directory-absent), reject any delta id
+      already present (append-only contract, enforced — a retried
+      nightly job must fail loudly, not double rows), union, restore
+      the deterministic intra-shard order (the SHARED ``_sort_key``),
+      and dynamic-partition-overwrite just those directories (the
       streaming-CDC touched-bucket pattern);
     * fold the per-shard counts into the manifest additively.
 
@@ -187,22 +204,21 @@ def incremental_export_jsonl(
     union — file-for-file, line-for-line (gzip included: zero-MTIME
     headers + pinned order; parity test reads the bytes back).  Cost
     is O(delta + touched shards); untouched shards are neither read
-    nor written.  Append-only-id contract (the `incremental_dedup`
-    family rule): delta ids must be NEW — a re-exported id would
-    duplicate its row in the shard.
+    nor written.
+
+    Legacy manifests (pre ``schema``/``compression`` keys) degrade to
+    the name-only column check and a filename sniff for the codec.
 
     Returns ``{"appended", "touched_shards", "total_rows"}``."""
-    import json as _json
-
     from urllib.parse import urlparse
 
+    is_uri = bool(urlparse(out_dir).scheme)
     manifest_path = out_dir.rstrip("/") + "/_manifest.json"
-    if urlparse(out_dir).scheme:
-        fh = _open_hadoop(spark, manifest_path)
+    if is_uri:
+        manifest = json.loads(_read_text_hadoop(spark, manifest_path))
     else:
-        fh = open(manifest_path)
-    with fh:
-        manifest = _json.load(fh)
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
     id_col = id_col or manifest["id_col"]
     if id_col != manifest["id_col"]:
         raise ValueError(
@@ -211,10 +227,27 @@ def incremental_export_jsonl(
     cols = manifest["columns"]
     missing = [c for c in cols if c not in delta.columns]
     extra = [c for c in delta.columns if c not in cols]
+    problems = []
     if missing or extra:
+        problems.append(f"missing {missing}, extra {extra}")
+    m_schema = manifest.get("schema")
+    if m_schema and not missing:
+        delta_types = {
+            f.name: f.dataType.simpleString()
+            for f in delta.select(*cols).schema.fields
+        }
+        bad_types = [
+            (n, t, delta_types[n]) for n, t in m_schema if delta_types[n] != t
+        ]
+        if bad_types:
+            problems.append(
+                "type mismatches (col, manifest, delta): " + str(bad_types)
+            )
+    if problems:
         raise ValueError(
-            f"delta columns disagree with the manifest: missing {missing}, "
-            f"extra {extra} (an increment cannot fork the export layout)"
+            "delta disagrees with the manifest: "
+            + "; ".join(problems)
+            + " (an increment cannot fork the export layout)"
         )
     n_shards, salt, order = (
         manifest["n_shards"],
@@ -237,33 +270,54 @@ def incremental_export_jsonl(
         }
     touched = sorted(delta_counts)
 
-    # read back ONLY the touched shards, with the delta's schema for
-    # the data columns (inference on JSON would widen/reorder types)
-    schema = tagged.select(*cols).schema
-    old = (
-        spark.read.schema(schema)
-        .json([os.path.join(out_dir, f"{SHARD_COL}={s}") for s in touched])
-    )
-    unioned = [
-        old.withColumn(
-            SHARD_COL, shard_assignment(id_col, n_shards, salt)
-        ),
-        tagged,
-    ]
-    merged = unioned[0].unionByName(unioned[1])
-    if order == "hash":
-        sort_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    # read back ONLY the touched shards that exist on disk, with the
+    # MANIFEST's schema (legacy manifests: the delta's, already
+    # name-checked)
+    if m_schema:
+        ddl = ", ".join(f"`{n}` {t}" for n, t in m_schema)
+        schema = spark.createDataFrame([], ddl).schema
     else:
-        sort_key = F.col(id_col)
+        schema = delta.select(*cols).schema
+    shard_dirs = [
+        out_dir.rstrip("/") + f"/{SHARD_COL}={s}" for s in touched
+    ]
+    existing = [
+        p for p in shard_dirs if _dir_exists(spark, p, is_uri)
+    ]
+    if existing:
+        old = spark.read.schema(schema).json(existing)
+    else:
+        old = spark.createDataFrame([], schema)
+    dup = (
+        old.select(id_col)
+        .join(tagged.select(id_col), id_col)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "delta contains ids already exported (append-only contract; "
+            "a retried job must not double rows — re-export instead)"
+        )
+    merged = old.withColumn(
+        SHARD_COL, shard_assignment(id_col, n_shards, salt)
+    ).unionByName(tagged)
     writer = (
-        merged.withColumn("_ord", sort_key)
+        merged.withColumn("_ord", _sort_key(order, salt, id_col))
         .repartition(len(touched), SHARD_COL)
         .sortWithinPartitions(SHARD_COL, "_ord", id_col)
         .drop("_ord")
         .write.mode("overwrite")
         .partitionBy(SHARD_COL)
     )
-    compression = "gzip" if _shards_gzipped(spark, out_dir, touched[0]) else None
+    if "compression" in manifest:
+        compression = manifest["compression"]
+    else:
+        compression = (
+            "gzip"
+            if not existing or _shards_gzipped(spark, existing[0], is_uri)
+            else None
+        )
     if compression:
         writer = writer.option("compression", compression)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -281,7 +335,7 @@ def incremental_export_jsonl(
         spark,
         out_dir,
         "_manifest.json",
-        _json.dumps(manifest, indent=2, sort_keys=True),
+        json.dumps(manifest, indent=2, sort_keys=True),
     )
     return {
         "appended": appended,
@@ -290,45 +344,51 @@ def incremental_export_jsonl(
     }
 
 
-def _shards_gzipped(spark, out_dir: str, shard: int) -> bool:
-    """Whether the existing shard files are gzip — the increment must
-    keep the set homogeneous."""
+def _dir_exists(spark, path: str, is_uri: bool) -> bool:
+    if not is_uri:
+        return os.path.isdir(path)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def _shards_gzipped(spark, shard_dir: str, is_uri: bool) -> bool:
+    """Legacy-manifest codec sniff over an EXISTING shard directory
+    (new manifests record ``compression`` and never get here)."""
     import glob
 
-    from urllib.parse import urlparse
-
-    if not urlparse(out_dir).scheme:
+    if not is_uri:
         return any(
-            p.endswith(".gz")
-            for p in glob.glob(os.path.join(out_dir, f"{SHARD_COL}={shard}", "part-*"))
+            p.endswith(".gz") for p in glob.glob(os.path.join(shard_dir, "part-*"))
         )
     jvm = spark._jvm
-    d = jvm.org.apache.hadoop.fs.Path(
-        out_dir.rstrip("/") + f"/{SHARD_COL}={shard}"
-    )
+    d = jvm.org.apache.hadoop.fs.Path(shard_dir)
     fs = d.getFileSystem(spark._jsc.hadoopConfiguration())
-    for st in fs.listStatus(d):
-        if st.getPath().getName().endswith(".gz"):
-            return True
-    return False
+    return any(
+        st.getPath().getName().endswith(".gz") for st in fs.listStatus(d)
+    )
 
 
-def _open_hadoop(spark, path: str):
-    """File-like reader over the Hadoop FS API for URI manifests."""
-    import io
-
+def _read_text_hadoop(spark, path: str) -> str:
+    """UTF-8 file contents via the Hadoop FS API (the
+    streaming/rollup marker-reader pattern: a py4j ``bytearray``
+    passed to ``InputStream.read`` is copied by VALUE, so the Python
+    buffer never fills — read through a Java-side BufferedReader
+    instead)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     stream = fs.open(p)
     try:
-        data = bytearray()
-        buf = bytearray(65536)
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
         while True:
-            n = stream.read(buf)
-            if n <= 0:
+            line = reader.readLine()
+            if line is None:
                 break
-            data.extend(buf[:n])
+            lines.append(line)
+        return "\n".join(lines)
     finally:
         stream.close()
-    return io.BytesIO(bytes(data))

@@ -108,7 +108,9 @@ def main() -> None:
     sem_flagged = semantic_contamination(
         emb.join(kept_ids, "vec_id"), emb.join(test_ids, "vec_id"), 0.35
     ).select(F.col("vec_id").alias("doc_id"))
-    kept = kept.join(sem_flagged, "doc_id", "left_anti")
+    # persist: the count below plus the DSIR stage's two actions would
+    # otherwise re-run the embedding kernel + joins (stage-3 convention)
+    kept = kept.join(sem_flagged, "doc_id", "left_anti").persist()
     counts["sem_decontaminated"] = kept.count()
 
     # 4b. DSIR domain matching: score every survivor against the

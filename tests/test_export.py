@@ -247,3 +247,96 @@ def test_incremental_export_hash_order_parity(spark, tmp_path):
     full = str(tmp_path / "full")
     export_jsonl_shards(docs, full, "doc_id", n_shards=3, order="hash")
     assert _shard_blobs(inc, 3) == _shard_blobs(full, 3)
+
+
+def test_incremental_export_fills_empty_shard(spark, tmp_path):
+    """A shard that was EMPTY in the base export has no shard=N dir
+    (partitionBy skips empty partitions); a delta hashing into it must
+    create it, not crash on the missing path."""
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.operators.export import (
+        incremental_export_jsonl,
+        shard_assignment,
+    )
+
+    docs = _docs(spark)
+    # find a doc whose shard (of 8) no OTHER base doc occupies
+    assigned = docs.select(
+        "doc_id", shard_assignment("doc_id", 8).alias("s")
+    ).collect()
+    by_shard = {}
+    for r in assigned:
+        by_shard.setdefault(r["s"], []).append(r["doc_id"])
+    lone_shard, ids = next(
+        (s, ids) for s, ids in by_shard.items() if len(ids) >= 1
+    )
+    probe_id = ids[0]
+    base = docs.filter(
+        shard_assignment("doc_id", 8) != lone_shard
+    )
+    out = str(tmp_path / "inc")
+    m = export_jsonl_shards(base, out, "doc_id", n_shards=8)
+    assert m["shards"][str(lone_shard)] == 0
+    assert not os.path.isdir(os.path.join(out, f"shard={lone_shard}"))
+
+    delta = docs.filter(F.col("doc_id") == probe_id)
+    rep = incremental_export_jsonl(spark, delta, out)
+    assert rep["touched_shards"] == [lone_shard]
+    rows = read_jsonl_shards(spark, out, [lone_shard]).collect()
+    assert [r["doc_id"] for r in rows] == [probe_id]
+
+
+def test_incremental_export_rejects_duplicate_ids_and_type_fork(
+    spark, tmp_path
+):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.operators.export import (
+        incremental_export_jsonl,
+    )
+
+    docs = _docs(spark)
+    out = str(tmp_path / "inc")
+    export_jsonl_shards(
+        docs.filter(F.col("doc_id") % 2 == 0), out, "doc_id", n_shards=3
+    )
+    # replayed delta (ids already exported) fails loudly, no doubling
+    with pytest.raises(ValueError, match="append-only contract"):
+        incremental_export_jsonl(
+            spark, docs.filter(F.col("doc_id") % 2 == 0).limit(5), out
+        )
+    # same names, different type: rejected up front (a delta-derived
+    # read-back schema would silently null out old rows)
+    retyped = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "n_chars", F.col("n_chars").cast("string")
+    )
+    with pytest.raises(ValueError, match="type mismatches"):
+        incremental_export_jsonl(spark, retyped, out)
+    with open(os.path.join(out, "_manifest.json")) as f:
+        m = json.load(f)
+    assert m["total_rows"] == docs.filter(F.col("doc_id") % 2 == 0).count()
+
+
+def test_incremental_export_uri_out_dir(spark, tmp_path):
+    """file:// URI shard sets work end to end (manifest read via the
+    Hadoop BufferedReader — a py4j bytearray read fills nothing)."""
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.operators.export import (
+        incremental_export_jsonl,
+    )
+
+    docs = _docs(spark)
+    out = "file://" + str(tmp_path / "inc")
+    export_jsonl_shards(
+        docs.filter(F.col("doc_id") % 2 == 0), out, "doc_id", n_shards=3
+    )
+    rep = incremental_export_jsonl(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), out
+    )
+    assert rep["appended"] == docs.filter(F.col("doc_id") % 2 == 1).count()
+    full = str(tmp_path / "full")
+    export_jsonl_shards(docs, full, "doc_id", n_shards=3)
+    assert _shard_blobs(str(tmp_path / "inc"), 3) == _shard_blobs(full, 3)

@@ -575,3 +575,24 @@ def test_semantic_contamination_matches_numpy(spark, sf_dir):
         0.5,
     ).collect()
     assert [(x["vec_id"], x["nearest_eval_id"]) for x in r] == [(100, 3)]
+
+
+def test_semantic_contamination_zero_vectors(spark):
+    """Zero-norm vectors (cosine undefined) are handled, not crashed
+    on: a zero CORPUS vector can never flag, and a zero EVAL vector
+    never attracts (its NaN column maps to -inf)."""
+    from defenda_data_lake_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    eval_set = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = semantic_contamination(corpus, eval_set, 0.5).collect()
+    # only the real pair flags, and it picks the NONZERO eval item
+    assert [(r["vec_id"], r["nearest_eval_id"]) for r in rows] == [(2, 11)]
