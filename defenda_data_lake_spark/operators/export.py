@@ -173,6 +173,7 @@ def incremental_export_jsonl(
     delta: DataFrame,
     out_dir: str,
     id_col: str | None = None,
+    if_exists: str = "error",
 ) -> dict:
     """Fold a DELTA of new documents into an existing
     :func:`export_jsonl_shards` shard set — the nightly form: corpus
@@ -209,9 +210,19 @@ def incremental_export_jsonl(
     Legacy manifests (pre ``schema``/``compression`` keys) degrade to
     the name-only column check and a filename sniff for the codec.
 
+    ``if_exists``: ``"error"`` (default) raises on ANY delta id
+    already exported; ``"verify-noop"`` returns a no-op report with
+    ``"replayed": True`` when the ENTIRE delta is already present —
+    the self-healing redelivery mode ``streaming/export.py`` folds
+    with (a partial overlap is never a replay and still raises).
+
     Returns ``{"appended", "touched_shards", "total_rows"}``."""
     from urllib.parse import urlparse
 
+    if if_exists not in ("error", "verify-noop"):
+        raise ValueError(
+            f"if_exists must be 'error' or 'verify-noop' (got {if_exists!r})"
+        )
     is_uri = bool(urlparse(out_dir).scheme)
     manifest_path = out_dir.rstrip("/") + "/_manifest.json"
     if is_uri:
@@ -288,13 +299,25 @@ def incremental_export_jsonl(
         old = spark.read.schema(schema).json(existing)
     else:
         old = spark.createDataFrame([], schema)
-    dup = (
+    overlap = (
         old.select(id_col)
-        .join(tagged.select(id_col), id_col)
-        .limit(1)
+        .distinct()
+        .join(tagged.select(id_col).distinct(), id_col)
         .count()
     )
-    if dup:
+    if overlap:
+        n_delta_ids = tagged.select(id_col).distinct().count()
+        if if_exists == "verify-noop" and overlap == n_delta_ids:
+            # the WHOLE delta is already exported: this is a replayed
+            # fold (e.g. a streaming crash between the shard write and
+            # the batch marker) — already applied, nothing to do.  A
+            # PARTIAL overlap is never a replay and still raises.
+            return {
+                "appended": 0,
+                "touched_shards": [],
+                "total_rows": manifest["total_rows"],
+                "replayed": True,
+            }
         raise ValueError(
             "delta contains ids already exported (append-only contract; "
             "a retried job must not double rows — re-export instead)"
