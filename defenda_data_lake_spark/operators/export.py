@@ -269,10 +269,23 @@ def incremental_export_jsonl(
     tagged = delta.select(*cols).withColumn(
         SHARD_COL, shard_assignment(id_col, n_shards, salt)
     )
-    delta_counts = {
-        int(r[SHARD_COL]): int(r["n"])
-        for r in tagged.groupBy(SHARD_COL).agg(F.count("*").alias("n")).collect()
-    }
+    agg_rows = (
+        tagged.groupBy(SHARD_COL)
+        .agg(
+            F.count("*").alias("n"),
+            # equal ids hash to the SAME shard, so per-shard distinct
+            # counts sum to the global one — the internal-duplicate
+            # check rides the aggregation the fold already pays
+            F.countDistinct(id_col).alias("nd"),
+        )
+        .collect()
+    )
+    delta_counts = {int(r[SHARD_COL]): int(r["n"]) for r in agg_rows}
+    if sum(r["n"] for r in agg_rows) != sum(r["nd"] for r in agg_rows):
+        raise ValueError(
+            "delta contains duplicate ids within the batch (append-only "
+            "contract: each id exports exactly once)"
+        )
     if not delta_counts:
         return {
             "appended": 0,

@@ -340,3 +340,22 @@ def test_incremental_export_uri_out_dir(spark, tmp_path):
     full = str(tmp_path / "full")
     export_jsonl_shards(docs, full, "doc_id", n_shards=3)
     assert _shard_blobs(str(tmp_path / "inc"), 3) == _shard_blobs(full, 3)
+
+
+def test_incremental_export_rejects_internal_duplicate_ids(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.operators.export import (
+        incremental_export_jsonl,
+    )
+
+    docs = _docs(spark)
+    out = str(tmp_path / "inc")
+    export_jsonl_shards(
+        docs.filter(F.col("doc_id") % 2 == 0), out, "doc_id", n_shards=3
+    )
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    doubled = odd.unionByName(odd.limit(1))
+    with pytest.raises(ValueError, match="duplicate ids within the batch"):
+        incremental_export_jsonl(spark, doubled, out)
