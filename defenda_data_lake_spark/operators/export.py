@@ -63,6 +63,16 @@ def _sort_key(order: str, salt: str, id_col: str) -> F.Column:
     return F.col(id_col)
 
 
+def _id_hash_agg(id_col: str) -> F.Column:
+    """Per-shard membership checksum aggregate: ``bit_xor`` of
+    ``xxhash64(id)``.  Order-insensitive (XOR commutes), so it is
+    stable across partitioning/AQE re-plans, and XOR-foldable: an
+    append-only increment updates it as ``old ^ delta`` without
+    re-reading the shard.  An empty shard's checksum is 0 (the XOR
+    identity)."""
+    return F.expr(f"bit_xor(xxhash64(cast(`{id_col}` as string)))")
+
+
 def export_jsonl_shards(
     df: DataFrame,
     out_dir: str,
@@ -99,10 +109,13 @@ def export_jsonl_shards(
     if order not in ("id", "hash"):
         raise ValueError(f"order must be 'id' or 'hash' (got {order!r})")
     tagged = df.withColumn(SHARD_COL, shard_assignment(id_col, n_shards, salt))
-    counts = {
-        int(r[SHARD_COL]): int(r["n"])
-        for r in tagged.groupBy(SHARD_COL).agg(F.count("*").alias("n")).collect()
-    }
+    agg_rows = (
+        tagged.groupBy(SHARD_COL)
+        .agg(F.count("*").alias("n"), _id_hash_agg(id_col).alias("h"))
+        .collect()
+    )
+    counts = {int(r[SHARD_COL]): int(r["n"]) for r in agg_rows}
+    hashes = {int(r[SHARD_COL]): int(r["h"]) for r in agg_rows}
     writer = (
         tagged.withColumn("_ord", _sort_key(order, salt, id_col))
         .repartition(n_shards, SHARD_COL)
@@ -124,6 +137,12 @@ def export_jsonl_shards(
         "schema": [[f.name, f.dataType.simpleString()] for f in df.schema.fields],
         "compression": compression,
         "shards": {str(s): counts.get(s, 0) for s in range(n_shards)},
+        # per-shard membership checksum (bit_xor of xxhash64(id)): a
+        # reader can detect a torn/partial shard rewrite by recomputing
+        # it (verify_export).  XOR is order-insensitive and, because
+        # increments are append-only with disjoint ids, the fold is
+        # new = old XOR delta — the checksum rides the count agg.
+        "id_hashes": {str(s): hashes.get(s, 0) for s in range(n_shards)},
     }
     _write_text(
         df.sparkSession,
@@ -216,13 +235,150 @@ def incremental_export_jsonl(
     the self-healing redelivery mode ``streaming/export.py`` folds
     with (a partial overlap is never a replay and still raises).
 
-    Returns ``{"appended", "touched_shards", "total_rows"}``."""
-    from urllib.parse import urlparse
+    Durability: the shard write and the manifest write are two steps.
+    A crash BETWEEN them leaves correct shard data with a stale
+    (undercounting) manifest — the next ``verify-noop`` redelivery of
+    the same delta detects this and REWRITES the manifest from the
+    observed shard contents (counts + membership checksums), so a
+    replay reconciles metadata, not just data.  A crash DURING the
+    multi-shard dynamic overwrite can commit some touched shards and
+    not others; every later redelivery then sees a partial overlap and
+    raises — use :func:`repair_incremental_export` with the same delta
+    to finish the fold shard-by-shard and reconcile the manifest.
 
+    Returns ``{"appended", "touched_shards", "total_rows"}`` (plus
+    ``"replayed": True`` and ``"reconciled_shards"`` on a self-healed
+    redelivery)."""
     if if_exists not in ("error", "verify-noop"):
         raise ValueError(
             f"if_exists must be 'error' or 'verify-noop' (got {if_exists!r})"
         )
+    p = _prepare_fold(spark, delta, out_dir, id_col)
+    manifest, is_uri, id_col = p["manifest"], p["is_uri"], p["id_col"]
+    n_shards, salt, order = p["n_shards"], p["salt"], p["order"]
+    tagged, schema = p["tagged"], p["schema"]
+    delta_counts, delta_hashes = p["delta_counts"], p["delta_hashes"]
+    if not delta_counts:
+        return {
+            "appended": 0,
+            "touched_shards": [],
+            "total_rows": manifest["total_rows"],
+        }
+    touched = sorted(delta_counts)
+
+    # read back ONLY the touched shards that exist on disk, with the
+    # MANIFEST's schema (legacy manifests: the delta's, already
+    # name-checked)
+    shard_dirs = [
+        out_dir.rstrip("/") + f"/{SHARD_COL}={s}" for s in touched
+    ]
+    existing = [
+        p for p in shard_dirs if _dir_exists(spark, p, is_uri)
+    ]
+    if existing:
+        old = spark.read.schema(schema).json(existing)
+    else:
+        old = spark.createDataFrame([], schema)
+    overlap = (
+        old.select(id_col)
+        .distinct()
+        .join(tagged.select(id_col).distinct(), id_col)
+        .count()
+    )
+    if overlap:
+        n_delta_ids = tagged.select(id_col).distinct().count()
+        if if_exists == "verify-noop" and overlap == n_delta_ids:
+            # the WHOLE delta is already exported: this is a replayed
+            # fold (e.g. a streaming crash between the shard write and
+            # the batch marker) — the shard DATA is already applied.
+            # The crash may also have hit the window between the shard
+            # write and the MANIFEST write, leaving the manifest
+            # undercounting rows this replay proves are on disk — so
+            # reconcile the touched shards' manifest entries against
+            # their observed contents before declaring the no-op
+            # (the manifest is the layout authority; a replay must
+            # heal metadata, not just skip the data).  A PARTIAL
+            # overlap is never a replay and still raises.
+            reconciled = _reconcile_manifest_from_observed(
+                spark, manifest, old, id_col, n_shards, salt, touched,
+                out_dir,
+            )
+            return {
+                "appended": 0,
+                "touched_shards": [],
+                "total_rows": manifest["total_rows"],
+                "replayed": True,
+                "reconciled_shards": reconciled,
+            }
+        raise ValueError(
+            "delta contains ids already exported (append-only contract; "
+            "a retried job must not double rows — re-export instead)"
+        )
+    merged = old.withColumn(
+        SHARD_COL, shard_assignment(id_col, n_shards, salt)
+    ).unionByName(tagged)
+    writer = (
+        merged.withColumn("_ord", _sort_key(order, salt, id_col))
+        .repartition(len(touched), SHARD_COL)
+        .sortWithinPartitions(SHARD_COL, "_ord", id_col)
+        .drop("_ord")
+        .write.mode("overwrite")
+        .partitionBy(SHARD_COL)
+    )
+    if "compression" in manifest:
+        compression = manifest["compression"]
+    else:
+        # legacy manifest (no compression key): sniff the codec from
+        # an EXISTING shard dir — any one in the whole export, not
+        # just the touched ones (a delta touching only a previously-
+        # empty shard must not fork a plain-JSON export to gzip)
+        probe = existing or _any_shard_dirs(spark, out_dir, is_uri, limit=1)
+        compression = (
+            "gzip"
+            if not probe or _shards_gzipped(spark, probe[0], is_uri)
+            else None
+        )
+    if compression:
+        writer = writer.option("compression", compression)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        writer.json(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    appended = sum(delta_counts.values())
+    for s, n in delta_counts.items():
+        manifest["shards"][str(s)] = manifest["shards"].get(str(s), 0) + n
+    if "id_hashes" in manifest:
+        # disjoint ids → the membership checksum folds as XOR
+        for s, h in delta_hashes.items():
+            manifest["id_hashes"][str(s)] = (
+                manifest["id_hashes"].get(str(s), 0) ^ h
+            )
+    manifest["total_rows"] += appended
+    _write_text(
+        spark,
+        out_dir,
+        "_manifest.json",
+        json.dumps(manifest, indent=2, sort_keys=True),
+    )
+    return {
+        "appended": appended,
+        "touched_shards": touched,
+        "total_rows": manifest["total_rows"],
+    }
+
+
+def _prepare_fold(spark, delta: DataFrame, out_dir: str, id_col: str | None):
+    """Shared head of the incremental fold and the repair path: load
+    the manifest, enforce the layout contract (column names AND
+    types), tag the delta with the manifest's shard assignment, and
+    run the ONE delta-sized aggregation (per-shard counts, the
+    internal-duplicate check, and the membership checksum all ride
+    it)."""
+    from urllib.parse import urlparse
+
     is_uri = bool(urlparse(out_dir).scheme)
     manifest_path = out_dir.rstrip("/") + "/_manifest.json"
     if is_uri:
@@ -265,7 +421,6 @@ def incremental_export_jsonl(
         manifest["salt"],
         manifest["order"],
     )
-
     tagged = delta.select(*cols).withColumn(
         SHARD_COL, shard_assignment(id_col, n_shards, salt)
     )
@@ -277,107 +432,315 @@ def incremental_export_jsonl(
             # counts sum to the global one — the internal-duplicate
             # check rides the aggregation the fold already pays
             F.countDistinct(id_col).alias("nd"),
+            _id_hash_agg(id_col).alias("h"),
         )
         .collect()
     )
     delta_counts = {int(r[SHARD_COL]): int(r["n"]) for r in agg_rows}
+    delta_hashes = {int(r[SHARD_COL]): int(r["h"]) for r in agg_rows}
     if sum(r["n"] for r in agg_rows) != sum(r["nd"] for r in agg_rows):
         raise ValueError(
             "delta contains duplicate ids within the batch (append-only "
             "contract: each id exports exactly once)"
         )
-    if not delta_counts:
-        return {
-            "appended": 0,
-            "touched_shards": [],
-            "total_rows": manifest["total_rows"],
-        }
-    touched = sorted(delta_counts)
-
-    # read back ONLY the touched shards that exist on disk, with the
-    # MANIFEST's schema (legacy manifests: the delta's, already
-    # name-checked)
     if m_schema:
         ddl = ", ".join(f"`{n}` {t}" for n, t in m_schema)
         schema = spark.createDataFrame([], ddl).schema
     else:
         schema = delta.select(*cols).schema
-    shard_dirs = [
-        out_dir.rstrip("/") + f"/{SHARD_COL}={s}" for s in touched
-    ]
-    existing = [
-        p for p in shard_dirs if _dir_exists(spark, p, is_uri)
-    ]
+    return {
+        "manifest": manifest,
+        "is_uri": is_uri,
+        "id_col": id_col,
+        "cols": cols,
+        "schema": schema,
+        "n_shards": n_shards,
+        "salt": salt,
+        "order": order,
+        "tagged": tagged,
+        "delta_counts": delta_counts,
+        "delta_hashes": delta_hashes,
+    }
+
+
+def _reconcile_manifest_from_observed(
+    spark,
+    manifest: dict,
+    old: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str,
+    touched: list[int],
+    out_dir: str,
+) -> list[int]:
+    """Compare the manifest's entries for ``touched`` shards against
+    the shards' OBSERVED contents (``old`` = the read-back of the
+    existing touched shard dirs) and rewrite ``_manifest.json`` if any
+    disagree — mutates ``manifest`` in place and returns the shard ids
+    that needed reconciling.  One small aggregation over the already-
+    read touched shards; only runs on the rare replay/repair paths."""
+    observed = {
+        int(r[SHARD_COL]): (int(r["n"]), int(r["h"]))
+        for r in (
+            old.groupBy(
+                shard_assignment(id_col, n_shards, salt).alias(SHARD_COL)
+            )
+            .agg(F.count("*").alias("n"), _id_hash_agg(id_col).alias("h"))
+            .collect()
+        )
+    }
+    reconciled: list[int] = []
+    for s in touched:
+        n_obs, h_obs = observed.get(s, (0, 0))
+        changed = False
+        if manifest["shards"].get(str(s), 0) != n_obs:
+            manifest["total_rows"] += n_obs - manifest["shards"].get(str(s), 0)
+            manifest["shards"][str(s)] = n_obs
+            changed = True
+        if (
+            "id_hashes" in manifest
+            and manifest["id_hashes"].get(str(s), 0) != h_obs
+        ):
+            manifest["id_hashes"][str(s)] = h_obs
+            changed = True
+        if changed:
+            reconciled.append(s)
+    if reconciled:
+        _write_text(
+            spark,
+            out_dir,
+            "_manifest.json",
+            json.dumps(manifest, indent=2, sort_keys=True),
+        )
+    return sorted(reconciled)
+
+
+def verify_export(spark, out_dir: str) -> dict:
+    """Audit a shard set against its manifest: recompute every
+    existing shard's row count and membership checksum in ONE pass and
+    compare with the manifest's.  Detects torn dynamic overwrites,
+    manifests stranded by a crash-before-manifest-write, and
+    hand-edited shard files.  Returns ``{"ok": bool, "mismatches":
+    {shard: {"rows": (manifest, observed), "id_hash": (manifest,
+    observed)}}}`` (a key is present only when that field disagrees;
+    legacy manifests without ``id_hashes`` check counts only)."""
+    from urllib.parse import urlparse
+
+    is_uri = bool(urlparse(out_dir).scheme)
+    manifest_path = out_dir.rstrip("/") + "/_manifest.json"
+    if is_uri:
+        manifest = json.loads(_read_text_hadoop(spark, manifest_path))
+    else:
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+    id_col = manifest["id_col"]
+    m_schema = manifest.get("schema")
+    reader = spark.read
+    if m_schema:
+        ddl = (
+            ", ".join(f"`{n}` {t}" for n, t in m_schema)
+            + f", `{SHARD_COL}` int"
+        )
+        reader = reader.schema(ddl)
+    observed = {
+        int(r[SHARD_COL]): (int(r["n"]), int(r["h"]))
+        for r in (
+            reader.json(out_dir)
+            .groupBy(SHARD_COL)
+            .agg(F.count("*").alias("n"), _id_hash_agg(id_col).alias("h"))
+            .collect()
+        )
+    }
+    mismatches: dict[str, dict] = {}
+    for s in range(manifest["n_shards"]):
+        n_obs, h_obs = observed.get(s, (0, 0))
+        bad = {}
+        n_man = manifest["shards"].get(str(s), 0)
+        if n_man != n_obs:
+            bad["rows"] = (n_man, n_obs)
+        if "id_hashes" in manifest:
+            h_man = manifest["id_hashes"].get(str(s), 0)
+            if h_man != h_obs:
+                bad["id_hash"] = (h_man, h_obs)
+        if bad:
+            mismatches[str(s)] = bad
+    return {"ok": not mismatches, "mismatches": mismatches}
+
+
+def repair_incremental_export(
+    spark,
+    delta: DataFrame,
+    out_dir: str,
+    id_col: str | None = None,
+) -> dict:
+    """Recover a shard set wedged by a crash DURING an incremental
+    fold's multi-shard dynamic overwrite: some touched shards
+    committed (old rows + their delta slice), others did not (old rows
+    only), and the manifest was never rewritten — every subsequent
+    redelivery of the delta then sees a partial overlap and raises.
+
+    Given the SAME delta, this finishes the fold shard-by-shard and
+    idempotently:
+
+    * a touched shard whose delta slice is FULLY present is left
+      untouched (its manifest entry is reconciled from the observed
+      contents);
+    * a touched shard with NO delta ids gets the standard fold
+      (old ∪ slice, deterministic re-sort, single-shard overwrite);
+    * a shard containing only PART of its delta slice is corrupt
+      beyond shard-level repair (dynamic partition overwrite commits
+      whole directories) and raises — re-export from the source of
+      truth.
+
+    The result is byte-identical to the fold having succeeded.
+    Returns ``{"applied_shards", "already_applied_shards",
+    "reconciled_shards", "total_rows"}``."""
+    p = _prepare_fold(spark, delta, out_dir, id_col)
+    manifest, is_uri, id_col = p["manifest"], p["is_uri"], p["id_col"]
+    n_shards, salt, order = p["n_shards"], p["salt"], p["order"]
+    tagged, schema = p["tagged"], p["schema"]
+    delta_counts, delta_hashes = p["delta_counts"], p["delta_hashes"]
+    touched = sorted(delta_counts)
+    if not touched:
+        return {
+            "applied_shards": [],
+            "already_applied_shards": [],
+            "reconciled_shards": [],
+            "total_rows": manifest["total_rows"],
+        }
+    shard_dirs = [out_dir.rstrip("/") + f"/{SHARD_COL}={s}" for s in touched]
+    existing = [d for d in shard_dirs if _dir_exists(spark, d, is_uri)]
     if existing:
         old = spark.read.schema(schema).json(existing)
     else:
         old = spark.createDataFrame([], schema)
-    overlap = (
-        old.select(id_col)
-        .distinct()
-        .join(tagged.select(id_col).distinct(), id_col)
-        .count()
-    )
-    if overlap:
-        n_delta_ids = tagged.select(id_col).distinct().count()
-        if if_exists == "verify-noop" and overlap == n_delta_ids:
-            # the WHOLE delta is already exported: this is a replayed
-            # fold (e.g. a streaming crash between the shard write and
-            # the batch marker) — already applied, nothing to do.  A
-            # PARTIAL overlap is never a replay and still raises.
-            return {
-                "appended": 0,
-                "touched_shards": [],
-                "total_rows": manifest["total_rows"],
-                "replayed": True,
-            }
-        raise ValueError(
-            "delta contains ids already exported (append-only contract; "
-            "a retried job must not double rows — re-export instead)"
-        )
-    merged = old.withColumn(
+    old_tag = old.withColumn(
         SHARD_COL, shard_assignment(id_col, n_shards, salt)
-    ).unionByName(tagged)
-    writer = (
-        merged.withColumn("_ord", _sort_key(order, salt, id_col))
-        .repartition(len(touched), SHARD_COL)
-        .sortWithinPartitions(SHARD_COL, "_ord", id_col)
-        .drop("_ord")
-        .write.mode("overwrite")
-        .partitionBy(SHARD_COL)
     )
-    if "compression" in manifest:
-        compression = manifest["compression"]
-    else:
-        compression = (
-            "gzip"
-            if not existing or _shards_gzipped(spark, existing[0], is_uri)
-            else None
+    # ONE pass over the touched shards: per-shard old count, how many
+    # old rows are delta ids (the overlap), and the old checksum
+    stats = {
+        int(r[SHARD_COL]): (int(r["n"]), int(r["ov"]), int(r["h"]))
+        for r in (
+            old_tag.join(
+                tagged.select(F.col(id_col), F.lit(1).alias("_in_delta")),
+                id_col,
+                "left",
+            )
+            .groupBy(SHARD_COL)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.coalesce(F.col("_in_delta"), F.lit(0))).alias("ov"),
+                _id_hash_agg(id_col).alias("h"),
+            )
+            .collect()
         )
-    if compression:
-        writer = writer.option("compression", compression)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        writer.json(out_dir)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-
-    appended = sum(delta_counts.values())
-    for s, n in delta_counts.items():
-        manifest["shards"][str(s)] = manifest["shards"].get(str(s), 0) + n
-    manifest["total_rows"] += appended
-    _write_text(
-        spark,
-        out_dir,
-        "_manifest.json",
-        json.dumps(manifest, indent=2, sort_keys=True),
-    )
+    }
+    applied, unapplied = [], []
+    for s in touched:
+        n_old, ov, _h = stats.get(s, (0, 0, 0))
+        if ov == 0:
+            unapplied.append(s)
+        elif ov == delta_counts[s]:
+            applied.append(s)
+        else:
+            raise ValueError(
+                f"shard {s} contains {ov} of its {delta_counts[s]} delta "
+                "ids — a partial shard is corrupt beyond shard-level "
+                "repair (dynamic overwrite commits whole directories); "
+                "re-export from the source of truth"
+            )
+    if unapplied:
+        merged = old_tag.filter(F.col(SHARD_COL).isin(unapplied)).unionByName(
+            tagged.filter(F.col(SHARD_COL).isin(unapplied))
+        )
+        writer = (
+            merged.withColumn("_ord", _sort_key(order, salt, id_col))
+            .repartition(len(unapplied), SHARD_COL)
+            .sortWithinPartitions(SHARD_COL, "_ord", id_col)
+            .drop("_ord")
+            .write.mode("overwrite")
+            .partitionBy(SHARD_COL)
+        )
+        if "compression" in manifest:
+            compression = manifest["compression"]
+        else:
+            probe = existing or _any_shard_dirs(spark, out_dir, is_uri, 1)
+            compression = (
+                "gzip"
+                if not probe or _shards_gzipped(spark, probe[0], is_uri)
+                else None
+            )
+        if compression:
+            writer = writer.option("compression", compression)
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            writer.json(out_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # reconcile the manifest for EVERY touched shard from what is now
+    # on disk: already-applied shards report their observed contents;
+    # just-applied shards fold old + delta
+    reconciled = []
+    for s in touched:
+        n_old, _ov, h_old = stats.get(s, (0, 0, 0))
+        if s in applied:
+            n_new, h_new = n_old, h_old
+        else:
+            n_new = n_old + delta_counts[s]
+            h_new = h_old ^ delta_hashes[s]
+        changed = False
+        if manifest["shards"].get(str(s), 0) != n_new:
+            manifest["total_rows"] += n_new - manifest["shards"].get(str(s), 0)
+            manifest["shards"][str(s)] = n_new
+            changed = True
+        if (
+            "id_hashes" in manifest
+            and manifest["id_hashes"].get(str(s), 0) != h_new
+        ):
+            manifest["id_hashes"][str(s)] = h_new
+            changed = True
+        if changed:
+            reconciled.append(s)
+    if reconciled:
+        _write_text(
+            spark,
+            out_dir,
+            "_manifest.json",
+            json.dumps(manifest, indent=2, sort_keys=True),
+        )
     return {
-        "appended": appended,
-        "touched_shards": touched,
+        "applied_shards": unapplied,
+        "already_applied_shards": applied,
+        "reconciled_shards": sorted(reconciled),
         "total_rows": manifest["total_rows"],
     }
+
+
+def _any_shard_dirs(spark, out_dir: str, is_uri: bool, limit: int) -> list[str]:
+    """Up to ``limit`` existing ``shard=N`` directories anywhere in the
+    export (legacy-manifest codec sniffing — ONE directory listing,
+    not an n_shards-sized existence probe)."""
+    if not is_uri:
+        names = sorted(
+            n
+            for n in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+            if n.startswith(f"{SHARD_COL}=")
+        )
+        return [os.path.join(out_dir, n) for n in names[:limit]]
+    jvm = spark._jvm
+    d = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = d.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = sorted(
+        str(st.getPath())
+        for st in fs.listStatus(d)
+        if st.isDirectory()
+        and st.getPath().getName().startswith(f"{SHARD_COL}=")
+    )
+    return out[:limit]
 
 
 def _dir_exists(spark, path: str, is_uri: bool) -> bool:

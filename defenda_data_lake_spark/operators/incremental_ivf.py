@@ -222,6 +222,14 @@ def append_ivf_index(
                 )
                 .cast("long")
                 .alias("mis"),
+                # zero-norm vectors contribute 0 to the unit sums, so
+                # they must not inflate the fit denominator either — a
+                # batch of valid rows plus degenerate zeros would
+                # otherwise look like a drifting batch and falsely
+                # trip rebuild_recommended
+                F.sum(F.when(F.col("_nrm") > 0, 1).otherwise(0))
+                .cast("long")
+                .alias("dnv"),
                 *[F.sum(c).alias(f"s{i}") for i, c in enumerate(comps)],
                 *[
                     F.sum(
@@ -274,10 +282,12 @@ def append_ivf_index(
             s = np.array([r[f"s{i}"] for i in range(dim)])
             if lid in pos:
                 # this batch's fit to the PRE-APPEND geometry it was
-                # filed under (unit sums make the mean cosine exact)
+                # filed under (unit sums make the mean cosine exact;
+                # denominator = rows with a nonzero norm, matching the
+                # numerator's contributors)
                 u = np.array([r[f"u{i}"] for i in range(dim)])
                 delta_fit_num += float(u @ cent_unit[pos[lid]])
-                delta_fit_den += r["dn"]
+                delta_fit_den += r["dnv"]
             old_sum, old_n = folded.get(lid, (np.zeros(dim), 0))
             folded[lid] = (old_sum + s, old_n + r["dn"])
         new_lists = sorted(set(folded) - set(list_ids))

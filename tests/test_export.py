@@ -359,3 +359,213 @@ def test_incremental_export_rejects_internal_duplicate_ids(spark, tmp_path):
     doubled = odd.unionByName(odd.limit(1))
     with pytest.raises(ValueError, match="duplicate ids within the batch"):
         incremental_export_jsonl(spark, doubled, out)
+
+
+def test_manifest_id_hashes_fold_to_full_export(spark, tmp_path):
+    """The per-shard membership checksum (bit_xor of xxhash64(id))
+    folds across increments to exactly what a full export computes,
+    and verify_export passes on a healthy shard set."""
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.operators.export import (
+        incremental_export_jsonl,
+        verify_export,
+    )
+
+    docs = _docs(spark)
+    inc = str(tmp_path / "inc")
+    export_jsonl_shards(
+        docs.filter(F.col("doc_id") % 2 == 0), inc, "doc_id", n_shards=3
+    )
+    incremental_export_jsonl(spark, docs.filter(F.col("doc_id") % 2 == 1), inc)
+    full = str(tmp_path / "full")
+    mf = export_jsonl_shards(docs, full, "doc_id", n_shards=3)
+    with open(os.path.join(inc, "_manifest.json")) as f:
+        mi = json.load(f)
+    assert mi["id_hashes"] == mf["id_hashes"]
+    assert verify_export(spark, inc) == {"ok": True, "mismatches": {}}
+
+
+def test_verify_export_detects_membership_corruption(spark, tmp_path):
+    """A shard whose row COUNT matches the manifest but whose ids were
+    swapped is invisible to count checks — the membership checksum
+    catches it; a deleted shard dir trips the count check."""
+    from defenda_data_lake_spark.operators.export import verify_export
+
+    out = str(tmp_path / "shards")
+    export_jsonl_shards(
+        _docs(spark), out, "doc_id", n_shards=3, compression=None
+    )
+    assert verify_export(spark, out)["ok"]
+    # count-preserving id swap in shard 1
+    (f,) = [
+        p
+        for p in glob.glob(os.path.join(out, "shard=1", "*"))
+        if not os.path.basename(p).startswith((".", "_"))
+    ]
+    with open(f) as fh:
+        lines = fh.read().splitlines()
+    rec = json.loads(lines[0])
+    rec["doc_id"] = 99_999_999
+    lines[0] = json.dumps(rec)
+    with open(f, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    # drop Hadoop's local-FS CRC sidecar: this test simulates an
+    # object-store overwrite (no CRC there), not a bit flip
+    for crc in glob.glob(os.path.join(out, "shard=1", ".*.crc")):
+        os.remove(crc)
+    rep = verify_export(spark, out)
+    assert not rep["ok"]
+    assert set(rep["mismatches"]) == {"1"}
+    assert "id_hash" in rep["mismatches"]["1"]
+    assert "rows" not in rep["mismatches"]["1"]
+    # a torn-away shard dir trips the row-count check
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "shard=2"))
+    rep2 = verify_export(spark, out)
+    assert "rows" in rep2["mismatches"]["2"]
+
+
+def test_replayed_fold_reconciles_torn_manifest(spark, tmp_path):
+    """Crash BETWEEN the shard write and the manifest write: the shard
+    data is post-fold, the manifest is pre-fold (undercounting).  The
+    verify-noop redelivery must REWRITE the manifest from the observed
+    shard contents, not just skip the data — after it, the manifest is
+    byte-equal to a full export's and verify_export passes."""
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.operators.export import (
+        incremental_export_jsonl,
+        verify_export,
+    )
+
+    docs = _docs(spark)
+    out = str(tmp_path / "inc")
+    export_jsonl_shards(
+        docs.filter(F.col("doc_id") % 2 == 0), out, "doc_id", n_shards=3
+    )
+    mpath = os.path.join(out, "_manifest.json")
+    with open(mpath) as f:
+        pre_fold_manifest = f.read()
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    incremental_export_jsonl(spark, delta, out)
+    # simulate the crash: data landed, manifest write never happened
+    with open(mpath, "w") as f:
+        f.write(pre_fold_manifest)
+    assert not verify_export(spark, out)["ok"]
+
+    rep = incremental_export_jsonl(spark, delta, out, if_exists="verify-noop")
+    assert rep["replayed"] is True
+    assert rep["reconciled_shards"]
+    assert rep["total_rows"] == docs.count()
+    full = str(tmp_path / "full")
+    export_jsonl_shards(docs, full, "doc_id", n_shards=3)
+    with open(mpath) as f:
+        mi = json.load(f)
+    with open(os.path.join(full, "_manifest.json")) as f:
+        assert mi == json.load(f)
+    assert verify_export(spark, out)["ok"]
+
+
+def test_legacy_codec_sniff_spans_whole_export(spark, tmp_path):
+    """Legacy manifest (no compression key), plain-JSON shards, and a
+    delta touching ONLY a shard with no directory on disk: the codec
+    sniff must consult the export's OTHER shard dirs and keep writing
+    plain JSON, not fork the layout to gzip."""
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.operators.export import (
+        incremental_export_jsonl,
+        shard_assignment,
+    )
+
+    docs = _docs(spark)
+    assigned = docs.select(
+        "doc_id", shard_assignment("doc_id", 8).alias("s")
+    ).collect()
+    by_shard = {}
+    for r in assigned:
+        by_shard.setdefault(r["s"], []).append(r["doc_id"])
+    lone_shard, ids = next(iter(by_shard.items()))
+    probe_id = ids[0]
+    base = docs.filter(shard_assignment("doc_id", 8) != lone_shard)
+    out = str(tmp_path / "inc")
+    export_jsonl_shards(base, out, "doc_id", n_shards=8, compression=None)
+    mpath = os.path.join(out, "_manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    del manifest["compression"]
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+    delta = docs.filter(F.col("doc_id") == probe_id)
+    rep = incremental_export_jsonl(spark, delta, out)
+    assert rep["touched_shards"] == [lone_shard]
+    files = [
+        p
+        for p in glob.glob(os.path.join(out, f"shard={lone_shard}", "*"))
+        if not os.path.basename(p).startswith((".", "_"))
+    ]
+    assert files and not any(p.endswith(".gz") for p in files)
+
+
+def test_repair_after_partial_overwrite(spark, tmp_path):
+    """Mid-commit crash during the multi-shard dynamic overwrite: one
+    touched shard committed (old + delta), another did not (old only),
+    manifest unwritten.  The normal fold then wedges on the partial
+    overlap; repair_incremental_export with the same delta finishes
+    shard-by-shard and the result is byte-identical to a clean fold."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.operators.export import (
+        incremental_export_jsonl,
+        repair_incremental_export,
+        verify_export,
+    )
+
+    docs = _docs(spark)
+    out = str(tmp_path / "inc")
+    export_jsonl_shards(
+        docs.filter(F.col("doc_id") % 2 == 0), out, "doc_id", n_shards=3
+    )
+    mpath = os.path.join(out, "_manifest.json")
+    with open(mpath) as f:
+        pre_manifest = f.read()
+    pre_shards = _shard_blobs(out, 3)  # decompressed per-shard bytes
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    rep = incremental_export_jsonl(spark, delta, out)
+    touched = rep["touched_shards"]
+    assert len(touched) >= 2  # need a committed AND an uncommitted shard
+    # simulate the torn commit: roll ONE touched shard back to its
+    # pre-fold contents and restore the pre-fold manifest
+    rollback = touched[0]
+    sdir = os.path.join(out, f"shard={rollback}")
+    shutil.rmtree(sdir)
+    os.makedirs(sdir)
+    # (plain .json: _shard_blobs decompressed it; Spark reads the
+    # codec per file extension, so a mixed dir is still readable)
+    with open(os.path.join(sdir, "part-rolledback.json"), "wb") as f:
+        f.write(pre_shards[rollback])
+    with open(mpath, "w") as f:
+        f.write(pre_manifest)
+
+    # every redelivery now wedges — the documented failure mode
+    with pytest.raises(ValueError, match="append-only contract"):
+        incremental_export_jsonl(spark, delta, out, if_exists="verify-noop")
+
+    fix = repair_incremental_export(spark, delta, out)
+    assert fix["applied_shards"] == [rollback]
+    assert sorted(fix["already_applied_shards"]) == sorted(touched[1:])
+    assert fix["total_rows"] == docs.count()
+    full = str(tmp_path / "full")
+    export_jsonl_shards(docs, full, "doc_id", n_shards=3)
+    assert _shard_blobs(out, 3) == _shard_blobs(full, 3)
+    with open(mpath) as f:
+        mi = json.load(f)
+    with open(os.path.join(full, "_manifest.json")) as f:
+        assert mi == json.load(f)
+    assert verify_export(spark, out)["ok"]

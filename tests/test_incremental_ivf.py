@@ -348,3 +348,31 @@ def test_non_canonical_list_keys_survive_maintenance(spark, tmp_path, emb):
             .collect()
         }
     assert got_lists == set(cents)
+
+
+def test_delta_fit_ignores_zero_norm_rows(spark, tmp_path, emb):
+    """A batch of in-distribution vectors padded with degenerate
+    all-zero embeddings reports the SAME delta_fit as the batch alone:
+    zero-norm rows contribute to neither the unit-sum numerator nor
+    the denominator, so they cannot deflate the fit and falsely trip
+    rebuild_recommended (round-9 advice finding)."""
+    inc = str(tmp_path / "inc")
+    clean = str(tmp_path / "clean")
+    base = emb.filter(F.col("vec_id") % 3 == 1)
+    build_ivf_index(base, inc)
+    build_ivf_index(base, clean)
+    healthy = emb.filter(F.col("vec_id") % 3 == 2).drop("label")
+    r1 = append_ivf_index(spark, inc, healthy)
+    append_ivf_index(spark, clean, healthy)
+
+    dim = len(base.select("embedding").first()[0])
+    zeros = spark.createDataFrame(
+        [(int(2_000_000 + i), [0.0] * dim) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    batch = emb.filter(F.col("vec_id") % 3 == 0).drop("label")
+    padded = append_ivf_index(spark, inc, batch.unionByName(zeros))
+    plain = append_ivf_index(spark, clean, batch)
+    assert padded["delta_fit"] == pytest.approx(plain["delta_fit"])
+    assert padded["baseline_fit"] == pytest.approx(r1["delta_fit"])
+    assert not padded["rebuild_recommended"]
