@@ -52,6 +52,16 @@ joins.  What the operator never does is FORCE a broadcast of this
 Heaps-unbounded table (the q111 chunk-frequency lesson; pinned by
 test).
 
+Merge-table size is configurable end to end (``n_merges`` /
+``learn_words`` on every function).  The replace-CHAIN application
+has a measured ceiling — ~256 nested calls overflows the JVM stack in
+Column conversion — so past :data:`MAX_EXPR_REPLACES` the application
+auto-switches to an Arrow kernel (same literal-replace semantics,
+vectorized per batch, still distinct-words-only); the DuckDB oracle
+side re-learns 64/128/256-merge tables green in 1.7/6.5/30 s at
+sf0.01 (r10 probe, `scripts/bpe256_probe_r10.py`) — linear-in-merges,
+so the oracle form is the thing that gives out first, not the engine.
+
 No reference counterpart: the reference engine has no tokenizer; this
 family extends SURVEY.md §2's training-data operators.
 """
@@ -214,25 +224,80 @@ def tokenize_py(word: str, merges: Sequence[str], n_passes: int = N_PASSES) -> l
     return s.strip().split(" ")
 
 
+# Measured ceiling of the chained-literal-replace form: the Column ->
+# Expression conversion recurses once per nested call, and a 256-merge
+# table (445+ nested replaces after saturation) overflows the JVM
+# stack before the plan even exists (StackOverflowError in
+# ColumnNodeToExpressionConverter, Spark 4.1, r10 probe).  Past this
+# depth the application switches to the Arrow kernel below.
+MAX_EXPR_REPLACES = 256
+
+
+def _token_count_arrow(merges: Sequence[str], n_passes: int = N_PASSES):
+    """Arrow-kernel token counter for merge tables too large for the
+    codegen replace chain: a ``pandas_udf`` whose body runs the SAME
+    state-space rewrite (``' w o r d '`` + literal replaces, identical
+    left-to-right non-overlapping semantics) VECTORIZED over the
+    batch — ``Series.str.replace(regex=False)`` is one C pass per
+    merge x pass over the whole batch, not a Python loop per word.
+    Runs over DISTINCT words only (Heaps-bounded), so the Python
+    stage's cost scales with the vocabulary, never the corpus."""
+    import pandas as pd  # noqa: F401 - imported for the worker
+
+    from pyspark.sql.functions import pandas_udf
+
+    frozen = list(merges)
+
+    @pandas_udf("long")
+    def n_tok(words):
+        # Python's str.replace('', ' ') inserts at every boundary
+        # including both ends: 'abc' -> ' a b c ' — exactly the
+        # canonical symbol state
+        st = words.str.replace("", " ", regex=False)
+        for pair in frozen:
+            pat = " " + pair + " "
+            rep = " " + pair.replace(" ", "") + " "
+            for _ in range(n_passes):
+                st = st.str.replace(pat, rep, regex=False)
+        return st.str.strip().str.split(" ").str.len().astype("int64")
+
+    return n_tok
+
+
 def word_token_counts(
     df: DataFrame,
     merges: Sequence[str],
     text_col: str = "text",
     n_passes: int = N_PASSES,
     max_word_len: int = MAX_WORD_LEN,
+    kernel: str = "auto",
 ) -> DataFrame:
     """``(w, n_tok)`` over the corpus's DISTINCT words — the expensive
-    rewrite runs once per distinct word, never once per instance."""
-    return (
-        corpus_words(df, text_col, max_word_len)
-        .select("w")
-        .distinct()
-        .select(
+    rewrite runs once per distinct word, never once per instance.
+
+    ``kernel``: ``"expr"`` = the chained-literal-replace codegen
+    projection (no Python stage — the oracle-replayable form);
+    ``"arrow"`` = the vectorized pandas kernel (same semantics, for
+    production-sized merge tables); ``"auto"`` = expr while the chain
+    fits under :data:`MAX_EXPR_REPLACES` nested calls, arrow past it
+    (a 256-merge table overflows the JVM stack in Column conversion —
+    the measured r10 ceiling)."""
+    if kernel not in ("auto", "expr", "arrow"):
+        raise ValueError(f"kernel must be auto/expr/arrow (got {kernel!r})")
+    if kernel == "auto":
+        kernel = (
+            "expr" if len(merges) * n_passes <= MAX_EXPR_REPLACES else "arrow"
+        )
+    distinct = corpus_words(df, text_col, max_word_len).select("w").distinct()
+    if kernel == "expr":
+        return distinct.select(
             "w",
             token_count_expr(F.col("w"), merges, n_passes)
             .cast("long")
             .alias("n_tok"),
         )
+    return distinct.select(
+        "w", _token_count_arrow(merges, n_passes)(F.col("w")).alias("n_tok")
     )
 
 
@@ -243,6 +308,7 @@ def _doc_word_token_join(
     text_col: str = "text",
     n_passes: int = N_PASSES,
     max_word_len: int = MAX_WORD_LEN,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Shared accounting core: per-doc word instance counts
     ``(id, w, n_occ)`` equi-joined to the distinct-word token counts
@@ -255,7 +321,9 @@ def _doc_word_token_join(
         .groupBy(id_col, "w")
         .agg(F.count("*").alias("n_occ"))
     )
-    wtok = word_token_counts(df, merges, text_col, n_passes, max_word_len)
+    wtok = word_token_counts(
+        df, merges, text_col, n_passes, max_word_len, kernel
+    )
     return per_doc_word.join(wtok, "w")
 
 
@@ -266,6 +334,7 @@ def tokenize_corpus(
     text_col: str = "text",
     n_passes: int = N_PASSES,
     max_word_len: int = MAX_WORD_LEN,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Per-document token accounting under the learned merge table:
     ``(id_col, n_words, n_chars_az, n_tokens)`` — word instances,
@@ -277,7 +346,9 @@ def tokenize_corpus(
     (strategy size-decided by Catalyst — never a forced broadcast of
     the Heaps-unbounded side), final agg on the id."""
     return (
-        _doc_word_token_join(df, merges, id_col, text_col, n_passes, max_word_len)
+        _doc_word_token_join(
+            df, merges, id_col, text_col, n_passes, max_word_len, kernel
+        )
         .groupBy(id_col)
         .agg(
             F.sum("n_occ").cast("long").alias("n_words"),

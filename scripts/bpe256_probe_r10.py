@@ -48,12 +48,16 @@ def main():
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     results = []
 
-    for n_merges in (64, 128, 256):
+    for n_merges, learn_words in (
+        (64, 2000), (128, 2000), (256, 2000), (256, 20000)
+    ):
         t0 = time.time()
-        merges = B.learn_bpe_spark(docs, n_merges=n_merges)
+        merges = B.learn_bpe_spark(
+            docs, n_merges=n_merges, learn_words=learn_words
+        )
         spark_s = time.time() - t0
         sql = (
-            f"WITH {CB._learn_ctes(n_merges)}\n"
+            f"WITH {CB._learn_ctes(n_merges, learn_words)}\n"
             f"SELECT CAST(rank AS BIGINT) AS rank, pair FROM ({CB._merge_union_sql(n_merges)}) ORDER BY rank"
         )
         con = duck()
@@ -71,6 +75,7 @@ def main():
         rec = {
             "probe": "learn",
             "n_merges": n_merges,
+            "learn_words": learn_words,
             "learned": len(merges),
             "spark_sec": round(spark_s, 3),
             "duckdb_sec": round(duck_s, 3),
@@ -79,8 +84,15 @@ def main():
         print(json.dumps(rec), flush=True)
         results.append(rec)
 
-    # application at 256 merges: distinct-word tokenization totals
-    merges = B.learn_bpe_spark(docs, n_merges=256)
+    # application at 256 merges (Arrow kernel: the replace chain's
+    # measured ceiling is ~256 nested calls): distinct-word totals
+    merges = B.learn_bpe_spark(docs, n_merges=256, learn_words=20000)
+    # the corpus saturates learning below 256 (every learning word
+    # fully merged); the oracle's apply chain must stop AT the learned
+    # depth — an empty m{i} past saturation scalar-subqueries to NULL
+    # and replace(st, NULL, ...) NULL-poisons every later state (the
+    # first 180 s probe run measured exactly that)
+    n_apply = len(merges)
     t0 = time.time()
     acct = B.tokenize_corpus(docs, merges)
     total = acct.agg({"n_tokens": "sum"}).collect()[0][0]
@@ -114,6 +126,7 @@ def main():
         "duckdb_sec": round(duck_s, 3),
         "spark_total_tokens": int(total),
         "duckdb_total_tokens": duck_total if duck_total is None else int(duck_total),
+        "n_learned": len(merges),
         "whole_stage_codegen": has_codegen,
         "match": match,
     }

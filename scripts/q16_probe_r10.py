@@ -31,11 +31,13 @@ N = int(os.environ.get("N", "4"))
 WINDOW_SQL = """
 SELECT type_a, type_b, count(*) AS pair_count
 FROM (
-  SELECT event_type AS type_a,
-         explode(collect_list(event_type) OVER (
-           PARTITION BY user_id ORDER BY unix_micros(ts)
-           RANGE BETWEEN 1 FOLLOWING AND 300000000 FOLLOWING)) AS type_b
-  FROM events
+  SELECT type_a, explode(arr) AS type_b FROM (
+    SELECT event_type AS type_a,
+           collect_list(event_type) OVER (
+             PARTITION BY user_id ORDER BY unix_micros(ts)
+             RANGE BETWEEN 1 FOLLOWING AND 300000000 FOLLOWING) AS arr
+    FROM events
+  )
 )
 GROUP BY type_a, type_b
 """

@@ -348,3 +348,59 @@ def test_q117_no_unpartitioned_corpus_window(spark):
     for seg in plan.split("Exchange SinglePartition")[1:]:
         head = seg[:600]
         assert "HashAggregate" in head or "FileScan" not in head
+
+
+def test_arrow_kernel_matches_expr_kernel(spark):
+    """The Arrow token-count kernel (production-sized merge tables)
+    and the codegen replace chain produce identical (w, n_tok) rows —
+    same literal-replace semantics, different execution strategy."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = B.learn_bpe_spark(docs)
+    expr_rows = sorted(
+        map(tuple, B.word_token_counts(docs, merges, kernel="expr").collect())
+    )
+    arrow_rows = sorted(
+        map(tuple, B.word_token_counts(docs, merges, kernel="arrow").collect())
+    )
+    assert expr_rows == arrow_rows and len(expr_rows) > 20
+
+
+def test_kernel_auto_switches_past_expr_ceiling(spark):
+    """auto = expr under MAX_EXPR_REPLACES nested calls (plan has no
+    Python stage), arrow past it (plan has one ArrowEvalPython) — and
+    a 256-merge accounting that would StackOverflow the Column
+    converter as a chain runs end-to-end on the arrow path."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    small = B.learn_bpe_spark(docs)  # 24 merges: 120 replaces
+    plan_small = (
+        B.word_token_counts(docs, small)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan_small
+
+    # pad with no-op merges (uppercase symbols never occur in the
+    # lowercased a-z word stream) to push the chain past the converter
+    # ceiling without depending on the corpus's vocabulary size
+    pad = [f"Q {c}" for c in "abcdefghijklmnopqrstuvwxyz"]
+    big = small + pad + pad
+    assert len(big) * B.N_PASSES > B.MAX_EXPR_REPLACES
+    wtc = B.word_token_counts(docs, big)
+    plan_big = wtc._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan_big
+    rows = sorted(map(tuple, wtc.collect()))
+    # the pad merges are no-ops, so the arrow result must equal the
+    # 24-merge expr result row-for-row
+    assert rows == sorted(
+        map(tuple, B.word_token_counts(docs, small, kernel="expr").collect())
+    )
+    # ...and the full accounting composes with the arrow path
+    total = (
+        B.tokenize_corpus(docs, big).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert total > 0
+
+
+def test_kernel_rejects_unknown_name(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="kernel must be"):
+        B.word_token_counts(docs, ["a b"], kernel="gpu")
