@@ -114,6 +114,21 @@ def derived_view(
     return df
 
 
+#: Dominant join key per fact table (cache-time co-partitioning; see
+#: warm_table_cache).  orderkey is the lineitem⋈orders equi-key used by
+#: every TPC-H-shaped join here; user_id keys the events self-join
+#: (q16), sessionization (q21), and the window families — a
+#: HashPartitioning on a SUBSET of a join/group key set satisfies the
+#: required clustered distribution, so partitioning by user_id alone
+#: still elides the (user_id, bucket) join exchange.
+_CO_PARTITION: dict[str, str] = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "user_id",
+}
+#: Tables whose cached partition COUNTS must agree (joined pairs).
+_CO_GROUP: dict[str, str] = {"lineitem": "orderkey", "orders": "orderkey"}
+
 _T_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _SQL_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _DERIVED_CACHE: dict[tuple[int, str, str], DataFrame] = {}
@@ -173,6 +188,19 @@ def _path_bytes(path: str) -> int | None:
     return None
 
 
+def _cache_partitions(size: int, cores: int) -> int:
+    """Partition count for a cached table: one partition per ~1 MB of
+    parquet, floored at ``max(8, cores/4)`` (the interactive-scale
+    sweet spot: fewer tasks than cores keeps sub-second queries off
+    the scheduler floor), capped at ``2*cores`` (a compute-bound scan
+    can use every core with mild imbalance slack; beyond that,
+    per-task overhead wins again).  Size-proportional because a FIXED
+    count is the measured round-10 failure mode: the same 8-partition
+    cache that is right at sf0.1 ran a 32x q01 as an 8-task aggregate
+    on a 32-core box — 15x DuckDB until this scaled."""
+    return int(min(2 * cores, max(max(8, cores // 4), size // (1 << 20))))
+
+
 def warm_table_cache(
     spark: SparkSession,
     sf_dir: str,
@@ -190,18 +218,40 @@ def warm_table_cache(
       ``persist()``-ed and materialized, so later queries scan cached
       columnar batches (with min/max filter pruning) instead of
       re-decoding parquet;
-    * tables above ~1 MB are round-robin repartitioned to
-      ``partitions`` (default ``defaultParallelism / 4``) *before*
+    * tables above ~256 KB are round-robin repartitioned *before*
       caching.  A single-row-group parquet file scans as ONE task no
       matter how many cores exist; the cached copy restores full
       parallelism to every downstream stage for the one-time cost of
-      the caching pass itself.
+      the caching pass itself.  The partition count is
+      SIZE-PROPORTIONAL (one partition per ~1 MB of parquet, floored
+      at ``max(8, cores/4)``, capped at ``2*cores``): a fixed small
+      count is right at the interactive floor but strangles a
+      compute-bound scan when the same session caches a 32x table —
+      measured in the round-10 scale pairing, where the 8-partition
+      cache ran q01's 19M-row aggregate in 8 tasks on a 32-core box
+      (15x DuckDB); size-proportional caching restores the full
+      core count exactly when the data is big enough to use it.
 
     Scale safety: ``max_bytes`` is a per-table budget — at 100 TB the
     fact tables blow the budget and are skipped (their scans are
     many-split and parallel anyway), while dimensions still pin.  This
     is deliberately the same policy a cluster cache applies: cache what
     is small and hot, stream what is big.
+
+    Co-partitioning: fact tables with a dominant join key are cached
+    hash-partitioned AND sorted on that key (``_CO_PARTITION``) — the
+    in-memory analog of bucketed+sorted Delta/Iceberg tables.  Spark
+    preserves a cached plan's output partitioning and ordering, so an
+    equi-join of two tables cached on the same key with the same
+    partition count (``_CO_GROUP`` pins orders+lineitem to one count)
+    elides BOTH exchanges and BOTH sorts — the join becomes a pure
+    streaming merge over cached batches, and any aggregation keyed by
+    a superset of the cache key skips its exchange too.  This is what
+    fixed the round-10 scale pairing's q03/q05/q16: at 32x the
+    orders⋈lineitem join outgrows the broadcast threshold and was
+    paying two full shuffles per run that DuckDB's in-memory hash
+    join never pays.  At 100 TB the same move is bucketed table
+    layout, decided once at write time.
 
     Returns {table: bytes} for the tables actually cached.  Results are
     byte-identical with the uncached path (same plans, same rows); only
@@ -219,15 +269,26 @@ def warm_table_cache(
         cores = spark.sparkContext.defaultParallelism
     except Exception:
         cores = int(_os.environ.get("SPARK_GRAFT_CPUS", 32))
-    n_parts = partitions or max(8, cores // 4)
+    sizes: dict[str, int] = {}
+    for name in tables:
+        size = _path_bytes(_os.path.join(sf_dir, f"{name}.parquet"))
+        if size is not None and size <= max_bytes:
+            sizes[name] = size
+
+    # co-grouped tables must share ONE partition count or the join
+    # re-exchanges the smaller side to match the larger
+    group_parts: dict[str, int] = {}
+    for name, size in sizes.items():
+        grp = _CO_GROUP.get(name)
+        if grp is not None:
+            group_parts[grp] = max(
+                group_parts.get(grp, 0), _cache_partitions(size, cores)
+            )
 
     cached: dict[str, int] = {}
     for name in tables:
-        path = _os.path.join(sf_dir, f"{name}.parquet")
-        size = _path_bytes(path)
+        size = sizes.get(name)
         if size is None:
-            continue
-        if size > max_bytes:
             continue
         df = _t(spark, sf_dir, name)
         # the repartition-before-cache threshold is deliberately low:
@@ -236,7 +297,17 @@ def warm_table_cache(
         # single-thread shingle-kernel CPU), and the exchange is paid
         # once at cache build, never at query time
         if size > (256 << 10):
-            df = df.repartition(n_parts)
+            key = _CO_PARTITION.get(name)
+            grp = _CO_GROUP.get(name)
+            n_parts = partitions or (
+                group_parts[grp]
+                if grp is not None
+                else _cache_partitions(size, cores)
+            )
+            if key is not None and key in df.columns:
+                df = df.repartition(int(n_parts), key).sortWithinPartitions(key)
+            else:
+                df = df.repartition(int(n_parts))
         df = df.persist()
         df.count()  # materialize now — bench/queries must not pay the build
         # a persisted plan hides its file leaves from inputFiles(), so

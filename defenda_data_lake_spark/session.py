@@ -52,6 +52,15 @@ def get_spark(
         # being funneled into one
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # accept children co-partitioned on a SUBSET of the join keys
+        # (e.g. events cached hash-partitioned on user_id joining on
+        # (user_id, bucket)): rows with equal full keys are already
+        # co-located, so the exchange is pure waste.  Spark 3.3+
+        # defaults this to true as a skew guard; our cache keys are
+        # high-cardinality (order ids, user ids), so the subset
+        # partitioning keeps full parallelism — see
+        # plans.catalog_shared._CO_PARTITION
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

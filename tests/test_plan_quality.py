@@ -421,3 +421,118 @@ def test_q96_knn_pq_plan(spark):
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class _no_broadcast:
+    """Force the at-scale join strategy (no broadcast) inside a block,
+    restoring the session threshold afterwards."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.saved)
+        return False
+
+
+def test_warm_cache_copartition_elides_join_exchanges(spark):
+    """Cache-time co-partitioning (plans.catalog_shared._CO_PARTITION):
+    with orders+lineitem cached hash-partitioned AND sorted on
+    orderkey at one shared partition count, the orders⋈lineitem join
+    must run with NO query-time Exchange and NO query-time Sort on
+    either side — the physical shape a bucketed+sorted table layout
+    gives a real cluster, and the fix measured in the round-10 32x
+    scale pairing (q03 1.83 s -> 0.37 s, q05 3.14 s -> 0.36 s).
+    Broadcast is forced off to reproduce the at-scale join strategy at
+    test scale."""
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.plans.catalog_shared import (
+        _t,
+        clear_table_cache,
+        warm_table_cache,
+    )
+
+    sf = "/root/testdata/sf0.1"  # sf0.001 tables sit below the 256 KB
+    # repartition threshold, so the co-partition path needs sf0.1
+    clear_table_cache()
+    try:
+        warm_table_cache(spark, sf)
+        co = _t(spark, sf, "orders").join(
+            _t(spark, sf, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        ).groupBy("o_orderkey").agg(F.sum("l_quantity").alias("q"))
+        with _no_broadcast(spark):
+            co.collect()
+            plan = (
+                co._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0]
+            )
+        # zero query-time exchanges: EnsureRequirements inserts are
+        # tagged ENSURE_REQUIREMENTS; the only Exchange nodes in the
+        # string are the cache builds' REPARTITION_BY_NUM.  (The SMJ
+        # sorts are elided too — the cached ordering satisfies them —
+        # verified manually; string-level sort counting would hit the
+        # build plans, so the pin here is the exchange tag.)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "ENSURE_REQUIREMENTS" not in plan
+    finally:
+        clear_table_cache()
+
+
+def test_warm_cache_subset_copartition_events(spark):
+    """events is cached hash-partitioned on user_id; a self-join keyed
+    on (user_id, bucket) must accept the SUBSET partitioning (session
+    sets spark.sql.requireAllClusterKeysForCoPartition=false) and run
+    with no query-time exchange."""
+    from pyspark.sql import functions as F
+
+    from defenda_data_lake_spark.plans.catalog_shared import (
+        _t,
+        clear_table_cache,
+        warm_table_cache,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    clear_table_cache()
+    try:
+        warm_table_cache(spark, sf)
+        ev = _t(spark, sf, "events").select(
+            "user_id", (F.unix_micros("ts") / 600_000_000).cast("long").alias("bk")
+        )
+        j = ev.alias("a").join(
+            ev.alias("b"), ["user_id", "bk"]
+        ).groupBy("user_id").count()
+        with _no_broadcast(spark):
+            j.collect()
+            plan = (
+                j._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0]
+            )
+        assert "ENSURE_REQUIREMENTS" not in plan
+    finally:
+        clear_table_cache()
+
+
+def test_warm_cache_partitions_scale_with_size():
+    """The cached partition count must grow with table bytes (floor 8
+    at interactive scale, cap 2x cores): a fixed count strangles
+    compute-bound scans at 32x (measured: q01 8-task aggregate at 15x
+    DuckDB before the fix)."""
+    from defenda_data_lake_spark.plans.catalog_shared import _cache_partitions
+
+    # interactive floor: every sf0.1 table stays at 8 on a 32-core box
+    assert _cache_partitions(10_818_932, 32) == 10  # lineitem sf0.1
+    assert _cache_partitions(2_045_762, 32) == 8  # events sf0.1
+    # 32x: lineitem saturates the cap, events reaches full cores
+    assert _cache_partitions(32 * 10_818_932, 32) == 64
+    assert _cache_partitions(32 * 2_045_762, 32) == 62
+    # cap: a 10 GB table does not explode into thousands of tasks
+    assert _cache_partitions(10 << 30, 32) == 64
+    # small-core boxes keep the floor
+    assert _cache_partitions(500 << 10, 4) == 8
