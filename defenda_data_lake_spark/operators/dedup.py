@@ -232,19 +232,29 @@ def minhash_signatures(
     shingle_n: int = 3,
     passthrough: Sequence[str] = (),
     keep_unshingleable: bool = False,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """MinHash signature per document.  ``passthrough`` columns are
     carried to the output unchanged (one value per doc) — the streaming
     LSH dedup uses this to keep its watermark column alive through the
     kernel without a stream-stream join-back.
 
+    ``kernel``: ``"pandas"`` = the fused Arrow-batched stage below
+    (default, the contract decider); ``"sql"`` = a pure-JVM
+    formulation of the SAME bit-for-bit signature scheme via
+    higher-order functions (``_minhash_signatures_sql``) — no Python
+    stage at all.  The two are parity-pinned by
+    ``tests/test_dedup_sql_kernel.py`` including the unicode
+    whitespace set; measured trade-off in SCALING.md "Round 10".
+
     ``keep_unshingleable`` emits a row with NULL hash columns for
     documents whose text yields no shingles (whitespace-only under
-    PYTHON's unicode whitespace rules — which no Spark-side regex
-    reproduces exactly, so the kernel itself must be the decider).
-    Default False preserves the agg-form contract: no shingles, no
-    row.  Pipelines that must not lose rows (near_dedupe_stream) set
-    True and route NULL-signature rows around the dedup.
+    PYTHON's unicode whitespace rules — exactly Unicode
+    ``White_Space`` plus U+001C-U+001F, which the sql kernel's
+    ``(?U)[\\s\\x1c-\\x1f]+`` replays).  Default False preserves the
+    agg-form contract: no shingles, no row.  Pipelines that must not
+    lose rows (near_dedupe_stream) set True and route NULL-signature
+    rows around the dedup.
 
     Hash family i is the i-th 32-bit hex chunk of ``md5(p || shingle)``
     where p cycles through ``'' , 'x', 'xx', …`` every 4 families: one
@@ -264,6 +274,13 @@ def minhash_signatures(
     hash-aggregate them) — measured ~2x slower end-to-end.  A doc's
     shingles never need to leave the task that read it, so the fused
     stage is shuffle-free and linearly scalable."""
+    if kernel not in ("pandas", "sql"):
+        raise ValueError(f"kernel must be pandas/sql (got {kernel!r})")
+    if kernel == "sql":
+        return _minhash_signatures_sql(
+            df, text_col, id_col, num_hashes, shingle_n, passthrough,
+            keep_unshingleable,
+        )
     import hashlib
 
     import numpy as np
@@ -378,6 +395,103 @@ def minhash_signatures(
             + [T.StructField(f"h{i}", T.StringType()) for i in range(num_hashes)]
             + pt_fields
         ),
+    )
+
+
+def _minhash_signatures_sql(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    passthrough: Sequence[str],
+    keep_unshingleable: bool,
+) -> DataFrame:
+    """Pure-JVM twin of the pandas minhash kernel (VERDICT r9 item 5's
+    "JVM signature kernel").  Same signature scheme bit-for-bit:
+
+    * words = Python ``str.lower().split()`` — replayed as ``lower``
+      then split on ``(?U)[\\s\\x1c-\\x1f]+`` with empty tokens
+      dropped.  Java's ``(?U)\\s`` is exactly the Unicode
+      ``White_Space`` set; Python's split set is White_Space plus the
+      four separator controls U+001C-U+001F, hence the explicit range.
+      NULL text replays the pandas kernel's ``str(None)`` as the
+      literal ``'None'``.
+    * shingles = the n-word windows (whole text when shorter),
+      de-duplicated; zero shingles → NULL signature row (kept or
+      filtered per ``keep_unshingleable``).
+    * family i = min over shingles of hex chunk i of
+      ``md5('x'*(i//4) || shingle)`` — digests are materialized ONCE
+      per shingle in their own projection (array of concatenated hex),
+      so the 8 family mins share the 2 md5 calls exactly like the
+      pandas kernel; CollapseProject keeps the stage split because the
+      digest array is referenced ``num_hashes`` times and is not cheap.
+
+    Everything is stateless projections over higher-order functions —
+    streaming-safe, shuffle-free, and with NO Python worker in the
+    plan.  Known non-parity corner (documented, test-pinned to agree
+    on the corpus): exotic locale-sensitive case mappings where JVM
+    and CPython lowercase tables disagree; both implement Unicode
+    default casing incl. final sigma, so realistic text is identical.
+    """
+    from pyspark.sql import types as T  # noqa: F401
+
+    n_digests = (num_hashes + 3) // 4
+    words = F.filter(
+        F.split(
+            F.lower(
+                F.coalesce(F.col("_mh_text").cast("string"), F.lit("None"))
+            ),
+            r"(?U)[\s\x1c-\x1f]+",
+        ),
+        lambda w: w != F.lit(""),
+    )
+    base = df.select(
+        F.col(id_col).alias("_mh_id"),
+        F.col(text_col).alias("_mh_text"),
+        *[F.col(c) for c in passthrough],
+    ).withColumn("_mh_words", words)
+
+    nw = F.size("_mh_words")
+    shingles = (
+        F.when(
+            nw >= shingle_n,
+            F.transform(
+                F.sequence(F.lit(1), nw - shingle_n + 1),
+                lambda i: F.array_join(F.slice("_mh_words", i, shingle_n), " "),
+            ),
+        )
+        .when(nw > 0, F.array(F.array_join("_mh_words", " ")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+    def _digest_row(s: Column) -> Column:
+        return F.concat(
+            *[F.md5(F.concat(F.lit("x" * d), s)) for d in range(n_digests)]
+        )
+
+    with_dig = base.withColumn(
+        "_mh_dig", F.transform(F.array_distinct(shingles), _digest_row)
+    ).drop("_mh_words", "_mh_text")
+    if not keep_unshingleable:
+        with_dig = with_dig.filter(F.size("_mh_dig") > 0)
+    def _family(i: int):
+        # NOTE: must stay a ONE-argument callable — pyspark's
+        # ``transform`` dispatches on arity, and a second parameter
+        # (even a bound default like ``i=i``) selects the
+        # (element, index) form, silently replacing the family index
+        # with the array position
+        def chunk(d: Column) -> Column:
+            return F.substring(d, i * 8 + 1, 8)
+
+        return chunk
+
+    mins = [
+        F.array_min(F.transform("_mh_dig", _family(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return with_dig.select(
+        F.col("_mh_id").alias("id"), *mins, *[F.col(c) for c in passthrough]
     )
 
 

@@ -576,6 +576,7 @@ def near_dedupe_stream(
     max_bucket_docs: int | None = None,
     timeout_mode: str = "processing",
     shards: int | None = None,
+    signature_kernel: str = "pandas",
 ) -> DataFrame:
     """End-to-end streaming near-dedup: candidates AND verification in
     one stateful pass — the streaming twin of
@@ -587,6 +588,11 @@ def near_dedupe_stream(
     NULL.  Reduce to one verdict per document with
     :func:`resolve_stream_flags` (inside ``foreachBatch``, where the
     micro-batch is a plain DataFrame).
+
+    ``signature_kernel``: ``"pandas"`` (incumbent Arrow kernel) or
+    ``"sql"`` (the pure-JVM twin, bit-identical signatures — see
+    ``_minhash_signatures_sql``); measured A/B in SCALING.md
+    "Round 10".
 
     Why verify against the CLAIMANT only: exact pairwise verification
     needs both documents' contents, and the earlier document lives in
@@ -810,6 +816,7 @@ def near_dedupe_stream(
         shingle_n,
         passthrough=wm_cols + kernel_payload,
         keep_unshingleable=True,
+        kernel=signature_kernel,
     )
     band_structs = band_structs_expr(hs, bands)
     id_str = F.col("id").cast("string")

@@ -109,6 +109,7 @@ def start_deduped_ingest(
     max_bucket_docs: int | None = None,
     dedup_shards: int | None = 256,
     scan_parallelism: int | None = None,
+    signature_kernel: str = "pandas",
 ) -> StreamingQuery:
     """:func:`start_ingest` with an IN-STREAM near-dedup stage: after
     normalization, events whose ``text_col`` is a MinHash near-match of
@@ -184,6 +185,7 @@ def start_deduped_ingest(
         min_hash_agreement=min_hash_agreement,
         max_bucket_docs=max_bucket_docs,
         shards=dedup_shards,
+        signature_kernel=signature_kernel,
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
