@@ -54,9 +54,11 @@ test).
 
 Merge-table size is configurable end to end (``n_merges`` /
 ``learn_words`` on every function).  The replace-CHAIN application
-has a measured ceiling — ~256 nested calls overflows the JVM stack in
-Column conversion — so past :data:`MAX_EXPR_REPLACES` the application
-auto-switches to an Arrow kernel (same literal-replace semantics,
+has a measured ceiling — 445 nested calls (an 89-merge saturated
+table) overflows the JVM stack in Column conversion; 256 is the
+deliberately conservative cap — so past :data:`MAX_EXPR_REPLACES`
+the application auto-switches to an Arrow kernel (same
+literal-replace semantics,
 vectorized per batch, still distinct-words-only); the DuckDB oracle
 side re-learns 64/128/256-merge tables green in 1.7/6.5/30 s at
 sf0.01 (r10 probe, `scripts/bpe256_probe_r10.py`) — linear-in-merges,

@@ -153,6 +153,79 @@ def export_jsonl_shards(
     return manifest
 
 
+def _load_manifest(spark, out_dir: str) -> tuple[dict, bool]:
+    """Read ``_manifest.json`` for an export dir (local path or URI).
+    ONE definition — the fold, the repair, and the audit must all parse
+    the same manifest the same way, or an audit could check a different
+    layout than the fold wrote."""
+    from urllib.parse import urlparse
+
+    is_uri = bool(urlparse(out_dir).scheme)
+    manifest_path = out_dir.rstrip("/") + "/_manifest.json"
+    if is_uri:
+        manifest = json.loads(_read_text_hadoop(spark, manifest_path))
+    else:
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+    return manifest, is_uri
+
+
+def _sniff_compression(spark, manifest: dict, existing: list, out_dir: str,
+                       is_uri: bool):
+    """Codec for a fold's shard write: the manifest's recorded codec
+    when present; for legacy manifests, sniff an EXISTING shard dir —
+    any one in the whole export, not just the touched ones (a delta
+    touching only a previously-empty shard must not fork a plain-JSON
+    export to gzip).  ONE definition shared by the fold and the repair
+    so a sniff fix can't drift between them."""
+    if "compression" in manifest:
+        return manifest["compression"]
+    probe = existing or _any_shard_dirs(spark, out_dir, is_uri, limit=1)
+    return (
+        "gzip"
+        if not probe or _shards_gzipped(spark, probe[0], is_uri)
+        else None
+    )
+
+
+def _apply_manifest_counts(
+    spark,
+    manifest: dict,
+    expected: dict[int, tuple[int, int]],
+    out_dir: str,
+) -> list[int]:
+    """Set each shard's manifest row count and id checksum to the
+    ``expected`` ``{shard: (rows, id_hash)}`` values, adjusting
+    ``total_rows`` by the difference, and rewrite ``_manifest.json``
+    only if anything changed.  ONE definition of the
+    count/checksum/total_rows invariant, shared by the replay
+    reconcile and the torn-fold repair.  Returns the changed shards,
+    sorted."""
+    reconciled: list[int] = []
+    for s, (n_new, h_new) in expected.items():
+        changed = False
+        if manifest["shards"].get(str(s), 0) != n_new:
+            manifest["total_rows"] += n_new - manifest["shards"].get(str(s), 0)
+            manifest["shards"][str(s)] = n_new
+            changed = True
+        if (
+            "id_hashes" in manifest
+            and manifest["id_hashes"].get(str(s), 0) != h_new
+        ):
+            manifest["id_hashes"][str(s)] = h_new
+            changed = True
+        if changed:
+            reconciled.append(s)
+    if reconciled:
+        _write_text(
+            spark,
+            out_dir,
+            "_manifest.json",
+            json.dumps(manifest, indent=2, sort_keys=True),
+        )
+    return sorted(reconciled)
+
+
 def _write_text(spark, out_dir: str, name: str, text: str) -> None:
     """Write a small sidecar file next to the shards.  Local paths use
     plain ``open``; URI paths (s3a://, hdfs://, …) go through the
@@ -286,7 +359,10 @@ def incremental_export_jsonl(
         .count()
     )
     if overlap:
-        n_delta_ids = tagged.select(id_col).distinct().count()
+        # _prepare_fold already raised unless the delta's ids are
+        # internally distinct, so the distinct-id total IS the row
+        # total — no extra delta-sized job on the recovery path
+        n_delta_ids = sum(delta_counts.values())
         if if_exists == "verify-noop" and overlap == n_delta_ids:
             # the WHOLE delta is already exported: this is a replayed
             # fold (e.g. a streaming crash between the shard write and
@@ -325,19 +401,7 @@ def incremental_export_jsonl(
         .write.mode("overwrite")
         .partitionBy(SHARD_COL)
     )
-    if "compression" in manifest:
-        compression = manifest["compression"]
-    else:
-        # legacy manifest (no compression key): sniff the codec from
-        # an EXISTING shard dir — any one in the whole export, not
-        # just the touched ones (a delta touching only a previously-
-        # empty shard must not fork a plain-JSON export to gzip)
-        probe = existing or _any_shard_dirs(spark, out_dir, is_uri, limit=1)
-        compression = (
-            "gzip"
-            if not probe or _shards_gzipped(spark, probe[0], is_uri)
-            else None
-        )
+    compression = _sniff_compression(spark, manifest, existing, out_dir, is_uri)
     if compression:
         writer = writer.option("compression", compression)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -377,15 +441,7 @@ def _prepare_fold(spark, delta: DataFrame, out_dir: str, id_col: str | None):
     run the ONE delta-sized aggregation (per-shard counts, the
     internal-duplicate check, and the membership checksum all ride
     it)."""
-    from urllib.parse import urlparse
-
-    is_uri = bool(urlparse(out_dir).scheme)
-    manifest_path = out_dir.rstrip("/") + "/_manifest.json"
-    if is_uri:
-        manifest = json.loads(_read_text_hadoop(spark, manifest_path))
-    else:
-        with open(manifest_path) as fh:
-            manifest = json.load(fh)
+    manifest, is_uri = _load_manifest(spark, out_dir)
     id_col = id_col or manifest["id_col"]
     if id_col != manifest["id_col"]:
         raise ValueError(
@@ -489,50 +545,26 @@ def _reconcile_manifest_from_observed(
             .collect()
         )
     }
-    reconciled: list[int] = []
-    for s in touched:
-        n_obs, h_obs = observed.get(s, (0, 0))
-        changed = False
-        if manifest["shards"].get(str(s), 0) != n_obs:
-            manifest["total_rows"] += n_obs - manifest["shards"].get(str(s), 0)
-            manifest["shards"][str(s)] = n_obs
-            changed = True
-        if (
-            "id_hashes" in manifest
-            and manifest["id_hashes"].get(str(s), 0) != h_obs
-        ):
-            manifest["id_hashes"][str(s)] = h_obs
-            changed = True
-        if changed:
-            reconciled.append(s)
-    if reconciled:
-        _write_text(
-            spark,
-            out_dir,
-            "_manifest.json",
-            json.dumps(manifest, indent=2, sort_keys=True),
-        )
-    return sorted(reconciled)
+    return _apply_manifest_counts(
+        spark,
+        manifest,
+        {s: observed.get(s, (0, 0)) for s in touched},
+        out_dir,
+    )
 
 
 def verify_export(spark, out_dir: str) -> dict:
     """Audit a shard set against its manifest: recompute every
     existing shard's row count and membership checksum in ONE pass and
     compare with the manifest's.  Detects torn dynamic overwrites,
-    manifests stranded by a crash-before-manifest-write, and
-    hand-edited shard files.  Returns ``{"ok": bool, "mismatches":
+    manifests stranded by a crash-before-manifest-write, hand-edited
+    shard files, and phantom shard dirs outside the manifest's
+    ``n_shards`` range (reported as rows ``(0, observed)``).  Returns
+    ``{"ok": bool, "mismatches":
     {shard: {"rows": (manifest, observed), "id_hash": (manifest,
     observed)}}}`` (a key is present only when that field disagrees;
     legacy manifests without ``id_hashes`` check counts only)."""
-    from urllib.parse import urlparse
-
-    is_uri = bool(urlparse(out_dir).scheme)
-    manifest_path = out_dir.rstrip("/") + "/_manifest.json"
-    if is_uri:
-        manifest = json.loads(_read_text_hadoop(spark, manifest_path))
-    else:
-        with open(manifest_path) as fh:
-            manifest = json.load(fh)
+    manifest, _is_uri = _load_manifest(spark, out_dir)
     id_col = manifest["id_col"]
     m_schema = manifest.get("schema")
     reader = spark.read
@@ -564,6 +596,16 @@ def verify_export(spark, out_dir: str) -> dict:
                 bad["id_hash"] = (h_man, h_obs)
         if bad:
             mismatches[str(s)] = bad
+    # shard dirs OUTSIDE the manifest's range are phantom data (a bad
+    # restore, or a differently-sharded export crashed into the same
+    # out_dir): every consumer reading out_dir sees their rows, so a
+    # clean verdict would be a lie
+    for s in sorted(set(observed) - set(range(manifest["n_shards"]))):
+        n_obs, h_obs = observed[s]
+        bad = {"rows": (0, n_obs)}
+        if "id_hashes" in manifest:
+            bad["id_hash"] = (0, h_obs)
+        mismatches[str(s)] = bad
     return {"ok": not mismatches, "mismatches": mismatches}
 
 
@@ -662,15 +704,9 @@ def repair_incremental_export(
             .write.mode("overwrite")
             .partitionBy(SHARD_COL)
         )
-        if "compression" in manifest:
-            compression = manifest["compression"]
-        else:
-            probe = existing or _any_shard_dirs(spark, out_dir, is_uri, 1)
-            compression = (
-                "gzip"
-                if not probe or _shards_gzipped(spark, probe[0], is_uri)
-                else None
-            )
+        compression = _sniff_compression(
+            spark, manifest, existing, out_dir, is_uri
+        )
         if compression:
             writer = writer.option("compression", compression)
         prev = spark.conf.get(
@@ -684,38 +720,18 @@ def repair_incremental_export(
     # reconcile the manifest for EVERY touched shard from what is now
     # on disk: already-applied shards report their observed contents;
     # just-applied shards fold old + delta
-    reconciled = []
+    expected: dict[int, tuple[int, int]] = {}
     for s in touched:
         n_old, _ov, h_old = stats.get(s, (0, 0, 0))
         if s in applied:
-            n_new, h_new = n_old, h_old
+            expected[s] = (n_old, h_old)
         else:
-            n_new = n_old + delta_counts[s]
-            h_new = h_old ^ delta_hashes[s]
-        changed = False
-        if manifest["shards"].get(str(s), 0) != n_new:
-            manifest["total_rows"] += n_new - manifest["shards"].get(str(s), 0)
-            manifest["shards"][str(s)] = n_new
-            changed = True
-        if (
-            "id_hashes" in manifest
-            and manifest["id_hashes"].get(str(s), 0) != h_new
-        ):
-            manifest["id_hashes"][str(s)] = h_new
-            changed = True
-        if changed:
-            reconciled.append(s)
-    if reconciled:
-        _write_text(
-            spark,
-            out_dir,
-            "_manifest.json",
-            json.dumps(manifest, indent=2, sort_keys=True),
-        )
+            expected[s] = (n_old + delta_counts[s], h_old ^ delta_hashes[s])
+    reconciled = _apply_manifest_counts(spark, manifest, expected, out_dir)
     return {
         "applied_shards": unapplied,
         "already_applied_shards": applied,
-        "reconciled_shards": sorted(reconciled),
+        "reconciled_shards": reconciled,
         "total_rows": manifest["total_rows"],
     }
 

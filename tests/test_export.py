@@ -427,6 +427,32 @@ def test_verify_export_detects_membership_corruption(spark, tmp_path):
     assert "rows" in rep2["mismatches"]["2"]
 
 
+def test_verify_export_detects_phantom_shard(spark, tmp_path):
+    """A populated shard dir OUTSIDE the manifest's n_shards range
+    (a bad restore, or a differently-sharded export crashed into the
+    same out_dir) must fail the audit — consumers reading out_dir see
+    its rows, so a clean verdict would be a lie."""
+    import shutil
+
+    from defenda_data_lake_spark.operators.export import verify_export
+
+    out = str(tmp_path / "shards")
+    export_jsonl_shards(
+        _docs(spark), out, "doc_id", n_shards=3, compression=None
+    )
+    assert verify_export(spark, out)["ok"]
+    # clone shard 0 as a phantom shard=3 (outside range(3))
+    shutil.copytree(
+        os.path.join(out, "shard=0"), os.path.join(out, "shard=3")
+    )
+    rep = verify_export(spark, out)
+    assert not rep["ok"]
+    assert "3" in rep["mismatches"]
+    assert rep["mismatches"]["3"]["rows"][0] == 0
+    assert rep["mismatches"]["3"]["rows"][1] > 0
+    assert "id_hash" in rep["mismatches"]["3"]
+
+
 def test_replayed_fold_reconciles_torn_manifest(spark, tmp_path):
     """Crash BETWEEN the shard write and the manifest write: the shard
     data is post-fold, the manifest is pre-fold (undercounting).  The
