@@ -428,8 +428,12 @@ def _minhash_signatures_sql(
       digest array is referenced ``num_hashes`` times and is not cheap.
 
     Everything is stateless projections over higher-order functions —
-    streaming-safe, shuffle-free, and with NO Python worker in the
-    plan.  Known non-parity corner (documented, test-pinned to agree
+    streaming-safe and with NO Python worker in the plan.  The hash
+    compute itself is shuffle-free; like the pandas kernel, the input
+    passes through ``ensure_min_parallelism`` so a single-file batch
+    corpus doesn't run the whole signature stage as one task
+    (streaming inputs pass through untouched — ADVICE r10 item 1).
+    Known non-parity corner (documented, test-pinned to agree
     on the corpus): exotic locale-sensitive case mappings where JVM
     and CPython lowercase tables disagree; both implement Unicode
     default casing incl. final sigma, so realistic text is identical.
@@ -446,10 +450,18 @@ def _minhash_signatures_sql(
         ),
         lambda w: w != F.lit(""),
     )
-    base = df.select(
-        F.col(id_col).alias("_mh_id"),
-        F.col(text_col).alias("_mh_text"),
-        *[F.col(c) for c in passthrough],
+    from defenda_data_lake_spark.utils.partitioning import (
+        ensure_min_parallelism,
+        kernel_parallelism,
+    )
+
+    base = ensure_min_parallelism(
+        df.select(
+            F.col(id_col).alias("_mh_id"),
+            F.col(text_col).alias("_mh_text"),
+            *[F.col(c) for c in passthrough],
+        ),
+        kernel_parallelism(df),
     ).withColumn("_mh_words", words)
 
     nw = F.size("_mh_words")

@@ -254,11 +254,24 @@ def warm_table_cache(
     layout, decided once at write time.
 
     Returns {table: bytes} for the tables actually cached.  Results are
-    byte-identical with the uncached path (same plans, same rows); only
-    physical scan + parallelism change.  ``clear_table_cache`` unpins.
+    byte-identical with the uncached path (same rows); the physical
+    plan is NOT — scan source, parallelism, and (for co-partitioned
+    tables) join/aggregate exchanges and sorts all change, which is
+    the point.  ``clear_table_cache`` unpins.
     """
     import glob as _glob
     import os as _os
+
+    # subset-key co-partitioning (events cached on user_id joining on
+    # (user_id, bucket)) needs Spark's all-cluster-keys skew guard
+    # relaxed.  Scoped HERE, not in the session builder: only sessions
+    # that warm the cache opt in, and the cache keys are known
+    # high-cardinality (order ids, user ids) so the skew trade-off the
+    # guard protects against doesn't apply (ADVICE r10 item 2)
+    try:
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    except Exception:
+        pass  # pre-3.3 Sparks don't have the conf (and don't need it)
 
     if tables is None:
         tables = sorted(

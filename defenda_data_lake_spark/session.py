@@ -52,15 +52,12 @@ def get_spark(
         # being funneled into one
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # accept children co-partitioned on a SUBSET of the join keys
-        # (e.g. events cached hash-partitioned on user_id joining on
-        # (user_id, bucket)): rows with equal full keys are already
-        # co-located, so the exchange is pure waste.  Spark 3.3+
-        # defaults this to true as a skew guard; our cache keys are
-        # high-cardinality (order ids, user ids), so the subset
-        # partitioning keeps full parallelism — see
-        # plans.catalog_shared._CO_PARTITION
-        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # NOTE: spark.sql.requireAllClusterKeysForCoPartition stays at
+        # Spark's default (true, a skew guard) here; warm_table_cache
+        # relaxes it for sessions that opt into the co-partitioned
+        # table cache, where the cache keys are known high-cardinality
+        # (ADVICE r10 item 2 — don't weaken the guard for every join
+        # in every session)
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

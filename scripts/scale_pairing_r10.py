@@ -57,16 +57,17 @@ def build(spark, base: str, tmp: str, factor: int) -> None:
             if t == "documents" and r > 0:
                 # replica r's vocabulary is disjoint from every other
                 # replica's: suffix each whitespace-separated word with
-                # _r<r> (and close the last word).  Exact-dup groups
-                # stay within-replica, cross-replica shingle overlap is
-                # zero — dedup cost scales linearly like real new data.
+                # _r<r>.  Exact-dup groups stay within-replica,
+                # cross-replica shingle overlap is zero — dedup cost
+                # scales linearly like real new data.
+                # one lookahead pass salts every word INCLUDING the
+                # last, without the replace-then-concat stray-token
+                # corner on whitespace-trailing text (ADVICE r10
+                # item 4; symmetric across engines either way)
                 c = c.withColumn(
                     "text",
-                    F.concat(
-                        F.regexp_replace(
-                            F.col("text"), r"(\S)(\s+)", f"$1_r{r}$2"
-                        ),
-                        F.lit(f"_r{r}"),
+                    F.regexp_replace(
+                        F.col("text"), r"(\S)(?=\s|$)", f"$1_r{r}"
                     ),
                 )
             copies.append(c)

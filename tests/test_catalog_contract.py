@@ -44,59 +44,35 @@ def test_every_oracle_sql_parses_and_plans(con):
     assert not bad, bad
 
 
-def test_window_covers_round10_rotation():
-    """The driver checks only the FIRST 50 entries: round 10 executes
-    the contract-pinned rotation — the twelve r7-green entries
-    displaced in round 9 LEAD the window; round 10 changed no query's
-    behavior/oracle, so the rest of the window re-covers the round-8
-    window (2 rounds driver-stale); the eleven r8 spills are pinned at
-    tail slots 50-60 to lead round 11."""
+def test_window_covers_round11_rotation():
+    """The driver checks only the FIRST 50 entries: round 11 executes
+    the contract-pinned rotation — the eleven r8-window entries
+    displaced in round 10 LEAD the window; round 11 changed no catalog
+    query's behavior/oracle, so the rest of the window re-covers the
+    round-9 window (2 rounds driver-stale); eleven r9-window entries
+    spill to tail slots 50-60 (each kernel-sibling- or bench-covered
+    in-window — catalog.py policy comment) and MUST lead round 12."""
     window = list(CATALOG)[:50]
-    # the r10 rotation pin (VERDICT r9 item 1 / r8 tail contract)
-    assert list(CATALOG)[:12] == [
-        "q103_nb_quality_classifier", "q104_source_overlap",
-        "q105_prototypicality", "q107_quality_survivors",
-        "q108_unicode_normalize",
-        "q47_kmeans_clusters", "q95_sampled_diff", "q90_hll_rollup",
-        "q82_dup_span_removal", "q93_group_token_budget",
-        "q75_group_weighted_sample", "q106_classifier_eval",
-    ]
-    # the eleven r8-window entries displaced by the pins: each is
-    # value-exercised every round elsewhere (headline bench or an
-    # in-window kernel sibling — see the catalog.py policy comment)
-    # and MUST lead round 11's window
-    assert list(CATALOG)[50:61] == [
+    # the r11 rotation pin (r10 VERDICT / COVERAGE.md ledger)
+    r8_spills = [
         "q26_regexp_count", "q40_knn_brute", "q32_dedup_jaccard",
         "q14_anti_join", "q19_cube_customers", "q28_exists_sql",
         "q48_knn_quantized", "q55_group_sample", "q59_temperature_mix",
         "q64_bigram_logprob", "q67_retention_cohorts",
     ]
-    # slots 13-50 are r8-window entries only (everything else in the
+    assert list(CATALOG)[:11] == r8_spills
+    # the eleven r9-window entries displaced by the pins: each is
+    # value-exercised every round elsewhere (headline bench or an
+    # in-window kernel sibling — see the catalog.py policy comment)
+    # and MUST lead round 12's window
+    assert list(CATALOG)[50:61] == [
+        "q116_bpe_tokenize", "q78_chunk_dedupe", "q80_bloom_distinct",
+        "q89_ann_recall", "q91_overlap_sketch", "q92_token_budget",
+        "q94_snapshot_diff", "q96_knn_pq", "q98_leakage_safe_split",
+        "q99_scd2_history", "q101_triangle_counts",
+    ]
+    # slots 11-50 are r9-window entries only (everything else in the
     # window would be fresher than something outside it)
-    r8_window = {
-        "q24_presto_text", "q25_percentile_stats", "q26_regexp_count",
-        "q33_text_tokens", "q38_dataset_split", "q44_multimodal_decode",
-        "q42_simhash_pairs", "q109_image_dhash", "q110_domain_curation",
-        "q111_boilerplate_removal", "q112_dsir_weights", "q113_cdc_apply",
-        "q114_audio_fingerprint", "q40_knn_brute", "q16_event_pairs",
-        "q32_dedup_jaccard", "q07_top_customers", "q09_rollup_orders",
-        "q11_window_running", "q12_distinct_agg", "q13_semi_join",
-        "q14_anti_join", "q15_setops", "q17_above_customer_avg",
-        "q18_full_outer", "q19_cube_customers", "q21_events_sessions",
-        "q22_events_hourly", "q23_string_funcs", "q27_grouping_sets",
-        "q28_exists_sql", "q29_asof_join", "q41_knn_lsh",
-        "q48_knn_quantized", "q50_tfidf", "q51_decontamination",
-        "q52_stratified_sample", "q53_repetition_signals",
-        "q54_unigram_logprob", "q55_group_sample",
-        "q56_contrastive_pairs", "q57_gopher_filter",
-        "q59_temperature_mix", "q61_length_buckets",
-        "q64_bigram_logprob", "q65_oov_rate", "q66_funnel",
-        "q67_retention_cohorts", "q68_doc_chunks",
-    }
-    for n in window[12:]:
-        assert n in r8_window, n
-    # staleness audit for the rest of the tail: r9-window entries
-    # (r9-driver-green AND judge full-catalog 118/118) or headline
     r9_window = {
         "q73_semdedup", "q77_bucket_dedupe", "q70_pivot_daily",
         "q69_rolling_anomaly", "q115_bpe_merges", "q116_bpe_tokenize",
@@ -118,10 +94,37 @@ def test_window_covers_round10_rotation():
         "q99_scd2_history", "q100_pagerank", "q101_triangle_counts",
         "q102_edit_distance_pairs",
     }
+    for n in window[11:]:
+        assert n in r9_window, n
+    # staleness audit for the rest of the tail: r10-window entries
+    # (r10-driver-green, CORRECTNESS_r10 50/50 AND the r10 judge's
+    # full-catalog 118/118) or headline-benched
+    r10_window = {
+        "q103_nb_quality_classifier", "q104_source_overlap",
+        "q105_prototypicality", "q107_quality_survivors",
+        "q108_unicode_normalize", "q47_kmeans_clusters",
+        "q95_sampled_diff", "q90_hll_rollup", "q82_dup_span_removal",
+        "q93_group_token_budget", "q75_group_weighted_sample",
+        "q106_classifier_eval",
+        "q24_presto_text", "q25_percentile_stats", "q33_text_tokens",
+        "q38_dataset_split", "q44_multimodal_decode", "q42_simhash_pairs",
+        "q109_image_dhash", "q110_domain_curation",
+        "q111_boilerplate_removal", "q112_dsir_weights", "q113_cdc_apply",
+        "q114_audio_fingerprint", "q16_event_pairs", "q07_top_customers",
+        "q09_rollup_orders", "q11_window_running", "q12_distinct_agg",
+        "q13_semi_join", "q15_setops", "q17_above_customer_avg",
+        "q18_full_outer", "q21_events_sessions", "q22_events_hourly",
+        "q23_string_funcs", "q27_grouping_sets", "q29_asof_join",
+        "q41_knn_lsh", "q50_tfidf", "q51_decontamination",
+        "q52_stratified_sample", "q53_repetition_signals",
+        "q54_unigram_logprob", "q56_contrastive_pairs",
+        "q57_gopher_filter", "q61_length_buckets", "q65_oov_rate",
+        "q66_funnel", "q68_doc_chunks",
+    }
     headline = {
         "q01_pricing_summary", "q03_shipping_priority",
         "q05_regional_revenue", "q10_window_rank", "q30_dedup_exact",
         "q31_dedup_minhash", "q36_text_fingerprint",
     }
     for n in list(CATALOG)[61:]:
-        assert n in r9_window or n in headline, n
+        assert n in r10_window or n in headline, n

@@ -106,3 +106,23 @@ def test_sql_kernel_matches_q31_oracle_hex_scheme(spark):
     for i in range(8):
         src = d0 if i < 4 else d1
         assert row[f"h{i}"] == src[(i % 4) * 8: (i % 4) * 8 + 8]
+
+
+def test_sql_kernel_gets_min_parallelism(spark):
+    """ADVICE r10 item 1: a one-partition input of unknown byte size
+    must not run the whole sql-kernel signature stage as one task —
+    the kernel wraps its input in ensure_min_parallelism exactly like
+    the pandas path (unknown size -> full default parallelism)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(1000)
+        .coalesce(1)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("w"), F.col("id"), F.lit(" a b c d")).alias("text"),
+        )
+    )
+    sig = minhash_signatures(df, kernel="sql")
+    par = spark.sparkContext.defaultParallelism
+    assert sig.rdd.getNumPartitions() >= min(par, 8)

@@ -104,3 +104,15 @@ def test_derived_view_memoizes_pins_and_clears(spark, cold_cache):
     clear_table_cache()
     assert not _DERIVED_CACHE
     assert not dv.storageLevel.useMemory
+
+
+def test_warm_scopes_copartition_guard(spark, cold_cache):
+    """ADVICE r10 item 2: the subset-co-partition skew-guard
+    relaxation is opt-in via warm_table_cache, not a blanket session
+    default — warming must flip it for this session."""
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
+    warm_table_cache(spark, SF_DIR)
+    assert (
+        spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+        == "false"
+    )

@@ -487,9 +487,11 @@ def test_warm_cache_copartition_elides_join_exchanges(spark):
 
 def test_warm_cache_subset_copartition_events(spark):
     """events is cached hash-partitioned on user_id; a self-join keyed
-    on (user_id, bucket) must accept the SUBSET partitioning (session
-    sets spark.sql.requireAllClusterKeysForCoPartition=false) and run
-    with no query-time exchange."""
+    on (user_id, bucket) must accept the SUBSET partitioning
+    (warm_table_cache relaxes
+    spark.sql.requireAllClusterKeysForCoPartition for the session —
+    scoped there, not in the session builder, ADVICE r10 item 2) and
+    run with no query-time exchange."""
     from pyspark.sql import functions as F
 
     from defenda_data_lake_spark.plans.catalog_shared import (
