@@ -577,6 +577,7 @@ def near_dedupe_stream(
     timeout_mode: str = "processing",
     shards: int | None = None,
     signature_kernel: str = "pandas",
+    exact_predrop: bool = False,
 ) -> DataFrame:
     """End-to-end streaming near-dedup: candidates AND verification in
     one stateful pass — the streaming twin of
@@ -593,6 +594,23 @@ def near_dedupe_stream(
     ``"sql"`` (the pure-JVM twin, bit-identical signatures — see
     ``_minhash_signatures_sql``); measured A/B in SCALING.md
     "Round 10".
+
+    ``exact_predrop`` (streaming only; default off to keep the
+    established output contract and checkpoint compatibility): insert
+    a pure-JVM ``dropDuplicatesWithinWatermark`` keyed on a content
+    hash BEFORE the signature kernel.  Two effects, both measured in
+    SCALING.md "Round 11": (1) a re-delivered bucket CLAIMANT no
+    longer lands twice — without the pre-drop, a byte-identical
+    re-send of the first doc in a bucket is judged ``doc_id ==
+    first_id`` → ``dup_of`` NULL and survives again (exact
+    re-delivery was ``dedupe_stream``'s job, but this operator alone
+    did not suppress it); (2) re-sent rows stop paying the Python
+    signature + stateful stages at all.  Contract change when on:
+    byte-identical re-sends inside the horizon are SUPPRESSED (never
+    emitted) rather than flagged ``dup_of`` and quarantined; distinct
+    rows — including distinct timeless/unshingleable bypass rows,
+    which key on (id, text) — are never suppressed, so the
+    no-row-lost invariant for unique rows is unchanged.
 
     Why verify against the CLAIMANT only: exact pairwise verification
     needs both documents' contents, and the earlier document lives in
@@ -802,6 +820,72 @@ def near_dedupe_stream(
     wm_cols = ["_ndd_event_time", "_ndd_us", "_ndd_wm_us"] + (
         [] if timeout_event else ["_ndd_arrival"]
     )
+
+    if exact_predrop and docs.isStreaming:
+        # ------------------------------------------------------------------
+        # JVM exact pre-drop (round 11): suppress byte-identical
+        # re-deliveries BEFORE the Python stages.  At-least-once
+        # transports re-send the same bytes; without this stage a
+        # re-delivered bucket CLAIMANT is judged `doc_id == first_id`
+        # -> dup_of NULL and lands TWICE, and every re-send pays the
+        # full signature-kernel + stateful-kernel cost.  One
+        # `dropDuplicatesWithinWatermark` keyed on a content hash —
+        # pure JVM, chained legally with the downstream
+        # applyInPandasWithState under the single watermark defined
+        # above (Spark allows multiple stateful operators in append
+        # mode; REdefining the watermark is what's disallowed).
+        #
+        # Key semantics mirror the signature kernel exactly:
+        # * dedup-participating rows (parseable event time AND at
+        #   least one word under Python's split rules — replayed as
+        #   the (?U)[\s\x1c-\x1f] whitespace set, NULL text as the
+        #   literal 'None', both pinned by the sql-kernel parity
+        #   tests) key on their TEXT: a second copy of the same
+        #   content inside the horizon is suppressed here instead of
+        #   being flagged dup_of and quarantined downstream — or,
+        #   for the claimant itself, instead of double-landing.
+        # * bypass-bound rows (timeless / unshingleable) key on
+        #   (id, text): a re-send of the same row is a true duplicate
+        #   and is suppressed, but DISTINCT bypass rows can never
+        #   collide — the no-row-lost invariant for unique rows holds.
+        # State: one 32-hex string per distinct key per horizon,
+        # evicted by the same watermark as the main stage.
+        # ------------------------------------------------------------------
+        text_s = F.col(text_col).cast("string")
+        kernel_text = F.coalesce(text_s, F.lit("None"))
+        has_words = (
+            F.regexp_replace(kernel_text, r"(?U)[\s\x1c-\x1f]+", "") != F.lit("")
+        )
+        participates = has_words & F.col("_ndd_us").isNotNull()
+        timed = (
+            timed.withColumn(
+                "_ndd_xh",
+                F.when(
+                    participates,
+                    F.md5(F.concat(F.lit("t\x00"), kernel_text)),
+                ).otherwise(
+                    # coalesce both parts: a NULL id must not NULL the
+                    # whole key (md5(NULL) is NULL, and dropDuplicates
+                    # treats NULL keys as EQUAL — every NULL-id bypass
+                    # row would collapse into one).  A NULL-id row with
+                    # identical text is indistinguishable from a
+                    # re-send and is treated as one.
+                    F.md5(
+                        F.concat(
+                            F.lit("b\x00"),
+                            F.coalesce(
+                                F.col(id_col).cast("string"),
+                                F.lit("\x01<null-id>"),
+                            ),
+                            F.lit("\x00"),
+                            F.coalesce(text_s, F.lit("\x01<null>")),
+                        )
+                    )
+                ),
+            )
+            .dropDuplicatesWithinWatermark(["_ndd_xh"])
+            .drop("_ndd_xh")
+        )
 
     if packed:
         timed = timed.withColumn(

@@ -110,6 +110,7 @@ def start_deduped_ingest(
     dedup_shards: int | None = 256,
     scan_parallelism: int | None = None,
     signature_kernel: str = "pandas",
+    exact_predrop: bool = False,
 ) -> StreamingQuery:
     """:func:`start_ingest` with an IN-STREAM near-dedup stage: after
     normalization, events whose ``text_col`` is a MinHash near-match of
@@ -145,7 +146,15 @@ def start_deduped_ingest(
     (see ``near_dedupe_stream``) serves thousands of LSH buckets per
     Python call instead of one — measured 5.8x throughput (2,152 ->
     12,564 ev/s) at the 500k probe; ``None`` selects the per-bucket
-    reference kernel (verdict-identical, parity-pinned)."""
+    reference kernel (verdict-identical, parity-pinned).
+
+    ``exact_predrop=True`` adds a pure-JVM exact-duplicate stage
+    before the Python dedup stages (see ``near_dedupe_stream``):
+    byte-identical re-sends are suppressed in-stream instead of being
+    flagged/quarantined — and a re-delivered bucket claimant no
+    longer lands twice.  Off by default: it changes the quarantine
+    contract and the streaming DAG (existing checkpoints are not
+    resumable across the flag)."""
     if checkpoint_path is None:
         raise ValueError("checkpoint_path is required")
     create_events_table(spark)
@@ -186,6 +195,7 @@ def start_deduped_ingest(
         max_bucket_docs=max_bucket_docs,
         shards=dedup_shards,
         signature_kernel=signature_kernel,
+        exact_predrop=exact_predrop,
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -940,3 +940,116 @@ def test_lsh_processing_mode_anchor_is_arrival_bounded(spark, tmp_path):
     # no candidate rows at all: doc 3 re-claimed a fresh bucket
     assert (3, 1) not in results["sharded"]
     assert results["sharded"] == set()
+
+
+def test_near_dedupe_exact_predrop_suppresses_claimant_redelivery(
+    spark, tmp_path
+):
+    """The round-11 JVM pre-drop contract.  WITHOUT it, a
+    byte-identical re-delivery of the bucket CLAIMANT in a later
+    micro-batch is judged `doc_id == first_id` -> dup_of NULL and the
+    row lands AGAIN (exact re-delivery was dedupe_stream's job; the
+    near-dedup operator alone double-lands the claimant).  WITH
+    exact_predrop=True the re-send is suppressed in pure JVM before
+    the Python stages; near-dup semantics for DISTINCT docs are
+    unchanged."""
+    from defenda_data_lake_spark.streaming.dedup import (
+        near_dedupe_stream,
+        resolve_stream_flags,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    for predrop, expect_claimant_rows in ((False, 2), (True, 1)):
+        landing = tmp_path / f"landing_{predrop}"
+        landing.mkdir()
+        emitted = []  # (id, dup_of) per resolve, appended per batch
+
+        def sink(batch_df, batch_id):
+            for r in resolve_stream_flags(batch_df).collect():
+                emitted.append((int(r["_ndd_id"]), r["dup_of"]))
+
+        query = (
+            near_dedupe_stream(
+                _doc_stream(spark, landing),
+                event_time_col="ts",
+                exact_predrop=predrop,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{predrop}"))
+            .start()
+        )
+        try:
+            with open(landing / "b1.ndjson", "w") as f:
+                f.write(_doc(1, "2026-01-01T00:01:00+00:00", text) + "\n")
+            query.processAllAvailable()
+            with open(landing / "b2.ndjson", "w") as f:
+                # byte-identical re-delivery of the claimant, plus a
+                # DISTINCT near-dup that must still be flagged
+                f.write(_doc(1, "2026-01-01T00:01:00+00:00", text) + "\n")
+                f.write(
+                    _doc(2, "2026-01-01T00:02:00+00:00", text + " tonight")
+                    + "\n"
+                )
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+        claimant_rows = [e for e in emitted if e[0] == 1]
+        assert len(claimant_rows) == expect_claimant_rows, (predrop, emitted)
+        assert all(d is None for _, d in claimant_rows)  # never flagged
+        assert (2, "1") in emitted, (predrop, emitted)  # near-dup intact
+
+
+def test_near_dedupe_exact_predrop_no_unique_row_lost(spark, tmp_path):
+    """Under exact_predrop, DISTINCT rows can never collide: distinct
+    whitespace-only docs, distinct timeless docs, and a NULL-text doc
+    all key on (id, text) or their kernel text and all survive; a
+    byte-identical re-send of the SAME bypass row is suppressed as a
+    true duplicate."""
+    from defenda_data_lake_spark.streaming.dedup import (
+        near_dedupe_stream,
+        resolve_stream_flags,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    resolved = []
+
+    def sink(batch_df, batch_id):
+        for r in resolve_stream_flags(batch_df).collect():
+            resolved.append((int(r["_ndd_id"]), r["dup_of"]))
+
+    query = (
+        near_dedupe_stream(
+            _doc_stream(spark, landing),
+            event_time_col="ts",
+            exact_predrop=True,
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        with open(landing / "b1.ndjson", "w") as f:
+            # two DISTINCT whitespace-only docs (identical text!)
+            f.write(_doc(1, "2026-01-01T00:01:00+00:00", "\t \n") + "\n")
+            f.write(_doc(2, "2026-01-01T00:02:00+00:00", "\t \n") + "\n")
+            # two DISTINCT timeless docs with identical text
+            f.write(_doc(3, "not-a-timestamp", "same words here") + "\n")
+            f.write(_doc(4, "not-a-timestamp", "same words here") + "\n")
+            # NULL text: kernel text is the literal 'None' (shingleable)
+            f.write(json.dumps({"doc_id": 5, "ts": "2026-01-01T00:03:00+00:00"}) + "\n")
+        query.processAllAvailable()
+        with open(landing / "b2.ndjson", "w") as f:
+            # byte-identical re-send of bypass doc 3: true duplicate
+            f.write(_doc(3, "not-a-timestamp", "same words here") + "\n")
+            # distinct timeless doc, same text: must survive
+            f.write(_doc(6, "not-a-timestamp", "same words here") + "\n")
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    ids = sorted(i for i, _ in resolved)
+    assert ids == [1, 2, 3, 4, 5, 6], resolved  # doc 3 once, all unique rows kept
