@@ -254,3 +254,78 @@ def nb_evaluate(
             2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")
         ).alias("f1"),
     )
+
+
+def nb_calibration(
+    df: DataFrame,
+    label_expr: Column,
+    bins: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "nbsplit",
+    train_pct: int = 8000,
+) -> DataFrame:
+    """Reliability diagram of the :func:`nb_quality_scores` classifier
+    on the held-out split: equal-frequency score bins vs observed
+    positive rate — "are the classifier's probabilities honest", the
+    calibration gate that belongs next to q106's accuracy gate before
+    scores drive corpus pruning (a quality filter that thresholds on
+    p>0.9 needs p to MEAN 0.9).
+
+    Per bin: ``(bin, n, mean_pred, frac_pos, gap)`` where ``mean_pred``
+    averages the logistic transform of the NB log-odds and ``gap`` is
+    the bin's |mean_pred - frac_pos| (the summand of expected
+    calibration error; weight by n/N for ECE).
+
+    Determinism contract (cross-engine): the log-odds is rounded at
+    4dp BEFORE everything (the q103 oracle's score), the logistic
+    input is clamped to ±30 (sigmoid saturates below double noise
+    there, and DuckDB's exp() errors on overflow rather than returning
+    inf), bins are ``ntile`` over (rounded score, id) so ties split
+    identically, and the emitted means are rounded at 4dp with ``gap``
+    computed FROM the rounded pair.
+
+    Scale: identical plan shape to :func:`nb_evaluate` (broadcast
+    model join + one keyed agg) plus one ntile window over the TEST
+    split's per-doc scores — test-split-sized, not corpus-sized; at
+    100 TB the eval split is sampled anyway."""
+    from pyspark.sql import Window
+
+    labeled = df.withColumn(
+        "_nb_y", F.coalesce(label_expr.cast("long"), F.lit(0))
+    )
+    train = labeled.filter(train_split_expr(id_col, salt, train_pct))
+    model, totals = nb_train(train, "_nb_y", id_col, text_col)
+    test = labeled.filter(~train_split_expr(id_col, salt, train_pct))
+    scored = nb_score(test, model, totals, id_col, text_col)
+    j = scored.join(test.select(id_col, "_nb_y"), id_col)
+    # scale-round-unscale (the plans.R scheme): F.round(x, 4) rounds
+    # the exact decimal expansion of the double and disagrees with
+    # DuckDB on .5-after-FP-multiply edges
+    r4 = lambda c: F.round(c * 10000, 0) / 10000  # noqa: E731
+    score_r = r4(F.col("score"))
+    prob = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-F.greatest(F.least(score_r, F.lit(30.0)), F.lit(-30.0)))
+    )
+    w = Window.orderBy(score_r.asc(), F.col(id_col).asc())
+    binned = j.select(
+        F.ntile(bins).over(w).alias("bin"),
+        prob.alias("_prob"),
+        F.col("_nb_y").alias("_y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.avg("_prob")).alias("mean_pred"),
+            r4(F.avg(F.col("_y").cast("double"))).alias("frac_pos"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n",
+            "mean_pred",
+            "frac_pos",
+            r4(F.abs(F.col("mean_pred") - F.col("frac_pos"))).alias("gap"),
+        )
+    )

@@ -661,3 +661,145 @@ SELECT vec_id, eval_id AS nearest_eval_id,
        round(cos * 1000000, 0) / 1000000 AS max_eval_cosine
 FROM best WHERE rn = 1 AND cos >= {_Q122_TAU}
 """
+
+
+def q124_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with Reciprocal Rank Fusion: BM25 keyword
+    top-20 (q87's kernel, the fixed 3-term query) fused with the
+    embedding-cosine top-20 of query vector 0 (q40's kernel, shared
+    doc/vec id space as in q63) by RRF(k=60) — the
+    lexical-plus-semantic search recipe production retrieval stacks
+    run, as one declarative plan.
+
+    ``rrf = 1/(60+lex_rank) + 1/(60+sem_rank)`` with a missing rank
+    contributing 0; top-10 by (rrf desc, doc_id).  Determinism: both
+    input ranks are integer row_numbers over rounded-score orderings
+    with id tie-breaks (the q87/q40 contracts), the two RRF terms are
+    exact doubles summed in fixed association, and the final cut
+    orders by the 6dp-rounded fusion with a doc_id tie-break.
+
+    Scale notes (100 TB): both legs end in TakeOrderedAndProject
+    top-20s (corpus scanned, never shuffled — the q87/q40 plan
+    shapes); the fusion itself joins two 20-row lists — broadcast by
+    construction, no exchange regardless of corpus size."""
+    from defenda_data_lake_spark.plans.catalog_text import q87_bm25_topk
+
+    lex = q87_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    sem = S.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("sem_rank"),
+    )
+    # outer-merge WITHOUT a join: Spark cannot broadcast a FULL OUTER
+    # join (it would plan a SortMergeJoin even for two 20-row lists),
+    # so the two rank lists union into one (doc_id, lex_rank, sem_rank)
+    # stream and collapse with a 40-row hash aggregate — one tiny
+    # exchange, no join operator at all
+    fused = (
+        lex.select(
+            "doc_id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.lit(None).cast("long").alias("sem_rank"),
+        )
+        .unionByName(
+            sem.select(
+                "doc_id",
+                F.lit(None).cast("long").alias("lex_rank"),
+                F.col("sem_rank").cast("long").alias("sem_rank"),
+            )
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("lex_rank").alias("lex_rank"),
+            F.max("sem_rank").alias("sem_rank"),
+        )
+    )
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(60.0) + F.col(c).cast("double")), F.lit(0.0)
+    )
+    rrf = F.round((term("lex_rank") + term("sem_rank")) * 1000000, 0) / 1000000
+    return (
+        fused.select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+Q124_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(trim(text), ' '), w -> len(w) > 0)) AS dl,
+         len(list_filter(string_split(trim(text), ' '), w -> w = 'spark')) AS tf1,
+         len(list_filter(string_split(trim(text), ' '), w -> w = 'merge')) AS tf2,
+         len(list_filter(string_split(trim(text), ' '), w -> w = 'window')) AS tf3
+  FROM documents
+),
+b AS (SELECT * FROM base WHERE dl > 0),
+st AS (
+  SELECT count(*) AS n_docs,
+         CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+  FROM b
+),
+sc AS (
+  SELECT doc_id,
+         (CASE WHEN tf1 > 0 THEN
+            ln((CAST(n_docs AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) + 1.0)
+            * (CAST(tf1 AS DOUBLE) * 2.2)
+            / (CAST(tf1 AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+          ELSE 0.0 END)
+         + (CASE WHEN tf2 > 0 THEN
+            ln((CAST(n_docs AS DOUBLE) - df2 + 0.5) / (df2 + 0.5) + 1.0)
+            * (CAST(tf2 AS DOUBLE) * 2.2)
+            / (CAST(tf2 AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+          ELSE 0.0 END)
+         + (CASE WHEN tf3 > 0 THEN
+            ln((CAST(n_docs AS DOUBLE) - df3 + 0.5) / (df3 + 0.5) + 1.0)
+            * (CAST(tf3 AS DOUBLE) * 2.2)
+            / (CAST(tf3 AS DOUBLE)
+               + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+          ELSE 0.0 END) AS score
+  FROM b, st
+  WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0
+),
+lex20 AS (
+  SELECT doc_id, round(score * 10000, 0) / 10000 AS bm25
+  FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM lex20
+),
+sem AS (
+  SELECT neighbor_id AS doc_id, rank AS sem_rank FROM (
+    SELECT c.vec_id AS neighbor_id,
+           row_number() OVER (
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id) AS rank
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id = 0 AND c.vec_id <> q.vec_id
+  ) t WHERE rank <= 20
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         CAST(l.lex_rank AS BIGINT) AS lex_rank,
+         CAST(s.sem_rank AS BIGINT) AS sem_rank,
+         round((coalesce(1.0 / (60.0 + l.lex_rank), 0.0)
+                + coalesce(1.0 / (60.0 + s.sem_rank), 0.0)) * 1000000, 0)
+           / 1000000 AS rrf
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""

@@ -62,14 +62,25 @@ GROUP BY event_type
 """, [], extra_views={"events_k": ev_k})
 
 
-# Parity contract: props.k is a BARE JSON integer (the generator always
-# emits one).  On quoted ("7") or non-integer values the Spark side's
-# from_json('k INT') nulls out (Jackson does not coerce strings) while
-# this oracle's CAST(json_extract_string(...) AS INT) would parse
-# numeric strings — the two agree only under the bare-int contract.
+# Parity contract (hardened round 11 — the latent divergence the r9
+# review carried is closed): Spark's from_json('k INT') yields an int
+# ONLY for a bare JSON integer token — quoted ("7"), float (7.5), or
+# overflowing values all null out (Jackson does not coerce).  The
+# oracle replays that exactly: json_extract keeps the raw token (a
+# quoted value renders as '"7"'), the regex admits bare integer
+# tokens only, and TRY_CAST nulls INT overflow like Jackson's
+# permissive mode.  On the generator's data (always bare ints) this
+# is value-identical to the old CAST(json_extract_string(...)) form;
+# on adversarial props the two engines now AGREE on NULL
+# (tests/test_q20_json_contract.py pins both sides).
 Q20_SQL = """
 SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, round(avg(value), 4) AS avg_value
-FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) t
+FROM (
+  SELECT *,
+         CASE WHEN regexp_full_match(CAST(json_extract(props, '$.k') AS VARCHAR), '-?[0-9]+')
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k
+  FROM events
+) t
 WHERE k < 50
 GROUP BY event_type
 """

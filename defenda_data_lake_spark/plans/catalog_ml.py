@@ -616,3 +616,53 @@ SELECT doc_id, source, n_chars FROM survivors
 UNION ALL
 SELECT doc_id, source, n_chars FROM net WHERE op <> 'D'
 """
+
+
+def q123_classifier_calibration(spark, sf_dir):
+    """Reliability diagram of the q103 NB quality classifier on the
+    held-out split (operators/classify.py ``nb_calibration``): decile
+    score bins vs observed positive rate — "are the scores honest
+    probabilities", the calibration gate next to q106's accuracy gate
+    before classifier scores drive corpus pruning.
+
+    Determinism: log-odds rounded at 4dp first (the q103 oracle
+    score), logistic input clamped to ±30 (DuckDB exp() errors on
+    overflow; sigmoid saturates below double noise there), ntile over
+    (rounded score, doc_id), means rounded at 4dp, gap from the
+    rounded pair.  Scale: the ntile window is TEST-SPLIT-sized (one
+    task over ~N/5 score rows), never corpus-sized; everything before
+    it is q106's broadcast-model plan."""
+    from defenda_data_lake_spark.operators import classify as CL
+
+    docs = _t(spark, sf_dir, "documents")
+    return CL.nb_calibration(docs, F.col("n_chars") >= 300, bins=10).orderBy(
+        "bin"
+    )
+
+
+Q123_SQL = f"""
+WITH {_NB_CTES_SQL},
+test AS (
+  SELECT s.doc_id,
+         round(s.raw * 10000, 0) / 10000 AS score_r,
+         l.y
+  FROM scored s JOIN labels l USING (doc_id)
+  WHERE NOT l.is_train
+),
+binned AS (
+  SELECT ntile(10) OVER (ORDER BY score_r ASC, doc_id ASC) AS bin,
+         1.0 / (1.0 + exp(-greatest(least(score_r, 30.0), -30.0))) AS prob,
+         y
+  FROM test
+),
+agg AS (
+  SELECT bin,
+         count(*) AS n,
+         round(avg(prob) * 10000, 0) / 10000 AS mean_pred,
+         round(avg(CAST(y AS DOUBLE)) * 10000, 0) / 10000 AS frac_pos
+  FROM binned GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin, n, mean_pred, frac_pos,
+       round(abs(mean_pred - frac_pos) * 10000, 0) / 10000 AS gap
+FROM agg ORDER BY bin
+"""

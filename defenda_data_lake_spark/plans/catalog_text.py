@@ -13,6 +13,7 @@ from defenda_data_lake_spark.plans.catalog_shared import (
     R,
     _sql_over,
     _t,
+    derived_view,
     _NORM_SQL,
     _NORM_SPARK,
 )
@@ -82,6 +83,48 @@ FROM agg
 """
 
 
+_BM25_TERMS = ["spark", "merge", "window"]
+
+
+def _bm25_base_view(spark, sf_dir):
+    """The BM25 per-doc projection (doc_id, dl, tf1..tf3) as a
+    :func:`derived_view` — round 11: q87's plan consumed this subtree
+    TWICE (the corpus-stats aggregate and the scored join), so the
+    4-HOF tokenize projection ran twice per call; materializing it
+    once per session halved q87 at 32x (measured, SCALING.md round 11)
+    and q124's lexical leg inherits the same cut.
+
+    dl and the per-term tfs are HIGHER-ORDER ARRAY expressions over
+    one split — a pure per-row projection: the corpus is never
+    exploded and never shuffled (an explode+groupBy formulation
+    measured 10.5x wall at 32x data; a regexp_count formulation
+    measured 2.5x SLOWER than the HOFs at 32x — lookaround scans beat
+    neither the lambda interpreter nor WSCG; probe transcript round
+    11).  At 100 TB the view exceeds the pin budget and streams —
+    same plan, projection fused into each consumer."""
+
+    def build(s, d):
+        docs = _t(s, d, "documents")
+        arr = F.filter(
+            F.split(F.trim(F.col("text")), " "), lambda w: F.length(w) > 0
+        )
+
+        def term_count(t: str):
+            # a 2-arg lambda would be read by F.filter as (element, index)
+            return F.size(F.filter(arr, lambda w: w == F.lit(t)))
+
+        return docs.select(
+            "doc_id",
+            F.size(arr).alias("dl"),
+            *[
+                term_count(t).alias(f"tf{i}")
+                for i, t in enumerate(_BM25_TERMS, 1)
+            ],
+        ).filter(F.col("dl") > 0)
+
+    return derived_view(spark, sf_dir, "bm25_base", build, source_table="documents")
+
+
 def q87_bm25_topk(spark, sf_dir):
     """BM25 keyword retrieval (Robertson/Sparck-Jones, the Okapi
     formula with k1=1.2, b=0.75): top-20 documents for a fixed
@@ -100,25 +143,8 @@ def q87_bm25_topk(spark, sf_dir):
     terms summed per doc (order differs → round-4 absorbs, q54
     discipline); ranking uses the ROUNDED score with a doc_id
     tie-break so the top-20 cut is engine-stable."""
-    terms = ["spark", "merge", "window"]
-    docs = _t(spark, sf_dir, "documents")
-    # dl and the per-term tfs are HIGHER-ORDER ARRAY expressions over
-    # one split — a pure per-row projection: the corpus is never
-    # exploded and never shuffled (an explode+groupBy formulation
-    # measured 10.5x wall at 32x data; this shape is 100 TB-shaped:
-    # scan -> project -> tiny broadcast stitches -> top-k)
-    arr = F.filter(
-        F.split(F.trim(F.col("text")), " "), lambda w: F.length(w) > 0
-    )
-    def term_count(t: str):
-        # a 2-arg lambda would be read by F.filter as (element, index)
-        return F.size(F.filter(arr, lambda w: w == F.lit(t)))
-
-    base = docs.select(
-        "doc_id",
-        F.size(arr).alias("dl"),
-        *[term_count(t).alias(f"tf{i}") for i, t in enumerate(terms, 1)],
-    ).filter(F.col("dl") > 0)
+    terms = _BM25_TERMS
+    base = _bm25_base_view(spark, sf_dir)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),

@@ -49,9 +49,11 @@ def test_window_covers_round11_rotation():
     the contract-pinned rotation — the eleven r8-window entries
     displaced in round 10 LEAD the window; round 11 changed no catalog
     query's behavior/oracle, so the rest of the window re-covers the
-    round-9 window (2 rounds driver-stale); eleven r9-window entries
-    spill to tail slots 50-60 (each kernel-sibling- or bench-covered
-    in-window — catalog.py policy comment) and MUST lead round 12."""
+    round-9 window (2 rounds driver-stale); round 11's two NEW
+    entries (q123/q124, never driver-verified) sit at slots 11-12;
+    thirteen r9-window entries spill to tail slots 50-62 (each
+    kernel-sibling- or bench-covered in-window — catalog.py policy
+    comment) and MUST lead round 12."""
     window = list(CATALOG)[:50]
     # the r11 rotation pin (r10 VERDICT / COVERAGE.md ledger)
     r8_spills = [
@@ -61,17 +63,22 @@ def test_window_covers_round11_rotation():
         "q64_bigram_logprob", "q67_retention_cohorts",
     ]
     assert list(CATALOG)[:11] == r8_spills
+    # new-this-round entries (never driver-verified) follow the pins
+    assert list(CATALOG)[11:13] == [
+        "q123_classifier_calibration", "q124_hybrid_rrf",
+    ]
     # the eleven r9-window entries displaced by the pins: each is
     # value-exercised every round elsewhere (headline bench or an
     # in-window kernel sibling — see the catalog.py policy comment)
     # and MUST lead round 12's window
-    assert list(CATALOG)[50:61] == [
+    assert list(CATALOG)[50:63] == [
+        "q120_sequence_packing_bpe", "q76_perplexity_buckets",
         "q116_bpe_tokenize", "q78_chunk_dedupe", "q80_bloom_distinct",
         "q89_ann_recall", "q91_overlap_sketch", "q92_token_budget",
         "q94_snapshot_diff", "q96_knn_pq", "q98_leakage_safe_split",
         "q99_scd2_history", "q101_triangle_counts",
     ]
-    # slots 11-50 are r9-window entries only (everything else in the
+    # slots 13-50 are r9-window entries only (everything else in the
     # window would be fresher than something outside it)
     r9_window = {
         "q73_semdedup", "q77_bucket_dedupe", "q70_pivot_daily",
@@ -94,7 +101,7 @@ def test_window_covers_round11_rotation():
         "q99_scd2_history", "q100_pagerank", "q101_triangle_counts",
         "q102_edit_distance_pairs",
     }
-    for n in window[11:]:
+    for n in window[13:]:
         assert n in r9_window, n
     # staleness audit for the rest of the tail: r10-window entries
     # (r10-driver-green, CORRECTNESS_r10 50/50 AND the r10 judge's
@@ -126,5 +133,5 @@ def test_window_covers_round11_rotation():
         "q05_regional_revenue", "q10_window_rank", "q30_dedup_exact",
         "q31_dedup_minhash", "q36_text_fingerprint",
     }
-    for n in list(CATALOG)[61:]:
+    for n in list(CATALOG)[63:]:
         assert n in r10_window or n in headline, n

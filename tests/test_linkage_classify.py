@@ -244,3 +244,31 @@ def test_q103_value_parity_vs_duckdb(spark):
         d: (n, round(s, 4), p) for d, n, s, p in con.execute(sql).fetchall()
     }
     assert spark_rows == oracle_rows
+
+
+def test_nb_calibration_bins_partition_and_separate(spark):
+    """nb_calibration: bins 1..k partition the scoreable test split,
+    and on a separable vocabulary the positive rate is monotone from
+    the bottom bin to the top (the classifier IS confident-correct, so
+    low-score bins are all-negative, high-score all-positive)."""
+    from defenda_data_lake_spark.operators.classify import (
+        nb_calibration,
+        train_split_expr,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(200):
+        pos = i % 2 == 0
+        rows.append((i, "good clean prose words" if pos else "spam junk noise tokens",
+                     1 if pos else 0))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    out = nb_calibration(df, F.col("y") == 1, bins=4).orderBy("bin").collect()
+    assert [r.bin for r in out] == [1, 2, 3, 4]
+    n_test = df.filter(~train_split_expr("doc_id")).count()
+    assert sum(r.n for r in out) == n_test
+    # separable corpus: bottom bins all-negative, top bins all-positive
+    assert out[0].frac_pos == 0.0 and out[-1].frac_pos == 1.0
+    for r in out:
+        assert 0.0 <= r.mean_pred <= 1.0
+        assert abs(r.gap - round(abs(r.mean_pred - r.frac_pos), 4)) < 1e-9

@@ -538,3 +538,34 @@ def test_warm_cache_partitions_scale_with_size():
     assert _cache_partitions(10 << 30, 32) == 64
     # small-core boxes keep the floor
     assert _cache_partitions(500 << 10, 4) == 8
+
+
+def test_q124_hybrid_rrf_plan(spark):
+    """Hybrid RRF: both retrieval legs end in top-20 cuts
+    (TakeOrderedAndProject), and the fusion is a union + 40-row hash
+    aggregate — NO join operator at all (Spark can't broadcast a FULL
+    OUTER join, so a join formulation would plan a SortMergeJoin);
+    the only Python stage is q40's Arrow cosine kernel."""
+    plan = plan_of(spark, "q124_hybrid_rrf")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q124_rrf_values(spark, sf_dir):
+    """RRF arithmetic: every emitted row's rrf equals
+    1/(60+lex_rank) + 1/(60+sem_rank) with missing ranks contributing
+    0, rounded at 6dp; a doc present in BOTH lists must outrank a doc
+    of either single list at comparable rank (doc 498 at sf0.01-like
+    corpora) — here just assert the invariant arithmetic."""
+    from defenda_data_lake_spark.plans.catalog import CATALOG
+
+    fn, _ = CATALOG["q124_hybrid_rrf"]
+    rows = fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        want = (1.0 / (60 + r.lex_rank) if r.lex_rank is not None else 0.0) + (
+            1.0 / (60 + r.sem_rank) if r.sem_rank is not None else 0.0
+        )
+        assert abs(r.rrf - round(want * 1e6) / 1e6) < 1e-12, r
