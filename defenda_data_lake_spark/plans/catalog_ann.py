@@ -672,11 +672,17 @@ def q124_hybrid_rrf(spark, sf_dir):
     run, as one declarative plan.
 
     ``rrf = 1/(60+lex_rank) + 1/(60+sem_rank)`` with a missing rank
-    contributing 0; top-10 by (rrf desc, doc_id).  Determinism: both
-    input ranks are integer row_numbers over rounded-score orderings
-    with id tie-breaks (the q87/q40 contracts), the two RRF terms are
-    exact doubles summed in fixed association, and the final cut
-    orders by the 6dp-rounded fusion with a doc_id tie-break.
+    contributing 0; top-10 by (rrf desc, doc_id).  Determinism: the
+    lexical rank orders by the ROUNDED bm25 with a doc_id tie-break
+    (the q87 contract); the semantic rank inherits q40's contract —
+    ordering on the RAW cosine with a vec_id tie-break, stable across
+    engines because distinct random embeddings separate cosines far
+    above double noise (a sub-1e-15 near-tie could in principle flip
+    a rank across engines; the q40 precedent accepts that, and every
+    oracle run at 3 SFs + 32x has been value-equal).  The two RRF
+    terms are exact doubles summed in fixed association, and the
+    final cut orders by the 6dp-rounded fusion with a doc_id
+    tie-break.
 
     Scale notes (100 TB): both legs end in TakeOrderedAndProject
     top-20s (corpus scanned, never shuffled — the q87/q40 plan

@@ -138,7 +138,26 @@ def clear_table_cache() -> None:
     """Drop all cached table plans (and unpin any hot-cached data).
     Call after regenerating parquet under a previously-read path — a
     cached plan holds the file listing resolved at read time and would
-    otherwise scan the stale file set."""
+    otherwise scan the stale file set.
+
+    Also restores Spark's all-cluster-keys co-partition skew guard
+    (warm_table_cache relaxed it for the cached tables' known
+    high-cardinality keys): once the co-partitioned cache is gone the
+    relaxation has no beneficiary, and leaving it off would quietly
+    reintroduce the session-wide override ADVICE r10 item 2 scoped
+    away (review fix, round 11)."""
+    sessions = []
+    for df in list(_T_CACHE.values()) + list(_DERIVED_CACHE.values()):
+        try:
+            if df.sparkSession not in sessions:
+                sessions.append(df.sparkSession)
+        except Exception:
+            pass  # dead session: nothing to restore
+    for s in sessions:
+        try:
+            s.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+        except Exception:
+            pass
     for df in _T_CACHE.values():
         try:
             if df.storageLevel.useMemory or df.storageLevel.useDisk:

@@ -604,13 +604,24 @@ def near_dedupe_stream(
     re-send of the first doc in a bucket is judged ``doc_id ==
     first_id`` → ``dup_of`` NULL and survives again (exact
     re-delivery was ``dedupe_stream``'s job, but this operator alone
-    did not suppress it); (2) re-sent rows stop paying the Python
-    signature + stateful stages at all.  Contract change when on:
-    byte-identical re-sends inside the horizon are SUPPRESSED (never
-    emitted) rather than flagged ``dup_of`` and quarantined; distinct
-    rows — including distinct timeless/unshingleable bypass rows,
-    which key on (id, text) — are never suppressed, so the
-    no-row-lost invariant for unique rows is unchanged.
+    did not suppress it); (2) suppressed rows stop paying the Python
+    signature + stateful stages at all.  PRECISE contract when on
+    (review-corrected round 11): a dedup-participating row is
+    suppressed when its exact TEXT already arrived inside the horizon
+    — the id and payload are NOT part of the key, so a DISTINCT event
+    that shares text with an earlier one (which the main stage would
+    have flagged ``dup_of`` and quarantined) now vanishes with no
+    audit record; byte-identical transport re-sends are the common
+    case of this, not its boundary.  Timeless/unshingleable
+    bypass-bound rows key on (id, text) — fixed-width md5-per-field,
+    so distinct ids/texts can never collide and the no-row-lost
+    invariant for unique bypass rows holds exactly.  In
+    ``timeout_mode='event'`` the pre-drop covers only
+    event-time-parseable rows: timeless rows ride the union around
+    the watermark (they cannot pass one), so their re-sends are NOT
+    suppressed in that mode — consistent with event mode's premise
+    (replay jobs where late/timeless re-delivery is impossible by
+    construction).
 
     Why verify against the CLAIMANT only: exact pairwise verification
     needs both documents' contents, and the earlier document lives in
@@ -864,21 +875,25 @@ def near_dedupe_stream(
                     participates,
                     F.md5(F.concat(F.lit("t\x00"), kernel_text)),
                 ).otherwise(
-                    # coalesce both parts: a NULL id must not NULL the
-                    # whole key (md5(NULL) is NULL, and dropDuplicates
-                    # treats NULL keys as EQUAL — every NULL-id bypass
-                    # row would collapse into one).  A NULL-id row with
-                    # identical text is indistinguishable from a
-                    # re-send and is treated as one.
+                    # INJECTIVE bypass key (review fix, round 11): hash
+                    # id and text SEPARATELY to fixed-width digests
+                    # before combining — a raw concat with separator
+                    # bytes is ambiguous when id/text themselves
+                    # contain the separator (id='a\x00b',text='c' vs
+                    # id='a',text='b\x00c'), which would collapse two
+                    # DISTINCT bypass rows into one key.  NULL id/text
+                    # coalesce to non-hex sentinels AFTER the md5, so
+                    # they cannot collide with any real 32-hex digest
+                    # (dropDuplicates treats NULL keys as EQUAL — an
+                    # un-coalesced NULL would merge every NULL-id row).
                     F.md5(
                         F.concat(
-                            F.lit("b\x00"),
+                            F.lit("b"),
                             F.coalesce(
-                                F.col(id_col).cast("string"),
-                                F.lit("\x01<null-id>"),
+                                F.md5(F.col(id_col).cast("string")),
+                                F.lit("<null-id>"),
                             ),
-                            F.lit("\x00"),
-                            F.coalesce(text_s, F.lit("\x01<null>")),
+                            F.coalesce(F.md5(text_s), F.lit("<null-text>")),
                         )
                     )
                 ),

@@ -83,9 +83,9 @@ def run_apipws(spark, landing: str, ckpt: str) -> tuple[float, int]:
                 continue
             dup = []
             for doc, grp in zip(chunk["doc"], chunk["grp"]):
-                got = claim.get(int(grp))
+                got = claim.get(str(int(grp)))
                 if got is None:
-                    claim[int(grp)] = doc
+                    claim[str(int(grp))] = doc
                     dup.append(None)
                 else:
                     dup.append(got if got != doc else None)
@@ -136,9 +136,9 @@ def run_tws(spark, landing: str, ckpt: str) -> tuple[float, int]:
                     continue
                 dup = []
                 for doc, grp in zip(chunk["doc"], chunk["grp"]):
-                    prev = claim.get(int(grp))
+                    prev = claim.get(str(int(grp)))
                     if prev is None:
-                        claim[int(grp)] = doc
+                        claim[str(int(grp))] = doc
                         dup.append(None)
                     else:
                         dup.append(prev if prev != doc else None)

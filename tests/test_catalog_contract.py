@@ -67,7 +67,7 @@ def test_window_covers_round11_rotation():
     assert list(CATALOG)[11:13] == [
         "q123_classifier_calibration", "q124_hybrid_rrf",
     ]
-    # the eleven r9-window entries displaced by the pins: each is
+    # the thirteen r9-window entries displaced by the pins: each is
     # value-exercised every round elsewhere (headline bench or an
     # in-window kernel sibling — see the catalog.py policy comment)
     # and MUST lead round 12's window

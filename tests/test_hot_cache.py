@@ -109,10 +109,19 @@ def test_derived_view_memoizes_pins_and_clears(spark, cold_cache):
 def test_warm_scopes_copartition_guard(spark, cold_cache):
     """ADVICE r10 item 2: the subset-co-partition skew-guard
     relaxation is opt-in via warm_table_cache, not a blanket session
-    default — warming must flip it for this session."""
+    default — warming must flip it for this session, and clearing the
+    cache must restore the guard (round-11 review fix: a session that
+    warmed once must not keep the relaxation after the co-partitioned
+    tables are gone)."""
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
     warm_table_cache(spark, SF_DIR)
     assert (
         spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
         == "false"
+    )
+    clear_table_cache()
+    # back to Spark's default (true) — the relaxation died with the cache
+    assert (
+        spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+        == "true"
     )
