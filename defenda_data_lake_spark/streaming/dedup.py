@@ -563,6 +563,45 @@ def lsh_candidates_stream(
     )
 
 
+def _predrop_key_expr(id_col: str, text_col: str):
+    """The exact-predrop dedup key (see ``near_dedupe_stream``'s
+    ``exact_predrop``): dedup-participating rows (parseable event time
+    in ``_ndd_us`` AND at least one word under the signature kernel's
+    pinned ``(?U)[\\s\\x1c-\\x1f]`` split rules, NULL text replayed as
+    the literal 'None') key on their kernel TEXT; bypass-bound rows
+    key on (id, text) hashed PER FIELD to fixed-width digests — an
+    INJECTIVE combination (review fix, round 11): a raw
+    separator-joined concat is ambiguous when id/text contain the
+    separator byte, which would collapse two DISTINCT bypass rows
+    into one key and silently suppress a unique row.  NULL id/text
+    coalesce to non-hex sentinels AFTER their md5, so they cannot
+    collide with any real 32-hex digest (dropDuplicates treats NULL
+    keys as EQUAL — an un-coalesced NULL would merge every NULL-id
+    row).  Factored out so the injectivity property is directly
+    testable on batch frames (tests/test_streaming_dedup.py)."""
+    text_s = F.col(text_col).cast("string")
+    kernel_text = F.coalesce(text_s, F.lit("None"))
+    has_words = (
+        F.regexp_replace(kernel_text, r"(?U)[\s\x1c-\x1f]+", "") != F.lit("")
+    )
+    participates = has_words & F.col("_ndd_us").isNotNull()
+    return F.when(
+        participates,
+        F.md5(F.concat(F.lit("t\x00"), kernel_text)),
+    ).otherwise(
+        F.md5(
+            F.concat(
+                F.lit("b"),
+                F.coalesce(
+                    F.md5(F.col(id_col).cast("string")),
+                    F.lit("<null-id>"),
+                ),
+                F.coalesce(F.md5(text_s), F.lit("<null-text>")),
+            )
+        )
+    )
+
+
 def near_dedupe_stream(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -862,42 +901,8 @@ def near_dedupe_stream(
         # State: one 32-hex string per distinct key per horizon,
         # evicted by the same watermark as the main stage.
         # ------------------------------------------------------------------
-        text_s = F.col(text_col).cast("string")
-        kernel_text = F.coalesce(text_s, F.lit("None"))
-        has_words = (
-            F.regexp_replace(kernel_text, r"(?U)[\s\x1c-\x1f]+", "") != F.lit("")
-        )
-        participates = has_words & F.col("_ndd_us").isNotNull()
         timed = (
-            timed.withColumn(
-                "_ndd_xh",
-                F.when(
-                    participates,
-                    F.md5(F.concat(F.lit("t\x00"), kernel_text)),
-                ).otherwise(
-                    # INJECTIVE bypass key (review fix, round 11): hash
-                    # id and text SEPARATELY to fixed-width digests
-                    # before combining — a raw concat with separator
-                    # bytes is ambiguous when id/text themselves
-                    # contain the separator (id='a\x00b',text='c' vs
-                    # id='a',text='b\x00c'), which would collapse two
-                    # DISTINCT bypass rows into one key.  NULL id/text
-                    # coalesce to non-hex sentinels AFTER the md5, so
-                    # they cannot collide with any real 32-hex digest
-                    # (dropDuplicates treats NULL keys as EQUAL — an
-                    # un-coalesced NULL would merge every NULL-id row).
-                    F.md5(
-                        F.concat(
-                            F.lit("b"),
-                            F.coalesce(
-                                F.md5(F.col(id_col).cast("string")),
-                                F.lit("<null-id>"),
-                            ),
-                            F.coalesce(F.md5(text_s), F.lit("<null-text>")),
-                        )
-                    )
-                ),
-            )
+            timed.withColumn("_ndd_xh", _predrop_key_expr(id_col, text_col))
             .dropDuplicatesWithinWatermark(["_ndd_xh"])
             .drop("_ndd_xh")
         )

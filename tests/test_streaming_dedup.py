@@ -1053,3 +1053,86 @@ def test_near_dedupe_exact_predrop_no_unique_row_lost(spark, tmp_path):
 
     ids = sorted(i for i, _ in resolved)
     assert ids == [1, 2, 3, 4, 5, 6], resolved  # doc 3 once, all unique rows kept
+
+
+def test_predrop_key_bypass_arm_injective_adversarial(spark):
+    """The round-11 review fix, pinned: bypass-bound rows (NULL
+    _ndd_us) must get DISTINCT keys for DISTINCT (id, text) pairs even
+    under separator-byte and sentinel-string adversaries — the raw
+    concat form collapsed the first pair below."""
+    from defenda_data_lake_spark.streaming.dedup import _predrop_key_expr
+
+    pairs = [
+        ("a\x00b", "c"), ("a", "b\x00c"),          # the review's collision
+        ("a\x00", "bc"), ("a", "\x00bc"),
+        ("<null-id>", "x"), (None, "x"),           # sentinel vs real NULL
+        ("y", "<null-text>"), ("y", None),
+        ("t\x00abc", None), ("b", "t\x00abc"),     # arm-tag lookalikes
+        ("", ""), ("", None), (None, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, None) for i, t in pairs],
+        "doc_id string, text string, _ndd_us long",
+    )
+    keys = [
+        r.k for r in df.select(
+            _predrop_key_expr("doc_id", "text").alias("k")
+        ).collect()
+    ]
+    assert all(k is not None for k in keys)
+    assert len(set(keys)) == len(pairs), keys
+
+
+def test_predrop_key_participating_arm_text_only(spark):
+    """Participating rows (parseable time + wordy text) key on kernel
+    TEXT alone: same text -> same key regardless of id; NULL text and
+    the literal 'None' are the SAME content (the signature kernel's
+    str(None) replay); whitespace-only text drops to the bypass arm
+    even when timed."""
+    from defenda_data_lake_spark.streaming.dedup import _predrop_key_expr
+
+    rows = [
+        ("id1", "shared words here", 1),
+        ("id2", "shared words here", 1),   # same key as id1
+        ("id3", None, 1),                  # kernel text 'None'
+        ("id4", "None", 1),                # same key as id3
+        ("id5", "\t \n", 1),               # unshingleable -> bypass arm
+        ("id6", "\t \n", 1),               # distinct bypass key from id5
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, _ndd_us long")
+    keys = [
+        r.k for r in df.select(
+            _predrop_key_expr("doc_id", "text").alias("k")
+        ).collect()
+    ]
+    assert keys[0] == keys[1]
+    assert keys[2] == keys[3]
+    assert keys[4] != keys[5]
+    assert keys[0] != keys[2]
+
+
+def test_predrop_key_injectivity_property(spark):
+    """Property form (hypothesis): ANY set of distinct (id, text)
+    bypass pairs maps to distinct keys."""
+    from hypothesis import given, settings, strategies as st
+
+    from defenda_data_lake_spark.streaming.dedup import _predrop_key_expr
+
+    txt = st.one_of(st.none(), st.text(max_size=24))
+
+    @settings(max_examples=8, deadline=None)
+    @given(pairs=st.lists(st.tuples(txt, txt), min_size=2, max_size=24,
+                          unique=True))
+    def run(pairs):
+        df = spark.createDataFrame(
+            [(i, t, None) for i, t in pairs],
+            "doc_id string, text string, _ndd_us long",
+        )
+        keys = [
+            r.k for r in df.select(
+                _predrop_key_expr("doc_id", "text").alias("k")
+            ).collect()
+        ]
+        assert len(set(keys)) == len(pairs)
+
+    run()
