@@ -24,7 +24,7 @@ time.tzset()
 
 from scale_pairing_r10 import REPLICATED, SMALL, build  # noqa: E402
 
-NAMES = ["q123_classifier_calibration", "q124_hybrid_rrf"]
+NAMES = ["q87_bm25_topk", "q123_classifier_calibration", "q124_hybrid_rrf"]
 
 
 def main() -> None:
