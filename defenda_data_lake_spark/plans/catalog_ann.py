@@ -10,6 +10,10 @@ from defenda_data_lake_spark.plans.catalog_shared import (
     R,
     _t,
 )
+from defenda_data_lake_spark.plans.catalog_text import (
+    _BM25_CTES_SQL,
+    _BM25_TOP20_SELECT,
+)
 
 
 def q89_ann_recall(spark, sf_dir):
@@ -699,7 +703,7 @@ def q124_hybrid_rrf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     sem = S.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
         F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").cast("int").alias("sem_rank"),
+        F.col("rank").cast("long").alias("sem_rank"),
     )
     # outer-merge WITHOUT a join: Spark cannot broadcast a FULL OUTER
     # join (it would plan a SortMergeJoin even for two 20-row lists),
@@ -716,7 +720,7 @@ def q124_hybrid_rrf(spark, sf_dir):
             sem.select(
                 "doc_id",
                 F.lit(None).cast("long").alias("lex_rank"),
-                F.col("sem_rank").cast("long").alias("sem_rank"),
+                "sem_rank",
             )
         )
         .groupBy("doc_id")
@@ -736,50 +740,10 @@ def q124_hybrid_rrf(spark, sf_dir):
     )
 
 
-Q124_SQL = r"""
-WITH base AS (
-  SELECT doc_id,
-         len(list_filter(string_split(trim(text), ' '), w -> len(w) > 0)) AS dl,
-         len(list_filter(string_split(trim(text), ' '), w -> w = 'spark')) AS tf1,
-         len(list_filter(string_split(trim(text), ' '), w -> w = 'merge')) AS tf2,
-         len(list_filter(string_split(trim(text), ' '), w -> w = 'window')) AS tf3
-  FROM documents
-),
-b AS (SELECT * FROM base WHERE dl > 0),
-st AS (
-  SELECT count(*) AS n_docs,
-         CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl,
-         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
-         CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
-  FROM b
-),
-sc AS (
-  SELECT doc_id,
-         (CASE WHEN tf1 > 0 THEN
-            ln((CAST(n_docs AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) + 1.0)
-            * (CAST(tf1 AS DOUBLE) * 2.2)
-            / (CAST(tf1 AS DOUBLE)
-               + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
-          ELSE 0.0 END)
-         + (CASE WHEN tf2 > 0 THEN
-            ln((CAST(n_docs AS DOUBLE) - df2 + 0.5) / (df2 + 0.5) + 1.0)
-            * (CAST(tf2 AS DOUBLE) * 2.2)
-            / (CAST(tf2 AS DOUBLE)
-               + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
-          ELSE 0.0 END)
-         + (CASE WHEN tf3 > 0 THEN
-            ln((CAST(n_docs AS DOUBLE) - df3 + 0.5) / (df3 + 0.5) + 1.0)
-            * (CAST(tf3 AS DOUBLE) * 2.2)
-            / (CAST(tf3 AS DOUBLE)
-               + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
-          ELSE 0.0 END) AS score
-  FROM b, st
-  WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0
-),
+Q124_SQL = f"""
+WITH {_BM25_CTES_SQL},
 lex20 AS (
-  SELECT doc_id, round(score * 10000, 0) / 10000 AS bm25
-  FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+  {_BM25_TOP20_SELECT}
 ),
 lex AS (
   SELECT doc_id,

@@ -186,8 +186,11 @@ def q87_bm25_topk(spark, sf_dir):
     )
 
 
-Q87_SQL = r"""
-WITH base AS (
+#: The BM25 scoring CTE chain (base per-doc dl/tf projection ->
+#: corpus stats -> per-doc Okapi score), shared verbatim by Q87_SQL
+#: and Q124_SQL (the _NB_CTES_SQL pattern — one definition, two
+#: composers).
+_BM25_CTES_SQL = r"""base AS (
   SELECT doc_id,
          len(list_filter(string_split(trim(text), ' '), w -> len(w) > 0)) AS dl,
          len(list_filter(string_split(trim(text), ' '), w -> w = 'spark')) AS tf1,
@@ -226,9 +229,18 @@ sc AS (
           ELSE 0.0 END) AS score
   FROM b, st
   WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0
+)"""
+
+#: The BM25 top-20 cut over the CTE chain (Q87's whole body; Q124's
+#: lex20 subquery)
+_BM25_TOP20_SELECT = (
+    "SELECT doc_id, round(score * 10000, 0) / 10000 AS bm25\n"
+    "FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 20"
 )
-SELECT doc_id, round(score * 10000, 0) / 10000 AS bm25
-FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+
+Q87_SQL = f"""
+WITH {_BM25_CTES_SQL}
+{_BM25_TOP20_SELECT}
 """
 
 
