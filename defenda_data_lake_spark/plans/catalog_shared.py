@@ -132,6 +132,13 @@ _CO_GROUP: dict[str, str] = {"lineitem": "orderkey", "orders": "orderkey"}
 _T_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _SQL_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _DERIVED_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+#: Sessions where warm_table_cache actually relaxed the co-partition
+#: skew guard (ADVICE r11: inferring "who to restore" from cache
+#: CONTENTS is wrong both ways — plain ``_t()`` reads populate
+#: ``_T_CACHE`` for sessions that never warmed, and a warm call that
+#: cached zero tables still set the conf).  Keyed by id(session) with
+#: the session kept for the unset call.
+_SKEW_GUARD_RELAXED: dict[int, SparkSession] = {}
 
 
 def clear_table_cache() -> None:
@@ -140,24 +147,19 @@ def clear_table_cache() -> None:
     cached plan holds the file listing resolved at read time and would
     otherwise scan the stale file set.
 
-    Also restores Spark's all-cluster-keys co-partition skew guard
-    (warm_table_cache relaxed it for the cached tables' known
-    high-cardinality keys): once the co-partitioned cache is gone the
-    relaxation has no beneficiary, and leaving it off would quietly
-    reintroduce the session-wide override ADVICE r10 item 2 scoped
-    away (review fix, round 11)."""
-    sessions = []
-    for df in list(_T_CACHE.values()) + list(_DERIVED_CACHE.values()):
-        try:
-            if df.sparkSession not in sessions:
-                sessions.append(df.sparkSession)
-        except Exception:
-            pass  # dead session: nothing to restore
-    for s in sessions:
+    Also restores Spark's all-cluster-keys co-partition skew guard on
+    exactly the sessions where ``warm_table_cache`` relaxed it
+    (``_SKEW_GUARD_RELAXED``, ADVICE r11): once the co-partitioned
+    cache is gone the relaxation has no beneficiary.  Sessions that
+    merely hold plain ``_t()`` plans never set the conf, so their own
+    explicit setting — if any — is left alone; conversely a warm call
+    that cached zero tables still gets its relaxation restored."""
+    for s in list(_SKEW_GUARD_RELAXED.values()):
         try:
             s.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
         except Exception:
-            pass
+            pass  # dead session: nothing to restore
+    _SKEW_GUARD_RELAXED.clear()
     for df in _T_CACHE.values():
         try:
             if df.storageLevel.useMemory or df.storageLevel.useDisk:
@@ -289,6 +291,7 @@ def warm_table_cache(
     # guard protects against doesn't apply (ADVICE r10 item 2)
     try:
         spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        _SKEW_GUARD_RELAXED[id(spark)] = spark
     except Exception:
         pass  # pre-3.3 Sparks don't have the conf (and don't need it)
 

@@ -160,7 +160,12 @@ class _ShardState:
         ``uniq_sigs`` (must be unique), appending fresh entries — their
         field values taken from the aligned ``defaults`` arrays — for
         signatures the table hasn't seen.  The lookup is one hash join
-        (``pd.Index.get_indexer``), not a per-signature dict probe."""
+        (``pd.Index.get_indexer``), not a per-signature dict probe.
+        Returns ``(idx, fresh)`` where ``fresh`` marks the entries
+        appended by THIS call — i.e. buckets claimed this micro-batch
+        — which the claimant-re-send guard needs: a bucket that
+        pre-existed judges its own claimant id by agreement (round
+        12, VERDICT r11 item 1)."""
         import numpy as np
 
         if len(self.sigs):
@@ -176,7 +181,7 @@ class _ShardState:
                 for c, d, dt in zip(self.cols, defaults, self._dtypes)
             ]
             idx[new] = n0 + np.arange(int(new.sum()))
-        return idx
+        return idx, new
 
     def persist(self, touched_idx=None) -> None:
         keep = self.cols[-1] >= self.wm_ms
@@ -436,7 +441,8 @@ def lsh_candidates_stream(
         # must keep pushing its timeout forward or the bucket evicts
         # mid-flood and re-emits up to cap candidates per re-claim)
         last_us = batch_max_us
-        if state.exists:
+        pre_existing = state.exists
+        if pre_existing:
             first_doc, first_us, n_seen = state.get
         else:
             first_doc = int(ids[0])
@@ -461,6 +467,14 @@ def lsh_candidates_stream(
             # degenerate bucket: stop emitting (state still tracks it,
             # so it stays suppressed until the watermark evicts it)
             out_ids = ids[:0]
+        elif pre_existing:
+            # claimant-re-send rule (round 12): a bucket claimed in an
+            # EARLIER batch emits a SELF-candidate (doc_id ==
+            # first_doc) for a re-delivered claimant — downstream
+            # verification sees the re-send instead of silently
+            # passing it; within the claiming batch the claimant never
+            # self-pairs (below)
+            out_ids = ids
         else:
             out_ids = ids[ids != first_doc]
         if len(out_ids) == 0:
@@ -511,7 +525,7 @@ def lsh_candidates_stream(
         # kernel (event-time seeding would pin a future-skewed bucket
         # past the arrival horizon in processing mode — ADVICE r7)
         zeros = np.zeros(len(uniq), dtype="int64")
-        gidx = tbl.lookup_or_append(
+        gidx, fresh = tbl.lookup_or_append(
             uniq, (ids_s[starts], wm_max, zeros, zeros)
         )
         firsts, anchors, n_seens, expiries = tbl.cols
@@ -529,7 +543,14 @@ def lsh_candidates_stream(
         )
         group_of_row = np.repeat(np.arange(len(uniq)), counts)
         first_per_row = firsts[gidx][group_of_row]
-        emit = ~np.repeat(capped, counts) & (ids_s != first_per_row)
+        # claimant-re-send rule (round 12, mirrors the per-bucket
+        # kernel): the claimant-id exemption holds only while the
+        # bucket is claimed THIS batch; a pre-existing bucket emits a
+        # SELF-candidate (doc_id == first_doc) for a re-delivered
+        # claimant so downstream consumers can suppress the re-send
+        emit = ~np.repeat(capped, counts) & (
+            (ids_s != first_per_row) | np.repeat(~fresh, counts)
+        )
         tbl.persist(touched_idx=gidx)
         if not emit.any():
             return
@@ -565,39 +586,41 @@ def lsh_candidates_stream(
 
 def _predrop_key_expr(id_col: str, text_col: str):
     """The exact-predrop dedup key (see ``near_dedupe_stream``'s
-    ``exact_predrop``): dedup-participating rows (parseable event time
-    in ``_ndd_us`` AND at least one word under the signature kernel's
-    pinned ``(?U)[\\s\\x1c-\\x1f]`` split rules, NULL text replayed as
-    the literal 'None') key on their kernel TEXT; bypass-bound rows
-    key on (id, text) hashed PER FIELD to fixed-width digests — an
-    INJECTIVE combination (review fix, round 11): a raw
-    separator-joined concat is ambiguous when id/text contain the
-    separator byte, which would collapse two DISTINCT bypass rows
-    into one key and silently suppress a unique row.  NULL id/text
-    coalesce to non-hex sentinels AFTER their md5, so they cannot
-    collide with any real 32-hex digest (dropDuplicates treats NULL
-    keys as EQUAL — an un-coalesced NULL would merge every NULL-id
-    row).  Factored out so the injectivity property is directly
-    testable on batch frames (tests/test_streaming_dedup.py)."""
+    ``exact_predrop``): EVERY row keys on its (id, text) pair, hashed
+    PER FIELD to fixed-width digests — an INJECTIVE combination (a
+    raw separator-joined concat is ambiguous when id/text contain the
+    separator byte, which would collapse two DISTINCT rows into one
+    key and silently suppress a unique row — review fix, round 11).
+    NULL id/text coalesce to non-hex sentinels AFTER their md5, so
+    they cannot collide with any real 32-hex digest (dropDuplicates
+    treats NULL keys as EQUAL — an un-coalesced NULL would merge
+    every NULL-id row).
+
+    Round-12 contract narrowing (ADVICE r11): dedup-participating
+    rows used to key on their kernel TEXT alone, which suppressed —
+    with no quarantine/audit record — any DISTINCT event that merely
+    shared text with an earlier one, a loss contract wider than the
+    stated motivation (byte-identical transport re-sends).  Keying on
+    (id, text) everywhere still suppresses byte-identical re-sends
+    (same bytes ⇒ same id AND text) and still prevents the claimant
+    double-landing for payload-carried ids, while a distinct
+    same-text event now flows through to the main stage and lands in
+    the quarantine WITH its ``dup_of`` audit record, exactly as the
+    operator's documented contract promises.  (Re-sends whose ids
+    are minted per-delivery — no id in the payload — no longer match
+    here either; the default-path claimant-re-send guard in the
+    stateful kernel covers those by agreement.)  One formula for both
+    the participating and bypass arms, so the injectivity property is
+    directly testable on batch frames
+    (tests/test_streaming_dedup.py)."""
     text_s = F.col(text_col).cast("string")
-    kernel_text = F.coalesce(text_s, F.lit("None"))
-    has_words = (
-        F.regexp_replace(kernel_text, r"(?U)[\s\x1c-\x1f]+", "") != F.lit("")
-    )
-    participates = has_words & F.col("_ndd_us").isNotNull()
-    return F.when(
-        participates,
-        F.md5(F.concat(F.lit("t\x00"), kernel_text)),
-    ).otherwise(
-        F.md5(
-            F.concat(
-                F.lit("b"),
-                F.coalesce(
-                    F.md5(F.col(id_col).cast("string")),
-                    F.lit("<null-id>"),
-                ),
-                F.coalesce(F.md5(text_s), F.lit("<null-text>")),
-            )
+    return F.md5(
+        F.concat(
+            F.coalesce(
+                F.md5(F.col(id_col).cast("string")),
+                F.lit("<null-id>"),
+            ),
+            F.coalesce(F.md5(text_s), F.lit("<null-text>")),
         )
     )
 
@@ -617,6 +640,7 @@ def near_dedupe_stream(
     shards: int | None = None,
     signature_kernel: str = "pandas",
     exact_predrop: bool = False,
+    external_watermark: str | None = None,
 ) -> DataFrame:
     """End-to-end streaming near-dedup: candidates AND verification in
     one stateful pass — the streaming twin of
@@ -636,31 +660,40 @@ def near_dedupe_stream(
 
     ``exact_predrop`` (streaming only; default off to keep the
     established output contract and checkpoint compatibility): insert
-    a pure-JVM ``dropDuplicatesWithinWatermark`` keyed on a content
-    hash BEFORE the signature kernel.  Two effects, both measured in
-    SCALING.md "Round 11": (1) a re-delivered bucket CLAIMANT no
-    longer lands twice — without the pre-drop, a byte-identical
-    re-send of the first doc in a bucket is judged ``doc_id ==
-    first_id`` → ``dup_of`` NULL and survives again (exact
-    re-delivery was ``dedupe_stream``'s job, but this operator alone
-    did not suppress it); (2) suppressed rows stop paying the Python
-    signature + stateful stages at all.  PRECISE contract when on
-    (review-corrected round 11): a dedup-participating row is
-    suppressed when its exact TEXT already arrived inside the horizon
-    — the id and payload are NOT part of the key, so a DISTINCT event
-    that shares text with an earlier one (which the main stage would
-    have flagged ``dup_of`` and quarantined) now vanishes with no
-    audit record; byte-identical transport re-sends are the common
-    case of this, not its boundary.  Timeless/unshingleable
-    bypass-bound rows key on (id, text) — fixed-width md5-per-field,
-    so distinct ids/texts can never collide and the no-row-lost
-    invariant for unique bypass rows holds exactly.  In
+    a pure-JVM ``dropDuplicatesWithinWatermark`` keyed on an
+    injective (id, text) digest BEFORE the signature kernel —
+    (id, text)-identical re-sends (byte-identical transport re-sends
+    being the motivating case) are suppressed in-stream and stop
+    paying the Python signature + stateful stages at all (measured in
+    SCALING.md "Round 11"/"Round 12").  PRECISE contract when on
+    (key narrowed round 12, ADVICE r11): EVERY row keys on its
+    (id, text) pair — a DISTINCT event that merely shares text with
+    an earlier one is NOT suppressed here; it flows to the main stage,
+    is flagged ``dup_of``, and lands in the quarantine with its audit
+    record (the round-11 text-only key silently discarded it).
+    Distinct ids/texts can never collide (fixed-width md5-per-field),
+    so the no-row-lost invariant for unique rows holds exactly.  In
     ``timeout_mode='event'`` the pre-drop covers only
     event-time-parseable rows: timeless rows ride the union around
     the watermark (they cannot pass one), so their re-sends are NOT
     suppressed in that mode — consistent with event mode's premise
     (replay jobs where late/timeless re-delivery is impossible by
     construction).
+
+    Claimant re-sends (round 12, VERDICT r11 item 1 — DEFAULT-path
+    behavior, no flag needed): the ``doc_id == first_id`` exemption
+    applies only while a bucket is being claimed in the CURRENT
+    micro-batch (in-batch copies collapse to one landed row via
+    :func:`resolve_stream_flags`'s per-id reduction).  Once a bucket
+    pre-exists, a row carrying the claimant's own id is judged by
+    signature agreement like any other row, so a byte-identical
+    re-delivery of the claimant resolves ``dup_of = first_id`` (its
+    own id) and is routed to the quarantine — flag-at-resolve,
+    preserving the quarantine contract — instead of silently landing
+    a second time.  Remaining documented exception: BYPASS rows
+    (timeless / unshingleable) survive unconditionally by design, so
+    their exact re-sends still double-land on the default path;
+    ``exact_predrop=True`` covers them.
 
     Why verify against the CLAIMANT only: exact pairwise verification
     needs both documents' contents, and the earlier document lives in
@@ -771,7 +804,20 @@ def near_dedupe_stream(
     must also comfortably exceed total executor cores — 64-1024 fits
     a single node (the 500k probe uses 256); a 100 TB/day cluster
     with billions of horizon buckets wants N in the 10^5-10^6 range.
-    None keeps the per-bucket reference kernel."""
+    None keeps the per-bucket reference kernel.
+
+    ``external_watermark`` (processing mode only): the name of an
+    ARRIVAL-TIME column the caller already watermarked upstream —
+    Spark disallows redefining a watermark on a linear chain, so this
+    operator must not call ``withWatermark`` again; instead the named
+    column (whose attribute metadata carries the watermark tag)
+    becomes the operator's ``_ndd_arrival`` and is excluded from the
+    payload.  Used by ``start_deduped_ingest``'s raw-level exact
+    pre-drop, whose ``dropDuplicatesWithinWatermark`` on the raw line
+    needs the one watermark BEFORE normalization.  The upstream
+    column is ``current_timestamp()`` — the same micro-batch
+    timestamp this operator would have stamped — so eviction timing
+    is unchanged; only the watermark NODE placement moves."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from defenda_data_lake_spark.operators.dedup import (
@@ -782,8 +828,18 @@ def near_dedupe_stream(
     if timeout_mode not in ("processing", "event"):
         raise ValueError(f"timeout_mode must be 'processing' or 'event'; got {timeout_mode!r}")
     timeout_event = timeout_mode == "event"
+    if external_watermark and timeout_event:
+        raise ValueError(
+            "external_watermark only composes with timeout_mode="
+            "'processing' (an upstream ARRIVAL watermark cannot bound "
+            "event-time state)"
+        )
+    if external_watermark and external_watermark not in docs.columns:
+        raise ValueError(
+            f"external_watermark column {external_watermark!r} not in input"
+        )
     horizon_ms = int(pd.Timedelta(watermark_delay).total_seconds() * 1000)
-    payload_cols = docs.columns
+    payload_cols = [c for c in docs.columns if c != external_watermark]
     other_cols = [c for c in payload_cols if c != id_col]
     # ------------------------------------------------------------------
     # Payload packing (round 8): the per-group Arrow->pandas conversion
@@ -808,7 +864,7 @@ def near_dedupe_stream(
         and all(
             _json_roundtrips(f.dataType)
             for f in docs.schema.fields
-            if f.name != id_col
+            if f.name != id_col and f.name != external_watermark
         )
     )
     kernel_payload = ["_ndd_payload"] if packed else other_cols
@@ -864,8 +920,15 @@ def near_dedupe_stream(
         # rejected: it makes the engine trigger continuous empty
         # micro-batches to service timers, burning a core per idle
         # stream and never letting processAllAvailable return.
-        timed = timed.withColumn("_ndd_arrival", F.current_timestamp())
-        timed = timed.withWatermark("_ndd_arrival", watermark_delay)
+        if external_watermark:
+            # the upstream watermark-tagged arrival column becomes
+            # _ndd_arrival (rename preserves attribute metadata, so
+            # the tag reaches the stateful operator through the
+            # signature kernel's verbatim passthrough fields)
+            timed = timed.withColumnRenamed(external_watermark, "_ndd_arrival")
+        else:
+            timed = timed.withColumn("_ndd_arrival", F.current_timestamp())
+            timed = timed.withWatermark("_ndd_arrival", watermark_delay)
         timed = timed.withColumn("_ndd_wm_us", F.unix_micros(F.col("_ndd_arrival")))
     wm_cols = ["_ndd_event_time", "_ndd_us", "_ndd_wm_us"] + (
         [] if timeout_event else ["_ndd_arrival"]
@@ -873,31 +936,24 @@ def near_dedupe_stream(
 
     if exact_predrop and docs.isStreaming:
         # ------------------------------------------------------------------
-        # JVM exact pre-drop (round 11): suppress byte-identical
-        # re-deliveries BEFORE the Python stages.  At-least-once
-        # transports re-send the same bytes; without this stage a
-        # re-delivered bucket CLAIMANT is judged `doc_id == first_id`
-        # -> dup_of NULL and lands TWICE, and every re-send pays the
-        # full signature-kernel + stateful-kernel cost.  One
-        # `dropDuplicatesWithinWatermark` keyed on a content hash —
-        # pure JVM, chained legally with the downstream
-        # applyInPandasWithState under the single watermark defined
-        # above (Spark allows multiple stateful operators in append
-        # mode; REdefining the watermark is what's disallowed).
-        #
-        # Key semantics mirror the signature kernel exactly:
-        # * dedup-participating rows (parseable event time AND at
-        #   least one word under Python's split rules — replayed as
-        #   the (?U)[\s\x1c-\x1f] whitespace set, NULL text as the
-        #   literal 'None', both pinned by the sql-kernel parity
-        #   tests) key on their TEXT: a second copy of the same
-        #   content inside the horizon is suppressed here instead of
-        #   being flagged dup_of and quarantined downstream — or,
-        #   for the claimant itself, instead of double-landing.
-        # * bypass-bound rows (timeless / unshingleable) key on
-        #   (id, text): a re-send of the same row is a true duplicate
-        #   and is suppressed, but DISTINCT bypass rows can never
-        #   collide — the no-row-lost invariant for unique rows holds.
+        # JVM exact pre-drop (round 11; key narrowed round 12 per
+        # ADVICE r11): suppress (id, text)-identical re-deliveries
+        # BEFORE the Python stages.  At-least-once transports re-send
+        # the same bytes; every such re-send otherwise pays the full
+        # signature-kernel + stateful-kernel cost.  One
+        # `dropDuplicatesWithinWatermark` keyed on an injective
+        # (id, text) digest — pure JVM, chained legally with the
+        # downstream applyInPandasWithState under the single watermark
+        # defined above (Spark allows multiple stateful operators in
+        # append mode; REdefining the watermark is what's disallowed).
+        # EVERY row — participating or bypass — keys on (id, text): a
+        # re-send of the same row is a true duplicate and is
+        # suppressed, DISTINCT rows can never collide (the no-row-lost
+        # invariant for unique rows holds exactly), and a distinct
+        # same-text event flows through to the main stage where it is
+        # flagged dup_of and lands in the quarantine WITH its audit
+        # record (the round-11 text-only key suppressed it silently —
+        # a wider loss contract than the byte-identical motivation).
         # State: one 32-hex string per distinct key per horizon,
         # evicted by the same watermark as the main stage.
         # ------------------------------------------------------------------
@@ -967,7 +1023,7 @@ def near_dedupe_stream(
         out_fields = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in docs.schema.fields
-            if f.name != id_col
+            if f.name != id_col and f.name != external_watermark
         )
         out_schema = (
             f"_ndd_id string, band int, dup_of string"
@@ -1023,7 +1079,21 @@ def near_dedupe_stream(
             sigs_l = [sigs_l[i] for i in order]
         else:
             order = [0]
-        if state.exists:
+        # pre_existing: the bucket was claimed in an EARLIER micro-batch.
+        # Claimant-re-send guard (round 12, VERDICT r11 item 1): the
+        # `doc_id == first_id` exemption only applies while the bucket
+        # is being claimed THIS batch — in-batch copies of the claimant
+        # stay exempt because resolve_stream_flags collapses them by id
+        # (the id lands exactly once; flagging a copy would quarantine
+        # the whole id).  Once the bucket pre-exists, a row carrying
+        # the claimant's own id is a re-delivery and is judged by
+        # signature agreement like any other row, so a byte-identical
+        # re-send resolves `dup_of = first_id` (its own id) and lands
+        # in the QUARANTINE with its audit record instead of silently
+        # landing in the events table a second time — flag-at-resolve,
+        # preserving the quarantine contract.
+        pre_existing = state.exists
+        if pre_existing:
             first_id, anchor_us, n_seen, first_sig = state.get
         else:
             first_id = str(ids[0])
@@ -1041,7 +1111,7 @@ def near_dedupe_stream(
         c_parts = first_sig.split("|")
 
         def verdict(doc_id: str, sig: str) -> str | None:
-            if capped or doc_id == first_id:
+            if capped or (doc_id == first_id and not pre_existing):
                 return None
             agree = sum(
                 a == b for a, b in zip(sig.split("|"), c_parts)
@@ -1102,7 +1172,7 @@ def near_dedupe_stream(
         uniq = bs_s[starts]
         wm_max = np.maximum.reduceat(wm_s, starts)
         zeros = np.zeros(len(uniq), dtype="int64")
-        gidx = tbl.lookup_or_append(
+        gidx, fresh = tbl.lookup_or_append(
             uniq, (ids_s[starts], wm_max, zeros, sigs_s[starts], zeros)
         )
         firsts, anchors, n_seens, fsigs, expiries = tbl.cols
@@ -1129,9 +1199,16 @@ def near_dedupe_stream(
             pd.Series(fsigs[gidx]).str.split("|", expand=True).to_numpy()
         )[group_of_row]
         agree = (row_mat == claim_mat).sum(axis=1)
+        # claimant-re-send guard (round 12, mirrors the per-bucket
+        # kernel's pre_existing rule): the claimant-id exemption holds
+        # only while the bucket is claimed THIS batch; once it
+        # pre-exists, a row carrying the claimant's own id is judged
+        # by agreement like any other row, so a byte-identical re-send
+        # resolves dup_of = its own id and is quarantined instead of
+        # double-landing
         is_dup = (
             ~np.repeat(capped, counts)
-            & (ids_s != first_per_row)
+            & ((ids_s != first_per_row) | np.repeat(~fresh, counts))
             & (agree >= min_agree_count)
         )
         dup_sorted = np.where(is_dup, first_per_row, None)
@@ -1175,7 +1252,11 @@ def near_dedupe_stream(
         from pyspark.sql import types as T
 
         payload_type = T.StructType(
-            [f for f in docs.schema.fields if f.name != id_col]
+            [
+                f
+                for f in docs.schema.fields
+                if f.name != id_col and f.name != external_watermark
+            ]
         )
         flagged = flagged.withColumn(
             "_ndd_p", F.from_json(F.col("_ndd_payload"), payload_type)

@@ -148,13 +148,36 @@ def start_deduped_ingest(
     12,564 ev/s) at the 500k probe; ``None`` selects the per-bucket
     reference kernel (verdict-identical, parity-pinned).
 
-    ``exact_predrop=True`` adds a pure-JVM exact-duplicate stage
-    before the Python dedup stages (see ``near_dedupe_stream``):
-    byte-identical re-sends are suppressed in-stream instead of being
-    flagged/quarantined — and a re-delivered bucket claimant no
-    longer lands twice.  Off by default: it changes the quarantine
-    contract and the streaming DAG (existing checkpoints are not
-    resumable across the flag)."""
+    Claimant re-sends are handled ON THE DEFAULT PATH (round 12,
+    VERDICT r11 item 1): a byte-identical re-delivery of a bucket
+    claimant in a later micro-batch is flagged ``dup_of`` by the
+    stateful kernel (judged by signature agreement once its bucket
+    pre-exists) and lands in the QUARANTINE with its audit record —
+    it no longer silently lands in the events table twice.  The one
+    documented residual: bypass rows (no parseable timestamp / no
+    shingles) survive unconditionally, so their exact re-sends still
+    double-land unless ``exact_predrop`` is on.
+
+    ``exact_predrop=True`` adds a pure-JVM exact-duplicate stage on
+    the RAW LINE, before normalization (round 12; the round-11
+    post-normalize placement could not see byte-identical re-sends at
+    all on this path — the pipeline mints eventids, so re-sends never
+    share an id after normalization).  A byte-identical re-send
+    within the watermark horizon is suppressed in-stream instead of
+    being flagged/quarantined: it skips the ENTIRE Python pipeline
+    (normalize + signature + stateful — the throughput lever), and
+    this is the only stage that can catch re-sends of BYPASS rows
+    (unparseable timestamp / unshingleable text), which otherwise
+    double-land by design.  Off by default, two documented reasons:
+    it changes the quarantine contract (suppressed re-sends leave no
+    quarantine record — on the default path a shingleable re-send
+    lands in the quarantine flagged ``dup_of``) and the streaming DAG
+    (existing checkpoints are not resumable across the flag; restart
+    on a fresh checkpoint, optionally seeding via
+    ``seed_near_dedup_state``).  Note byte-identical DISTINCT events
+    inside one horizon are indistinguishable from transport re-sends
+    at this stage by construction — the same trade
+    ``dedupe_stream`` documents."""
     if checkpoint_path is None:
         raise ValueError("checkpoint_path is required")
     create_events_table(spark)
@@ -184,7 +207,44 @@ def start_deduped_ingest(
         # stages out to the full core count.  Opt-in: worth it exactly
         # when files-per-trigger < cores and batches are large.
         raw = raw.repartition(scan_parallelism)
-    normalized = normalize_df(raw, raw_col="raw")
+    if exact_predrop:
+        # ------------------------------------------------------------------
+        # RAW-level exact pre-drop (round 12; supersedes the round-11
+        # post-normalize placement for the INGEST path): the pipeline
+        # MINTS eventids (uuid4, the reference's ensure_eventid quirk
+        # — a payload eventid demotes into details), so a
+        # byte-identical transport re-send never shares an id after
+        # normalization; any (id, text)-keyed stage downstream of the
+        # mint cannot recognize it.  The raw LINE is the one
+        # representation where a transport re-send is literally equal,
+        # so the drop happens here — pure JVM, BEFORE normalize, which
+        # means suppressed re-sends skip the whole Python pipeline
+        # (normalize + signature + stateful), not just the dedup
+        # stages.  This is also the only place byte-identical re-sends
+        # of BYPASS rows (unparseable timestamp / unshingleable text)
+        # can be caught: those survive the dedup stage unconditionally
+        # by design.  The single arrival-time watermark for the WHOLE
+        # query is defined here (Spark forbids redefining a watermark
+        # on a linear chain), and near_dedupe_stream is told so via
+        # external_watermark=True — its own arrival column carries the
+        # same micro-batch timestamp values, so eviction timing is
+        # unchanged.
+        # ------------------------------------------------------------------
+        raw = (
+            raw.withColumn("_ingest_arrival", F.current_timestamp())
+            .withWatermark("_ingest_arrival", watermark_delay)
+            .dropDuplicatesWithinWatermark(["raw"])
+        )
+    # the watermark-tagged arrival column must SURVIVE to the stateful
+    # operator (Spark's checker wants the tagged attribute in its
+    # input), so it rides normalize_df's passthrough — field metadata
+    # copied verbatim — and near_dedupe_stream adopts it as its own
+    # arrival column instead of defining a second watermark
+    normalized = normalize_df(
+        raw,
+        raw_col="raw",
+        passthrough=["_ingest_arrival"] if exact_predrop else (),
+    )
     flagged = near_dedupe_stream(
         normalized,
         id_col="eventid",
@@ -195,7 +255,7 @@ def start_deduped_ingest(
         max_bucket_docs=max_bucket_docs,
         shards=dedup_shards,
         signature_kernel=signature_kernel,
-        exact_predrop=exact_predrop,
+        external_watermark="_ingest_arrival" if exact_predrop else None,
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -47,9 +47,11 @@ def test_every_oracle_sql_parses_and_plans(con):
 def test_window_covers_round11_rotation():
     """The driver checks only the FIRST 50 entries: round 11 executes
     the contract-pinned rotation — the eleven r8-window entries
-    displaced in round 10 LEAD the window; round 11 changed no catalog
-    query's behavior/oracle, so the rest of the window re-covers the
-    round-9 window (2 rounds driver-stale); round 11's two NEW
+    displaced in round 10 LEAD the window; round 11 made no
+    VALUE-affecting change to any catalog query (q20's oracle was
+    hardened and q87's plan/oracle refactored, both value-identical
+    and both already in-window), so the rest of the window re-covers
+    the round-9 window (2 rounds driver-stale); round 11's two NEW
     entries (q123/q124, never driver-verified) sit at slots 11-12;
     thirteen r9-window entries spill to tail slots 50-62 (each
     kernel-sibling- or bench-covered in-window — catalog.py policy

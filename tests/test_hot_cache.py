@@ -125,3 +125,40 @@ def test_warm_scopes_copartition_guard(spark, cold_cache):
         spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
         == "true"
     )
+
+
+def test_clear_leaves_nonwarm_sessions_alone(spark, cold_cache):
+    """ADVICE r11: restore tracking is by who-set-the-conf
+    (_SKEW_GUARD_RELAXED), not by cache contents.  A session that only
+    did plain _t() reads (which DO populate _T_CACHE) must keep its own
+    explicit conf setting across clear_table_cache."""
+    from defenda_data_lake_spark.plans.catalog_shared import _t
+
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    _t(spark, SF_DIR, "region")  # populates _T_CACHE without warming
+    assert _T_CACHE
+    clear_table_cache()
+    # the user's own setting survives — this session never warmed
+    assert (
+        spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+        == "false"
+    )
+    spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+
+
+def test_clear_restores_guard_even_with_empty_cache(spark, cold_cache):
+    """ADVICE r11, converse case: warm_table_cache that cached ZERO
+    tables (budget excludes everything) still set the conf, so
+    clear_table_cache must still restore it."""
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
+    cached = warm_table_cache(spark, SF_DIR, max_bytes=0)
+    assert not cached and not _T_CACHE
+    assert (
+        spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+        == "false"
+    )
+    clear_table_cache()
+    assert (
+        spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+        == "true"
+    )

@@ -945,21 +945,25 @@ def test_lsh_processing_mode_anchor_is_arrival_bounded(spark, tmp_path):
 def test_near_dedupe_exact_predrop_suppresses_claimant_redelivery(
     spark, tmp_path
 ):
-    """The round-11 JVM pre-drop contract.  WITHOUT it, a
-    byte-identical re-delivery of the bucket CLAIMANT in a later
-    micro-batch is judged `doc_id == first_id` -> dup_of NULL and the
-    row lands AGAIN (exact re-delivery was dedupe_stream's job; the
-    near-dedup operator alone double-lands the claimant).  WITH
+    """Claimant re-delivery across micro-batches, both paths (round
+    12, VERDICT r11 item 1).  DEFAULT path: the re-send is FLAGGED —
+    judged by signature agreement once its bucket pre-exists, it
+    resolves dup_of = its own id and goes to the quarantine with an
+    audit record instead of silently landing twice.  WITH
     exact_predrop=True the re-send is suppressed in pure JVM before
-    the Python stages; near-dup semantics for DISTINCT docs are
-    unchanged."""
+    the Python stages (no quarantine record — the documented
+    contract difference).  Near-dup semantics for DISTINCT docs are
+    identical on both paths."""
     from defenda_data_lake_spark.streaming.dedup import (
         near_dedupe_stream,
         resolve_stream_flags,
     )
 
     text = "the quick brown fox jumps over the lazy dog again and again"
-    for predrop, expect_claimant_rows in ((False, 2), (True, 1)):
+    for predrop, expect_claimant in (
+        (False, [None, "1"]),  # first landing + flagged re-send
+        (True, [None]),        # re-send suppressed pre-Python
+    ):
         landing = tmp_path / f"landing_{predrop}"
         landing.mkdir()
         emitted = []  # (id, dup_of) per resolve, appended per batch
@@ -995,9 +999,8 @@ def test_near_dedupe_exact_predrop_suppresses_claimant_redelivery(
         finally:
             query.stop()
 
-        claimant_rows = [e for e in emitted if e[0] == 1]
-        assert len(claimant_rows) == expect_claimant_rows, (predrop, emitted)
-        assert all(d is None for _, d in claimant_rows)  # never flagged
+        claimant_rows = [d for i, d in emitted if i == 1]
+        assert claimant_rows == expect_claimant, (predrop, emitted)
         assert (2, "1") in emitted, (predrop, emitted)  # near-dup intact
 
 
@@ -1083,21 +1086,25 @@ def test_predrop_key_bypass_arm_injective_adversarial(spark):
     assert len(set(keys)) == len(pairs), keys
 
 
-def test_predrop_key_participating_arm_text_only(spark):
-    """Participating rows (parseable time + wordy text) key on kernel
-    TEXT alone: same text -> same key regardless of id; NULL text and
-    the literal 'None' are the SAME content (the signature kernel's
-    str(None) replay); whitespace-only text drops to the bypass arm
-    even when timed."""
+def test_predrop_key_is_id_text_everywhere(spark):
+    """Round-12 key contract (ADVICE r11): EVERY row keys on its
+    (id, text) pair — same (id, text) collides regardless of
+    timing/shingleability arm, distinct ids with shared text do NOT
+    (those flow to the main stage and keep their dup_of audit), and
+    NULL text is distinct from the literal 'None' (different bytes =
+    not a byte-identical re-send; the main stage still flags the
+    near-dup by signature)."""
     from defenda_data_lake_spark.streaming.dedup import _predrop_key_expr
 
     rows = [
         ("id1", "shared words here", 1),
-        ("id2", "shared words here", 1),   # same key as id1
-        ("id3", None, 1),                  # kernel text 'None'
-        ("id4", "None", 1),                # same key as id3
-        ("id5", "\t \n", 1),               # unshingleable -> bypass arm
-        ("id6", "\t \n", 1),               # distinct bypass key from id5
+        ("id2", "shared words here", 1),    # distinct id: distinct key
+        ("id1", "shared words here", None),  # same (id,text), bypass arm
+        ("id3", None, 1),                   # NULL text
+        ("id3", "None", 1),                 # literal 'None': distinct
+        ("id5", "\t \n", 1),                # unshingleable
+        ("id6", "\t \n", 1),                # distinct id: distinct key
+        ("id5", "\t \n", None),             # same (id,text): same key
     ]
     df = spark.createDataFrame(rows, "doc_id string, text string, _ndd_us long")
     keys = [
@@ -1105,15 +1112,18 @@ def test_predrop_key_participating_arm_text_only(spark):
             _predrop_key_expr("doc_id", "text").alias("k")
         ).collect()
     ]
-    assert keys[0] == keys[1]
-    assert keys[2] == keys[3]
-    assert keys[4] != keys[5]
-    assert keys[0] != keys[2]
+    assert keys[0] != keys[1]   # id is part of the key
+    assert keys[0] == keys[2]   # arm-independent: one formula
+    assert keys[3] != keys[4]   # NULL text != 'None'
+    assert keys[5] != keys[6]
+    assert keys[5] == keys[7]
+    assert keys[0] != keys[3]
 
 
 def test_predrop_key_injectivity_property(spark):
     """Property form (hypothesis): ANY set of distinct (id, text)
-    bypass pairs maps to distinct keys."""
+    pairs maps to distinct keys — since round 12 one formula covers
+    every row (participating and bypass arms alike)."""
     from hypothesis import given, settings, strategies as st
 
     from defenda_data_lake_spark.streaming.dedup import _predrop_key_expr
