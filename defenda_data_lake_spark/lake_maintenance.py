@@ -111,6 +111,63 @@ def compact_partition(
     }
 
 
+def bucketize_facts(
+    spark: SparkSession,
+    sf_dir: str,
+    database: str = "bucketed",
+    buckets: int | None = None,
+    target_bucket_bytes: int = 200 << 20,
+) -> dict:
+    """Write the fact tables bucketed+sorted on their dominant join key
+    (``plans.bucketing.BUCKET_SPECS``) — the AT-REST layout twin of
+    ``warm_table_cache``'s co-partitioning, promoted into the lake
+    maintenance surface (VERDICT r10 item 3 / r11 item 4): a cluster
+    runs this once per snapshot refresh, and every subsequent
+    orderkey join is a zero-exchange sort-merge over co-located
+    buckets, cold, with no cache to warm.  The round-10 measurement
+    that set the policy: at 32x the bucketed layout removes the join
+    shuffle (1.73 -> 1.45 s) while the co-partitioned CACHE also
+    removes the parquet decode (0.32 s) — cache when the working set
+    fits memory, bucket on disk when it doesn't.
+
+    Bucket-count policy when ``buckets`` is None: one bucket per
+    ~``target_bucket_bytes`` of the LARGEST spec table (a bucket is a
+    task — ~200 MB compressed keeps tasks comfortable), rounded up to
+    a power of two (AQE coalescing stays clean), floor 8.  ONE shared
+    count for every spec table: co-located joins require equal bucket
+    counts, so sizing from the largest side and sharing is the only
+    layout that serves the join (the same rule ``_CO_GROUP`` applies
+    to the cache).  At 100 TB of lineitem this lands at ~2^19 buckets
+    of ~200 MB — the standard warehouse shape.
+
+    Returns ``{table: {"buckets": n, "bytes": b}}``."""
+    import math
+
+    from defenda_data_lake_spark.plans.bucketing import BUCKET_SPECS
+    from defenda_data_lake_spark.plans.catalog_shared import _path_bytes
+
+    sizes = {
+        t: _path_bytes(os.path.join(sf_dir, f"{t}.parquet")) or 0
+        for t in BUCKET_SPECS
+    }
+    if buckets is None:
+        need = max(1, math.ceil(max(sizes.values()) / target_bucket_bytes))
+        buckets = max(8, 1 << (need - 1).bit_length())
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    out: dict = {}
+    for table, key in BUCKET_SPECS.items():
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(f"{database}.{table}")
+        )
+        out[table] = {"buckets": buckets, "bytes": sizes[table]}
+    return out
+
+
 def upsert_corpus_snapshot(
     spark: SparkSession,
     corpus_dir: str,

@@ -10,7 +10,57 @@ from defenda_data_lake_spark.plans.catalog_shared import (
     _t,
     _MINHASH_CTES_SQL,
     _MINHASH_PAIRS_SELECT,
+    derived_view,
 )
+
+
+def _nb_scored_view(spark, sf_dir):
+    """Session-materialized full-corpus NB scoring — the q87
+    ``derived_view`` lesson applied to the NB-scoring density family
+    (VERDICT r11 item 3): q103, q106, and q123 all replay the SAME
+    pipeline (label ``n_chars >= 300``, salt ``nbsplit``, 80/20 md5
+    split), so the expensive subtree — corpus word explode, broadcast
+    model join, per-doc aggregation — runs ONCE per session instead of
+    once per query.  One row per scoreable doc: the RAW log-odds (the
+    consumers round; rounding here would flip ``raw > 0`` on
+    |raw| < 5e-5 edges), word count, label, and split membership.
+
+    Value identity: per-doc scores depend only on the doc's own words
+    and the (train-split-derived) model, so scoring the full corpus
+    and filtering to the test split afterwards is value-identical to
+    scoring the test split alone (what ``nb_evaluate``/
+    ``nb_calibration`` do standalone); 4dp rounding at the consumers
+    absorbs float-sum reorder, the same contract the oracles pin.
+
+    Scale: pinned under the documents byte budget like every derived
+    view; past it the view streams UNPINNED — same plan, fused into
+    each consumer (``derived_view``'s documented 100 TB policy).  At
+    100 TB the equivalent move is persisting scores as a table column
+    (``save_nb_model`` + a scoring backfill), refreshed when the seed
+    set changes."""
+    from defenda_data_lake_spark.operators import classify as CL
+
+    def build(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        labeled = docs.withColumn(
+            "_nb_y",
+            F.coalesce((F.col("n_chars") >= 300).cast("long"), F.lit(0)),
+        )
+        train = labeled.filter(CL.train_split_expr("doc_id"))
+        model, totals = CL.nb_train(train, "_nb_y", "doc_id", "text")
+        scored = CL.nb_score(docs, model, totals, "doc_id", "text")
+        return scored.join(
+            labeled.select(
+                "doc_id",
+                "_nb_y",
+                CL.train_split_expr("doc_id").alias("_nb_train"),
+            ),
+            "doc_id",
+        )
+
+    return derived_view(
+        spark, sf_dir, "nb_scored", build, source_table="documents"
+    )
 
 
 def q94_snapshot_diff(spark, sf_dir):
@@ -418,16 +468,19 @@ def q103_nb_quality_classifier(spark, sf_dir):
     scoring BROADCASTS the vocabulary-sized model into the corpus
     word stream (plan-asserted) and the only corpus-sized exchange is
     the final per-doc aggregation.  Scores are integer-ratio ln sums
-    rounded at 4dp on both engines (the q54 determinism pattern)."""
-    from defenda_data_lake_spark.operators import classify as CL
+    rounded at 4dp on both engines (the q54 determinism pattern).
 
-    docs = _t(spark, sf_dir, "documents")
-    scored = CL.nb_quality_scores(docs, F.col("n_chars") >= 300)
+    Round 12: the scoring subtree is the session-materialized
+    ``_nb_scored_view`` shared with q106/q123 (the q87 derived-view
+    move applied to this family, VERDICT r11 item 3) — values
+    identical, the corpus is worded/joined/aggregated once per
+    session instead of once per family member."""
+    scored = _nb_scored_view(spark, sf_dir)
     return scored.select(
         "doc_id",
         "n_words",
         R("score", 4).alias("score"),
-        "predicted",
+        (F.col("score") > 0).cast("int").alias("predicted"),
     )
 
 
@@ -494,11 +547,33 @@ def q106_classifier_eval(spark, sf_dir):
     Determinism: integer confusion counts; every metric is a SINGLE
     integer-count division (F1 = 2tp/(2tp+fp+fn)) rounded at 4dp on
     both engines.  Scale: one broadcast-sized join and a 1-row global
-    agg on top of q103's scoring plan."""
-    from defenda_data_lake_spark.operators import classify as CL
+    agg on top of q103's scoring plan.
 
-    docs = _t(spark, sf_dir, "documents")
-    ev = CL.nb_evaluate(docs, F.col("n_chars") >= 300)
+    Round 12: reads the shared ``_nb_scored_view`` (test-split filter
+    + the same confusion aggregation ``nb_evaluate`` performs —
+    per-doc scores are independent, so full-corpus-then-filter is
+    value-identical to scoring the test split alone; the library
+    operator keeps the standalone 5x-less-scoring shape)."""
+    scored = _nb_scored_view(spark, sf_dir).filter(~F.col("_nb_train"))
+    c = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
+    p, y = F.col("score") > 0, F.col("_nb_y") == 1
+    counts = scored.agg(
+        F.count("*").alias("n_test"),
+        c(p & y).alias("tp"),
+        c(p & ~y).alias("fp"),
+        c(~p & y).alias("fn"),
+        c(~p & ~y).alias("tn"),
+    )
+    div = lambda num, den: F.when(den > 0, num / den)  # noqa: E731
+    ev = counts.select(
+        "n_test", "tp", "fp", "fn", "tn",
+        div(F.col("tp") + F.col("tn"), F.col("n_test")).alias("accuracy"),
+        div(F.col("tp"), F.col("tp") + F.col("fp")).alias("prec"),
+        div(F.col("tp"), F.col("tp") + F.col("fn")).alias("rec"),
+        div(
+            2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")
+        ).alias("f1"),
+    )
     return ev.select(
         "n_test", "tp", "fp", "fn", "tn",
         R("accuracy", 4).alias("accuracy"),
@@ -631,12 +706,41 @@ def q123_classifier_calibration(spark, sf_dir):
     (rounded score, doc_id), means rounded at 4dp, gap from the
     rounded pair.  Scale: the ntile window is TEST-SPLIT-sized (one
     task over ~N/5 score rows), never corpus-sized; everything before
-    it is q106's broadcast-model plan."""
-    from defenda_data_lake_spark.operators import classify as CL
+    it reads the shared ``_nb_scored_view`` (round 12 — the same
+    binning math ``nb_calibration`` computes, on the session-
+    materialized scores; the library operator keeps the standalone
+    shape)."""
+    from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
-    return CL.nb_calibration(docs, F.col("n_chars") >= 300, bins=10).orderBy(
-        "bin"
+    bins = 10
+    scored = _nb_scored_view(spark, sf_dir).filter(~F.col("_nb_train"))
+    r4 = lambda c: F.round(c * 10000, 0) / 10000  # noqa: E731
+    score_r = r4(F.col("score"))
+    prob = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-F.greatest(F.least(score_r, F.lit(30.0)), F.lit(-30.0)))
+    )
+    w = Window.orderBy(score_r.asc(), F.col("doc_id").asc())
+    binned = scored.select(
+        F.ntile(bins).over(w).alias("bin"),
+        prob.alias("_prob"),
+        F.col("_nb_y").alias("_y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.avg("_prob")).alias("mean_pred"),
+            r4(F.avg(F.col("_y").cast("double"))).alias("frac_pos"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n",
+            "mean_pred",
+            "frac_pos",
+            r4(F.abs(F.col("mean_pred") - F.col("frac_pos"))).alias("gap"),
+        )
+        .orderBy("bin")
     )
 
 

@@ -230,10 +230,17 @@ def start_deduped_ingest(
         # same micro-batch timestamp values, so eviction timing is
         # unchanged.
         # ------------------------------------------------------------------
+        # keyed on md5(raw), not the raw line: the dedup key is what
+        # the state store persists per distinct row per horizon (and
+        # what the exchange hashes), and a 32-hex digest is a fraction
+        # of a typical event line; collision risk is the same 2^-128
+        # the r11 operator-level predrop accepted
         raw = (
             raw.withColumn("_ingest_arrival", F.current_timestamp())
+            .withColumn("_ingest_xh", F.md5(F.col("raw")))
             .withWatermark("_ingest_arrival", watermark_delay)
-            .dropDuplicatesWithinWatermark(["raw"])
+            .dropDuplicatesWithinWatermark(["_ingest_xh"])
+            .drop("_ingest_xh")
         )
     # the watermark-tagged arrival column must SURVIVE to the stateful
     # operator (Spark's checker wants the tagged attribute in its

@@ -272,3 +272,62 @@ def test_nb_calibration_bins_partition_and_separate(spark):
     for r in out:
         assert 0.0 <= r.mean_pred <= 1.0
         assert abs(r.gap - round(abs(r.mean_pred - r.frac_pos), 4)) < 1e-9
+
+
+def test_nb_family_view_matches_standalone_operators(spark):
+    """Round 12 (VERDICT r11 item 3): q103/q106/q123 read the shared
+    session-materialized _nb_scored_view.  Pin value identity against
+    the standalone operators (score full corpus vs score-test-only are
+    value-identical because per-doc scores are independent), and that
+    one view serves the whole family (a single 'nb_scored' cache
+    entry, not one per member)."""
+    from defenda_data_lake_spark.operators.classify import (
+        nb_calibration,
+        nb_evaluate,
+    )
+    from defenda_data_lake_spark.plans.catalog import (
+        CATALOG,
+        clear_table_cache,
+    )
+    from defenda_data_lake_spark.plans.catalog_shared import _DERIVED_CACHE
+
+    clear_table_cache()
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        label = F.col("n_chars") >= 300
+
+        # q103 vs nb_quality_scores
+        fn103, _ = CATALOG["q103_nb_quality_classifier"]
+        got = {
+            r.doc_id: (r.n_words, r.score, r.predicted)
+            for r in fn103(spark, SF).collect()
+        }
+        want = {
+            r.doc_id: (r.n_words, round(r.score * 10000) / 10000, r.predicted)
+            for r in nb_quality_scores(docs, label).collect()
+        }
+        assert got == want
+
+        # q106 vs nb_evaluate (metrics rounded at 4dp by the entry)
+        fn106, _ = CATALOG["q106_classifier_eval"]
+        g = fn106(spark, SF).collect()[0]
+        w = nb_evaluate(docs, label).collect()[0]
+        assert (g.n_test, g.tp, g.fp, g.fn, g.tn) == (
+            w.n_test, w.tp, w.fp, w.fn, w.tn
+        )
+        assert g.accuracy == round(w.accuracy * 10000) / 10000
+
+        # q123 vs nb_calibration
+        fn123, _ = CATALOG["q123_classifier_calibration"]
+        g_rows = [tuple(r) for r in fn123(spark, SF).collect()]
+        w_rows = [
+            tuple(r) for r in nb_calibration(docs, label, bins=10)
+            .orderBy("bin").collect()
+        ]
+        assert g_rows == w_rows
+
+        # one shared view entry serves the family
+        names = [k[2] for k in _DERIVED_CACHE]
+        assert names.count("nb_scored") == 1
+    finally:
+        clear_table_cache()
