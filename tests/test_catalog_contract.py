@@ -44,83 +44,54 @@ def test_every_oracle_sql_parses_and_plans(con):
     assert not bad, bad
 
 
-def test_window_covers_round11_rotation():
-    """The driver checks only the FIRST 50 entries: round 11 executes
-    the contract-pinned rotation — the eleven r8-window entries
-    displaced in round 10 LEAD the window; round 11 made no
-    VALUE-affecting change to any catalog query (q20's oracle was
-    hardened and q87's plan/oracle refactored, both value-identical
-    and both already in-window), so the rest of the window re-covers
-    the round-9 window (2 rounds driver-stale); round 11's two NEW
-    entries (q123/q124, never driver-verified) sit at slots 11-12;
-    thirteen r9-window entries spill to tail slots 50-62 (each
-    kernel-sibling- or bench-covered in-window — catalog.py policy
-    comment) and MUST lead round 12."""
+def test_window_covers_round12_rotation():
+    """The driver checks only the FIRST 50 entries: round 12 executes
+    the contract-pinned rotation — the THIRTEEN r9-green entries
+    displaced in rounds 10-11 LEAD the window (r11 VERDICT item 2);
+    then the three entries round 12 changed (q103/q106/q123 moved to
+    the shared _nb_scored_view — value-identical, plans
+    restructured); then the headline seven, driver-stale since round
+    6 (r11 VERDICT item 6); then the r10 window in its r10 order.
+    TWENTY-ONE r10-window entries spill past slot 50 and MUST lead
+    round 13 (each driver-green in r10 and judge-covered by the
+    full-catalog 120/120 re-runs in r10 AND r11)."""
     window = list(CATALOG)[:50]
-    # the r11 rotation pin (r10 VERDICT / COVERAGE.md ledger)
-    r8_spills = [
-        "q26_regexp_count", "q40_knn_brute", "q32_dedup_jaccard",
-        "q14_anti_join", "q19_cube_customers", "q28_exists_sql",
-        "q48_knn_quantized", "q55_group_sample", "q59_temperature_mix",
-        "q64_bigram_logprob", "q67_retention_cohorts",
-    ]
-    assert list(CATALOG)[:11] == r8_spills
-    # new-this-round entries (never driver-verified) follow the pins
-    assert list(CATALOG)[11:13] == [
-        "q123_classifier_calibration", "q124_hybrid_rrf",
-    ]
-    # the thirteen r9-window entries displaced by the pins: each is
-    # value-exercised every round elsewhere (headline bench or an
-    # in-window kernel sibling — see the catalog.py policy comment)
-    # and MUST lead round 12's window
-    assert list(CATALOG)[50:63] == [
+    thirteen_pins = [
         "q120_sequence_packing_bpe", "q76_perplexity_buckets",
         "q116_bpe_tokenize", "q78_chunk_dedupe", "q80_bloom_distinct",
         "q89_ann_recall", "q91_overlap_sketch", "q92_token_budget",
         "q94_snapshot_diff", "q96_knn_pq", "q98_leakage_safe_split",
         "q99_scd2_history", "q101_triangle_counts",
     ]
-    # slots 13-50 are r9-window entries only (everything else in the
-    # window would be fresher than something outside it)
-    r9_window = {
-        "q73_semdedup", "q77_bucket_dedupe", "q70_pivot_daily",
-        "q69_rolling_anomaly", "q115_bpe_merges", "q116_bpe_tokenize",
-        "q117_token_budget_bpe", "q118_group_token_budget_bpe",
-        "q119_bpe_byte_fallback", "q120_sequence_packing_bpe",
-        "q121_fertility_by_lang", "q122_semantic_decontamination",
-        "q20_events_json", "q34_text_quality", "q35_text_langid",
-        "q37_vocab_topk", "q39_sequence_packing", "q43_multimodal_meta",
-        "q45_embedding_dedup", "q46_knn_ivf", "q62_audio_chunks",
-        "q71_pii_redaction", "q72_weighted_sample", "q74_resize_plumbing",
-        "q63_candidate_verify", "q60_containment_pairs",
-        "q58_ngram_novelty", "q49_dup_clusters", "q76_perplexity_buckets",
-        "q78_chunk_dedupe", "q79_hll_distinct", "q80_bloom_distinct",
-        "q81_dup_span_coverage", "q83_count_min_words", "q84_char_entropy",
-        "q85_profile_events", "q86_referential_integrity", "q87_bm25_topk",
-        "q88_quantile_sketch", "q89_ann_recall", "q91_overlap_sketch",
-        "q92_token_budget", "q94_snapshot_diff", "q96_knn_pq",
-        "q97_corpus_datasheet", "q98_leakage_safe_split",
-        "q99_scd2_history", "q100_pagerank", "q101_triangle_counts",
-        "q102_edit_distance_pairs",
-    }
-    for n in window[13:]:
-        assert n in r9_window, n
-    # staleness audit for the rest of the tail: r10-window entries
-    # (r10-driver-green, CORRECTNESS_r10 50/50 AND the r10 judge's
-    # full-catalog 118/118) or headline-benched
-    r10_window = {
-        "q103_nb_quality_classifier", "q104_source_overlap",
-        "q105_prototypicality", "q107_quality_survivors",
-        "q108_unicode_normalize", "q47_kmeans_clusters",
-        "q95_sampled_diff", "q90_hll_rollup", "q82_dup_span_removal",
-        "q93_group_token_budget", "q75_group_weighted_sample",
-        "q106_classifier_eval",
-        "q24_presto_text", "q25_percentile_stats", "q33_text_tokens",
-        "q38_dataset_split", "q44_multimodal_decode", "q42_simhash_pairs",
-        "q109_image_dhash", "q110_domain_curation",
-        "q111_boilerplate_removal", "q112_dsir_weights", "q113_cdc_apply",
-        "q114_audio_fingerprint", "q16_event_pairs", "q07_top_customers",
-        "q09_rollup_orders", "q11_window_running", "q12_distinct_agg",
+    assert window[:13] == thirteen_pins
+    # changed-this-round rule: the NB family moved to the shared view
+    assert window[13:16] == [
+        "q103_nb_quality_classifier", "q106_classifier_eval",
+        "q123_classifier_calibration",
+    ]
+    # the headline seven get their first driver slot since round 6
+    assert window[16:23] == [
+        "q01_pricing_summary", "q03_shipping_priority",
+        "q05_regional_revenue", "q10_window_rank", "q30_dedup_exact",
+        "q31_dedup_minhash", "q36_text_fingerprint",
+    ]
+    # slots 23-49: r10-window entries only, in their r10 order
+    r10_window = [
+        "q104_source_overlap", "q105_prototypicality",
+        "q107_quality_survivors", "q108_unicode_normalize",
+        "q47_kmeans_clusters", "q95_sampled_diff", "q90_hll_rollup",
+        "q82_dup_span_removal", "q93_group_token_budget",
+        "q75_group_weighted_sample", "q24_presto_text",
+        "q25_percentile_stats", "q33_text_tokens", "q38_dataset_split",
+        "q44_multimodal_decode", "q42_simhash_pairs", "q109_image_dhash",
+        "q110_domain_curation", "q111_boilerplate_removal",
+        "q112_dsir_weights", "q113_cdc_apply", "q114_audio_fingerprint",
+        "q16_event_pairs", "q07_top_customers", "q09_rollup_orders",
+        "q11_window_running", "q12_distinct_agg",
+    ]
+    assert window[23:50] == r10_window
+    # the r13 obligation: the twenty-one r10 spills lead the tail
+    r10_spills = [
         "q13_semi_join", "q15_setops", "q17_above_customer_avg",
         "q18_full_outer", "q21_events_sessions", "q22_events_hourly",
         "q23_string_funcs", "q27_grouping_sets", "q29_asof_join",
@@ -129,11 +100,29 @@ def test_window_covers_round11_rotation():
         "q54_unigram_logprob", "q56_contrastive_pairs",
         "q57_gopher_filter", "q61_length_buckets", "q65_oov_rate",
         "q66_funnel", "q68_doc_chunks",
+    ]
+    assert list(CATALOG)[50:71] == r10_spills
+    # everything after them was driver-green in r11 (1 round stale):
+    # the eleven r8 spills, q123/q124, and the r9-window block
+    r11_green = {
+        "q26_regexp_count", "q40_knn_brute", "q32_dedup_jaccard",
+        "q14_anti_join", "q19_cube_customers", "q28_exists_sql",
+        "q48_knn_quantized", "q55_group_sample", "q59_temperature_mix",
+        "q64_bigram_logprob", "q67_retention_cohorts", "q124_hybrid_rrf",
+        "q73_semdedup", "q77_bucket_dedupe", "q70_pivot_daily",
+        "q69_rolling_anomaly", "q115_bpe_merges", "q117_token_budget_bpe",
+        "q118_group_token_budget_bpe", "q119_bpe_byte_fallback",
+        "q121_fertility_by_lang", "q122_semantic_decontamination",
+        "q20_events_json", "q34_text_quality", "q35_text_langid",
+        "q37_vocab_topk", "q39_sequence_packing", "q43_multimodal_meta",
+        "q45_embedding_dedup", "q46_knn_ivf", "q62_audio_chunks",
+        "q71_pii_redaction", "q72_weighted_sample", "q74_resize_plumbing",
+        "q63_candidate_verify", "q60_containment_pairs",
+        "q58_ngram_novelty", "q49_dup_clusters", "q79_hll_distinct",
+        "q81_dup_span_coverage", "q83_count_min_words", "q84_char_entropy",
+        "q85_profile_events", "q86_referential_integrity", "q87_bm25_topk",
+        "q88_quantile_sketch", "q97_corpus_datasheet", "q100_pagerank",
+        "q102_edit_distance_pairs",
     }
-    headline = {
-        "q01_pricing_summary", "q03_shipping_priority",
-        "q05_regional_revenue", "q10_window_rank", "q30_dedup_exact",
-        "q31_dedup_minhash", "q36_text_fingerprint",
-    }
-    for n in list(CATALOG)[63:]:
-        assert n in r10_window or n in headline, n
+    for n in list(CATALOG)[71:]:
+        assert n in r11_green, n
