@@ -164,11 +164,15 @@ def start_deduped_ingest(
     all on this path — the pipeline mints eventids, so re-sends never
     share an id after normalization).  A byte-identical re-send
     within the watermark horizon is suppressed in-stream instead of
-    being flagged/quarantined: it skips the ENTIRE Python pipeline
-    (normalize + signature + stateful — the throughput lever), and
-    this is the only stage that can catch re-sends of BYPASS rows
-    (unparseable timestamp / unshingleable text), which otherwise
-    double-land by design.  Off by default, two documented reasons:
+    being flagged/quarantined: it skips the entire Python pipeline,
+    and this is the only stage that can catch re-sends of BYPASS
+    rows (unparseable timestamp / unshingleable text), which
+    otherwise double-land by design.  A CORRECTNESS-coverage flag,
+    not a throughput lever: the r12 probe measured it 1.03-1.31x
+    SLOWER than the default path at 20-50% re-send fractions (the
+    raw-line exchange + second stateful stage cost more than the
+    suppressed rows' skipped Python work — SCALING.md "Round 12").
+    Off by default, two documented reasons:
     it changes the quarantine contract (suppressed re-sends leave no
     quarantine record — on the default path a shingleable re-send
     lands in the quarantine flagged ``dup_of``) and the streaming DAG

@@ -86,10 +86,17 @@ def run(mode: str, n: int) -> dict:
     from defenda_data_lake_spark.streaming.ingest import start_deduped_ingest
 
     tmp = tempfile.mkdtemp(prefix=f"stream_probe12_{mode}_")
-    spark = get_spark(
-        app_name=f"stream-probe12-{mode}",
-        extra_conf={"spark.sql.warehouse.dir": os.path.join(tmp, "wh")},
-    )
+    conf = {"spark.sql.warehouse.dir": os.path.join(tmp, "wh")}
+    if os.environ.get("PROBE_STATE_PROVIDER", "").lower() == "rocksdb":
+        # the predrop's dropDuplicates state is per-key entries in the
+        # default HDFSBackedStateStore (full-map in memory, snapshot
+        # churn); RocksDB trades that for LSM files — applies to BOTH
+        # modes' stateful stages, so the pairing stays fair
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    spark = get_spark(app_name=f"stream-probe12-{mode}", extra_conf=conf)
     try:
         # warm the python worker pool off the clock (same as r8/r11)
         spark.range(1000).repartition(32).mapInPandas(
