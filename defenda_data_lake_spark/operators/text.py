@@ -496,3 +496,99 @@ def normalize_unicode(
 
     kernel = pandas_udf(_norm_series, "string")
     return df.withColumn(out_col or text_col, kernel(F.col(text_col)))
+
+
+def source_unigram_js(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram word
+    distributions of every unordered pair of corpus sources — the
+    "how different are my sources really" diagnostic behind dataset
+    mixing decisions (a temperature-mix like q59 reweights sources;
+    this measures whether reweighting can matter at all: JS ≈ 0 means
+    two dumps are the same distribution and their mix ratio is a
+    dedup question, not a diversity one).  Returns one row per pair:
+    ``(src_a, src_b, n_words_a, n_words_b, js)`` with ``js``
+    UNROUNDED (callers round for cross-engine comparison);
+    ``src_a < src_b`` lexicographically.
+
+    Zero-frequency handling WITHOUT a full-outer join: with
+    M = (P+Q)/2,
+
+        JS = 0.5·[ Σ_shared p·ln(2p/(p+q)) + (1-C_P)·ln 2 ]
+           + 0.5·[ Σ_shared q·ln(2q/(p+q)) + (1-C_Q)·ln 2 ]
+
+    where C_P = Σ_shared p: a word present only in P contributes
+    p·ln 2 to KL(P||M), so the words absent from the inner join are
+    recovered exactly from the shared-mass totals.  A pair sharing NO
+    words (possible between tiny sources) still gets its row — the
+    pair frame is the tiny per-source totals cross (|sources|²),
+    left-joined to the shared-word aggregation — with js = ln 2, the
+    JS maximum.
+
+    Scale notes (100 TB): tokenization is one corpus pass (explode +
+    hash-agg on (source, word); map-side partials absorb the Zipf
+    head).  Everything AFTER that is VOCABULARY-bounded, independent
+    of corpus size: the distribution table is |sources|·V rows, the
+    pair expansion is the word self-join (a word shared by k sources
+    emits k(k-1)/2 rows — bounded by |sources|²·V), and the final agg
+    key space is |sources|².  The self-join's two sides are the same
+    subplan, so the exchange on ``word`` is built once and reused
+    (the q32 postings-join property)."""
+    import math
+
+    words = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    )
+    counts = words.groupBy("src", "word").agg(F.count("*").alias("wc"))
+    totals = counts.groupBy("src").agg(F.sum("wc").alias("tw"))
+    dist = counts.join(F.broadcast(totals), "src").select(
+        "src", "word", (F.col("wc").cast("double") / F.col("tw")).alias("p")
+    )
+    a, b = dist.alias("a"), dist.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(
+            F.sum(
+                F.col("a.p")
+                * F.log(2.0 * F.col("a.p") / (F.col("a.p") + F.col("b.p")))
+            ).alias("_sa"),
+            F.sum(
+                F.col("b.p")
+                * F.log(2.0 * F.col("b.p") / (F.col("a.p") + F.col("b.p")))
+            ).alias("_sb"),
+            F.sum("a.p").alias("_ca"),
+            F.sum("b.p").alias("_cb"),
+        )
+    )
+    ta, tb = totals.alias("ta"), totals.alias("tb")
+    pairs = ta.join(tb, F.col("ta.src") < F.col("tb.src")).select(
+        F.col("ta.src").alias("src_a"),
+        F.col("tb.src").alias("src_b"),
+        F.col("ta.tw").alias("n_words_a"),
+        F.col("tb.tw").alias("n_words_b"),
+    )
+    ln2 = math.log(2.0)
+    z = F.lit(0.0)
+    js = 0.5 * (
+        F.coalesce(F.col("_sa"), z)
+        + (1.0 - F.coalesce(F.col("_ca"), z)) * ln2
+    ) + 0.5 * (
+        F.coalesce(F.col("_sb"), z)
+        + (1.0 - F.coalesce(F.col("_cb"), z)) * ln2
+    )
+    return pairs.join(inter, ["src_a", "src_b"], "left").select(
+        "src_a", "src_b", "n_words_a", "n_words_b", js.alias("js")
+    )

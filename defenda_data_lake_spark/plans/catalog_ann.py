@@ -773,3 +773,76 @@ fused AS (
 SELECT doc_id, lex_rank, sem_rank, rrf
 FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
 """
+
+
+def q126_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift report: assign every vector to the
+    q47 k-means clustering (identical Lloyd chain — quantized
+    centroids, bit-reproducible), split the corpus into two
+    deterministic md5 halves ("old"/"new" snapshots, the q38 split
+    pattern with its own salt), and report per-cluster population and
+    dispersion shift — the "did my embedding space move between
+    snapshots" gate a retrieval/dedup index needs before trusting a
+    stale IVF layout (q46) or semantic-dedup thresholds (q73) on new
+    data.  With a hash split the expected drift is ~0: the value of
+    the entry is the MACHINERY being oracle-exact, so a real pipeline
+    can point it at true time-ordered snapshots.
+
+    Per cluster: ``(cluster, n_old, n_new, avg_sq_old, avg_sq_new,
+    drift)`` where avg_sq_* is the mean squared distance to the
+    centroid at 4dp and drift = avg_sq_new - avg_sq_old computed FROM
+    the rounded pair (the q123 gap convention).  A side with no
+    members yields NULL avg and NULL drift on both engines.
+
+    Scale notes (100 TB): everything is q47's plan (k broadcast
+    centroids into one corpus pass) plus ONE extra narrow md5 column
+    and a k-row aggregation — no new exchange, no window, nothing
+    corpus-sized beyond the assignment scan q47 already pays."""
+    from defenda_data_lake_spark.operators.clustering import kmeans_assign
+    from defenda_data_lake_spark.operators.sampling import hash_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=8, iterations=3)
+    agg = (
+        assigned.withColumn("_old", hash_bucket("id", "embdrift") < 5000)
+        .groupBy("cluster")
+        .agg(
+            F.sum(F.col("_old").cast("long")).alias("n_old"),
+            F.sum((~F.col("_old")).cast("long")).alias("n_new"),
+            R(F.avg(F.when(F.col("_old"), F.col("sq_dist"))), 4).alias(
+                "avg_sq_old"
+            ),
+            R(F.avg(F.when(~F.col("_old"), F.col("sq_dist"))), 4).alias(
+                "avg_sq_new"
+            ),
+        )
+    )
+    return agg.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_old",
+        "n_new",
+        "avg_sq_old",
+        "avg_sq_new",
+        R(F.col("avg_sq_new") - F.col("avg_sq_old"), 4).alias("drift"),
+    )
+
+
+Q126_SQL = _kmeans_cte() + """,
+split AS (
+  SELECT vec_id, cl, sq,
+         (CAST('0x' || substr(md5('embdrift' || CAST(vec_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 10000) < 5000 AS is_old
+  FROM a3
+),
+agg AS (
+  SELECT CAST(cl AS BIGINT) AS cluster,
+         CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+         round(avg(CASE WHEN is_old THEN sq END) * 10000, 0) / 10000 AS avg_sq_old,
+         round(avg(CASE WHEN NOT is_old THEN sq END) * 10000, 0) / 10000 AS avg_sq_new
+  FROM split GROUP BY cl
+)
+SELECT cluster, n_old, n_new, avg_sq_old, avg_sq_new,
+       round((avg_sq_new - avg_sq_old) * 10000, 0) / 10000 AS drift
+FROM agg
+"""

@@ -1115,3 +1115,71 @@ SELECT doc_id, domain,
 FROM r
 WHERE domain IS NULL OR rn <= 3
 """
+
+
+def q125_source_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between every pair of corpus
+    sources' unigram word distributions (operators/text.py
+    ``source_unigram_js``) — the dataset-MIXING diagnostic that sits
+    beside q104's duplication matrix: q104 says which sources copy
+    each other's documents; this says which sources are the same
+    DISTRIBUTION (JS ≈ 0 → a mix ratio between them is a dedup
+    question, not a diversity one; JS → ln 2 → genuinely disjoint
+    vocabularies worth separate temperature weights in a q59-style
+    mix).
+
+    Determinism: word counts and totals are exact integers; js is an
+    ln-sum over probability ratios rounded at 4dp on both engines
+    (the q54 convention).  Zero-shared-word pairs get the exact JS
+    maximum ln 2 from the closed-form remainder — no full-outer join
+    (operator docstring derives it).
+
+    Scale notes (100 TB): one corpus tokenize pass; everything after
+    is VOCABULARY-bounded (|sources|·V distribution rows, the word
+    self-join reuses its one exchange — q32's property), and the
+    |sources|² pair frame is a tiny totals-cross
+    (BroadcastNestedLoopJoin of |sources| rows against itself — the
+    one sanctioned non-equi build here, never corpus-sided)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = X.source_unigram_js(docs)
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_words_a",
+        "n_words_b",
+        R("js", 4).alias("js"),
+    )
+
+
+Q125_SQL = r"""
+WITH words AS (
+  SELECT source AS src,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+  FROM documents
+),
+counts AS (SELECT src, word, count(*) AS wc FROM words GROUP BY src, word),
+tot AS (SELECT src, CAST(sum(wc) AS BIGINT) AS tw FROM counts GROUP BY src),
+dist AS (
+  SELECT c.src, c.word, CAST(wc AS DOUBLE) / tw AS p
+  FROM counts c JOIN tot USING (src)
+),
+inter AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         sum(a.p * ln(2 * a.p / (a.p + b.p))) AS sa,
+         sum(b.p * ln(2 * b.p / (a.p + b.p))) AS sb,
+         sum(a.p) AS ca, sum(b.p) AS cb
+  FROM dist a JOIN dist b ON a.word = b.word AND a.src < b.src
+  GROUP BY a.src, b.src
+),
+allpairs AS (
+  SELECT ta.src AS src_a, tb.src AS src_b,
+         ta.tw AS n_words_a, tb.tw AS n_words_b
+  FROM tot ta JOIN tot tb ON ta.src < tb.src
+)
+SELECT p.src_a, p.src_b, p.n_words_a, p.n_words_b,
+       round((0.5 * (coalesce(sa, 0) + (1 - coalesce(ca, 0)) * ln(2))
+            + 0.5 * (coalesce(sb, 0) + (1 - coalesce(cb, 0)) * ln(2)))
+             * 10000, 0) / 10000 AS js
+FROM allpairs p
+LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b
+"""
