@@ -502,6 +502,7 @@ def source_unigram_js(
     df: DataFrame,
     source_col: str = "source",
     text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between the unigram word
     distributions of every unordered pair of corpus sources — the
@@ -534,9 +535,20 @@ def source_unigram_js(
     of corpus size: the distribution table is |sources|·V rows, the
     pair expansion is the word self-join (a word shared by k sources
     emits k(k-1)/2 rows — bounded by |sources|²·V), and the final agg
-    key space is |sources|².  The self-join's two sides are the same
-    subplan, so the exchange on ``word`` is built once and reused
-    (the q32 postings-join property)."""
+    key space is |sources|².  ``broadcast_vocab=True`` (default, the
+    q54 convention) makes the self-join a broadcast hash join — the
+    build side is the vocabulary-bounded distribution table, so the
+    join needs NO exchange and no sort (at 32x-replicated sf0.1 this
+    removed ~1.3 s of small-stage sort-merge overhead on a 20k-row
+    table).  If the vocabulary outgrows executor memory, pass False:
+    the join becomes a sort-merge on ``word`` with the two sides
+    sharing one reused exchange (the q32 postings-join property), and
+    single-source words — which can never match the intersection join
+    and whose JS mass is exactly the closed-form (1 - C)·ln 2
+    remainder — are pruned BEFORE it (under Heaps' law hapax words
+    are roughly half a web vocabulary, so the prune halves the join
+    input; its count-over-word window slots into the word exchange
+    the join needs anyway)."""
     import math
 
     words = df.select(
@@ -550,7 +562,21 @@ def source_unigram_js(
     dist = counts.join(F.broadcast(totals), "src").select(
         "src", "word", (F.col("wc").cast("double") / F.col("tw")).alias("p")
     )
+    if not broadcast_vocab:
+        # big-vocab path: prune single-source words before the
+        # sort-merge self-join (see the docstring's Heaps'-law note)
+        from pyspark.sql.window import Window as _W
+
+        dist = (
+            dist.withColumn(
+                "_nsrc", F.count(F.lit(1)).over(_W.partitionBy("word"))
+            )
+            .filter(F.col("_nsrc") > 1)
+            .drop("_nsrc")
+        )
     a, b = dist.alias("a"), dist.alias("b")
+    if broadcast_vocab:
+        b = F.broadcast(b)
     inter = (
         a.join(
             b,
