@@ -770,3 +770,121 @@ SELECT CAST(bin AS BIGINT) AS bin, n, mean_pred, frac_pos,
        round(abs(mean_pred - frac_pos) * 10000, 0) / 10000 AS gap
 FROM agg ORDER BY bin
 """
+
+
+def q127_preference_pairs(spark, sf_dir):
+    """Preference-pair mining from near-dup clusters — the DPO/RLHF
+    data-construction step expressed as a composition of this
+    catalog's own stages: MinHash-LSH pairs (q31's operator) →
+    connected components (q49) → per-cluster best/worst member by the
+    NB quality score (the shared ``_nb_scored_view``).  Each near-dup
+    family of size ≥ 2 yields one (chosen, rejected) pair: same
+    underlying content, quality-ranked — exactly the contrastive pair
+    a preference tuner wants from duplicate families.
+
+    Determinism: scores are rounded at 4dp FIRST (the engine-stable
+    ordering), ties break by id — chosen is the LOWEST id among the
+    top-scored, rejected the HIGHEST id among the bottom-scored (so a
+    uniform-score family still yields a deterministic, distinct
+    pair); margin is computed from the rounded pair (q123's gap
+    convention).  Every non-singleton cluster member is shingleable
+    by construction (it appeared in an LSH pair), so the score join
+    is lossless.
+
+    Scale notes (100 TB): pairs/components are the q49 plan (near-dup
+    bounded, never corpus-quadratic); the scores come from the shared
+    session view (built once per session); the pair construction
+    itself is ONE hash aggregation on cluster_id — the best/worst
+    members are struct-ordered min/max aggregates ((score, -id)
+    tuples), NOT a window, so there is no sort and the single
+    exchange carries only cluster-sized partials."""
+    from defenda_data_lake_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(
+        docs, num_hashes=8, bands=2, shingle_n=3
+    )
+    clusters = D.duplicate_clusters(docs, pairs)
+    scored = _nb_scored_view(spark, sf_dir)
+    r4 = lambda c: F.round(c * 10000, 0) / 10000  # noqa: E731
+    j = (
+        clusters.filter(F.col("cluster_size") >= 2)
+        .join(
+            scored.select("doc_id", r4(F.col("score")).alias("_s")),
+            "doc_id",
+        )
+    )
+    best = F.max(
+        F.struct(F.col("_s").alias("s"), (-F.col("doc_id")).alias("negid"))
+    )
+    worst = F.min(
+        F.struct(F.col("_s").alias("s"), (-F.col("doc_id")).alias("negid"))
+    )
+    agg = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        best.alias("_b"),
+        worst.alias("_w"),
+    )
+    return agg.select(
+        "cluster_id",
+        "cluster_size",
+        (-F.col("_b.negid")).alias("chosen_id"),
+        (-F.col("_w.negid")).alias("rejected_id"),
+        F.col("_b.s").alias("chosen_score"),
+        F.col("_w.s").alias("rejected_score"),
+        r4(F.col("_b.s") - F.col("_w.s")).alias("margin"),
+    )
+
+
+# the NB chain and the minhash chain both define a `norm` CTE (same
+# normalization, different projections) — rename the NB one for this
+# composed oracle (word-boundary regex so only the CTE name and its
+# references rewrite)
+import re as _re
+
+_NB_CTES_RENAMED = _re.sub(r"\bnorm\b", "nbnorm", _NB_CTES_SQL)
+
+Q127_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES_SQL},
+pairs AS ({_MINHASH_PAIRS_SELECT}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+),
+lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+{_NB_CTES_RENAMED},
+members AS (
+  SELECT l.cluster_id, l.doc_id,
+         round(s.raw * 10000, 0) / 10000 AS score_r
+  FROM lab l
+  JOIN scored s ON l.doc_id = s.doc_id
+  WHERE l.cluster_id IN (
+    SELECT cluster_id FROM lab GROUP BY cluster_id HAVING count(*) >= 2
+  )
+),
+ranked AS (
+  SELECT cluster_id, doc_id, score_r,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY score_r DESC, doc_id ASC) AS rb,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY score_r ASC, doc_id DESC) AS rw,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM members
+)
+SELECT b.cluster_id,
+       CAST(b.cluster_size AS BIGINT) AS cluster_size,
+       b.doc_id AS chosen_id,
+       w.doc_id AS rejected_id,
+       b.score_r AS chosen_score,
+       w.score_r AS rejected_score,
+       round((b.score_r - w.score_r) * 10000, 0) / 10000 AS margin
+FROM ranked b
+JOIN ranked w ON b.cluster_id = w.cluster_id AND w.rw = 1
+WHERE b.rb = 1
+"""

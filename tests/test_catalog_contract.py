@@ -52,10 +52,10 @@ def test_window_covers_round12_rotation():
     the shared _nb_scored_view — value-identical, plans
     restructured); then the headline seven, driver-stale since round
     6 (r11 VERDICT item 6); then the r10 window in its r10 order.
-    then the two entries round 12 ADDED (q125/q126, never
+    then the three entries round 12 ADDED (q125/q126/q127, never
     driver-verified); then the headline seven, driver-stale since
     round 6 (r11 VERDICT item 6); then the r10 window in its r10
-    order.  TWENTY-THREE r10-window entries spill past slot 50 and
+    order.  TWENTY-FOUR r10-window entries spill past slot 50 and
     MUST lead round 13 (each driver-green in r10 and judge-covered by
     the full-catalog 120/120 re-runs in r10 AND r11)."""
     window = list(CATALOG)[:50]
@@ -74,11 +74,12 @@ def test_window_covers_round12_rotation():
     ]
     # new-this-round entries (never driver-verified) follow the
     # changed block
-    assert window[16:18] == [
+    assert window[16:19] == [
         "q125_source_divergence", "q126_embedding_drift",
+        "q127_preference_pairs",
     ]
     # the headline seven get their first driver slot since round 6
-    assert window[18:25] == [
+    assert window[19:26] == [
         "q01_pricing_summary", "q03_shipping_priority",
         "q05_regional_revenue", "q10_window_rank", "q30_dedup_exact",
         "q31_dedup_minhash", "q36_text_fingerprint",
@@ -94,13 +95,13 @@ def test_window_covers_round12_rotation():
         "q44_multimodal_decode", "q42_simhash_pairs", "q109_image_dhash",
         "q110_domain_curation", "q111_boilerplate_removal",
         "q112_dsir_weights", "q113_cdc_apply", "q114_audio_fingerprint",
-        "q16_event_pairs", "q07_top_customers", "q09_rollup_orders",
+        "q16_event_pairs", "q07_top_customers",
     ]
-    assert window[25:50] == r10_window
-    # the r13 obligation: the twenty-three r10 spills lead the tail
-    # (q11/q12 displaced from the window by the two new entries)
+    assert window[26:50] == r10_window
+    # the r13 obligation: the twenty-four r10 spills lead the tail
+    # (q09/q11/q12 displaced from the window by the three new entries)
     r10_spills = [
-        "q11_window_running", "q12_distinct_agg",
+        "q09_rollup_orders", "q11_window_running", "q12_distinct_agg",
         "q13_semi_join", "q15_setops", "q17_above_customer_avg",
         "q18_full_outer", "q21_events_sessions", "q22_events_hourly",
         "q23_string_funcs", "q27_grouping_sets", "q29_asof_join",
@@ -110,7 +111,7 @@ def test_window_covers_round12_rotation():
         "q57_gopher_filter", "q61_length_buckets", "q65_oov_rate",
         "q66_funnel", "q68_doc_chunks",
     ]
-    assert list(CATALOG)[50:73] == r10_spills
+    assert list(CATALOG)[50:74] == r10_spills
     # everything after them was driver-green in r11 (1 round stale):
     # the eleven r8 spills, q123/q124, and the r9-window block
     r11_green = {
@@ -133,5 +134,5 @@ def test_window_covers_round12_rotation():
         "q88_quantile_sketch", "q97_corpus_datasheet", "q100_pagerank",
         "q102_edit_distance_pairs",
     }
-    for n in list(CATALOG)[73:]:
+    for n in list(CATALOG)[74:]:
         assert n in r11_green, n

@@ -130,3 +130,50 @@ def test_q126_split_is_deterministic(spark):
     a = sorted(map(tuple, fn(spark, SF).collect()))
     b = sorted(map(tuple, fn(spark, SF).collect()))
     assert a == b
+
+
+def test_q127_preference_pair_semantics(spark):
+    """Chosen = highest rounded score (ties -> LOWEST id), rejected =
+    lowest (ties -> HIGHEST id), margin from the rounded pair, only
+    clusters of size >= 2, and consistency with q49's clustering and
+    the q103 scores."""
+    from defenda_data_lake_spark.plans.catalog import CATALOG
+
+    fn, _ = CATALOG["q127_preference_pairs"]
+    rows = {r.cluster_id: r for r in fn(spark, SF).collect()}
+    fn49, _ = CATALOG["q49_dup_clusters"]
+    clus = fn49(spark, SF).collect()
+    fn103, _ = CATALOG["q103_nb_quality_classifier"]
+    scores = {r.doc_id: r.score for r in fn103(spark, SF).collect()}
+
+    from collections import defaultdict
+    members = defaultdict(list)
+    for r in clus:
+        members[r.cluster_id].append(r.doc_id)
+    expect = {}
+    for cid, docs in members.items():
+        if len(docs) < 2:
+            continue
+        scored = [(scores[d], d) for d in docs]  # all members scoreable
+        best = max(scored, key=lambda t: (t[0], -t[1]))
+        worst = min(scored, key=lambda t: (t[0], -t[1]))
+        expect[cid] = (len(docs), best[1], worst[1],
+                       round((best[0] - worst[0]) * 10000) / 10000)
+    got = {
+        cid: (r.cluster_size, r.chosen_id, r.rejected_id, r.margin)
+        for cid, r in rows.items()
+    }
+    assert got == expect
+    assert all(r.chosen_id != r.rejected_id for r in rows.values())
+    assert all(r.margin >= 0 for r in rows.values())
+
+
+def test_q127_plan_no_window_no_cartesian(spark):
+    """The pair construction is a struct-ordered min/max hash
+    aggregation, NOT a window — and nothing in the composed plan is a
+    cartesian."""
+    from tests.test_plan_quality import plan_of
+
+    plan = plan_of(spark, "q127_preference_pairs")
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" not in plan and "Window " not in plan
