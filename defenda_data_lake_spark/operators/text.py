@@ -558,6 +558,15 @@ def source_unigram_js(
         ).alias("word"),
     )
     counts = words.groupBy("src", "word").agg(F.count("*").alias("wc"))
+    # the counts table is consumed by FIVE downstream branches (totals
+    # twice via the pair frame, the distribution, and both sides of
+    # the self-join); shuffle reuse shares the corpus explode but each
+    # branch still re-runs the final aggregation over the exchange —
+    # measured as the dominant residual at 128x (3.6 s of plan
+    # overhead on a 79k-row table, SCALING.md round 12).
+    # localCheckpoint pins the VOCABULARY-bounded table once — the
+    # exact q112 (dsir_importance_weights) move for the same shape.
+    counts = counts.localCheckpoint(eager=True)
     totals = counts.groupBy("src").agg(F.sum("wc").alias("tw"))
     dist = counts.join(F.broadcast(totals), "src").select(
         "src", "word", (F.col("wc").cast("double") / F.col("tw")).alias("p")
