@@ -156,7 +156,16 @@ def bucketize_facts(
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     out: dict = {}
     for table, key in BUCKET_SPECS.items():
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        # read through _t(), not raw parquet: _t coerces known
+        # timestamp encodings (epoch-long o_orderdate/l_shipdate
+        # variants) so the bucketed AT-REST layout carries the same
+        # column types as every other query surface — a raw read
+        # would freeze whatever physical encoding this snapshot
+        # generation used into the bucketed tables (review fix,
+        # round 12)
+        from defenda_data_lake_spark.plans.catalog_shared import _t
+
+        df = _t(spark, sf_dir, table)
         (
             df.write.mode("overwrite")
             .bucketBy(buckets, key)

@@ -231,13 +231,22 @@ def nb_evaluate(
     train = labeled.filter(train_split_expr(id_col, salt, train_pct))
     model, totals = nb_train(train, "_nb_y", id_col, text_col)
     test = labeled.filter(~train_split_expr(id_col, salt, train_pct))
-    scored = nb_score(test, model, totals, id_col, text_col).withColumn(
-        "predicted", (F.col("score") > 0).cast("int")
+    scored = nb_score(test, model, totals, id_col, text_col)
+    return nb_evaluate_scored(
+        scored.join(test.select(id_col, "_nb_y"), id_col)
     )
-    j = scored.join(test.select(id_col, "_nb_y"), id_col)
+
+
+def nb_evaluate_scored(scored: DataFrame) -> DataFrame:
+    """:func:`nb_evaluate`'s reduction on an ALREADY-scored labeled
+    frame (columns ``score`` raw log-odds + ``_nb_y`` 0/1 label):
+    confusion counts + single-division metrics.  Factored out (review
+    fix, round 12) so the catalog's shared-view entry (q106) and the
+    standalone operator reduce through ONE implementation — the
+    metric conventions cannot drift between them."""
     c = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
-    p, y = F.col("predicted") == 1, F.col("_nb_y") == 1
-    counts = j.agg(
+    p, y = F.col("score") > 0, F.col("_nb_y") == 1
+    counts = scored.agg(
         F.count("*").alias("n_test"),
         c(p & y).alias("tp"),
         c(p & ~y).alias("fp"),
@@ -289,8 +298,6 @@ def nb_calibration(
     model join + one keyed agg) plus one ntile window over the TEST
     split's per-doc scores — test-split-sized, not corpus-sized; at
     100 TB the eval split is sampled anyway."""
-    from pyspark.sql import Window
-
     labeled = df.withColumn(
         "_nb_y", F.coalesce(label_expr.cast("long"), F.lit(0))
     )
@@ -298,7 +305,25 @@ def nb_calibration(
     model, totals = nb_train(train, "_nb_y", id_col, text_col)
     test = labeled.filter(~train_split_expr(id_col, salt, train_pct))
     scored = nb_score(test, model, totals, id_col, text_col)
-    j = scored.join(test.select(id_col, "_nb_y"), id_col)
+    return nb_calibration_scored(
+        scored.join(test.select(id_col, "_nb_y"), id_col),
+        bins=bins,
+        id_col=id_col,
+    )
+
+
+def nb_calibration_scored(
+    scored: DataFrame, bins: int = 10, id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`nb_calibration`'s binning on an ALREADY-scored labeled
+    frame (``score`` raw log-odds, ``_nb_y`` 0/1, ``id_col``):
+    round-first, clamp at +-30, ntile over (rounded score, id), means
+    at 4dp, gap from the rounded pair.  Factored out (review fix,
+    round 12) so the shared-view entry (q123) and the standalone
+    operator share ONE implementation of the determinism
+    conventions."""
+    from pyspark.sql import Window
+
     # scale-round-unscale (the plans.R scheme): F.round(x, 4) rounds
     # the exact decimal expansion of the double and disagrees with
     # DuckDB on .5-after-FP-multiply edges
@@ -309,7 +334,7 @@ def nb_calibration(
         + F.exp(-F.greatest(F.least(score_r, F.lit(30.0)), F.lit(-30.0)))
     )
     w = Window.orderBy(score_r.asc(), F.col(id_col).asc())
-    binned = j.select(
+    binned = scored.select(
         F.ntile(bins).over(w).alias("bin"),
         prob.alias("_prob"),
         F.col("_nb_y").alias("_y"),

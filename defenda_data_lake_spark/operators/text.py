@@ -503,6 +503,7 @@ def source_unigram_js(
     source_col: str = "source",
     text_col: str = "text",
     broadcast_vocab: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between the unigram word
     distributions of every unordered pair of corpus sources — the
@@ -548,7 +549,17 @@ def source_unigram_js(
     remainder — are pruned BEFORE it (under Heaps' law hapax words
     are roughly half a web vocabulary, so the prune halves the join
     input; its count-over-word window slots into the word exchange
-    the join needs anyway)."""
+    the join needs anyway).
+
+    ``materialize`` (default on, the ``histogram_quantiles``/q112
+    convention): the counts table feeds five downstream branches, so
+    it is pinned once with an EAGER ``localCheckpoint`` — measured at
+    128x-replicated sf0.1 as the difference between 5.27 s and 1.80 s
+    per call.  The side effects to know about: plan CONSTRUCTION runs
+    one Spark job, and the checkpoint's blocks live until the
+    returned DataFrame is garbage-collected.  Pass False for a fully
+    lazy plan (each branch then re-aggregates over the shared
+    exchange)."""
     import math
 
     words = df.select(
@@ -566,7 +577,8 @@ def source_unigram_js(
     # overhead on a 79k-row table, SCALING.md round 12).
     # localCheckpoint pins the VOCABULARY-bounded table once — the
     # exact q112 (dsir_importance_weights) move for the same shape.
-    counts = counts.localCheckpoint(eager=True)
+    if materialize:
+        counts = counts.localCheckpoint(eager=True)
     totals = counts.groupBy("src").agg(F.sum("wc").alias("tw"))
     dist = counts.join(F.broadcast(totals), "src").select(
         "src", "word", (F.col("wc").cast("double") / F.col("tw")).alias("p")

@@ -554,26 +554,10 @@ def q106_classifier_eval(spark, sf_dir):
     per-doc scores are independent, so full-corpus-then-filter is
     value-identical to scoring the test split alone; the library
     operator keeps the standalone 5x-less-scoring shape)."""
+    from defenda_data_lake_spark.operators.classify import nb_evaluate_scored
+
     scored = _nb_scored_view(spark, sf_dir).filter(~F.col("_nb_train"))
-    c = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
-    p, y = F.col("score") > 0, F.col("_nb_y") == 1
-    counts = scored.agg(
-        F.count("*").alias("n_test"),
-        c(p & y).alias("tp"),
-        c(p & ~y).alias("fp"),
-        c(~p & y).alias("fn"),
-        c(~p & ~y).alias("tn"),
-    )
-    div = lambda num, den: F.when(den > 0, num / den)  # noqa: E731
-    ev = counts.select(
-        "n_test", "tp", "fp", "fn", "tn",
-        div(F.col("tp") + F.col("tn"), F.col("n_test")).alias("accuracy"),
-        div(F.col("tp"), F.col("tp") + F.col("fp")).alias("prec"),
-        div(F.col("tp"), F.col("tp") + F.col("fn")).alias("rec"),
-        div(
-            2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")
-        ).alias("f1"),
-    )
+    ev = nb_evaluate_scored(scored)
     return ev.select(
         "n_test", "tp", "fp", "fn", "tn",
         R("accuracy", 4).alias("accuracy"),
@@ -710,38 +694,12 @@ def q123_classifier_calibration(spark, sf_dir):
     binning math ``nb_calibration`` computes, on the session-
     materialized scores; the library operator keeps the standalone
     shape)."""
-    from pyspark.sql import Window
+    from defenda_data_lake_spark.operators.classify import (
+        nb_calibration_scored,
+    )
 
-    bins = 10
     scored = _nb_scored_view(spark, sf_dir).filter(~F.col("_nb_train"))
-    r4 = lambda c: F.round(c * 10000, 0) / 10000  # noqa: E731
-    score_r = r4(F.col("score"))
-    prob = F.lit(1.0) / (
-        F.lit(1.0)
-        + F.exp(-F.greatest(F.least(score_r, F.lit(30.0)), F.lit(-30.0)))
-    )
-    w = Window.orderBy(score_r.asc(), F.col("doc_id").asc())
-    binned = scored.select(
-        F.ntile(bins).over(w).alias("bin"),
-        prob.alias("_prob"),
-        F.col("_nb_y").alias("_y"),
-    )
-    return (
-        binned.groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            r4(F.avg("_prob")).alias("mean_pred"),
-            r4(F.avg(F.col("_y").cast("double"))).alias("frac_pos"),
-        )
-        .select(
-            F.col("bin").cast("long").alias("bin"),
-            "n",
-            "mean_pred",
-            "frac_pos",
-            r4(F.abs(F.col("mean_pred") - F.col("frac_pos"))).alias("gap"),
-        )
-        .orderBy("bin")
-    )
+    return nb_calibration_scored(scored, bins=10).orderBy("bin")
 
 
 Q123_SQL = f"""

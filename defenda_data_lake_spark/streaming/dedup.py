@@ -274,6 +274,17 @@ def lsh_candidates_stream(
     Jaccard / cosine) or drop on sight — exactly how a continuous
     crawl ingest discards near-re-posts without a nightly batch job.
 
+    Claimant re-sends (round 12): once a bucket PRE-EXISTS (claimed in
+    an earlier micro-batch), a re-delivered row carrying the
+    claimant's own id emits a SELF-candidate ``doc_id == first_doc``
+    — the marker that THIS ARRIVAL is a re-send of the claimant.
+    Consumers act on the arriving copy (suppress/divert the re-send);
+    a consumer that instead deletes by id would remove the landed
+    original — candidates name arrivals, not storage.  Within the
+    claiming batch the claimant never self-pairs, so the batch twin
+    ``minhash_lsh_candidates`` (one pass, unique ids) never produces
+    ``a == b`` rows and parity with it is unchanged.
+
     Statefulness: ONE ``applyInPandasWithState`` keyed by (band,
     band_sig).  State per bucket is three longs (first doc id, the
     timeout anchor in the watermark's domain, cumulative count); the
@@ -672,7 +683,14 @@ def near_dedupe_stream(
     is flagged ``dup_of``, and lands in the quarantine with its audit
     record (the round-11 text-only key silently discarded it).
     Distinct ids/texts can never collide (fixed-width md5-per-field),
-    so the no-row-lost invariant for unique rows holds exactly.  In
+    so the no-row-lost invariant for unique rows holds exactly.
+    CHECKPOINT NOTE (review fix, round 12): the key FORMULA changed
+    between rounds 11 and 12 with no state-schema change, so Spark
+    would silently resume a round-11 predrop checkpoint whose stored
+    text-keys can never match the new (id, text) keys — re-admitting
+    already-seen re-sends for up to one horizon.  A predrop stream
+    upgraded across this change must restart on a FRESH checkpoint
+    (optionally seeded via :func:`seed_near_dedup_state`).  In
     ``timeout_mode='event'`` the pre-drop covers only
     event-time-parseable rows: timeless rows ride the union around
     the watermark (they cannot pass one), so their re-sends are NOT

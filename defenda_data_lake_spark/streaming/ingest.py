@@ -176,9 +176,12 @@ def start_deduped_ingest(
     it changes the quarantine contract (suppressed re-sends leave no
     quarantine record — on the default path a shingleable re-send
     lands in the quarantine flagged ``dup_of``) and the streaming DAG
-    (existing checkpoints are not resumable across the flag; restart
-    on a fresh checkpoint, optionally seeding via
-    ``seed_near_dedup_state``).  Note byte-identical DISTINCT events
+    (existing checkpoints are not resumable across the flag OR across
+    the round-11 -> round-12 relocation of the pre-drop to the raw
+    line — a predrop stream upgraded across rounds must restart on a
+    fresh checkpoint, optionally seeding via
+    ``seed_near_dedup_state``; the DEFAULT path's round-12 kernel
+    changes are state-schema-compatible and resume fine).  Note byte-identical DISTINCT events
     inside one horizon are indistinguishable from transport re-sends
     at this stage by construction — the same trade
     ``dedupe_stream`` documents."""

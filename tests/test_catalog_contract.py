@@ -48,16 +48,15 @@ def test_window_covers_round12_rotation():
     """The driver checks only the FIRST 50 entries: round 12 executes
     the contract-pinned rotation — the THIRTEEN r9-green entries
     displaced in rounds 10-11 LEAD the window (r11 VERDICT item 2);
-    then the three entries round 12 changed (q103/q106/q123 moved to
+    then the three entries round 12 CHANGED (q103/q106/q123 moved to
     the shared _nb_scored_view — value-identical, plans
-    restructured); then the headline seven, driver-stale since round
-    6 (r11 VERDICT item 6); then the r10 window in its r10 order.
-    then the three entries round 12 ADDED (q125/q126/q127, never
-    driver-verified); then the headline seven, driver-stale since
-    round 6 (r11 VERDICT item 6); then the r10 window in its r10
-    order.  TWENTY-FOUR r10-window entries spill past slot 50 and
-    MUST lead round 13 (each driver-green in r10 and judge-covered by
-    the full-catalog 120/120 re-runs in r10 AND r11)."""
+    restructured); then the three entries round 12 ADDED
+    (q125/q126/q127, never driver-verified); then the headline seven,
+    driver-stale since round 6 (r11 VERDICT item 6); then the r10
+    window in its r10 order.  TWENTY-FOUR r10-window entries spill
+    past slot 50 and MUST lead round 13 (each driver-green in r10 and
+    judge-covered by the full-catalog 120/120 re-runs in r10 AND
+    r11)."""
     window = list(CATALOG)[:50]
     thirteen_pins = [
         "q120_sequence_packing_bpe", "q76_perplexity_buckets",
@@ -84,7 +83,7 @@ def test_window_covers_round12_rotation():
         "q05_regional_revenue", "q10_window_rank", "q30_dedup_exact",
         "q31_dedup_minhash", "q36_text_fingerprint",
     ]
-    # slots 25-49: r10-window entries only, in their r10 order
+    # slots 26-49: r10-window entries only, in their r10 order
     r10_window = [
         "q104_source_overlap", "q105_prototypicality",
         "q107_quality_survivors", "q108_unicode_normalize",
