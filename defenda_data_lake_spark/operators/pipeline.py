@@ -58,6 +58,13 @@ def _loads(raw) -> Any:
     return json.loads(raw)
 
 
+#: one pre-built encoder: ``json.dumps(..., separators=...)`` constructs
+#: a fresh ``JSONEncoder`` per call (~20% of serialize time at the
+#: ingest kernel's row rate); all other parameters are ``dumps``
+#: defaults, so the output is byte-identical
+_JSON_ENCODE = json.JSONEncoder(separators=(",", ":")).encode
+
+
 def _dumps(value: Any) -> str:
     """Serialize with stdlib json (compact separators).  NOT orjson:
     orjson silently serializes NaN/Infinity floats as ``null`` instead
@@ -66,7 +73,7 @@ def _dumps(value: Any) -> str:
     serializer also keeps the details encoding byte-identical across
     hosts with and without orjson.  Parsing (``_loads``) is where the
     orjson win is anyway."""
-    return json.dumps(value, separators=(",", ":"))
+    return _JSON_ENCODE(value)
 
 
 class Plugin:
@@ -108,6 +115,55 @@ def event_criteria_values(event: dict) -> set:
     return tokens
 
 
+def _criteria_match(event: dict, wanted: frozenset) -> bool:
+    """``bool(wanted & event_criteria_values(event))`` without
+    materializing the token set: an early-exit walk over the same
+    token space (every nested key, ``tags`` values, ``category``).
+    The full-set form costed ~40 µs/event at the ingest kernel's row
+    rate — the routing check was as expensive as a plugin."""
+    category = event.get("category")
+    if isinstance(category, str) and category in wanted:
+        return True
+    tags = event.get("tags")
+    if isinstance(tags, list):
+        for t in tags:
+            if isinstance(t, str) and t in wanted:
+                return True
+    stack = [event]
+    while stack:
+        cur = stack.pop()
+        if isinstance(cur, dict):
+            for k, v in cur.items():
+                if k in wanted:
+                    return True
+                if isinstance(v, (dict, list)):
+                    stack.append(v)
+        else:
+            for item in cur:
+                if isinstance(item, (dict, list)):
+                    stack.append(item)
+    return False
+
+
+#: lowered-token cache per registration list (keyed by token tuple):
+#: ``run_pipeline`` used to rebuild the lowered set per event per
+#: plugin even though registrations are static for a plugin's lifetime
+_WANTED_CACHE: dict[tuple, frozenset] = {}
+
+
+def _wanted_tokens(registration) -> frozenset:
+    try:
+        key = tuple(registration)
+        cached = _WANTED_CACHE.get(key)
+        if cached is None:
+            cached = _WANTED_CACHE[key] = frozenset(
+                token.lower() for token in key
+            )
+        return cached
+    except TypeError:  # unhashable token: fall back to the direct form
+        return frozenset(token.lower() for token in registration)
+
+
 _PHASE_ORDER = {"normalization": 0, "enrichment": 1}
 
 
@@ -143,8 +199,7 @@ def run_pipeline(
         if "*" in plugin.registration:
             fire = True
         else:
-            wanted = {token.lower() for token in plugin.registration}
-            fire = bool(wanted & event_criteria_values(event))
+            fire = _criteria_match(event, _wanted_tokens(plugin.registration))
         if fire:
             event = plugin.on_event(event, metadata)
             if event is None:
@@ -275,19 +330,26 @@ def plugin_dir_factory(
     return factory
 
 
+#: shell fields by conversion rule, precomputed once (the per-field
+#: string comparisons inside _shell_row were measurable at row rate)
+_SHELL_STR_FIELDS = tuple(
+    f for f in SHELL_FIELDS if f not in ("tags", "plugins", "details")
+)
+
+
 def _shell_row(event: dict) -> dict:
     """Project a pipeline-output event onto the fixed shell columns,
     serializing ``details`` back to a JSON string (§1.3: fixed outer
     schema, dynamic interior)."""
     row = {}
-    for field in SHELL_FIELDS:
+    for field in _SHELL_STR_FIELDS:
         value = event.get(field)
-        if field == "details":
-            row[field] = _dumps(value if value is not None else {})
-        elif field in ("tags", "plugins"):
-            row[field] = [str(v) for v in value] if isinstance(value, list) else []
-        else:
-            row[field] = str(value) if value is not None else None
+        row[field] = str(value) if value is not None else None
+    for field in ("tags", "plugins"):
+        value = event.get(field)
+        row[field] = [str(v) for v in value] if isinstance(value, list) else []
+    value = event.get("details")
+    row["details"] = _dumps(value if value is not None else {})
     return row
 
 
@@ -329,10 +391,14 @@ def _make_normalizer(
             shell_appends = [(c, data[c].append) for c in shell_cols]
             st_append = data["_status"].append
             raw_append = data["_raw"].append
+            # .tolist() once: iterating a pandas object Series pays a
+            # C-to-Python boxing check per element; a plain list does not
             sources = (
-                batch["source"] if "source" in batch.columns else [None] * len(batch)
+                batch["source"].tolist()
+                if "source" in batch.columns
+                else [None] * len(batch)
             )
-            for raw, source in zip(batch["raw"], sources):
+            for raw, source in zip(batch["raw"].tolist(), sources):
                 raw_append(raw)
                 try:
                     parsed = _loads(raw)
