@@ -39,33 +39,50 @@ from defenda_data_lake_spark.utils.partitioning import (
 )
 
 
-def _sq_dist(vec_col, centroid_literal):
-    return F.aggregate(
-        F.zip_with(
-            F.transform(vec_col, lambda v: v.cast("double")),
-            centroid_literal,
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _dlit(v: float) -> str:
+    """Shortest-roundtrip SQL double literal — parses to the identical
+    IEEE value ``F.lit(float)`` would produce (the operators/pq.py
+    convention)."""
+    return f"CAST({float(v)!r} AS DOUBLE)"
+
+
+def _sq_dist_sql(vec_sql: str, centroid: list[float]) -> str:
+    """SQL text of the squared distance of ``vec_sql`` to a literal
+    centroid — the SAME aggregate(zip_with(transform(...))) tree (and
+    therefore the same left-to-right IEEE summation order) the old
+    Column-composed form built, as ONE parsed string.  SQL text rather
+    than py4j-composed Columns: composing k centroids × dim literals
+    through py4j cost ~1.4 s of driver round trips PER assignment plan
+    (measured at k=16, dim=16 — q96 builds eight such plans, ~11 s of
+    its 13 s training wall); one ``expr()`` parse is milliseconds."""
+    arr = ", ".join(_dlit(c) for c in centroid)
+    return (
+        f"aggregate(zip_with(transform({vec_sql}, v -> CAST(v AS DOUBLE)), "
+        f"array({arr}), (x, y) -> (x - y) * (x - y)), "
+        f"{_dlit(0.0)}, (acc, v) -> acc + v)"
     )
 
 
 def _assignment_plan(base: DataFrame, cents: list[list[float]]) -> DataFrame:
     """(id, vec, cluster, sq_dist) for fixed centroids: argmin over
     squared distance, ties to the lowest centroid id."""
-    dist_cols = [
-        _sq_dist(F.col("vec"), F.array(*[F.lit(v) for v in c])).alias(f"d{i}")
-        for i, c in enumerate(cents)
+    k = len(cents)
+    dist_exprs = [
+        f"{_sq_dist_sql('vec', c)} AS d{i}" for i, c in enumerate(cents)
     ]
-    with_d = base.select("id", "vec", *dist_cols)
-    best = F.least(*[F.col(f"d{i}") for i in range(len(cents))])
-    cluster = F.lit(None).cast("int")
-    # first centroid achieving the min wins (tie-break by id)
-    for i in reversed(range(len(cents))):
-        cluster = F.when(F.col(f"d{i}") == best, F.lit(i)).otherwise(cluster)
-    return with_d.select(
-        "id", "vec", cluster.alias("cluster"), best.alias("sq_dist")
+    with_d = base.selectExpr("id", "vec", *dist_exprs)
+    names = [f"d{i}" for i in range(k)]
+    best_sql = f"least({', '.join(names)})" if k > 1 else names[0]
+    # first centroid achieving the min wins (tie-break by id) — the
+    # CASE arms evaluate in order, same as the old chained F.when
+    arms = " ".join(f"WHEN d{i} = best THEN {i}" for i in range(k))
+    return with_d.selectExpr(
+        "id", "vec", *names, f"{best_sql} AS best"
+    ).selectExpr(
+        "id",
+        "vec",
+        f"CASE {arms} ELSE CAST(NULL AS INT) END AS cluster",
+        "best AS sq_dist",
     )
 
 

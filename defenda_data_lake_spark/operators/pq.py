@@ -39,8 +39,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from defenda_data_lake_spark.operators.clustering import kmeans_train
-
 Codebooks = list[list[list[float]]]  #: [subspace][centroid][component]
 
 
@@ -112,22 +110,89 @@ def pq_train(
         )
     _check_pq(dim, m)
     dsub = dim // m
-    books: Codebooks = []
-    for s in range(m):
-        sliced = df.select(
-            F.col(id_col).alias(id_col),
-            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col),
-        )
-        books.append(
-            kmeans_train(
-                sliced,
-                k=k,
-                iterations=iterations,
-                id_col=id_col,
-                vec_col=vec_col,
-                quantize=quantize,
+
+    # FUSED training: the m per-subspace Lloyd runs are independent,
+    # but each used to pay its own cache materialization, init collect,
+    # and per-iteration means job over the same rows — m·(iterations+2)
+    # driver jobs (16 at m=4, iters=2).  One cached projection carrying
+    # all m slices, ONE init collect (the k lowest-id vectors, sliced
+    # driver-side — identical values: slicing commutes with the
+    # orderBy/limit), and per iteration ONE unioned means job bring it
+    # to iterations+2 jobs.  Per-(subspace, cluster, pos) groups
+    # aggregate the same value multisets as the per-subspace jobs, and
+    # the 1e-q centroid quantization (the loop's cross-engine
+    # determinism mechanism) makes the means independent of summation
+    # order, so the trained books are unchanged — q96 stays
+    # value-equal against its full-replay oracle (re-checked at
+    # sf0.001/0.01/0.1 when this landed).
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    from defenda_data_lake_spark.operators.clustering import _assignment_plan
+    from defenda_data_lake_spark.utils.partitioning import (
+        ensure_min_parallelism,
+        kernel_parallelism,
+    )
+
+    base = ensure_min_parallelism(
+        df.select(
+            F.col(id_col).alias("id"),
+            *[
+                F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(f"v{s}")
+                for s in range(m)
+            ],
+        ),
+        kernel_parallelism(df),
+    ).cache()
+    try:
+        init_rows = base.orderBy("id").limit(k).collect()
+        books: Codebooks = [
+            [[float(x) for x in r[f"v{s}"]] for r in init_rows]
+            for s in range(m)
+        ]
+        scale = 10 ** quantize if quantize is not None else None
+        for _ in range(iterations):
+            branches = []
+            for s in range(m):
+                assigned = _assignment_plan(
+                    base.selectExpr("id", f"v{s} AS vec"), books[s]
+                )
+                branches.append(
+                    assigned.select(
+                        F.lit(s).alias("sub"),
+                        "cluster",
+                        F.posexplode("vec").alias("pos", "c"),
+                    )
+                )
+            fused = reduce(_DF.unionAll, branches)
+            mean_col = F.avg(F.col("c").cast("double"))
+            if scale is not None:
+                mean_col = F.round(mean_col * scale, 0) / scale
+            rows = (
+                fused.groupBy("sub", "cluster", "pos")
+                .agg(mean_col.alias("m"))
+                .groupBy("sub", "cluster")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))
+                    ).alias("pm")
+                )
+                .select(
+                    "sub",
+                    "cluster",
+                    F.transform("pm", lambda x: x["m"]).alias("centroid"),
+                )
+                .collect()
             )
-        )
+            new_books = [list(b) for b in books]  # empty clusters keep position
+            for row in rows:
+                new_books[row["sub"]][row["cluster"]] = [
+                    float(x) for x in row["centroid"]
+                ]
+            books = new_books
+    finally:
+        base.unpersist()
     return books
 
 
