@@ -144,7 +144,12 @@ def pagerank(
     )
 
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    materialize: bool = True,
+) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     UNDIRECTED simple graph (pass :func:`symmetrize` output: both
     orientations present, no self-loops, no duplicates).
@@ -160,8 +165,22 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     higher-degree still).  Three equi-joins total: two nodes-sized
     degree annotations (broadcast under AQE), one oriented self-join
     on the wedge apex, one closing-edge semi-ish join; per-triangle
-    work is pure integer counting, so the result is engine-exact."""
+    work is pure integer counting, so the result is engine-exact.
+
+    ``materialize`` (default on — the :func:`pagerank` /
+    ``connected_components`` house convention): the edge list and the
+    oriented relation are pinned with eager ``localCheckpoint``.
+    Both are multi-referenced (edges by the degree agg and the
+    orientation; oriented by the two wedge legs and the closing
+    edge), so a lazy plan re-derives the caller's edge subtree —
+    when that subtree ends in a Python candidate stage (q101's
+    MinHash kernel), it executes once per un-reused reference.
+    Values are identical either way (pure integer counting); pass
+    False for a fully lazy single-plan form."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if materialize:
+        # computed once; feeds the degree agg and the orientation join
+        e = e.localCheckpoint(eager=True)
     deg = e.groupBy(F.col("src").alias("node_id")).agg(
         F.count("*").alias("degree")
     )
@@ -182,6 +201,9 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         )
         .select("src", "dst")
     )
+    if materialize:
+        # consumed three ways: both wedge legs and the closing edge
+        oriented = oriented.localCheckpoint(eager=True)
     a = oriented.select(F.col("src").alias("apex"), F.col("dst").alias("b"))
     c = oriented.select(F.col("src").alias("apex"), F.col("dst").alias("c"))
     # wedges from a common apex; b < c dedupes the unordered neighbor pair

@@ -180,3 +180,37 @@ def test_pq_train_fused_matches_per_subspace_kmeans(spark):
             kmeans_train(sliced, k=4, iterations=2, quantize=9)
         )
     assert fused == reference
+
+
+# ------------------------------------- materialized triangle counting
+
+
+def test_triangle_counts_materialized_matches_lazy(spark):
+    """The round-12 ``materialize`` knob on ``triangle_counts`` pins
+    the edge list and the oriented relation with localCheckpoint
+    (q101's plan re-ran its MinHash candidate stage and 60 exchanges
+    otherwise).  Pure integer counting: the pinned and fully lazy
+    forms must agree row-for-row."""
+    from defenda_data_lake_spark.operators.graph import (
+        symmetrize,
+        triangle_counts,
+    )
+
+    rng = random.Random(12)
+    raw = [(rng.randrange(30), rng.randrange(30)) for _ in range(70)]
+    raw = [(a, b) for a, b in raw if a != b]
+    edges = symmetrize(
+        spark.createDataFrame(raw, "id_a long, id_b long"),
+        src="id_a",
+        dst="id_b",
+    )
+
+    def as_map(df):
+        return {
+            r["node_id"]: (r["degree"], r["triangles"], r["clustering"])
+            for r in df.collect()
+        }
+
+    assert as_map(triangle_counts(edges, materialize=True)) == as_map(
+        triangle_counts(edges, materialize=False)
+    )
