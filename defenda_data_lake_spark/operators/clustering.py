@@ -236,24 +236,25 @@ def semdedup(
     def dup_ids(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(pdf["id"].to_numpy(), kind="stable")
         ids = pdf["id"].to_numpy()[order]
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])[
-            order
-        ]
+        V = np.asarray(pdf["vec"].to_list(), dtype=np.float64)[order]
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0.0] = 1.0
         n = len(ids)
         has_earlier = np.zeros(n, dtype=bool)
         block = 1024
+        col = np.arange(n)
         for lo in range(0, n, block):
             hi = min(lo + block, n)
             S = (V[lo:hi] @ V.T) / np.outer(norms[lo:hi], norms)
             # rows lo..hi are the EARLIER side: mark any strictly-later
-            # column j whose similarity to an earlier row i (< j) passes
-            for r in range(hi - lo):
-                i = lo + r
-                js = np.nonzero(S[r, i + 1 :] >= threshold)[0]
-                if len(js):
-                    has_earlier[i + 1 + js] = True
+            # column j whose similarity to an earlier row i (< j)
+            # passes.  Marking is one vectorized pass per block (the
+            # former per-row Python loop was ~n interpreter
+            # iterations per group — guide §4.2); the comparison set
+            # and therefore the marked set are identical.
+            mask = S >= threshold
+            mask &= col[None, :] > np.arange(lo, hi)[:, None]
+            has_earlier |= mask.any(axis=0)
         return pd.DataFrame({"dup_id": pd.Series(ids[has_earlier], dtype="int64")})
 
     if max_group_rows is None:

@@ -51,8 +51,18 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     materialize: bool = True,
+    symmetric_input: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed simple edge list.
+
+    ``symmetric_input``: pass True when the edge list is undirected
+    (both orientations present — :func:`symmetrize` output).  Every
+    node then appears as ``src``, so the node list is the distinct
+    ``src`` set alone and the dst-side half of the |E|-sized node
+    pass is skipped (at 32x sf0.1 the full union-distinct measured
+    9.2 s of the loop-invariant cost).  Node set — and therefore
+    every rank — is identical by construction; a test pins the
+    equivalence on symmetrized data.
 
     Returns ``(node_id, rank_e12, rank)`` where ``rank_e12`` is the
     exact BIGINT fixed-point rank (units of 1e-12) and ``rank`` its
@@ -66,28 +76,49 @@ def pagerank(
     which keeps every round a pure join+agg.
 
     ``materialize`` (default on — the ``connected_components`` /
-    q125/q112 house convention): the loop-invariant relations (edge
-    list, node list, edge⋈outdeg) and each round's rank table are
-    pinned with eager ``localCheckpoint``.  Without it the returned
-    plan embeds the edge-derivation subtree once per round plus once
-    for the |V| scalar — measured at sf0.1 (q100: an orders⋈lineitem
-    edge derivation) as 8.0 s per execution against 1.5 s pinned,
-    with Catalyst re-analysis of the unrolled tree dominating.  Every
+    q125/q112 house convention): the loop-invariant edge⋈outdeg
+    relation and each round's rank table are pinned with eager
+    ``localCheckpoint``.  Without it the returned plan embeds the
+    edge-derivation subtree once per round plus once for the |V|
+    scalar — measured at sf0.1 (q100: an orders⋈lineitem edge
+    derivation) as 8.0 s per execution against 1.5 s pinned, with
+    Catalyst re-analysis of the unrolled tree dominating.  Every
     Pregel-style engine materializes the edge relation between
     supersteps for exactly this reason; the rank table is |V|-sized.
     Values are identical either way (the update is exact integer
-    math); pass False for a fully lazy single-plan form."""
+    math); pass False for a fully lazy single-plan form.
+
+    The |E|-sized relation is built and materialized ONCE: outdeg
+    rides a window count over ``src`` (one shuffle+sort of the edge
+    pass, no groupBy⋈self join), and the node list is a |V|-partial
+    aggregation over the pinned result rather than a second pass over
+    the raw edge derivation.  The r12 32x decomposition measured the
+    former three-checkpoint form (edge list 37.7 s + node
+    union-distinct 22.5 s + edge⋈outdeg join 39.6 s) against ~32 s
+    for all five rounds — the loop invariants cost 3x the loop; this
+    form pays the |E| materialization once."""
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be an integer percent in [0, 100]")
+    from pyspark.sql.window import Window
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # the loop-invariant join side: |E| rows with outdeg attached.
+    # count() over a src-partitioned full frame == the old
+    # groupBy("src").count() joined back, row for row.
+    contrib_edges = e.withColumn(
+        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    )
     if materialize:
-        # computed once; feeds nodes, outdeg, and every round's join
-        e = e.localCheckpoint(eager=True)
-    nodes = e.select(F.col("src").alias("node_id")).union(
-        e.select(F.col("dst").alias("node_id"))
-    ).distinct()
+        # computed once; feeds nodes and every round's join
+        contrib_edges = contrib_edges.localCheckpoint(eager=True)
+    nodes = contrib_edges.select(F.col("src").alias("node_id"))
+    if not symmetric_input:
+        nodes = nodes.union(
+            contrib_edges.select(F.col("dst").alias("node_id"))
+        )
+    nodes = nodes.distinct()
     if materialize:
         nodes = nodes.localCheckpoint(eager=True)
     # |V| is the one driver scalar — needed as a literal in the teleport
@@ -100,11 +131,6 @@ def pagerank(
             F.lit(0.0).alias("rank"),
         )
     base = ((100 - damping_pct) * SCALE) // (100 * n)
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    contrib_edges = e.join(deg, "src")
-    if materialize:
-        # the loop-invariant join side: |E| rows with outdeg attached
-        contrib_edges = contrib_edges.localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank_e12", F.lit(SCALE // n).cast("long"))
     for _ in range(iterations):

@@ -555,10 +555,19 @@ def q73_semdedup(spark, sf_dir):
     from defenda_data_lake_spark.operators.clustering import semdedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    # max_group_rows exercises the oversized-cluster split (sub-bucket
-    # pairwise comparison) on real driver data; output-identical to
-    # the uncapped form, so the oracle needs no mirror.
-    out = semdedup(emb, k=8, iterations=3, threshold=0.4, max_group_rows=32)
+    # max_group_rows is a per-task MEMORY bound, not a parallelism
+    # knob: a cluster of n_c rows is replicated ceil(n_c/cap) times
+    # and kernel-grouped quadratically in that factor, so an
+    # undersized cap explodes shuffle volume as clusters grow (the
+    # r12 32x pairing measured cap=32 at 94.8 s vs cap=4096 at
+    # 25.3 s, 17.0 s after the kernel's marking loop vectorized —
+    # 16M replicated rows / 251k Arrow groups vs 24).  4096 rows
+    # bounds each task at ~2·4096 vectors (~1 MB of doubles at
+    # dim 16; Gram blocks 1024x8192 = 64 MB) at ANY corpus scale.
+    # Output-identical to the uncapped form at every cap (the
+    # operator's pinned parity test sweeps caps 1/3/10000), so the
+    # oracle needs no mirror.
+    out = semdedup(emb, k=8, iterations=3, threshold=0.4, max_group_rows=4096)
     return out.groupBy("cluster").agg(
         F.count("*").alias("n_vectors"),
         F.sum(F.col("is_duplicate").cast("long")).alias("n_duplicates"),

@@ -214,3 +214,31 @@ def test_triangle_counts_materialized_matches_lazy(spark):
     assert as_map(triangle_counts(edges, materialize=True)) == as_map(
         triangle_counts(edges, materialize=False)
     )
+
+
+# --------------------------------------- pagerank symmetric-input knob
+
+
+def test_pagerank_symmetric_input_matches_general_path(spark):
+    """``symmetric_input=True`` derives the node list from the distinct
+    ``src`` set alone — valid exactly because symmetrized input puts
+    every node on both sides.  On such input the node set, and hence
+    every exact-integer rank, must match the general union-distinct
+    path row-for-row."""
+    from defenda_data_lake_spark.operators.graph import pagerank, symmetrize
+
+    rng = random.Random(100)
+    raw = [(rng.randrange(25), rng.randrange(25)) for _ in range(60)]
+    raw = [(a, b) for a, b in raw if a != b]
+    edges = symmetrize(
+        spark.createDataFrame(raw, "id_a long, id_b long"),
+        src="id_a",
+        dst="id_b",
+    )
+
+    def as_map(df):
+        return {r["node_id"]: r["rank_e12"] for r in df.collect()}
+
+    general = as_map(pagerank(edges, iterations=3))
+    fast = as_map(pagerank(edges, iterations=3, symmetric_input=True))
+    assert fast == general
