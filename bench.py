@@ -157,12 +157,24 @@ def main() -> None:
     timings["ingest_100k"] = round(ingest_best, 3)
 
     total = round(sum(timings.values()), 3)
+    # the pre-round-13 12-entry surface's subtotal, reported next to
+    # the full total so round-over-round TOTAL comparison survives the
+    # round-13 heavy-group addition (per-query entries are unchanged
+    # either way; additions only)
+    from defenda_data_lake_spark.plans.catalog import headline_queries_legacy12
+
+    legacy12 = round(
+        sum(timings[n] for n in headline_queries_legacy12())
+        + timings["ingest_100k"],
+        3,
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                "value_legacy12": legacy12,
                 "queries": timings,
                 "table_cache": True,
                 "sf": sf,

@@ -52,6 +52,7 @@ def pagerank(
     damping_pct: int = 85,
     materialize: bool = True,
     symmetric_input: bool = False,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed simple edge list.
 
@@ -86,7 +87,12 @@ def pagerank(
     Pregel-style engine materializes the edge relation between
     supersteps for exactly this reason; the rank table is |V|-sized.
     Values are identical either way (the update is exact integer
-    math); pass False for a fully lazy single-plan form.
+    math); pass False for a fully lazy single-plan form.  NOTE:
+    ``localCheckpoint`` stores blocks NON-reliably — on a real cluster
+    an executor loss makes downstream actions fail instead of
+    recomputing lineage (acceptable for interactive/bench sessions;
+    a cluster deployment that needs fault tolerance mid-query should
+    swap in reliable ``checkpoint()`` at the same call sites).
 
     The |E|-sized relation is built and materialized ONCE: outdeg
     rides a window count over ``src`` (one shuffle+sort of the edge
@@ -96,7 +102,27 @@ def pagerank(
     former three-checkpoint form (edge list 37.7 s + node
     union-distinct 22.5 s + edge⋈outdeg join 39.6 s) against ~32 s
     for all five rounds — the loop invariants cost 3x the loop; this
-    form pays the |E| materialization once."""
+    form pays the |E| materialization once.
+
+    ``broadcast_ranks`` (round 13, VERDICT r12 item 6 — pass True when
+    the caller knows |V| is broadcast-sized, i.e. well under the 8 GB
+    broadcast cap; q100's |V| is ~16 B/node): re-keys the per-round
+    dataflow so NO |E|-sized relation ever crosses an exchange inside
+    the loop.  The pinned edge relation is hash-partitioned by ``dst``
+    — the aggregation key — ONCE at invariant build (one extra |E|
+    exchange, paid once instead of per round), and the two |V|-sized
+    loop tables ride broadcasts: the rank table broadcasts into the
+    contribution join (replacing the per-round |E|-vs-|V| shuffle
+    join), and because a broadcast join preserves the probe side's
+    ``dst`` partitioning, the contribution aggregation then needs no
+    exchange at all; the aggregated ``incoming`` (≤ |V|) broadcasts
+    back into the dangling-node left join.  Per-round exchanges drop
+    from 2 (one |V| shuffle + one |E|-sized contribution shuffle) to
+    ZERO — each round is a single straight-line stage over the pinned
+    blocks plus the |V| checkpoint.  Ranks are exact integer sums, so
+    values are identical under any partitioning/join strategy (the
+    equivalence is pinned by ``test_pagerank_broadcast_ranks_matches``
+    on asymmetric data)."""
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
     if not 0 <= damping_pct <= 100:
@@ -110,6 +136,13 @@ def pagerank(
     contrib_edges = e.withColumn(
         "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
     )
+    if broadcast_ranks:
+        # partition the loop-invariant relation by the AGGREGATION key
+        # once, so each round's broadcast join + contribution agg run
+        # exchange-free (see the docstring); without broadcast_ranks
+        # this exchange would be pure waste — the shuffle join on src
+        # would immediately re-partition
+        contrib_edges = contrib_edges.repartition("dst")
     if materialize:
         # computed once; feeds nodes and every round's join
         contrib_edges = contrib_edges.localCheckpoint(eager=True)
@@ -134,9 +167,10 @@ def pagerank(
 
     ranks = nodes.withColumn("rank_e12", F.lit(SCALE // n).cast("long"))
     for _ in range(iterations):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         incoming = (
             contrib_edges.join(
-                ranks, contrib_edges["src"] == ranks["node_id"]
+                rank_side, contrib_edges["src"] == rank_side["node_id"]
             )
             .select(
                 F.col("dst").alias("node_id"),
@@ -145,8 +179,9 @@ def pagerank(
             .groupBy("node_id")
             .agg(F.sum("c").alias("insum"))
         )
+        inc_side = F.broadcast(incoming) if broadcast_ranks else incoming
         ranks = (
-            nodes.join(incoming, "node_id", "left")
+            nodes.join(inc_side, "node_id", "left")
             .select(
                 "node_id",
                 (
@@ -202,7 +237,9 @@ def triangle_counts(
     when that subtree ends in a Python candidate stage (q101's
     MinHash kernel), it executes once per un-reused reference.
     Values are identical either way (pure integer counting); pass
-    False for a fully lazy single-plan form."""
+    False for a fully lazy single-plan form.  Same non-reliable-
+    storage caveat as :func:`pagerank`: an executor loss fails the
+    downstream action rather than recomputing lineage."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if materialize:
         # computed once; feeds the degree agg and the orientation join

@@ -29,6 +29,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Any, Callable, Iterable, Iterator, Sequence
@@ -147,19 +148,19 @@ def _criteria_match(event: dict, wanted: frozenset) -> bool:
 
 #: lowered-token cache per registration list (keyed by token tuple):
 #: ``run_pipeline`` used to rebuild the lowered set per event per
-#: plugin even though registrations are static for a plugin's lifetime
-_WANTED_CACHE: dict[tuple, frozenset] = {}
+#: plugin even though registrations are static for a plugin's lifetime.
+#: Bounded (lru_cache, not a bare module dict) so a long-lived
+#: executor running pipelines with dynamically-constructed
+#: registrations cannot grow it without eviction; 256 far exceeds any
+#: real plugin roster.
+@functools.lru_cache(maxsize=256)
+def _lowered_tokens(key: tuple) -> frozenset:
+    return frozenset(token.lower() for token in key)
 
 
 def _wanted_tokens(registration) -> frozenset:
     try:
-        key = tuple(registration)
-        cached = _WANTED_CACHE.get(key)
-        if cached is None:
-            cached = _WANTED_CACHE[key] = frozenset(
-                token.lower() for token in key
-            )
-        return cached
+        return _lowered_tokens(tuple(registration))
     except TypeError:  # unhashable token: fall back to the direct form
         return frozenset(token.lower() for token in registration)
 

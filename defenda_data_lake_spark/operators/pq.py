@@ -34,6 +34,7 @@ shuffled in full.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -49,8 +50,15 @@ def _check_pq(dim: int, m: int) -> None:
 
 def _dlit(v: float) -> str:
     """Shortest-roundtrip SQL double literal (both engines parse the
-    identical IEEE value — the house convention for float constants)."""
-    return f"CAST({float(v)!r} AS DOUBLE)"
+    identical IEEE value — the house convention for float constants).
+    Non-finite values use the string-cast spelling — ``repr()`` emits
+    bare ``nan``/``inf``, which SQL parses as column references."""
+    v = float(v)
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(v):
+        return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+    return f"CAST({v!r} AS DOUBLE)"
 
 
 def _sq_dist_sql(sub_sql: str, centroid: Sequence[float]) -> str:
@@ -121,10 +129,14 @@ def pq_train(
     # to iterations+2 jobs.  Per-(subspace, cluster, pos) groups
     # aggregate the same value multisets as the per-subspace jobs, and
     # the 1e-q centroid quantization (the loop's cross-engine
-    # determinism mechanism) makes the means independent of summation
-    # order, so the trained books are unchanged — q96 stays
-    # value-equal against its full-replay oracle (re-checked at
-    # sf0.001/0.01/0.1 when this landed).
+    # determinism mechanism) makes boundary divergence vanishingly
+    # unlikely (a double avg landing EXACTLY on a rounding boundary
+    # could still round differently when the unionAll changes partial-
+    # aggregation grouping — not observed under the seed-pinned data;
+    # bit-exactness across plan shapes is not claimed), so the trained
+    # books are unchanged in practice — q96 stays value-equal against
+    # its full-replay oracle (re-checked at sf0.001/0.01/0.1 when this
+    # landed).
     from functools import reduce
 
     from pyspark.sql import DataFrame as _DF

@@ -505,7 +505,16 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 
 
 def headline_queries() -> list[str]:
-    """The bench subset: one per major operator family."""
+    """The bench subset: one per major operator family.
+
+    The first eleven are the round-1..12 surface, byte-identical and
+    in the same order (r-over-r per-query comparison depends on it).
+    The HEAVY GROUP after them was added in round 13 (VERDICT r12
+    item 2): the optimization rounds' biggest wins — q96's fused PQ
+    training, q100's checkpointed pagerank, q73's capped semdedup,
+    q101's pinned triangle counting — were invisible to the driver's
+    ground truth because no bench entry sampled any of those paths.
+    Additions only; nothing removed or renamed."""
     return [
         "q01_pricing_summary",
         "q03_shipping_priority",
@@ -518,4 +527,18 @@ def headline_queries() -> list[str]:
         "q32_dedup_jaccard",
         "q36_text_fingerprint",
         "q40_knn_brute",
+        # --- heavy group (round 13; VERDICT r12 item 2) ---
+        "q96_knn_pq",
+        "q100_pagerank",
+        "q73_semdedup",
+        "q101_triangle_counts",
     ]
+
+
+def headline_queries_legacy12() -> list[str]:
+    """The pre-round-13 bench surface (11 queries; ingest_100k is the
+    12th entry, timed separately by bench.py) — kept addressable so the
+    bench can report the legacy subtotal next to the full total and
+    round-over-round total comparison survives the heavy-group
+    addition."""
+    return headline_queries()[:11]

@@ -359,7 +359,19 @@ def q100_pagerank(spark, sf_dir):
         (F.col("o_custkey").cast("long") * 2).alias("src"),
         (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
     )
-    pr = pagerank(symmetrize(raw), iterations=5, symmetric_input=True)
+    # broadcast_ranks (round 13): |V| here is customers+suppliers —
+    # ~16 bytes/node, broadcast-sized at ANY corpus replication this
+    # engine meets (8 MB at the 32x replica) — so the rank table rides
+    # a broadcast and every per-round |E| exchange disappears; the
+    # pinned edge relation is dst-partitioned once instead (see
+    # operators/graph.py docstring; values exact-integer identical,
+    # equivalence pinned in tests/test_r13_optimizations.py).
+    pr = pagerank(
+        symmetrize(raw),
+        iterations=5,
+        symmetric_input=True,
+        broadcast_ranks=True,
+    )
     return pr.select(
         F.concat(
             F.when(F.col("node_id") % 2 == 0, F.lit("c")).otherwise(
