@@ -1152,14 +1152,36 @@ def connected_components(
     ``localCheckpoint``-ed: without truncation the lineage doubles per
     round and Catalyst re-analysis dominates.  Near-dup clusters in
     real corpora have tiny diameters (most are cliques), so typical
-    round counts are 2-4."""
+    round counts are 2-4.
+
+    Round 13 (the r13 CC/NB decomposition, guide §1.1/§7): the
+    checkpoints are LAZY (``eager=False``) and the convergence
+    ``sum(label)`` action is what materializes each round — ONE job
+    per round instead of two (the eager checkpoint job plus a
+    separate sum job that re-scanned the fresh blocks), and the
+    edges/labels-init materializations fold into round 1's job the
+    same way.  The r13 probe measured the convergence job alone at
+    ~0.25 s/round at sf0.1 — pure job-submission floor on a 5k-row
+    table — and the loop runs 2-4 rounds in every consumer entry
+    (q49/q98/q107/q127).  The returned plan is the same truncated
+    LogicalRDD either way (``eager`` only moves the materialization
+    action), downstream consumers still read persisted blocks, and
+    the label values are untouched — pinned by the components suite
+    and the four consumers' 3-SF oracle runs."""
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)  # computed once, joined every round
+        # partitioned ONCE by the per-round join key: the neighbor-min
+        # join probes edges on ``dst`` every round, and the distinct's
+        # hash(src, dst) layout satisfies no join distribution — the
+        # pinned relation was re-exchanged |E|-sized once per round
+        # (the r13 decomposition; same lesson as pagerank's
+        # broadcast_ranks dst-partitioning, guide §2.4)
+        .repartition("dst")
+        .localCheckpoint(eager=False)  # computed once, joined every round
     )
     nodes = edges.select(F.col("src").alias("id"))
     if all_ids is not None:
@@ -1168,7 +1190,7 @@ def connected_components(
     labels = (
         nodes.distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = None
     for _ in range(max_iterations):
@@ -1202,8 +1224,10 @@ def connected_components(
                 F.col("s.id").alias("id"),
                 F.coalesce(F.col("plabel"), F.col("s.label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # this action materializes the lazy checkpoint AND returns the
+        # convergence scalar — one job per round (see the docstring)
         cur = labels.agg(F.sum("label")).collect()[0][0]
         if cur == prev_sum:
             break

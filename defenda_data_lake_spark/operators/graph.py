@@ -108,21 +108,25 @@ def pagerank(
     the caller knows |V| is broadcast-sized, i.e. well under the 8 GB
     broadcast cap; q100's |V| is ~16 B/node): re-keys the per-round
     dataflow so NO |E|-sized relation ever crosses an exchange inside
-    the loop.  The pinned edge relation is hash-partitioned by ``dst``
-    — the aggregation key — ONCE at invariant build (one extra |E|
-    exchange, paid once instead of per round), and the two |V|-sized
-    loop tables ride broadcasts: the rank table broadcasts into the
-    contribution join (replacing the per-round |E|-vs-|V| shuffle
+    the loop, and the invariant build itself shrinks: the pinned edge
+    relation is the BARE (src, dst) pairs, hash-partitioned by ``dst``
+    — the aggregation key — in ONE exchange (outdeg rides on the |V|
+    rank table instead of on every edge row, so the window's
+    |E|-sized hash(src) exchange AND its full sort disappear; the r13
+    32x probe measured the window-form invariants at 56-58 s vs ~34 s
+    for all five shuffle-form rounds).  The two |V|-sized loop tables
+    ride broadcasts: the rank table (carrying outdeg) broadcasts into
+    the contribution join (replacing the per-round |E|-vs-|V| shuffle
     join), and because a broadcast join preserves the probe side's
     ``dst`` partitioning, the contribution aggregation then needs no
     exchange at all; the aggregated ``incoming`` (≤ |V|) broadcasts
     back into the dangling-node left join.  Per-round exchanges drop
     from 2 (one |V| shuffle + one |E|-sized contribution shuffle) to
-    ZERO — each round is a single straight-line stage over the pinned
-    blocks plus the |V| checkpoint.  Ranks are exact integer sums, so
-    values are identical under any partitioning/join strategy (the
+    ZERO — measured 34.0 → 11.6 s for the five rounds at the 32x
+    replica, rank-for-rank identical.  Ranks are exact integer sums,
+    so values are identical under any partitioning/join strategy (the
     equivalence is pinned by ``test_pagerank_broadcast_ranks_matches``
-    on asymmetric data)."""
+    on asymmetric data with dangling nodes)."""
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
     if not 0 <= damping_pct <= 100:
@@ -133,27 +137,57 @@ def pagerank(
     # the loop-invariant join side: |E| rows with outdeg attached.
     # count() over a src-partitioned full frame == the old
     # groupBy("src").count() joined back, row for row.
-    contrib_edges = e.withColumn(
-        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
-    )
     if broadcast_ranks:
-        # partition the loop-invariant relation by the AGGREGATION key
-        # once, so each round's broadcast join + contribution agg run
-        # exchange-free (see the docstring); without broadcast_ranks
-        # this exchange would be pure waste — the shuffle join on src
-        # would immediately re-partition
-        contrib_edges = contrib_edges.repartition("dst")
-    if materialize:
-        # computed once; feeds nodes and every round's join
-        contrib_edges = contrib_edges.localCheckpoint(eager=True)
-    nodes = contrib_edges.select(F.col("src").alias("node_id"))
-    if not symmetric_input:
-        nodes = nodes.union(
-            contrib_edges.select(F.col("dst").alias("node_id"))
+        # outdeg rides on the |V| RANK TABLE, not on every edge row:
+        # the per-round broadcast join delivers (rank_e12, outdeg)
+        # together, so the pinned |E| relation is just the bare
+        # dst-partitioned (src, dst) pairs — the invariant build drops
+        # from three |E| exchanges plus a full |E| sort (distinct →
+        # window(src)+sort → repartition(dst)) to ONE exchange (the
+        # dst repartition; guide §2.4).  The r13 32x probe measured
+        # the window-form invariants at 56-58 s against ~34 s for all
+        # five shuffle-form rounds.  outdeg for a node that never
+        # appears as src is NULL on the rank table, and is only ever
+        # read through the contribution join (matched on src), so the
+        # NULL is unreachable — dangling nodes contribute nothing,
+        # exactly the window form's semantics.
+        contrib_edges = e.repartition("dst")
+        if materialize:
+            # computed once; feeds deg, nodes, and every round's join
+            contrib_edges = contrib_edges.localCheckpoint(eager=True)
+        deg = contrib_edges.groupBy("src").agg(
+            F.count(F.lit(1)).alias("outdeg")
         )
-    nodes = nodes.distinct()
-    if materialize:
-        nodes = nodes.localCheckpoint(eager=True)
+        if symmetric_input:
+            nodes = deg.select(F.col("src").alias("node_id"), "outdeg")
+        else:
+            nodes = (
+                contrib_edges.select(F.col("src").alias("node_id"))
+                .union(contrib_edges.select(F.col("dst").alias("node_id")))
+                .distinct()
+                .join(
+                    deg.select(F.col("src").alias("node_id"), "outdeg"),
+                    "node_id",
+                    "left",
+                )
+            )
+        if materialize:
+            nodes = nodes.localCheckpoint(eager=True)
+    else:
+        contrib_edges = e.withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+        if materialize:
+            # computed once; feeds nodes and every round's join
+            contrib_edges = contrib_edges.localCheckpoint(eager=True)
+        nodes = contrib_edges.select(F.col("src").alias("node_id"))
+        if not symmetric_input:
+            nodes = nodes.union(
+                contrib_edges.select(F.col("dst").alias("node_id"))
+            )
+        nodes = nodes.distinct()
+        if materialize:
+            nodes = nodes.localCheckpoint(eager=True)
     # |V| is the one driver scalar — needed as a literal in the teleport
     # term, same as the oracle's scalar CTE.
     n = nodes.count()
@@ -180,10 +214,13 @@ def pagerank(
             .agg(F.sum("c").alias("insum"))
         )
         inc_side = F.broadcast(incoming) if broadcast_ranks else incoming
+        # the broadcast path carries outdeg on the rank table (see the
+        # invariant build above) — keep it through the round update
+        keep = ["node_id", "outdeg"] if broadcast_ranks else ["node_id"]
         ranks = (
             nodes.join(inc_side, "node_id", "left")
             .select(
-                "node_id",
+                *keep,
                 (
                     F.lit(base).cast("long")
                     + F.expr(

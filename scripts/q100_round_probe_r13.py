@@ -48,24 +48,35 @@ def timed_pagerank(spark, sf_dir: str, broadcast_ranks: bool, plan_path=None):
     from defenda_data_lake_spark.operators.graph import SCALE, symmetrize
 
     e = symmetrize(raw)
-    contrib_edges = e.withColumn(
-        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
-    )
     if broadcast_ranks:
-        contrib_edges = contrib_edges.repartition("dst")
-    contrib_edges = contrib_edges.localCheckpoint(eager=True)
+        # the round-13 invariant shape: bare (src, dst) pairs, ONE
+        # dst exchange; outdeg rides on the |V| rank table
+        contrib_edges = e.repartition("dst").localCheckpoint(eager=True)
+    else:
+        contrib_edges = e.withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        ).localCheckpoint(eager=True)
     t["invariant_edges"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    nodes = (
-        contrib_edges.select(F.col("src").alias("node_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if broadcast_ranks:
+        nodes = (
+            contrib_edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("outdeg"))
+            .select(F.col("src").alias("node_id"), "outdeg")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        nodes = (
+            contrib_edges.select(F.col("src").alias("node_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     n = nodes.count()
     t["invariant_nodes"] = round(time.perf_counter() - t0, 2)
 
     base = ((100 - 85) * SCALE) // (100 * n)
+    keep = ["node_id", "outdeg"] if broadcast_ranks else ["node_id"]
     ranks = nodes.withColumn("rank_e12", F.lit(SCALE // n).cast("long"))
     rounds = []
     for i in range(5):
@@ -84,7 +95,7 @@ def timed_pagerank(spark, sf_dir: str, broadcast_ranks: bool, plan_path=None):
         )
         inc_side = F.broadcast(incoming) if broadcast_ranks else incoming
         new_ranks = nodes.join(inc_side, "node_id", "left").select(
-            "node_id",
+            *keep,
             (
                 F.lit(base).cast("long")
                 + F.expr("(85 * coalesce(insum, 0L)) div 100")
