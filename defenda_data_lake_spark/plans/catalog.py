@@ -338,96 +338,47 @@ from defenda_data_lake_spark.plans.catalog_bpe import (
 # the 50-slot window always re-covers the stalest entries (VERDICT r4
 # item 1).
 #
-# Round-12 ordering (executes the r11 rotation contract exactly):
-# 1. Slots 0-12: the THIRTEEN r9-green entries displaced in rounds
-#    10-11 (q120/q76/q116/q78/q80/q89/q91/q92/q94/q96/q98/q99/q101)
-#    lead exactly as pinned at tail slots 50-62 last round (r11
-#    VERDICT item 2 / COVERAGE.md ledger / test_catalog_contract).
-# 2. Slots 13-15: the entries round 12 CHANGED — q103/q106/q123 now
-#    read the shared session-materialized _nb_scored_view
-#    (catalog_ml.py; values identical, plans restructured, so the
-#    changed-this-round rule puts all three in-window).
-# 3. Slots 16-18: the entries round 12 ADDED — q125_source_divergence
-#    (pairwise source JS-divergence matrix), q126_embedding_drift
-#    (per-cluster snapshot drift), and q127_preference_pairs
-#    (DPO-style chosen/rejected mining from near-dup clusters x NB
-#    scores) — never driver-verified, the new-this-round rule.
-# 4. Slots 19-25: the headline seven (q01/q03/q05/q10/q30/q31/q36) —
-#    last driver-green in round 6, scheduled per r11 VERDICT item 6
-#    so no entry is ever >3 rounds driver-stale; they remain
-#    bench-value-exercised every round as before.
-# 5. Slots 26-49: the round-10 window in its r10 order (all equally
-#    r10-driver-green), minus q103/q106 which moved up as changed.
-# TWENTY-FOUR r10-window entries spill past slot 50 (q09/q11/q12 —
-# displaced by the three new entries — then
-# q13/q15/q17/q18/q21/q22/q23/q27/q29/q41/q50/q51/q52/q53/q54/q56/
-# q57/q61/q65/q66/q68) — each SQL-surface entry is judge-covered by
-# the full-catalog oracle re-runs (120/120 in r10 AND r11) and every
-# one was driver-green in r10 (2 rounds stale at r12); they MUST lead
-# round 13's window, after anything round 13 changes.  The tail after
-# them is the r11 window (1 round stale — the eleven r8 spills,
-# q123/q124, and the r9-window block) in its r11 order.  COVERAGE.md
-# carries the last-driver-verified round per entry.
+# Round-13 ordering (executes the r12 rotation contract + VERDICT r12
+# item 3 exactly):
+# 1. Slots 0-2: q73_semdedup, q100_pagerank, q101_triangle_counts —
+#    the round-12 behavioral-plan rewrites that shipped WITHOUT a
+#    driver-verified slot (r12 rotation tail; builder 3-SF oracle
+#    evidence only).  VERDICT r12 item 3 orders the r13 window to
+#    lead with exactly these three.
+# 2. Slots 3-6: the entries round 13 CHANGED — q49/q98/q107/q127 ride
+#    the connected-components loop, whose checkpoints went lazy and
+#    whose pinned edge list is now dst-partitioned (values identical,
+#    plans restructured → the changed-this-round rule).  q100 (slot 1)
+#    also changed again this round (broadcast_ranks dataflow).
+# 3. Slots 7-30: the TWENTY-FOUR r10-window spills pinned at tail
+#    slots 50-73 last round (q09/q11/q12, then q13/q15/q17/q18/q21/
+#    q22/q23/q27/q29/q41/q50/q51/q52/q53/q54/q56/q57/q61/q65/q66/
+#    q68), in their pinned order — the r12 contract's MUST (driver-
+#    green in r10, 3 rounds stale now).
+# 4. Slots 31-49: the stalest remainder — the r11-green tail in its
+#    r11 order (the eleven r8 spills q26/q40/q32/q14/q19/q28/q48/
+#    q55/q59/q64/q67, then q124/q77/q70/q69/q115/q117/q118/q119),
+#    all last driver-verified in r11 (2 rounds stale).
+# The tail: first the rest of the r11-green block in its r11 order
+# (q121...q102, 2 rounds stale, each judge-covered by the
+# full-catalog oracle re-runs in r10 AND r11), then the ENTIRE r12
+# window in its r12 order (driver-green LAST round — freshest, so
+# last).  COVERAGE.md carries the last-driver-verified round per
+# entry.
 #
-# Post-rotation round-12 plan changes (value-identical, oracle text
-# unchanged, so the pinned window was NOT churned): q73_semdedup
-# (kernel cap + vectorized marking, Change 6), q100_pagerank
-# (single |E| materialization + long keys, Change 7), q101/q25/q47/
-# q96/q105/q126 (Changes 2-5 — already in-window).  q73 and q100 sit
-# in the tail this round with builder three-SF oracle verification
-# recorded (OPTIMIZATION_r12.md); round 13 SHOULD give both an early
-# window slot alongside the twenty-four r10 spills.
+# Round-13 plan changes (value-identical, oracle text unchanged):
+# q100_pagerank (broadcast_ranks dataflow — slot 1), q49/q98/q107/
+# q127 (CC loop lazy checkpoints + dst-partitioned edges — slots
+# 3-6), q73 (sub-bucket cap now byte-budgeted from dim — same plan,
+# kernel constant — slot 0).  All in-window this round.
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "q120_sequence_packing_bpe": (q120_sequence_packing_bpe, Q120_SQL),
-    "q76_perplexity_buckets": (q76_perplexity_buckets, Q76_SQL),
-    "q116_bpe_tokenize": (q116_bpe_tokenize, Q116_SQL),
-    "q78_chunk_dedupe": (q78_chunk_dedupe, Q78_SQL),
-    "q80_bloom_distinct": (q80_bloom_distinct, Q80_SQL),
-    "q89_ann_recall": (q89_ann_recall, Q89_SQL),
-    "q91_overlap_sketch": (q91_overlap_sketch, Q91_SQL),
-    "q92_token_budget": (q92_token_budget, Q92_SQL),
-    "q94_snapshot_diff": (q94_snapshot_diff, Q94_SQL),
-    "q96_knn_pq": (q96_knn_pq, Q96_SQL),
-    "q98_leakage_safe_split": (q98_leakage_safe_split, Q98_SQL),
-    "q99_scd2_history": (q99_scd2_history, Q99_SQL),
+    "q73_semdedup": (q73_semdedup, Q73_SQL),
+    "q100_pagerank": (q100_pagerank, Q100_SQL),
     "q101_triangle_counts": (q101_triangle_counts, Q101_SQL),
-    "q103_nb_quality_classifier": (q103_nb_quality_classifier, Q103_SQL),
-    "q106_classifier_eval": (q106_classifier_eval, Q106_SQL),
-    "q123_classifier_calibration": (q123_classifier_calibration, Q123_SQL),
-    "q125_source_divergence": (q125_source_divergence, Q125_SQL),
-    "q126_embedding_drift": (q126_embedding_drift, Q126_SQL),
-    "q127_preference_pairs": (q127_preference_pairs, Q127_SQL),
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
-    "q05_regional_revenue": (q05_regional_revenue, Q05_SQL),
-    "q10_window_rank": (q10_window_rank, Q10_SQL),
-    "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
-    "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
-    "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
-    "q104_source_overlap": (q104_source_overlap, Q104_SQL),
-    "q105_prototypicality": (q105_prototypicality, Q105_SQL),
+    "q49_dup_clusters": (q49_dup_clusters, Q49_SQL),
+    "q98_leakage_safe_split": (q98_leakage_safe_split, Q98_SQL),
     "q107_quality_survivors": (q107_quality_survivors, Q107_SQL),
-    "q108_unicode_normalize": (q108_unicode_normalize, Q108_SQL),
-    "q47_kmeans_clusters": (q47_kmeans_clusters, Q47_SQL),
-    "q95_sampled_diff": (q95_sampled_diff, Q95_SQL),
-    "q90_hll_rollup": (q90_hll_rollup, Q90_SQL),
-    "q82_dup_span_removal": (q82_dup_span_removal, Q82_SQL),
-    "q93_group_token_budget": (q93_group_token_budget, Q93_SQL),
-    "q75_group_weighted_sample": (q75_group_weighted_sample, Q75_SQL),
-    "q24_presto_text": (q24_presto_text, Q24_SQL),
-    "q25_percentile_stats": (q25_percentile_stats, Q25_SQL),
-    "q33_text_tokens": (q33_text_tokens, Q33_SQL),
-    "q38_dataset_split": (q38_dataset_split, Q38_SQL),
-    "q44_multimodal_decode": (q44_multimodal_decode, Q44_SQL),
-    "q42_simhash_pairs": (q42_simhash_pairs, Q42_SQL),
-    "q109_image_dhash": (q109_image_dhash, Q109_SQL),
-    "q110_domain_curation": (q110_domain_curation, Q110_SQL),
-    "q111_boilerplate_removal": (q111_boilerplate_removal, Q111_SQL),
-    "q112_dsir_weights": (q112_dsir_weights, Q112_SQL),
-    "q113_cdc_apply": (q113_cdc_apply, Q113_SQL),
-    "q114_audio_fingerprint": (q114_audio_fingerprint, Q114_SQL),
-    "q16_event_pairs": (q16_event_pairs, Q16_SQL),
-    "q07_top_customers": (q07_top_customers, Q07_SQL),
+    "q127_preference_pairs": (q127_preference_pairs, Q127_SQL),
     "q09_rollup_orders": (q09_rollup_orders, Q09_SQL),
     "q11_window_running": (q11_window_running, Q11_SQL),
     "q12_distinct_agg": (q12_distinct_agg, Q12_SQL),
@@ -464,7 +415,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q64_bigram_logprob": (q64_bigram_logprob, Q64_SQL),
     "q67_retention_cohorts": (q67_retention_cohorts, Q67_SQL),
     "q124_hybrid_rrf": (q124_hybrid_rrf, Q124_SQL),
-    "q73_semdedup": (q73_semdedup, Q73_SQL),
     "q77_bucket_dedupe": (q77_bucket_dedupe, Q77_SQL),
     "q70_pivot_daily": (q70_pivot_daily, Q70_SQL),
     "q69_rolling_anomaly": (q69_rolling_anomaly, Q69_SQL),
@@ -489,7 +439,6 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q63_candidate_verify": (q63_candidate_verify, Q63_SQL),
     "q60_containment_pairs": (q60_containment_pairs, Q60_SQL),
     "q58_ngram_novelty": (q58_ngram_novelty, Q58_SQL),
-    "q49_dup_clusters": (q49_dup_clusters, Q49_SQL),
     "q79_hll_distinct": (q79_hll_distinct, Q79_SQL),
     "q81_dup_span_coverage": (q81_dup_span_coverage, Q81_SQL),
     "q83_count_min_words": (q83_count_min_words, Q83_SQL),
@@ -499,8 +448,53 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q87_bm25_topk": (q87_bm25_topk, Q87_SQL),
     "q88_quantile_sketch": (q88_quantile_sketch, Q88_SQL),
     "q97_corpus_datasheet": (q97_corpus_datasheet, Q97_SQL),
-    "q100_pagerank": (q100_pagerank, Q100_SQL),
     "q102_edit_distance_pairs": (q102_edit_distance_pairs, Q102_SQL),
+    "q120_sequence_packing_bpe": (q120_sequence_packing_bpe, Q120_SQL),
+    "q76_perplexity_buckets": (q76_perplexity_buckets, Q76_SQL),
+    "q116_bpe_tokenize": (q116_bpe_tokenize, Q116_SQL),
+    "q78_chunk_dedupe": (q78_chunk_dedupe, Q78_SQL),
+    "q80_bloom_distinct": (q80_bloom_distinct, Q80_SQL),
+    "q89_ann_recall": (q89_ann_recall, Q89_SQL),
+    "q91_overlap_sketch": (q91_overlap_sketch, Q91_SQL),
+    "q92_token_budget": (q92_token_budget, Q92_SQL),
+    "q94_snapshot_diff": (q94_snapshot_diff, Q94_SQL),
+    "q96_knn_pq": (q96_knn_pq, Q96_SQL),
+    "q99_scd2_history": (q99_scd2_history, Q99_SQL),
+    "q103_nb_quality_classifier": (q103_nb_quality_classifier, Q103_SQL),
+    "q106_classifier_eval": (q106_classifier_eval, Q106_SQL),
+    "q123_classifier_calibration": (q123_classifier_calibration, Q123_SQL),
+    "q125_source_divergence": (q125_source_divergence, Q125_SQL),
+    "q126_embedding_drift": (q126_embedding_drift, Q126_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
+    "q05_regional_revenue": (q05_regional_revenue, Q05_SQL),
+    "q10_window_rank": (q10_window_rank, Q10_SQL),
+    "q30_dedup_exact": (q30_dedup_exact, Q30_SQL),
+    "q31_dedup_minhash": (q31_dedup_minhash, Q31_SQL),
+    "q36_text_fingerprint": (q36_text_fingerprint, Q36_SQL),
+    "q104_source_overlap": (q104_source_overlap, Q104_SQL),
+    "q105_prototypicality": (q105_prototypicality, Q105_SQL),
+    "q108_unicode_normalize": (q108_unicode_normalize, Q108_SQL),
+    "q47_kmeans_clusters": (q47_kmeans_clusters, Q47_SQL),
+    "q95_sampled_diff": (q95_sampled_diff, Q95_SQL),
+    "q90_hll_rollup": (q90_hll_rollup, Q90_SQL),
+    "q82_dup_span_removal": (q82_dup_span_removal, Q82_SQL),
+    "q93_group_token_budget": (q93_group_token_budget, Q93_SQL),
+    "q75_group_weighted_sample": (q75_group_weighted_sample, Q75_SQL),
+    "q24_presto_text": (q24_presto_text, Q24_SQL),
+    "q25_percentile_stats": (q25_percentile_stats, Q25_SQL),
+    "q33_text_tokens": (q33_text_tokens, Q33_SQL),
+    "q38_dataset_split": (q38_dataset_split, Q38_SQL),
+    "q44_multimodal_decode": (q44_multimodal_decode, Q44_SQL),
+    "q42_simhash_pairs": (q42_simhash_pairs, Q42_SQL),
+    "q109_image_dhash": (q109_image_dhash, Q109_SQL),
+    "q110_domain_curation": (q110_domain_curation, Q110_SQL),
+    "q111_boilerplate_removal": (q111_boilerplate_removal, Q111_SQL),
+    "q112_dsir_weights": (q112_dsir_weights, Q112_SQL),
+    "q113_cdc_apply": (q113_cdc_apply, Q113_SQL),
+    "q114_audio_fingerprint": (q114_audio_fingerprint, Q114_SQL),
+    "q16_event_pairs": (q16_event_pairs, Q16_SQL),
+    "q07_top_customers": (q07_top_customers, Q07_SQL),
 }
 
 

@@ -47,6 +47,18 @@ KEYS = {
 def build(spark, base: str, tmp: str, factor: int) -> None:
     from pyspark.sql import functions as F
 
+    # never write a replica over the source data: mode("overwrite")
+    # deletes the target before the job can read it (an interrupted
+    # round-13 probe invoked with tmp=/root/testdata/sf0.1 destroyed
+    # the source lineitem.parquet this exact way; restored row-exact
+    # from a surviving replica-0 partition — see OPTIMIZATION_r13.md)
+    base_real = os.path.realpath(base)
+    tmp_real = os.path.realpath(tmp)
+    if tmp_real == base_real or tmp_real.startswith("/root/testdata"):
+        raise ValueError(
+            f"refusing to build a replica into the source data dir: {tmp!r}"
+        )
+
     for t in REPLICATED:
         df = spark.read.parquet(f"{base}/{t}.parquet")
         copies = []
