@@ -106,6 +106,7 @@ def main() -> None:
         CATALOG,
         clear_table_cache,
         headline_queries,
+        headline_queries_legacy12,
         warm_table_cache,
     )
     from defenda_data_lake_spark.session import get_spark
@@ -121,7 +122,17 @@ def main() -> None:
                             "build_sec": round(time.time() - t0, 1)}),
                 flush=True,
             )
-        names = headline_queries()
+        # SPARK_GRAFT_PAIR_SET=legacy12 restricts the pairing to the
+        # r1-12 surface: the round-13 heavy group's DuckDB oracles
+        # replay full Lloyd/pagerank chains in SQL with quadratic
+        # within-cluster pair joins — fine at the correctness SFs,
+        # infeasible at Nx replica scale.  The heavy group's at-scale
+        # evidence is Spark-side noop probes (q73_32x_probe_r13 etc.).
+        names = (
+            headline_queries_legacy12()
+            if os.environ.get("SPARK_GRAFT_PAIR_SET") == "legacy12"
+            else headline_queries()
+        )
         loadavg = tuple(round(x, 2) for x in os.getloadavg())
 
         # ---- Spark side (bench.py protocol, incl. its table cache:
