@@ -48,13 +48,24 @@ def _dlit(v: float) -> str:
     ``repr()`` would emit bare ``nan``/``inf``, which the SQL parser
     reads as COLUMN REFERENCES (AnalysisException on any embedding
     containing a non-finite component), where the old F.lit form
-    produced defined NaN-propagating arithmetic."""
+    produced defined NaN-propagating arithmetic.
+
+    Finite values use the ``D``-suffixed double literal (round 13):
+    one lexer token instead of the old ``CAST(<repr> AS DOUBLE)``'s
+    six plus a Cast node for the optimizer to fold — the kmeans/PQ
+    assignment plans inline ~1k of these, and parsing+analyzing them
+    is a measured driver-side cost (q96 decomposition).  The parsed
+    value is bit-identical for every finite double except -0.0, whose
+    sign the old decimal-literal CAST path dropped — normalized here
+    to keep plans byte-for-byte value-stable with the r12 form."""
     v = float(v)
     if math.isnan(v):
         return "CAST('NaN' AS DOUBLE)"
     if math.isinf(v):
         return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
-    return f"CAST({v!r} AS DOUBLE)"
+    if v == 0.0:
+        v = 0.0  # -0.0 -> +0.0, matching CAST(-0.0 AS DOUBLE)
+    return f"{v!r}D"
 
 
 def _sq_dist_sql(vec_sql: str, centroid: list[float]) -> str:

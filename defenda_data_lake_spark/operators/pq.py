@@ -52,13 +52,19 @@ def _dlit(v: float) -> str:
     """Shortest-roundtrip SQL double literal (both engines parse the
     identical IEEE value — the house convention for float constants).
     Non-finite values use the string-cast spelling — ``repr()`` emits
-    bare ``nan``/``inf``, which SQL parses as column references."""
+    bare ``nan``/``inf``, which SQL parses as column references.
+    Finite values are ``D``-suffixed literals (one token; the old
+    ``CAST(<repr> AS DOUBLE)`` was six plus a Cast to fold — a
+    measured driver cost at ~1k literals per PQ plan); -0.0 is
+    normalized to +0.0, the value the old CAST path produced."""
     v = float(v)
     if math.isnan(v):
         return "CAST('NaN' AS DOUBLE)"
     if math.isinf(v):
         return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
-    return f"CAST({v!r} AS DOUBLE)"
+    if v == 0.0:
+        v = 0.0  # -0.0 -> +0.0, matching CAST(-0.0 AS DOUBLE)
+    return f"{v!r}D"
 
 
 def _sq_dist_sql(sub_sql: str, centroid: Sequence[float]) -> str:
@@ -77,14 +83,25 @@ def _sq_dist_sql(sub_sql: str, centroid: Sequence[float]) -> str:
     )
 
 
-def _argmin_code_sql(sub_sql: str, cents: list[list[float]]) -> str:
-    """SQL text of the nearest-centroid id with ties to the LOWEST id:
-    ``array_position`` returns the FIRST index holding the minimum —
-    exactly the kmeans tie rule the oracle's row_number replay uses."""
-    dists = ", ".join(_sq_dist_sql(sub_sql, c) for c in cents)
+def _dist_array_sql(sub_sql: str, cents: list[list[float]]) -> str:
+    """SQL text of the k-element array of squared distances of a
+    subvector expression to each literal centroid, in centroid order.
+    Bound ONCE to a name by the caller: the old ``_argmin_code_sql``
+    inlined this array twice (in ``array_position`` and inside
+    ``array_min``), doubling the literal tree the driver parses and
+    analyzes per plan — a measured cost at k·dim literals per
+    subspace (q96 decomposition, round 13)."""
+    return f"array({', '.join(_sq_dist_sql(sub_sql, c) for c in cents)})"
+
+
+def _argmin_from_dists_sql(dists_col: str) -> str:
+    """Nearest-centroid id from a BOUND distance-array column, ties to
+    the LOWEST id: ``array_position`` returns the FIRST index holding
+    the minimum — exactly the kmeans tie rule the oracle's row_number
+    replay uses."""
     return (
-        f"CAST(array_position(array({dists}), "
-        f"array_min(array({dists}))) - 1 AS INT)"
+        f"CAST(array_position({dists_col}, "
+        f"array_min({dists_col})) - 1 AS INT)"
     )
 
 
@@ -216,18 +233,27 @@ def pq_encode(
     out: str = "pq_code",
 ) -> DataFrame:
     """Encode every vector as ``m`` nearest-centroid ids (array<int>) —
-    a shuffle-free pure-JVM projection over literal codebooks."""
+    a shuffle-free pure-JVM projection over literal codebooks.  Two
+    projection steps: the per-subspace distance arrays are computed
+    (and their literal trees parsed) ONCE under a name, then the
+    argmin reads the bound column — identical values, half the
+    expression tree of the former inline-twice form."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    codes = []
+    da_cols = []
     for s in range(m):
         sub = (
             f"transform(slice(`{vec_col}`, {s * dsub + 1}, {dsub}), "
             "v -> CAST(v AS DOUBLE))"
         )
-        codes.append(_argmin_code_sql(sub, codebooks[s]))
-    return df.select(
-        F.col(id_col), F.expr(f"array({', '.join(codes)})").alias(out)
+        da_cols.append(
+            f"{_dist_array_sql(sub, codebooks[s])} AS `__pq_da{s}`"
+        )
+    argmins = ", ".join(
+        _argmin_from_dists_sql(f"`__pq_da{s}`") for s in range(m)
+    )
+    return df.selectExpr(f"`{id_col}`", *da_cols).selectExpr(
+        f"`{id_col}`", f"array({argmins}) AS `{out}`"
     )
 
 
