@@ -38,10 +38,38 @@ SCALE = 10**12
 
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Undirected simple graph from a (possibly duplicated, directed)
-    edge list: both orientations, distinct, self-loops dropped."""
-    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    return fwd.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+    edge list: both orientations, distinct, self-loops dropped.
+
+    Both orientations come from ONE explode pass over the input
+    (round 13): the former ``fwd.union(rev)`` referenced the caller's
+    edge DERIVATION twice, and a union's branches each execute their
+    own copy — ReuseExchange shares only identical shuffle files, not
+    the join/merge/project work above them, so q100's orders⋈lineitem
+    derivation ran once per branch.  Same output multiset row for row,
+    so the distinct result is identical.
+
+    The dedup deliberately stays BEFORE any downstream keyed
+    repartition (pagerank's broadcast path adds its own): fusing the
+    two into one exchange (repartition-then-distinct — hash(dst) does
+    satisfy the (src, dst) clustering requirement) was built and
+    MEASURED SLOWER at the 32x replica (invariant build 7.7 →
+    21.4 s): a user repartition plans below the aggregation, so the
+    map-side partial dedup disappears and the full pre-distinct
+    multiset (~2x |E| here) crosses the wire.  Two exchanges moving
+    partially-deduped-then-distinct rows beat one moving everything."""
+    both = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+                    F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return both.distinct()
 
 
 def pagerank(

@@ -50,7 +50,8 @@ def timed_pagerank(spark, sf_dir: str, broadcast_ranks: bool, plan_path=None):
     e = symmetrize(raw)
     if broadcast_ranks:
         # the round-13 invariant shape: bare (src, dst) pairs, ONE
-        # dst exchange; outdeg rides on the |V| rank table
+        # dst exchange over the deduped set; outdeg rides on the
+        # rank table
         contrib_edges = e.repartition("dst").localCheckpoint(eager=True)
     else:
         contrib_edges = e.withColumn(

@@ -154,3 +154,62 @@ def test_semdedup_max_group_bytes_parity(spark):
         assert got == base, f"budget={budget} diverged"
     with pytest.raises(ValueError):
         semdedup(emb, k=4, iterations=2, max_group_rows=8, max_group_bytes=8)
+
+
+# --------------------------------------------- symmetrize (explode form)
+
+
+def _exchange_nodes(df) -> int:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    # after an action, AQE's formatted output appends the initial plan
+    # as a second section — count the current plan's nodes only
+    txt = buf.getvalue().split("== Initial Plan ==")[0]
+    return sum(
+        1
+        for line in txt.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+    )
+
+
+def test_symmetrize_explode_form(spark):
+    """Round 13: symmetrize emits both orientations from ONE explode
+    pass — the union form executed the caller's edge derivation once
+    per branch (ReuseExchange shares shuffle files, not the work
+    above them).  Values identical; the plan holds exactly one
+    Exchange (the dedup's), with the input subtree appearing ONCE.
+    (The repartition-then-distinct fusion — one shared exchange — was
+    measured SLOWER at 32x and rejected: it moves the un-deduped
+    multiset; see operators/graph.py.)"""
+    from defenda_data_lake_spark.operators.graph import symmetrize
+
+    rows = [(1, 2), (2, 1), (1, 2), (3, 3), (4, 1), (2, 5), (5, 2)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+
+    # plan shape on un-executed frames (an executed AQE plan rewrites
+    # Exchange into ShuffleQueryStage nodes)
+    plain = symmetrize(df, src="a", dst="b")
+    assert _exchange_nodes(plain) == 1
+    # one Generate (explode) node, and the source scan appears once —
+    # the union form scanned the input subtree twice
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plain.explain("formatted")
+    txt = buf.getvalue().split("== Initial Plan ==")[0]
+    details = [line for line in txt.splitlines() if line.strip().startswith("(")]
+    assert sum(1 for line in details if "Generate" in line) == 1
+    assert sum(1 for line in details if "Scan ExistingRDD" in line) == 1
+
+    expect = set()
+    for a, b in rows:
+        if a != b:
+            expect.add((a, b))
+            expect.add((b, a))
+    assert {(r["src"], r["dst"]) for r in plain.collect()} == expect
